@@ -1,0 +1,148 @@
+"""NumPy golden models: dense/sparse assembly, RHS, error norms.
+
+This module is the framework's correctness oracle, playing the role the
+assembled-matrix path plays in the reference:
+
+- element/global stiffness assembly —> the CSR `MatrixOperator` the
+  reference compares its matrix-free operator against
+  (`mat_free --mat_comp`, examples/mat_free/main.cpp:270-289),
+- the host geometry math of src/precompute.hpp (exercised indirectly: the
+  jnp `geometry_factors` is tested against `element_stiffness` products),
+- RHS assembly + boundary conditions (examples/pmg/main.cpp:289-296),
+- L2 error against a manufactured solution (python_tests/pmg.py:284-289).
+
+Everything here is setup/test-time NumPy (float64); none of it runs in the
+solve path.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+
+from .geometry import geometry_factors, quadrature_weights_3d, tabulate_geometry_dphi
+from .gll import derivative_matrix, gauss_legendre, gauss_lobatto, lagrange_tabulate
+from .mesh import BoxMesh
+
+
+def geometry_factors_np(mesh: BoxMesh, P: int) -> tuple[np.ndarray, np.ndarray]:
+    """G and detJ for all cells, pure-NumPy float64 (oracle path)."""
+    G, detJ = geometry_factors(
+        mesh.geometry_x,
+        mesh.geometry_dofmap,
+        tabulate_geometry_dphi(P),
+        quadrature_weights_3d(P),
+        xp=np,
+    )
+    return np.asarray(G), np.asarray(detJ)
+
+
+def gradient_tables(P: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """3D basis gradient tables ``B_d[(nq, ndofs)]`` at the GLL points.
+
+    With collocated GLL quadrature the 1D value table is the identity, so
+    ``Bx = D (x) I (x) I`` etc. (the structure the sum-factorized kernel
+    exploits, reference src/laplacian.hpp:195-218).
+    """
+    n = P + 1
+    D = derivative_matrix(P)
+    I = np.eye(n)
+    Bx = np.einsum("qi,rj,sk->qrsijk", D, I, I).reshape(n**3, n**3)
+    By = np.einsum("qi,rj,sk->qrsijk", I, D, I).reshape(n**3, n**3)
+    Bz = np.einsum("qi,rj,sk->qrsijk", I, I, D).reshape(n**3, n**3)
+    return Bx, By, Bz
+
+
+def element_stiffness(G_cell: np.ndarray, P: int, coeff: float = 1.0) -> np.ndarray:
+    """Dense element stiffness ``A^e[(ndofs, ndofs)]`` from the G factors.
+
+    ``A^e = coeff * sum_{a,b} B_a^T diag(G_ab) B_b`` — the bilinear form
+    ``integral kappa grad(u) . grad(v)`` evaluated with the collocated rule.
+    """
+    B = gradient_tables(P)
+    idx = [[0, 1, 2], [1, 3, 4], [2, 4, 5]]
+    A = np.zeros((B[0].shape[1], B[0].shape[1]))
+    for a in range(3):
+        for b in range(3):
+            A += B[a].T @ (G_cell[:, idx[a][b], None] * B[b])
+    return coeff * A
+
+
+def assemble_stiffness(
+    mesh: BoxMesh, P: int, kappa: float = 1.0, bc: bool = True
+) -> sp.csr_matrix:
+    """Assemble the global stiffness matrix (scipy CSR).
+
+    With ``bc=True``, Dirichlet rows and columns are zeroed and the diagonal
+    set to 1 — matching both dolfinx's assembled-with-bc matrix and the
+    matrix-free kernel's semantics (zero bc dofs on gather, ``y[bc]=x[bc]``
+    on scatter; reference src/laplacian.hpp:182-189, 272-277).
+    """
+    G, _ = geometry_factors_np(mesh, P)
+    dofmap = mesh.dofmap(P)
+    ndofs = mesh.num_dofs(P)
+    ncells, nld = dofmap.shape
+    rows = np.repeat(dofmap, nld, axis=1).ravel()
+    cols = np.tile(dofmap, (1, nld)).ravel()
+    vals = np.empty((ncells, nld, nld))
+    for c in range(ncells):
+        vals[c] = element_stiffness(G[c], P, kappa)
+    A = sp.coo_matrix((vals.ravel(), (rows, cols)), shape=(ndofs, ndofs)).tocsr()
+    if bc:
+        marker = mesh.boundary_dof_marker(P)
+        keep = sp.diags((~marker).astype(np.float64))
+        A = keep @ A @ keep + sp.diags(marker.astype(np.float64))
+    return A.tocsr()
+
+
+def assemble_rhs(mesh: BoxMesh, P: int, f, bc: bool = True) -> np.ndarray:
+    """Assemble ``b_i = integral f phi_i dx`` with the collocated GLL rule.
+
+    With collocation the local load vector is diagonal:
+    ``b_local[q] = w_q detJ_q f(x_q)``. With ``bc=True`` Dirichlet entries
+    are zeroed afterwards (homogeneous ``set_bc``, reference
+    examples/pmg/main.cpp:293-295 — `apply_lifting` is a no-op for g=0).
+    """
+    _, detJ = geometry_factors_np(mesh, P)
+    w = quadrature_weights_3d(P)
+    dofmap = mesh.dofmap(P)
+    coords = mesh.dof_coords(P)[dofmap]  # (ncells, nld, 3)
+    fvals = f(coords.reshape(-1, 3).T).reshape(dofmap.shape)
+    b_local = w[None, :] * detJ * fvals
+    b = np.zeros(mesh.num_dofs(P))
+    np.add.at(b, dofmap.ravel(), b_local.ravel())
+    if bc:
+        b[mesh.boundary_dof_marker(P)] = 0.0
+    return b
+
+
+def l2_error(mesh: BoxMesh, P: int, u_h: np.ndarray, u_exact, nq: int | None = None) -> float:
+    """Accurate L2 norm of ``u_h - u_exact`` via Gauss-Legendre quadrature.
+
+    Counterpart of `norm_L2` in python_tests/pmg.py:41-45 (which uses the
+    full-accuracy default measure, not the collocated GLL rule).
+    """
+    nq = nq or P + 3
+    xq, wq = gauss_legendre(nq)
+    xg, _ = gauss_lobatto(P + 1)
+    phi1 = lagrange_tabulate(xg, xq, 0)[0]  # (nq, P+1)
+    n = P + 1
+    u_cells = u_h[mesh.dofmap(P)].reshape(mesh.nc + (n, n, n))
+    uq = np.einsum("qi,rj,sk,cdeijk->cdeqrs", phi1, phi1, phi1, u_cells)
+    # Quadrature-point physical coordinates (affine axis-aligned cells).
+    hx, hy, hz = mesh.h
+    nx, ny, nz = mesh.nc
+    X = (np.arange(nx)[:, None] + xq[None, :]) * hx
+    Y = (np.arange(ny)[:, None] + xq[None, :]) * hy
+    Z = (np.arange(nz)[:, None] + xq[None, :]) * hz
+    pts = np.stack(
+        np.broadcast_arrays(
+            X[:, None, None, :, None, None],
+            Y[None, :, None, None, :, None],
+            Z[None, None, :, None, None, :],
+        ),
+        axis=0,
+    )
+    ue = u_exact(pts.reshape(3, -1)).reshape(uq.shape)
+    w3 = np.einsum("q,r,s->qrs", wq, wq, wq)
+    detJ = hx * hy * hz
+    err2 = np.sum((uq - ue) ** 2 * w3[None, None, None] * detJ)
+    return float(np.sqrt(err2))

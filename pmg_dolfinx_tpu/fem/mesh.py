@@ -1,0 +1,171 @@
+"""Structured hexahedral box meshes with tensor-product dofmaps.
+
+Replaces the reference's DOLFINx mesh stack (`mesh::create_box` +
+FunctionSpace/dofmap, reference examples/pmg/main.cpp:442-451, SURVEY.md
+§2.5): the unit box is the only mesh the reference ever builds, so the
+TPU-native design makes the structured lattice a first-class citizen —
+dofmaps are closed-form, partitioning is slab-based, and the fast operator
+path can skip indexed gathers entirely.
+
+Conventions (self-consistent throughout the framework):
+- cells:  ``cell = (cx * ny + cy) * nz + cz`` (x slowest, z fastest),
+- local tensor-product dofs: ``local = (i * n + j) * n + k`` with
+  ``n = P + 1`` and i/j/k the x/y/z 1D indices — the ordering produced by
+  ``basix::tp_dof_ordering`` that the reference permutes its coordinate
+  dofmap into (src/mesh.hpp:76-84); here it is native,
+- global dofs: lattice id ``(gx * NY + gy) * NZ + gz`` on the
+  ``(nx*P+1, ny*P+1, nz*P+1)`` node lattice, nodes placed at the mapped
+  GLL points of each cell (the `gll_warped` variant's physical node set).
+"""
+
+from functools import lru_cache
+
+import numpy as np
+
+from .gll import gauss_lobatto
+
+
+class BoxMesh:
+    """Structured box mesh of ``nx x ny x nz`` hexahedral cells.
+
+    Parameters
+    ----------
+    nc : (int, int, int)
+        Number of cells per direction.
+    extent : (float, float, float)
+        Physical box size; cells are axis-aligned and uniform (the same
+        geometry `create_box` produces in the reference drivers).
+    """
+
+    def __init__(self, nc, extent=(1.0, 1.0, 1.0)):
+        self.nc = tuple(int(v) for v in nc)
+        self.extent = tuple(float(v) for v in extent)
+        if any(v < 1 for v in self.nc):
+            raise ValueError("need at least one cell per direction")
+        self.ncells = self.nc[0] * self.nc[1] * self.nc[2]
+        self.h = tuple(e / n for e, n in zip(self.extent, self.nc))
+
+    # ------------------------------------------------------------------
+    # Geometry (Q1 coordinate element: 8 corner nodes per cell)
+    # ------------------------------------------------------------------
+
+    @property
+    def geometry_x(self) -> np.ndarray:
+        """Corner-node coordinates, shape ``(n_geom_nodes, 3)`` float64."""
+        return self._geometry_x()
+
+    @lru_cache(maxsize=1)
+    def _geometry_x(self):
+        nx, ny, nz = self.nc
+        gx = np.linspace(0.0, self.extent[0], nx + 1)
+        gy = np.linspace(0.0, self.extent[1], ny + 1)
+        gz = np.linspace(0.0, self.extent[2], nz + 1)
+        X, Y, Z = np.meshgrid(gx, gy, gz, indexing="ij")
+        out = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
+        out.setflags(write=False)
+        return out
+
+    @property
+    def geometry_dofmap(self) -> np.ndarray:
+        """Cell -> corner-node map, shape ``(ncells, 8)`` int32.
+
+        Local corner ordering ``(i*2 + j)*2 + k`` (tensor-product for n=2).
+        """
+        return self._geometry_dofmap()
+
+    @lru_cache(maxsize=1)
+    def _geometry_dofmap(self):
+        return self.dofmap(1).astype(np.int32)
+
+    # ------------------------------------------------------------------
+    # Degree-P tensor-product function space on the mesh
+    # ------------------------------------------------------------------
+
+    def lattice_shape(self, P: int) -> tuple[int, int, int]:
+        return tuple(n * P + 1 for n in self.nc)
+
+    def num_dofs(self, P: int) -> int:
+        NX, NY, NZ = self.lattice_shape(P)
+        return NX * NY * NZ
+
+    @lru_cache(maxsize=None)
+    def dofmap(self, P: int) -> np.ndarray:
+        """Cell dofmap, shape ``(ncells, (P+1)^3)`` int32.
+
+        Equivalent of ``V->dofmap()->map()`` uploaded to device at
+        reference examples/pmg/main.cpp:199-207, in tensor-product order.
+        """
+        nx, ny, nz = self.nc
+        NX, NY, NZ = self.lattice_shape(P)
+        n = P + 1
+        cx = np.arange(nx)[:, None, None, None, None, None]
+        cy = np.arange(ny)[None, :, None, None, None, None]
+        cz = np.arange(nz)[None, None, :, None, None, None]
+        i = np.arange(n)[None, None, None, :, None, None]
+        j = np.arange(n)[None, None, None, None, :, None]
+        k = np.arange(n)[None, None, None, None, None, :]
+        gid = ((cx * P + i) * NY + (cy * P + j)) * NZ + (cz * P + k)
+        out = np.ascontiguousarray(
+            np.broadcast_to(gid, (nx, ny, nz, n, n, n)).reshape(self.ncells, n**3)
+        ).astype(np.int32)
+        out.setflags(write=False)
+        return out
+
+    @lru_cache(maxsize=None)
+    def dof_coords(self, P: int) -> np.ndarray:
+        """Physical coordinates of all dofs, shape ``(ndofs, 3)``.
+
+        Nodes inside each cell sit at mapped GLL points (the physical node
+        set of the `gll_warped` Lagrange variant).
+        """
+        xg, _ = gauss_lobatto(P + 1)
+        axes = []
+        for d in range(3):
+            ncd = self.nc[d]
+            # lattice index g = c*P + i -> coordinate (c + gll[i]) * h
+            g = np.arange(ncd * P + 1)
+            c = np.minimum(g // P, ncd - 1)
+            i = g - c * P
+            axes.append((c + xg[i]) * self.h[d])
+        X, Y, Z = np.meshgrid(*axes, indexing="ij")
+        out = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
+        out.setflags(write=False)
+        return out
+
+    @lru_cache(maxsize=None)
+    def boundary_dof_marker(self, P: int) -> np.ndarray:
+        """Boolean marker of dofs on the 6 exterior faces, shape ``(ndofs,)``.
+
+        Equivalent of the `active_bc_dofs` array built from
+        ``locate_dofs_topological`` on exterior facets at reference
+        examples/pmg/main.cpp:173-185.
+        """
+        NX, NY, NZ = self.lattice_shape(P)
+        m = np.zeros((NX, NY, NZ), dtype=bool)
+        m[0, :, :] = m[-1, :, :] = True
+        m[:, 0, :] = m[:, -1, :] = True
+        m[:, :, 0] = m[:, :, -1] = True
+        out = m.ravel()
+        out.setflags(write=False)
+        return out
+
+    @lru_cache(maxsize=None)
+    def dof_multiplicity(self, P: int) -> np.ndarray:
+        """Number of cells sharing each dof, shape ``(ndofs,)`` float64.
+
+        The `Q2mult` array of reference src/interpolate.hpp:172-178, used to
+        weight fine-space residuals in the matrix-free restriction.
+        """
+        mult = np.ones(1, dtype=np.float64)
+        for d in range(3):
+            ncd = self.nc[d]
+            g = np.arange(ncd * P + 1)
+            on_interface = (g % P == 0) & (g > 0) & (g < ncd * P)
+            md = np.where(on_interface, 2.0, 1.0)
+            mult = np.multiply.outer(mult, md)
+        out = np.ascontiguousarray(mult.reshape(self.num_dofs(P)))
+        out.setflags(write=False)
+        return out
+
+    def __repr__(self):
+        return f"BoxMesh(nc={self.nc}, extent={self.extent})"
