@@ -1,0 +1,95 @@
+"""The Poisson model: ``-div(kappa grad u) = f`` on the unit cube.
+
+This is the reference's single "model family" (UFL forms in
+examples/*/poisson.py: ``a = kappa inner(grad u, grad v) dx``,
+``L = inner(f, v) dx`` with GLL quadrature; compiled by FFCx there,
+hard-coded here since the framework is matrix-free end-to-end).
+
+Manufactured solution (python_tests/pmg.py:69-70):
+    u_e = sin(pi x) sin(pi y) sin(pi z),   f = -kappa lap(u_e) = 3 pi^2 kappa u_e
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fem.assembly import assemble_rhs, l2_error
+from ..fem.mesh import BoxMesh
+from ..solvers.pmg import PMGHierarchy
+
+
+def u_exact(x):
+    """Manufactured solution evaluated at points ``x[(3, npts)]``."""
+    return np.sin(np.pi * x[0]) * np.sin(np.pi * x[1]) * np.sin(np.pi * x[2])
+
+
+def f_rhs(kappa):
+    """Source term ``f = -kappa lap(u_e) = 3 pi^2 kappa u_e``."""
+
+    def f(x):
+        return 3.0 * np.pi**2 * kappa * u_exact(x)
+
+    return f
+
+
+def fit_box_cells(ndofs_target: int, max_degree: int, search: int = 5):
+    """Pick (nx, ny, nz) so the finest space has ~``ndofs_target`` dofs.
+
+    Mirrors the cube-fitting search of the reference driver
+    (examples/pmg/main.cpp:410-435): start from the cube root estimate and
+    locally search +/- ``search`` cells per direction for the best misfit.
+    """
+    n0 = max(1, int(round((ndofs_target ** (1.0 / 3.0) - 1) / max_degree)))
+    best = (n0, n0, n0)
+    best_misfit = abs((n0 * max_degree + 1) ** 3 - ndofs_target)
+    if n0 > search:
+        rng = range(n0 - search, n0 + search + 1)
+        for nx in rng:
+            for ny in rng:
+                for nz in rng:
+                    nd = (
+                        (nx * max_degree + 1)
+                        * (ny * max_degree + 1)
+                        * (nz * max_degree + 1)
+                    )
+                    if abs(nd - ndofs_target) < best_misfit:
+                        best_misfit = abs(nd - ndofs_target)
+                        best = (nx, ny, nz)
+    return best
+
+
+class PoissonProblem:
+    """Bundle: mesh + p-hierarchy + RHS + error evaluation.
+
+    The end-to-end object a driver builds (the reference's `solve<>`
+    function, examples/pmg/main.cpp:41-380, without the device-upload
+    boilerplate: arrays land on device inside `PMGHierarchy`).
+    """
+
+    def __init__(self, nc=(10, 10, 10), degrees=(1, 3), kappa=2.0,
+                 dtype=jnp.float64, coarse="smoother", coarse_cfg=None,
+                 smoother_iters=2):
+        self.mesh = BoxMesh(nc)
+        self.degrees = tuple(degrees)
+        self.kappa = float(kappa)
+        self.hierarchy = PMGHierarchy(
+            self.mesh, degrees=self.degrees, kappa=self.kappa, dtype=dtype,
+            coarse=coarse, coarse_cfg=coarse_cfg, smoother_iters=smoother_iters,
+        )
+        self.b = jnp.asarray(
+            assemble_rhs(self.mesh, self.degrees[-1], f_rhs(self.kappa)),
+            dtype=dtype,
+        )
+
+    def solve(self, num_cycles=10, residuals=True):
+        """Run the stationary V-cycle iteration (reference main loop)."""
+        return self.hierarchy.solve(self.b, num_cycles=num_cycles,
+                                    residuals=residuals)
+
+    def error_l2(self, u):
+        """L2 error of the discrete solution vs the manufactured solution."""
+        return l2_error(self.mesh, self.degrees[-1], np.asarray(u), u_exact)
+
+    def interpolate_exact(self):
+        """u_e sampled at the fine-space dofs (for initial guesses/tests)."""
+        coords = self.mesh.dof_coords(self.degrees[-1])
+        return u_exact(coords.T)

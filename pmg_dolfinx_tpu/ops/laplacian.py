@@ -68,6 +68,25 @@ def laplacian_apply_cells(u_cells, G, coeff, D):
     )
 
 
+def laplacian_scatter_raw(x, dofmap, G, coeff, D, bc_marker):
+    """Gather -> cell apply -> scatter-add, WITHOUT the bc row epilogue.
+
+    Returns the raw accumulated ``y`` (bc dofs zeroed on gather only).
+    Shared-dof entries hold *partial* sums when the dofmap covers only a
+    subdomain — the distributed layer exchanges those partials across
+    shard boundaries before applying the epilogue (the analogue of the
+    reference's reverse scatter, src/vector.hpp:249-294).
+    """
+    n = D.shape[0]
+    ncells = dofmap.shape[0]
+    xb = jnp.where(bc_marker, jnp.zeros_like(x), x)
+    u_cells = xb[dofmap.reshape(-1)].reshape(ncells, n, n, n)
+    y_cells = laplacian_apply_cells(u_cells, G, coeff, D)
+    return jnp.zeros_like(x).at[dofmap.reshape(-1)].add(
+        y_cells.reshape(-1), mode="drop"
+    )
+
+
 def laplacian_apply(x, dofmap, G, coeff, D, bc_marker):
     """Full matrix-free apply ``y = A x`` on a flat dof vector (jittable).
 
@@ -76,31 +95,13 @@ def laplacian_apply(x, dofmap, G, coeff, D, bc_marker):
     ``y[bc] = x[bc]`` (identity), reference src/laplacian.hpp:182-189 and
     272-277 — expressed race-free as a where-epilogue.
     """
-    n = D.shape[0]
-    ncells = dofmap.shape[0]
-    xb = jnp.where(bc_marker, jnp.zeros_like(x), x)
-    u_cells = xb[dofmap.reshape(-1)].reshape(ncells, n, n, n)
-    y_cells = laplacian_apply_cells(u_cells, G, coeff, D)
-    y = jnp.zeros_like(x).at[dofmap.reshape(-1)].add(
-        y_cells.reshape(-1), mode="drop"
-    )
+    y = laplacian_scatter_raw(x, dofmap, G, coeff, D, bc_marker)
     return jnp.where(bc_marker, x, y)
 
 
-def laplacian_diagonal(dofmap, G, coeff, D, bc_marker, ndofs):
-    """Matrix-free diagonal of A (for the Jacobi preconditioner).
-
-    The reference obtains the diagonal by assembling a throwaway CSR matrix
-    (examples/pmg/main.cpp:274-279, flagged "FIXME: do this better"); here
-    it is computed directly from the sum-factorized form. For local dof
-    a=(i,j,k) the element diagonal is
-
-        sum_m D[m,i]^2 G00[m,j,k] + D[m,j]^2 G11[i,m,k] + D[m,k]^2 G22[i,j,m]
-        + 2 ( D[i,i] D[j,j] G01[i,j,k] + D[i,i] D[k,k] G02[i,j,k]
-            + D[j,j] D[k,k] G12[i,j,k] )
-
-    scatter-added over cells; bc rows get 1 (identity rows).
-    """
+def laplacian_diagonal_raw(dofmap, G, coeff, D, ndofs):
+    """Scatter-added diagonal WITHOUT the bc override (see
+    `laplacian_diagonal`); shard-partial in the distributed setting."""
     n = D.shape[0]
     ncells = dofmap.shape[0]
     g = G.reshape(ncells, n, n, n, 6)
@@ -118,9 +119,26 @@ def laplacian_diagonal(dofmap, G, coeff, D, bc_marker, ndofs):
         )
     )
     diag = diag * coeff[:, None, None, None]
-    out = jnp.zeros(ndofs, dtype=diag.dtype).at[dofmap.reshape(-1)].add(
+    return jnp.zeros(ndofs, dtype=diag.dtype).at[dofmap.reshape(-1)].add(
         diag.reshape(-1), mode="drop"
     )
+
+
+def laplacian_diagonal(dofmap, G, coeff, D, bc_marker, ndofs):
+    """Matrix-free diagonal of A (for the Jacobi preconditioner).
+
+    The reference obtains the diagonal by assembling a throwaway CSR matrix
+    (examples/pmg/main.cpp:274-279, flagged "FIXME: do this better"); here
+    it is computed directly from the sum-factorized form. For local dof
+    a=(i,j,k) the element diagonal is
+
+        sum_m D[m,i]^2 G00[m,j,k] + D[m,j]^2 G11[i,m,k] + D[m,k]^2 G22[i,j,m]
+        + 2 ( D[i,i] D[j,j] G01[i,j,k] + D[i,i] D[k,k] G02[i,j,k]
+            + D[j,j] D[k,k] G12[i,j,k] )
+
+    scatter-added over cells; bc rows get 1 (identity rows).
+    """
+    out = laplacian_diagonal_raw(dofmap, G, coeff, D, ndofs)
     return jnp.where(bc_marker, jnp.ones_like(out), out)
 
 

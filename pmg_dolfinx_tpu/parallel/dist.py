@@ -1,0 +1,355 @@
+"""Distributed PMG: the full solver stack under `shard_map`.
+
+The reference's distributed runtime (SURVEY.md §2.4) is MPI ranks with
+GPU-aware p2p scatterers (`acc::Vector::scatter_fwd/rev`, src/vector.hpp)
++ `MPI_Allreduce` dots, overlapped with compute via the lcells/bcells
+split. The TPU-native design collapses all of it into one SPMD program:
+
+- vectors live in the duplicated-slab layout of `SlabPartition`, sharded
+  over a 1D device mesh axis ``"x"``;
+- cell compute is shard-local (the slab's cells, with a replicated local
+  dofmap) — no indexed cross-shard access ever happens;
+- after every cell scatter, interface-plane *partial sums* are exchanged
+  with both neighbours via non-wrapping `jax.lax.ppermute` and added —
+  one collective pair per operator apply (reverse+forward scatter of the
+  reference in a single step, since both copies end up complete);
+- inner products are ownership-masked local dots + `jax.lax.psum`.
+
+The entire V-cycle (smoothers, transfers, coarse CG) runs inside ONE
+`shard_map` region per application, so XLA sees all collectives and can
+overlap them with cell compute (async collective permute), replacing the
+reference's hand-scheduled comm/compute overlap streams.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..fem.geometry import (
+    geometry_factors,
+    quadrature_weights_3d,
+    tabulate_geometry_dphi,
+)
+from ..fem.gll import derivative_matrix, interpolation_matrix_1d
+from ..ops.interpolate import prolongate, restrict
+from ..ops.laplacian import laplacian_diagonal_raw, laplacian_scatter_raw
+from ..solvers.cg import cg_solve
+from ..solvers.pmg import (
+    DEFAULT_CALIBRATION_ITERS,
+    DEFAULT_CALIBRATION_RTOL,
+    DEFAULT_SMOOTHER_ITERS,
+    EIG_RANGE_FACTORS,
+    Level,
+    v_cycle,
+)
+from ..solvers.tridiag import lanczos_eigenvalue_estimates
+from .partition import SlabPartition
+
+AXIS = "x"
+
+
+def make_mesh(n_devices: int, devices=None) -> Mesh:
+    """1D device mesh over the first ``n_devices`` available devices."""
+    devices = devices if devices is not None else jax.devices()[:n_devices]
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def _exchange_partials(lat, n_shards):
+    """Reconcile interface-plane partial sums with both neighbours.
+
+    ``lat`` is the shard-local lattice ``(planes, NY, NZ)``. Shard ``d``'s
+    last plane and shard ``d+1``'s first plane are copies of the same
+    global plane, each holding the partial sum from its own cells; after
+    the exchange both hold the full sum. Non-wrapping ppermute delivers
+    zeros at the chain ends (exactly the no-neighbour case).
+    """
+    if n_shards == 1:
+        return lat
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+    from_left = jax.lax.ppermute(lat[-1], AXIS, fwd)
+    from_right = jax.lax.ppermute(lat[0], AXIS, bwd)
+    return lat.at[0].add(from_left).at[-1].add(from_right)
+
+
+def dist_cycle_ops(n_shards):
+    """Pluggable V-cycle primitives for the sharded world (see
+    `solvers.pmg.default_cycle_ops` for the single-device originals)."""
+
+    def apply_op(lv, x, level):
+        raw = laplacian_scatter_raw(
+            x, lv["dofmap"], lv["G"], lv["coeff"], lv["D"], lv["bc_marker"]
+        )
+        lat = _exchange_partials(raw.reshape(level.shape), n_shards)
+        return jnp.where(lv["bc_marker"], x, lat.reshape(-1))
+
+    def restrict_op(tr, r, level_c):
+        raw = restrict(
+            r, tr["dofmap_c"], tr["dofmap_f"], tr["M1"], tr["mult_f"],
+            level_c.ndofs,
+        )
+        lat = _exchange_partials(raw.reshape(level_c.shape), n_shards)
+        return lat.reshape(-1)
+
+    def prolong_op(tr, u, level_f):
+        # Interface planes are written identically by both neighbouring
+        # shards (same coarse data) — consistent without communication.
+        return prolongate(
+            u, tr["dofmap_c"], tr["dofmap_f"], tr["M1"], level_f.ndofs
+        )
+
+    def dot(u, v, lv):
+        return jax.lax.psum(jnp.sum(u * v * lv["weights"]), AXIS)
+
+    def pvary(v):
+        return jax.lax.pcast(v, (AXIS,), to="varying")
+
+    return dict(
+        apply=apply_op, restrict=restrict_op, prolong=prolong_op, dot=dot,
+        pvary=pvary,
+    )
+
+
+def _dist_diag(lv, level, n_shards):
+    raw = laplacian_diagonal_raw(
+        lv["dofmap"], lv["G"], lv["coeff"], lv["D"], level.ndofs
+    )
+    lat = _exchange_partials(raw.reshape(level.shape), n_shards)
+    d = lat.reshape(-1)
+    return jnp.where(lv["bc_marker"], jnp.ones_like(d), d)
+
+
+class DistPMG:
+    """Multi-device p-multigrid on a slab-partitioned box mesh.
+
+    Counterpart of the whole reference multi-rank pmg driver: partitions
+    the mesh, places per-level operator data across the device mesh,
+    calibrates smoothers with a *distributed* recorded-CG run, and exposes
+    jitted sharded ``v_cycle`` / ``solve`` / ``operator``.
+    """
+
+    def __init__(self, mesh, n_devices=None, degrees=(1, 3), kappa=2.0,
+                 dtype=jnp.float64, smoother_iters=DEFAULT_SMOOTHER_ITERS,
+                 coarse="cg", coarse_cfg=None, devices=None,
+                 calibration_iters=DEFAULT_CALIBRATION_ITERS):
+        n_devices = n_devices or len(jax.devices())
+        self.jmesh = make_mesh(n_devices, devices)
+        self.n_shards = n_devices
+        self.part = SlabPartition(mesh, n_devices)
+        self.mesh = mesh
+        self.degrees = tuple(int(p) for p in degrees)
+        self.kappa = float(kappa)
+        self.dtype = dtype
+        self.coarse = coarse
+        self.coarse_cfg = dict(coarse_cfg or {})
+        self.eigs = []
+
+        part = self.part
+        level_data, level_specs, levels = [], [], []
+        for Pdeg in self.degrees:
+            # Geometry factors computed globally (host/default device) —
+            # cells are slab-contiguous so G shards along axis 0.
+            G, _ = jax.jit(geometry_factors)(
+                jnp.asarray(mesh.geometry_x, dtype=dtype),
+                jnp.asarray(mesh.geometry_dofmap),
+                jnp.asarray(tabulate_geometry_dphi(Pdeg), dtype=dtype),
+                jnp.asarray(quadrature_weights_3d(Pdeg), dtype=dtype),
+            )
+            lv = dict(
+                dofmap=jnp.asarray(part.local_dofmap(Pdeg)),
+                G=G,
+                coeff=jnp.full((mesh.ncells,), self.kappa, dtype=dtype),
+                D=jnp.asarray(derivative_matrix(Pdeg), dtype=dtype),
+                bc_marker=jnp.asarray(
+                    part.to_dist(Pdeg, mesh.boundary_dof_marker(Pdeg)).reshape(-1)
+                    > 0.5
+                ),
+                weights=jnp.asarray(
+                    part.ownership_weights(Pdeg).reshape(-1), dtype=dtype
+                ),
+            )
+            spec = dict(
+                dofmap=P(),
+                G=P(AXIS),
+                coeff=P(AXIS),
+                D=P(),
+                bc_marker=P(AXIS),
+                weights=P(AXIS),
+            )
+            level = Level(
+                P=Pdeg,
+                ndofs=part.local_ndofs(Pdeg),
+                smoother_iters=smoother_iters,
+                shape=part.local_shape(Pdeg),
+            )
+            level_data.append(lv)
+            level_specs.append(spec)
+            levels.append(level)
+
+        self.levels = tuple(levels)
+        ops = dist_cycle_ops(self.n_shards)
+        self._ops = ops
+
+        # Place data, then compute diagonals + calibration *distributed*.
+        with self.jmesh:
+            for lv, spec, level in zip(level_data, level_specs, levels):
+                for k in lv:
+                    lv[k] = jax.device_put(
+                        lv[k], NamedSharding(self.jmesh, spec[k])
+                    )
+                diag_fn = jax.jit(
+                    jax.shard_map(
+                        partial(_dist_diag, level=level, n_shards=self.n_shards),
+                        mesh=self.jmesh,
+                        in_specs=(spec,),
+                        out_specs=P(AXIS),
+                    )
+                )
+                diag = diag_fn(lv)
+                lv["diag_inv"] = 1.0 / diag
+                spec["diag_inv"] = P(AXIS)
+
+                # Distributed smoother calibration: recorded Jacobi-CG on
+                # A x = 1 (the reference per-level calibration,
+                # examples/pmg/main.cpp:303-330, with psum reductions).
+                def _calib(lv_, b_, x0_):
+                    A = lambda x: ops["apply"](lv_, x, level)
+                    return cg_solve(
+                        A, b_, x0_, lv_["diag_inv"],
+                        rtol=DEFAULT_CALIBRATION_RTOL,
+                        maxiter=calibration_iters,
+                        record=True,
+                        dot=lambda u, v: ops["dot"](u, v, lv_),
+                    )
+                calib_fn = jax.jit(
+                    jax.shard_map(
+                        _calib,
+                        mesh=self.jmesh,
+                        in_specs=(spec, P(AXIS), P(AXIS)),
+                        out_specs=(P(AXIS), dict(
+                            niter=P(), rnorm=P(), rnorm0=P(),
+                            alphas=P(), betas=P(), residuals=P(), stored=P(),
+                        )),
+                    )
+                )
+                nloc = level.ndofs * self.n_shards
+                _, info = calib_fn(
+                    lv,
+                    jnp.ones(nloc, dtype=dtype),
+                    jnp.zeros(nloc, dtype=dtype),
+                )
+                eigs = lanczos_eigenvalue_estimates(
+                    info["alphas"], info["betas"], info["stored"]
+                )
+                self.eigs.append(eigs)
+                lv["lmax"] = jax.device_put(
+                    jnp.asarray(EIG_RANGE_FACTORS[1] * eigs[-1], dtype=dtype),
+                    NamedSharding(self.jmesh, P()),
+                )
+                spec["lmax"] = P()
+
+        transfer, transfer_specs = [], []
+        for i in range(len(self.degrees) - 1):
+            Pc, Pf = self.degrees[i], self.degrees[i + 1]
+            tr = dict(
+                M1=jnp.asarray(interpolation_matrix_1d(Pc, Pf), dtype=dtype),
+                dofmap_c=jnp.asarray(part.local_dofmap(Pc)),
+                dofmap_f=jnp.asarray(part.local_dofmap(Pf)),
+                mult_f=jnp.asarray(
+                    part.to_dist(Pf, mesh.dof_multiplicity(Pf)).reshape(-1),
+                    dtype=dtype,
+                ),
+            )
+            spec = dict(M1=P(), dofmap_c=P(), dofmap_f=P(), mult_f=P(AXIS))
+            with self.jmesh:
+                for k in tr:
+                    tr[k] = jax.device_put(tr[k], NamedSharding(self.jmesh, spec[k]))
+            transfer.append(tr)
+            transfer_specs.append(spec)
+
+        self.data = dict(levels=tuple(level_data), transfer=tuple(transfer))
+        self.data_specs = dict(
+            levels=tuple(level_specs), transfer=tuple(transfer_specs)
+        )
+
+        self._vcycle = jax.jit(
+            jax.shard_map(
+                partial(
+                    v_cycle,
+                    levels=self.levels,
+                    coarse=self.coarse,
+                    coarse_cfg=self.coarse_cfg,
+                    ops=self._ops,
+                ),
+                mesh=self.jmesh,
+                in_specs=(self.data_specs, P(AXIS), P(AXIS)),
+                out_specs=P(AXIS),
+            )
+        )
+
+        fine = self.levels[-1]
+        fine_spec = self.data_specs["levels"][-1]
+
+        def _residual_norm(lv, b, u):
+            A = lambda x: ops["apply"](lv, x, fine)
+            r = b - A(u)
+            return jnp.sqrt(ops["dot"](r, r, lv))
+
+        self._rnorm = jax.jit(
+            jax.shard_map(
+                _residual_norm,
+                mesh=self.jmesh,
+                in_specs=(fine_spec, P(AXIS), P(AXIS)),
+                out_specs=P(),
+            )
+        )
+        self._fine_apply = jax.jit(
+            jax.shard_map(
+                lambda lv, x: ops["apply"](lv, x, fine),
+                mesh=self.jmesh,
+                in_specs=(fine_spec, P(AXIS)),
+                out_specs=P(AXIS),
+            )
+        )
+
+    # -- vector layout helpers -----------------------------------------
+
+    def to_dist(self, u, level=-1):
+        Pdeg = self.degrees[level]
+        ud = self.part.to_dist(Pdeg, np.asarray(u)).reshape(-1)
+        return jax.device_put(
+            jnp.asarray(ud, dtype=self.dtype),
+            NamedSharding(self.jmesh, P(AXIS)),
+        )
+
+    def from_dist(self, ud, level=-1):
+        return self.part.from_dist(self.degrees[level], np.asarray(ud))
+
+    # -- solver API ----------------------------------------------------
+
+    def apply(self, b_dist, u_dist):
+        """One sharded V-cycle."""
+        return self._vcycle(self.data, b_dist, u_dist)
+
+    def operator(self):
+        """Fine-level distributed operator ``x_dist -> (A x)_dist``."""
+        lv = self.data["levels"][-1]
+        return lambda x: self._fine_apply(lv, x)
+
+    def residual_norm(self, b_dist, u_dist):
+        return float(self._rnorm(self.data["levels"][-1], b_dist, u_dist))
+
+    def solve(self, b, num_cycles=10, residuals=True):
+        """Stationary V-cycle iteration on a *global* rhs; returns the
+        global solution vector and the residual-norm history."""
+        bd = self.to_dist(b)
+        ud = jnp.zeros_like(bd)
+        rnorms = []
+        for _ in range(num_cycles):
+            ud = self._vcycle(self.data, bd, ud)
+            if residuals:
+                rnorms.append(self.residual_norm(bd, ud))
+        return self.from_dist(ud), rnorms

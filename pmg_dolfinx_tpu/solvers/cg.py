@@ -1,0 +1,122 @@
+"""Jacobi-preconditioned conjugate gradients with coefficient recording.
+
+TPU-native redesign of `acc::CGSolver` (reference src/cg.hpp:93-251). The
+reference's device loop interleaves GPU kernels with two MPI_Allreduce
+reductions per iteration (cg.hpp:182, 195); here the whole solve is one
+jitted `lax.while_loop` (or `lax.scan` when recording) whose two inner
+products become `psum`s automatically when run inside `shard_map` — the
+`dot` argument abstracts the reduction exactly where the reference
+abstracts it behind `acc::inner_product` (vector.hpp:334-350).
+
+Semantics match the reference iteration-for-iteration (validated against
+the python mirror python_tests/cg.py):
+
+    p = M^-1 r ;  rnorm = <p, r>
+    loop: y = A p ; alpha = rnorm / <p, y>
+          x += alpha p ; r -= alpha y ; z = M^-1 r
+          rnorm' = <r, z> ; beta = rnorm' / rnorm
+          converged if rnorm'/rnorm0 < rtol^2      [cg.hpp:206]
+          p = beta p + z
+          record (alpha, beta, rnorm') only when the iteration did NOT
+          trigger convergence                      [cg.hpp:213-218]
+
+The recorded alpha/beta feed the Lanczos tridiagonal eigenvalue estimate
+(solvers/tridiag.py) used to calibrate Chebyshev smoothers.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _default_dot(u, v):
+    return jnp.vdot(u, v)
+
+
+def cg_solve(A, b, x0, diag_inv, *, rtol=1e-8, maxiter=100, record=False, dot=_default_dot):
+    """Solve ``A x = b`` with Jacobi-preconditioned CG.
+
+    Parameters
+    ----------
+    A : callable ``x -> A @ x`` (pure; closed over operator params by the
+        caller — typically a `functools.partial` of `laplacian_apply`).
+    b, x0 : right-hand side and initial guess.
+    diag_inv : inverse operator diagonal (Jacobi preconditioner).
+    rtol : relative tolerance on the *preconditioned* residual norm
+        (same convergence test as the reference).
+    maxiter : iteration cap. With ``record=True`` the loop is a fixed-length
+        `lax.scan` (needed for fixed-shape coefficient buffers).
+    record : also return per-iteration (alphas, betas, rnorms, stored-mask).
+    dot : inner product; pass a psum-reducing version under shard_map.
+
+    Returns
+    -------
+    ``(x, info)`` where info is a dict with ``niter``, ``rnorm`` (final
+    preconditioned residual square), ``rnorm0``, and when recording the
+    fixed-shape arrays ``alphas``, ``betas``, ``residuals``, ``stored``.
+    """
+    r = b - A(x0)
+    p = diag_inv * r
+    rnorm0 = dot(p, r)
+    rtol2 = rtol * rtol
+
+    def iteration(x, r, p, rnorm):
+        y = A(p)
+        alpha = rnorm / dot(p, y)
+        x = x + alpha * p
+        r = r - alpha * y
+        z = diag_inv * r
+        rnorm_new = dot(r, z)
+        beta = rnorm_new / rnorm
+        converged = rnorm_new / rnorm0 < rtol2
+        p = beta * p + z
+        return x, r, p, rnorm_new, alpha, beta, converged
+
+    if not record:
+        def cond(state):
+            k, _, _, _, rnorm, done = state
+            return jnp.logical_and(k < maxiter, jnp.logical_not(done))
+
+        def body(state):
+            k, x, r, p, rnorm, _ = state
+            x, r, p, rnorm_new, _, _, converged = iteration(x, r, p, rnorm)
+            return k + 1, x, r, p, rnorm_new, converged
+
+        k, x, r, p, rnorm, done = jax.lax.while_loop(
+            cond, body, (0, x0, r, p, rnorm0, rnorm0 < jnp.zeros_like(rnorm0))
+        )
+        return x, dict(niter=k, rnorm=rnorm, rnorm0=rnorm0)
+
+    def scan_body(carry, _):
+        k, x, r, p, rnorm, done = carry
+        xn, rn, pn, rnorm_n, alpha, beta, converged = iteration(x, r, p, rnorm)
+        active = jnp.logical_not(done)
+        # Freeze state once converged (scan is fixed length).
+        x = jnp.where(active, xn, x)
+        r = jnp.where(active, rn, r)
+        p = jnp.where(active, pn, p)
+        rnorm = jnp.where(active, rnorm_n, rnorm)
+        stored = jnp.logical_and(active, jnp.logical_not(converged))
+        new_done = jnp.logical_or(done, converged)
+        out = (
+            jnp.where(active, alpha, 0.0),
+            jnp.where(active, beta, 0.0),
+            jnp.where(active, rnorm_n, 0.0),
+            stored,
+        )
+        return (k + active.astype(k.dtype), x, r, p, rnorm, new_done), out
+
+    init = (jnp.asarray(0), x0, r, p, rnorm0, jnp.asarray(False))
+    (k, x, r, p, rnorm, done), (alphas, betas, residuals, stored) = jax.lax.scan(
+        scan_body, init, None, length=maxiter
+    )
+    return x, dict(
+        niter=k,
+        rnorm=rnorm,
+        rnorm0=rnorm0,
+        alphas=alphas,
+        betas=betas,
+        residuals=residuals,
+        stored=stored,
+    )

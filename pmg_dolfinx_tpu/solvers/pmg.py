@@ -1,0 +1,329 @@
+"""The p-multigrid V-cycle preconditioner.
+
+TPU-native redesign of `acc::MultigridPreconditioner` (reference
+src/pmg.hpp:16-185) plus the hierarchy setup logic of the pmg driver
+(examples/pmg/main.cpp:303-355). The reference composes device objects and
+launches dozens of kernels + MPI calls per cycle; here the whole V-cycle —
+smoothers, residuals, transfers, coarse solve — is a single jitted program
+over a pytree of per-level arrays. XLA sees the entire cycle and fuses
+across stages; under `shard_map` the same function runs SPMD with psum
+reductions.
+
+Cycle structure (matches pmg.hpp:56-155 operation-for-operation):
+
+    u[top] = u_in, b[top] = b_in, u[i < top] = 0
+    DOWN  for i = top..1:
+        pre-smooth  u[i] <- Chebyshev4(A_i, b[i], u[i])
+        residual    r = b[i] - A_i u[i]
+        restrict    b[i-1] = I_i^T (r / mult)
+    COARSE:
+        b[0] *= (1 - bc_marker)                    [pmg.hpp:100-103]
+        u[0] = coarse_solve(b[0])   (level-0 smoother if no coarse solver,
+                                     pmg.hpp:106-109; CG or dense Cholesky
+                                     replace the hypre AMG path)
+    UP    for i = 0..top-1:
+        prolong     du = I_i u[i];  u[i+1] += du
+        post-smooth u[i+1] <- Chebyshev4(A_{i+1}, b[i+1], u[i+1])
+
+Smoother calibration follows examples/pmg/main.cpp:303-330: 20 recorded
+Jacobi-CG iterations on ``A x = 1``, Lanczos eigenvalue estimates, then
+``eig_range = (0.1, 1.1) * lambda_max`` and 2 Chebyshev iterations.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.geometry import (
+    geometry_factors,
+    quadrature_weights_3d,
+    tabulate_geometry_dphi,
+)
+from ..fem.gll import derivative_matrix, interpolation_matrix_1d
+from ..ops.interpolate import prolongate, restrict
+from ..ops.laplacian import laplacian_apply, laplacian_diagonal
+from .cg import cg_solve
+from .chebyshev import chebyshev4_solve
+from .tridiag import lanczos_eigenvalue_estimates
+
+DEFAULT_SMOOTHER_ITERS = 2
+DEFAULT_CALIBRATION_ITERS = 20
+DEFAULT_CALIBRATION_RTOL = 1e-6
+EIG_RANGE_FACTORS = (0.1, 1.1)  # examples/pmg/main.cpp:327
+
+
+@dataclass(frozen=True)
+class Level:
+    """Static metadata for one p-level (arrays live in the data pytree).
+
+    ``ndofs`` is the (shard-)local vector length; ``shape`` the local
+    lattice shape (used by the distributed halo exchange; None on a single
+    device).
+    """
+
+    P: int
+    ndofs: int
+    smoother_iters: int = DEFAULT_SMOOTHER_ITERS
+    shape: tuple | None = None
+
+
+def _level_operator(lv):
+    """Bind a level's arrays into an ``x -> A x`` callable (trace-safe)."""
+    return lambda x: laplacian_apply(
+        x, lv["dofmap"], lv["G"], lv["coeff"], lv["D"], lv["bc_marker"]
+    )
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _calibration_cg(lv, b, x0, maxiter):
+    return cg_solve(
+        _level_operator(lv), b, x0, lv["diag_inv"],
+        rtol=DEFAULT_CALIBRATION_RTOL, maxiter=maxiter, record=True,
+    )
+
+
+@jax.jit
+def _apply_level(lv, x):
+    return _level_operator(lv)(x)
+
+
+def default_cycle_ops():
+    """Single-device implementations of the pluggable V-cycle primitives.
+
+    The distributed layer (`parallel.dist`) swaps these for shard-local
+    versions with halo partial-sum exchanges and psum inner products —
+    the V-cycle logic itself is identical in both worlds (the analogue of
+    the reference templating its PMG over Vector/Operator types,
+    pmg.hpp:14-15).
+    """
+    return dict(
+        apply=lambda lv, x, level: _level_operator(lv)(x),
+        restrict=lambda tr, r, level_c: restrict(
+            r, tr["dofmap_c"], tr["dofmap_f"], tr["M1"], tr["mult_f"],
+            level_c.ndofs,
+        ),
+        prolong=lambda tr, u, level_f: prolongate(
+            u, tr["dofmap_c"], tr["dofmap_f"], tr["M1"], level_f.ndofs
+        ),
+        dot=lambda u, v, lv: jnp.vdot(u, v),
+        # Marks freshly created arrays as device-varying under shard_map
+        # (vma tracking); identity on a single device.
+        pvary=lambda v: v,
+    )
+
+
+def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
+            ops=None, diagnostics=False):
+    """One V-cycle ``u_out = PMG(b_in, u_in)`` (pure, jittable).
+
+    ``data`` is the pytree built by `PMGHierarchy`: per-level operator
+    arrays + ``diag_inv``/``lmax``, inter-level transfer arrays, and the
+    optional dense coarse factor. ``levels`` (tuple of `Level`) and
+    ``coarse`` (one of 'smoother' | 'cg' | 'direct') are static. ``ops``
+    supplies the apply/transfer/dot primitives (see `default_cycle_ops`).
+    """
+    L = len(levels)
+    coarse_cfg = coarse_cfg or {}
+    ops = ops or default_cycle_ops()
+    lvs = data["levels"]
+    us = [None] * L
+    bs = [None] * L
+    us[L - 1] = u_in
+    bs[L - 1] = b_in
+    diag = {"pre": [], "post": []} if diagnostics else None
+    dot = ops["dot"]
+    fresh = ops.get("pvary", lambda v: v)
+
+    # Down sweep: pre-smooth and restrict.
+    for i in range(L - 1, 0, -1):
+        A = lambda x, _i=i: ops["apply"](lvs[_i], x, levels[_i])
+        if i < L - 1:
+            us[i] = fresh(jnp.zeros(levels[i].ndofs, dtype=b_in.dtype))
+        us[i] = chebyshev4_solve(
+            A, bs[i], us[i], lvs[i]["diag_inv"], lvs[i]["lmax"],
+            levels[i].smoother_iters,
+        )
+        r = bs[i] - A(us[i])
+        if diagnostics:
+            diag["pre"].append(jnp.sqrt(dot(r, r, lvs[i])))
+        bs[i - 1] = ops["restrict"](data["transfer"][i - 1], r, levels[i - 1])
+
+    # Coarse level: mask Dirichlet rows of the restricted rhs, then solve.
+    bc0 = lvs[0]["bc_marker"]
+    b0 = jnp.where(bc0, jnp.zeros_like(bs[0]), bs[0])
+    A0 = lambda x: ops["apply"](lvs[0], x, levels[0])
+    u0 = fresh(jnp.zeros(levels[0].ndofs, dtype=b_in.dtype))
+    if coarse == "smoother":
+        u0 = chebyshev4_solve(
+            A0, b0, u0, lvs[0]["diag_inv"], lvs[0]["lmax"],
+            levels[0].smoother_iters,
+        )
+    elif coarse == "cg":
+        u0, _ = cg_solve(
+            A0, b0, u0, lvs[0]["diag_inv"],
+            rtol=coarse_cfg.get("rtol", 1e-8),
+            maxiter=coarse_cfg.get("maxiter", 60),  # KSP cap, src/amg.hpp:39-40
+            dot=lambda u, v: dot(u, v, lvs[0]),
+        )
+    elif coarse == "direct":
+        # Dense Cholesky solve (the python mirror's LU coarse path,
+        # python_tests/pmg.py:140-141). Factor precomputed at setup.
+        chol = data["coarse_chol"]
+        y = jax.scipy.linalg.solve_triangular(chol, b0, lower=True)
+        u0 = jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+    else:
+        raise ValueError(f"unknown coarse solver '{coarse}'")
+    us[0] = u0
+
+    # Up sweep: prolong, correct, post-smooth.
+    for i in range(L - 1):
+        du = ops["prolong"](data["transfer"][i], us[i], levels[i + 1])
+        us[i + 1] = us[i + 1] + du
+        A = lambda x, _i=i + 1: ops["apply"](lvs[_i], x, levels[_i])
+        us[i + 1] = chebyshev4_solve(
+            A, bs[i + 1], us[i + 1], lvs[i + 1]["diag_inv"], lvs[i + 1]["lmax"],
+            levels[i + 1].smoother_iters,
+        )
+        if diagnostics:
+            r = bs[i + 1] - A(us[i + 1])
+            diag["post"].append(jnp.sqrt(dot(r, r, lvs[i + 1])))
+
+    if diagnostics:
+        return us[L - 1], diag
+    return us[L - 1]
+
+
+class PMGHierarchy:
+    """Build and run the full p-multigrid stack on one device.
+
+    Plays the role of the reference pmg driver's setup phase
+    (examples/pmg/main.cpp:80-355): per-level operators and Jacobi
+    diagonals, CG/Lanczos smoother calibration, transfer operators, and
+    the composed V-cycle — exposed as jitted ``v_cycle`` / ``solve``.
+    """
+
+    def __init__(self, mesh, degrees=(1, 3), kappa=2.0, dtype=jnp.float64,
+                 smoother_iters=DEFAULT_SMOOTHER_ITERS, coarse="smoother",
+                 coarse_cfg=None,
+                 calibration_iters=DEFAULT_CALIBRATION_ITERS):
+        self.mesh = mesh
+        self.degrees = tuple(int(p) for p in degrees)
+        self.kappa = float(kappa)
+        self.dtype = dtype
+        self.coarse = coarse
+        self.coarse_cfg = dict(coarse_cfg or {})
+        self.eigs = []
+
+        xgeom = jnp.asarray(mesh.geometry_x, dtype=dtype)
+        gdofmap = jnp.asarray(mesh.geometry_dofmap)
+
+        level_data = []
+        levels = []
+        for P in self.degrees:
+            G, _ = jax.jit(geometry_factors)(
+                xgeom,
+                gdofmap,
+                jnp.asarray(tabulate_geometry_dphi(P), dtype=dtype),
+                jnp.asarray(quadrature_weights_3d(P), dtype=dtype),
+            )
+            lv = dict(
+                dofmap=jnp.asarray(mesh.dofmap(P)),
+                G=G,
+                coeff=jnp.full((mesh.ncells,), self.kappa, dtype=dtype),
+                D=jnp.asarray(derivative_matrix(P), dtype=dtype),
+                bc_marker=jnp.asarray(mesh.boundary_dof_marker(P)),
+            )
+            ndofs = mesh.num_dofs(P)
+            diag = jax.jit(laplacian_diagonal, static_argnums=(5,))(
+                lv["dofmap"], lv["G"], lv["coeff"], lv["D"], lv["bc_marker"], ndofs
+            )
+            lv["diag_inv"] = 1.0 / diag
+            # Smoother calibration: 20 recorded CG iterations on A x = 1,
+            # Lanczos estimate, lmax inflated by 1.1 (main.cpp:303-330).
+            # Jitted with the level pytree as an argument (never closed
+            # over) so the operator arrays stay runtime buffers.
+            _, info = _calibration_cg(
+                lv,
+                jnp.ones(ndofs, dtype=dtype),
+                jnp.zeros(ndofs, dtype=dtype),
+                calibration_iters,
+            )
+            eigs = lanczos_eigenvalue_estimates(
+                info["alphas"], info["betas"], info["stored"]
+            )
+            self.eigs.append(eigs)
+            lv["lmax"] = jnp.asarray(EIG_RANGE_FACTORS[1] * eigs[-1], dtype=dtype)
+            level_data.append(lv)
+            levels.append(Level(P=P, ndofs=ndofs, smoother_iters=smoother_iters))
+
+        transfer = []
+        for i in range(len(self.degrees) - 1):
+            Pc, Pf = self.degrees[i], self.degrees[i + 1]
+            transfer.append(
+                dict(
+                    M1=jnp.asarray(interpolation_matrix_1d(Pc, Pf), dtype=dtype),
+                    dofmap_c=jnp.asarray(mesh.dofmap(Pc)),
+                    dofmap_f=jnp.asarray(mesh.dofmap(Pf)),
+                    mult_f=jnp.asarray(mesh.dof_multiplicity(Pf), dtype=dtype),
+                )
+            )
+
+        self.data = dict(levels=tuple(level_data), transfer=tuple(transfer))
+        self.levels = tuple(levels)
+
+        if coarse == "direct":
+            from ..fem.assembly import assemble_stiffness
+
+            A0 = assemble_stiffness(mesh, self.degrees[0], kappa=self.kappa).toarray()
+            chol = np.linalg.cholesky(A0)
+            self.data["coarse_chol"] = jnp.asarray(chol, dtype=dtype)
+
+        self._vcycle = jax.jit(
+            partial(
+                v_cycle,
+                levels=self.levels,
+                coarse=self.coarse,
+                coarse_cfg=self.coarse_cfg,
+            )
+        )
+        self._vcycle_diag = jax.jit(
+            partial(
+                v_cycle,
+                levels=self.levels,
+                coarse=self.coarse,
+                coarse_cfg=self.coarse_cfg,
+                diagnostics=True,
+            )
+        )
+
+    # -- public API ----------------------------------------------------
+
+    def apply(self, b, u, diagnostics=False):
+        """One V-cycle from iterate ``u`` (the reference pmg.apply)."""
+        b = jnp.asarray(b, dtype=self.dtype)
+        u = jnp.asarray(u, dtype=self.dtype)
+        if diagnostics:
+            return self._vcycle_diag(self.data, b, u)
+        return self._vcycle(self.data, b, u)
+
+    def operator(self, level=-1):
+        """The fine-level (or chosen-level) operator as ``x -> A x``."""
+        lv = self.data["levels"][level]
+        return lambda x: _apply_level(lv, x)
+
+    def solve(self, b, num_cycles=10, u0=None, residuals=True):
+        """Stationary V-cycle iteration (the reference driver loop,
+        examples/pmg/main.cpp:362-367). Returns (u, residual_norms)."""
+        b = jnp.asarray(b, dtype=self.dtype)
+        u = jnp.zeros_like(b) if u0 is None else jnp.asarray(u0, dtype=self.dtype)
+        lv = self.data["levels"][-1]
+        rnorms = []
+        for _ in range(num_cycles):
+            u = self._vcycle(self.data, b, u)
+            if residuals:
+                r = b - _apply_level(lv, u)
+                rnorms.append(float(jnp.linalg.norm(r)))
+        return u, rnorms

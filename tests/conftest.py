@@ -10,12 +10,15 @@ Multi-chip tests run on a simulated 8-device CPU mesh
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
 
 import jax
 
+# NOTE: in JAX 0.9 the old ``--xla_force_host_platform_device_count`` XLA
+# flag no longer creates virtual CPU devices; ``jax_num_cpu_devices`` (set
+# together with ``jax_platforms``, before first backend use) is the
+# working mechanism.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: XLA-CPU compiles dominate test wall time.
 jax.config.update("jax_compilation_cache_dir", "/tmp/pmg_tpu_jax_cache")

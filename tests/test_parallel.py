@@ -1,0 +1,78 @@
+"""Multi-device tests on the simulated 8-device CPU mesh (SURVEY.md §7 step 6).
+
+Gates mirror the reference's implicit multi-rank contract: every printed
+norm must be rank-count invariant (its examples print global norms under
+different `srun -n`; SURVEY.md §4), i.e. the sharded operator and V-cycle
+must match the single-device results bit-for-tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+from pmg_dolfinx_tpu.models.poisson import PoissonProblem, f_rhs
+from pmg_dolfinx_tpu.fem.assembly import assemble_rhs
+from pmg_dolfinx_tpu.ops.laplacian import MatFreeLaplacian
+from pmg_dolfinx_tpu.parallel.dist import DistPMG
+from pmg_dolfinx_tpu.parallel.partition import SlabPartition
+
+
+def test_partition_roundtrip_and_weights():
+    mesh = BoxMesh((8, 3, 2))
+    part = SlabPartition(mesh, 4)
+    for P in (1, 3):
+        u = np.random.default_rng(0).standard_normal(mesh.num_dofs(P))
+        ud = part.to_dist(P, u)
+        assert np.array_equal(part.from_dist(P, ud), u)
+        # Ownership weights count every global dof exactly once.
+        w = part.ownership_weights(P)
+        assert w.size == ud.size
+        assert int(w.sum()) == mesh.num_dofs(P)
+        # Weighted dot over the duplicated layout == global dot.
+        assert np.allclose((ud.reshape(-1) ** 2 * w.reshape(-1)).sum(), u @ u)
+
+
+def test_partition_requires_divisibility():
+    with pytest.raises(ValueError):
+        SlabPartition(BoxMesh((7, 2, 2)), 4)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_dist_operator_matches_single_device(n_dev):
+    mesh = BoxMesh((8, 4, 4))
+    P = 3
+    op = MatFreeLaplacian(mesh, P, kappa=2.0)
+    dist = DistPMG(mesh, n_devices=n_dev, degrees=(1, P), kappa=2.0)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(mesh.num_dofs(P))
+    y_single = np.asarray(op(jnp.asarray(x)))
+    xd = dist.to_dist(x)
+    yd = dist.operator()(xd)
+    y_dist = dist.from_dist(yd)
+    assert np.allclose(y_dist, y_single, atol=1e-12)
+
+
+def test_dist_calibration_matches_single_device():
+    """Distributed Lanczos eigenvalue estimates == single-device ones."""
+    mesh = BoxMesh((8, 4, 4))
+    single = PoissonProblem(nc=(8, 4, 4), degrees=(1, 3), kappa=2.0)
+    dist = DistPMG(mesh, n_devices=8, degrees=(1, 3), kappa=2.0)
+    for es, ed in zip(single.hierarchy.eigs, dist.eigs):
+        assert np.allclose(es[-1], ed[-1], rtol=1e-8)
+        assert np.allclose(es[0], ed[0], rtol=1e-6)
+
+
+def test_dist_pmg_matches_single_device_trajectory():
+    """V-cycle residual history on 8 shards == single device (the
+    rank-count-invariance gate)."""
+    nc = (8, 4, 4)
+    kappa = 2.0
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa, coarse="cg")
+    u_s, rn_s = single.solve(num_cycles=5)
+    dist = DistPMG(single.mesh, n_devices=8, degrees=(1, 3), kappa=kappa, coarse="cg")
+    b = assemble_rhs(single.mesh, 3, f_rhs(kappa))
+    u_d, rn_d = dist.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-9), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-10)

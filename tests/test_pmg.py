@@ -1,0 +1,74 @@
+"""End-to-end p-multigrid tests (SURVEY.md §7 step 4 gate).
+
+Mirrors python_tests/pmg.py: unit cube, degrees [1, 3], kappa = 2.0,
+manufactured solution sin(pi x) sin(pi y) sin(pi z), 10 stationary V-cycle
+applications, checking (a) residual convergence and (b) the L2 error
+landing at the discretization-error level.
+"""
+
+import numpy as np
+import pytest
+
+from pmg_dolfinx_tpu.models.poisson import PoissonProblem, fit_box_cells
+
+
+@pytest.mark.parametrize("coarse", ["smoother", "cg", "direct"])
+def test_pmg_two_level_converges(coarse):
+    prob = PoissonProblem(nc=(6, 6, 6), degrees=(1, 3), kappa=2.0, coarse=coarse)
+    u, rnorms = prob.solve(num_cycles=10)
+    b = np.asarray(prob.b)
+    r0 = np.linalg.norm(b)
+    rel = np.array(rnorms) / r0
+    # Residual must drop monotonically.
+    assert np.all(np.diff(np.log10(rel[: np.argmin(rel) + 1])) < 0)
+    if coarse == "smoother":
+        # Reference default path without AMG: the "coarse solve" is just
+        # 2 Chebyshev iterations at p=1 (pmg.hpp:106-109), so the cycle
+        # contracts slowly — bounded by the unsolved coarse error.
+        assert rel[-1] < 0.08, (coarse, rel)
+    else:
+        # Exact-ish coarse solves give true multigrid convergence.
+        assert rel[-1] < 1e-6, (coarse, rel)
+        # Discretization error of the p=3 space on a 6^3 mesh.
+        err = prob.error_l2(u)
+        assert err < 5e-4, err
+
+
+def test_pmg_three_levels():
+    prob = PoissonProblem(nc=(4, 4, 4), degrees=(1, 2, 4), kappa=2.0, coarse="cg")
+    u, rnorms = prob.solve(num_cycles=10)
+    rel = rnorms[-1] / np.linalg.norm(np.asarray(prob.b))
+    assert rel < 1e-6, rnorms
+    assert prob.error_l2(u) < 5e-4
+
+
+def test_pmg_error_reaches_discretization_level():
+    """After convergence the L2 error must match the error of the directly
+    solved discrete system (V-cycle introduces no extra error)."""
+    import scipy.sparse.linalg as spla
+
+    from pmg_dolfinx_tpu.fem.assembly import assemble_stiffness, l2_error
+    from pmg_dolfinx_tpu.models.poisson import u_exact
+
+    prob = PoissonProblem(nc=(5, 5, 5), degrees=(1, 3), kappa=2.0, coarse="cg")
+    u, _ = prob.solve(num_cycles=12)
+    A = assemble_stiffness(prob.mesh, 3, kappa=2.0)
+    u_direct = spla.spsolve(A.tocsc(), np.asarray(prob.b))
+    e_mg = prob.error_l2(u)
+    e_direct = l2_error(prob.mesh, 3, u_direct, u_exact)
+    assert abs(e_mg - e_direct) < 0.01 * e_direct
+
+
+def test_vcycle_diagnostics():
+    prob = PoissonProblem(nc=(4, 4, 4), degrees=(1, 3), kappa=2.0)
+    import jax.numpy as jnp
+
+    u, diag = prob.hierarchy.apply(prob.b, jnp.zeros_like(prob.b), diagnostics=True)
+    assert len(diag["pre"]) == 1 and len(diag["post"]) == 1
+    assert float(diag["post"][0]) < float(diag["pre"][0])
+
+
+def test_fit_box_cells():
+    nx, ny, nz = fit_box_cells(500000, 3)
+    nd = (nx * 3 + 1) * (ny * 3 + 1) * (nz * 3 + 1)
+    assert abs(nd - 500000) / 500000 < 0.05
