@@ -1,0 +1,75 @@
+"""Benchmark harness: matrix-free p=6 Laplacian apply throughput (GDOF/s).
+
+Mirrors the reference's operator micro-benchmark `mat_free --ndofs N`
+(examples/mat_free/main.cpp:260-265: 1000 repeated matvecs under a timer,
+the "% Mat-free Matvec" number; SURVEY.md §6). Baseline target from
+BASELINE.md: >= 1 GDOF/s per chip for the sum-factorized p=6 apply.
+
+Runs on the default JAX platform (the real TPU chip under the driver).
+float32 with precision='highest' (true-f32 MXU matmuls, ~1e-7 operator
+accuracy — verified against the f64 assembled oracle in tests).
+
+Timing methodology: the axon TPU tunnel's `block_until_ready` does not
+reliably synchronize, so reps are chained inside one jitted `fori_loop`
+with a scalar reduction forced to host; per-apply time is the slope
+between two rep counts (subtracting launch/readback overhead).
+
+Prints exactly ONE JSON line.
+"""
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+    from pmg_dolfinx_tpu.ops.lattice import LatticeLaplacian, lattice_laplacian_apply
+
+    P = 6
+    mesh = BoxMesh((21, 21, 21))  # ~2.05M dofs at p=6
+    nd = mesh.num_dofs(P)
+    op = LatticeLaplacian(mesh, P, kappa=2.0, dtype=jnp.float32, precision="highest")
+    x = jnp.ones(nd, dtype=jnp.float32)
+
+    @partial(jax.jit, static_argnums=(4,))
+    def chain(x, mats, G, bc, reps):
+        def body(i, v):
+            # Data-dependent perturbation prevents loop-invariant hoisting;
+            # 1e-30 underflows against O(1) values so the input stays x.
+            return lattice_laplacian_apply(
+                x + 1e-30 * v, mats, G, bc, precision="highest"
+            )
+        return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
+
+    def run(reps):
+        return float(chain(x, op.mats, op.G, op.bc_marker, reps))
+
+    # Warm up / compile both shapes.
+    run(20)
+    run(100)
+    t0 = time.time()
+    run(20)
+    t20 = time.time() - t0
+    t0 = time.time()
+    run(100)
+    t100 = time.time() - t0
+    per_apply = (t100 - t20) / 80
+    gdofs = nd / per_apply / 1e9
+    print(
+        json.dumps(
+            {
+                "metric": "matfree_laplacian_apply_p6_f32",
+                "value": round(gdofs, 3),
+                "unit": "GDOF/s",
+                "vs_baseline": round(gdofs / 1.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

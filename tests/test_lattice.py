@@ -1,0 +1,51 @@
+"""Lattice-form (TPU fast path) operator vs the assembled oracle.
+
+Gate pattern as for the dofmap operator (`mat_free --mat_comp`,
+examples/mat_free/main.cpp:270-289): the fast kernel must reproduce the
+slow assembled reference. In f64 on CPU the lattice formulation is exact
+to rounding.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmg_dolfinx_tpu.fem.assembly import assemble_stiffness
+from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+from pmg_dolfinx_tpu.ops.lattice import LatticeLaplacian, axis_matrices
+
+
+@pytest.mark.parametrize(
+    "nc,P", [((2, 2, 2), 1), ((3, 2, 4), 3), ((2, 3, 2), 4), ((2, 2, 2), 6)]
+)
+def test_lattice_vs_assembled(nc, P):
+    mesh = BoxMesh(nc)
+    kappa = 2.0
+    op = LatticeLaplacian(mesh, P, kappa=kappa, dtype=jnp.float64)
+    A = assemble_stiffness(mesh, P, kappa=kappa, bc=True)
+    rng = np.random.default_rng(9)
+    for _ in range(2):
+        x = rng.standard_normal(mesh.num_dofs(P))
+        y = np.asarray(op(jnp.asarray(x)))
+        err = np.linalg.norm(y - A @ x) / np.linalg.norm(A @ x)
+        assert err < 1e-12, (nc, P, err)
+
+
+def test_lattice_diag_matches_dofmap():
+    mesh = BoxMesh((3, 2, 2))
+    P = 3
+    op = LatticeLaplacian(mesh, P, kappa=2.0, dtype=jnp.float64)
+    A = assemble_stiffness(mesh, P, kappa=2.0)
+    assert np.allclose(np.asarray(op.diag), A.diagonal(), atol=1e-11)
+
+
+def test_axis_matrices_structure():
+    E, Dg = axis_matrices(3, 2)
+    assert E.shape == (9, 7) and Dg.shape == (9, 7)
+    # E rows are one-hot; columns of interface dofs are hit twice.
+    assert np.array_equal(E.sum(axis=1), np.ones(9))
+    col_counts = E.sum(axis=0)
+    assert col_counts[2] == 2 and col_counts[4] == 2  # interface planes
+    assert col_counts[0] == 1 and col_counts[-1] == 1
+    # Dg rows sum to zero (derivative of constants).
+    assert np.allclose(Dg.sum(axis=1), 0.0, atol=1e-11)
