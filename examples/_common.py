@@ -1,0 +1,35 @@
+"""Shared CLI plumbing for the example drivers."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def base_parser(description):
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--ndofs", type=int, default=50000,
+                   help="target number of dofs (global)")
+    p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--operator", choices=["lattice", "dofmap"],
+                   default="lattice", help="kernel backend")
+    p.add_argument("--kappa", type=float, default=2.0)
+    return p
+
+
+def setup_jax(args, n_cpu_devices=None):
+    import jax
+
+    if args.cpu:
+        # NOTE: the JAX_PLATFORMS env var is not honoured under the axon
+        # TPU plugin; the config update is.
+        jax.config.update("jax_platforms", "cpu")
+        if n_cpu_devices:
+            jax.config.update("jax_num_cpu_devices", int(n_cpu_devices))
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    return jnp.float64 if args.dtype == "f64" else jnp.float32

@@ -1,0 +1,72 @@
+"""Coarse-level (p=1) solver driver — the AMG-path replacement.
+
+TPU-native counterpart of reference examples/amg/main.cpp: a pure p=1
+solve of the Poisson problem, there via PETSc KSPCG preconditioned by
+hypre BoomerAMG on device CSR ("ZZZ Solve", main.cpp:209-211). The
+framework replaces algebraic multigrid with TPU-friendly options
+(BASELINE.md explicitly swaps the AMG path out):
+
+- `--pc jacobi`  : Jacobi-CG (default; the coarse solve used inside PMG),
+- `--pc cheb`    : CG preconditioned by a fixed fourth-kind Chebyshev sweep.
+"""
+
+import numpy as np
+
+from _common import base_parser, setup_jax
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--pc", choices=["jacobi", "cheb"], default="jacobi")
+    p.add_argument("--rtol", type=float, default=1e-8)
+    p.add_argument("--max-iters", type=int, default=500)
+    args = p.parse_args()
+    dtype = setup_jax(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from pmg_dolfinx_tpu.fem.assembly import assemble_rhs
+    from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+    from pmg_dolfinx_tpu.models.poisson import f_rhs, fit_box_cells
+    from pmg_dolfinx_tpu.ops.lattice import LatticeLaplacian
+    from pmg_dolfinx_tpu.solvers.cg import cg_solve
+    from pmg_dolfinx_tpu.utils.timers import Timer, list_timings
+
+    nc = fit_box_cells(args.ndofs, 1)
+    mesh = BoxMesh(nc)
+    nd = mesh.num_dofs(1)
+    print(f"mesh {nc}, p=1, ndofs={nd}, backend {jax.default_backend()}")
+
+    op = LatticeLaplacian(mesh, 1, kappa=args.kappa, dtype=dtype)
+    b = jnp.asarray(assemble_rhs(mesh, 1, f_rhs(args.kappa)), dtype=dtype)
+
+    precond = None
+    if args.pc == "cheb":
+        from pmg_dolfinx_tpu.solvers.chebyshev import chebyshev4_solve
+        from pmg_dolfinx_tpu.solvers.tridiag import lanczos_eigenvalue_estimates
+
+        _, info = cg_solve(op, jnp.ones_like(b), jnp.zeros_like(b),
+                           op.diag_inv, rtol=1e-6, maxiter=20, record=True)
+        eigs = lanczos_eigenvalue_estimates(info["alphas"], info["betas"],
+                                            info["stored"])
+        lmax = 1.1 * eigs[-1]
+        print(f"Chebyshev preconditioner with lmax = {lmax:.4f}")
+
+        def precond(r):
+            return chebyshev4_solve(op, r, jnp.zeros_like(r), op.diag_inv,
+                                    lmax, 3)
+
+    with Timer("ZZZ Solve", sync=True):
+        x, info = cg_solve(op, b, jnp.zeros_like(b), op.diag_inv,
+                           rtol=args.rtol, maxiter=args.max_iters,
+                           precond=precond)
+    print(f"CG iterations: {int(info['niter'])}, "
+          f"|r|_M = {float(info['rnorm'])**0.5:.4e}")
+    r = b - op(x)
+    print(f"final true |r| = {float(jnp.linalg.norm(r)):.4e}")
+    list_timings()
+
+
+if __name__ == "__main__":
+    main()

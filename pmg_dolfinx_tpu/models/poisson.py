@@ -67,13 +67,14 @@ class PoissonProblem:
 
     def __init__(self, nc=(10, 10, 10), degrees=(1, 3), kappa=2.0,
                  dtype=jnp.float64, coarse="smoother", coarse_cfg=None,
-                 smoother_iters=2):
+                 smoother_iters=2, operator="dofmap", precision="highest"):
         self.mesh = BoxMesh(nc)
         self.degrees = tuple(degrees)
         self.kappa = float(kappa)
         self.hierarchy = PMGHierarchy(
             self.mesh, degrees=self.degrees, kappa=self.kappa, dtype=dtype,
             coarse=coarse, coarse_cfg=coarse_cfg, smoother_iters=smoother_iters,
+            operator=operator, precision=precision,
         )
         self.b = jnp.asarray(
             assemble_rhs(self.mesh, self.degrees[-1], f_rhs(self.kappa)),

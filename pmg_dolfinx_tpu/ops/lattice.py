@@ -58,6 +58,47 @@ def axis_matrices(nc: int, P: int, dtype=np.float64):
     return E, Dg
 
 
+def axis_interpolation_matrix(nc: int, P_coarse: int, P_fine: int, dtype=np.float64):
+    """Global per-axis inter-degree interpolation ``(nc*Pf+1, nc*Pc+1)``.
+
+    ``I1[f, c] = l_c^{coarse}(x_f^{fine})`` along one axis; the 3D
+    transfer is its triple Kronecker action. Its plain transpose IS the
+    reference's multiplicity-weighted per-cell restriction
+    (src/interpolate.hpp:61-87) — the global-matrix form needs no
+    multiplicity bookkeeping at all.
+    """
+    from ..fem.gll import interpolation_matrix_1d
+
+    M1 = interpolation_matrix_1d(P_coarse, P_fine)
+    Nf, Nc = nc * P_fine + 1, nc * P_coarse + 1
+    I1 = np.zeros((Nf, Nc), dtype=dtype)
+    for c in range(nc):
+        # Overlapping interface rows receive identical values (C0 nodal).
+        I1[c * P_fine: c * P_fine + P_fine + 1,
+           c * P_coarse: c * P_coarse + P_coarse + 1] = M1
+    return I1
+
+
+def lattice_prolongate(x_c, I1s, shape_c, precision="highest"):
+    """Coarse->fine transfer via three per-axis dense matmuls."""
+    Ix, Iy, Iz = I1s
+    t = x_c.reshape(shape_c)
+    t = _along_x(Ix, t, precision)
+    t = _along_y(Iy, t, precision)
+    t = _along_z(Iz, t, precision)
+    return t.reshape(-1)
+
+
+def lattice_restrict(x_f, I1s, shape_f, precision="highest"):
+    """Fine->coarse transfer: transposed per-axis matmuls (global I^T)."""
+    Ix, Iy, Iz = I1s
+    t = x_f.reshape(shape_f)
+    t = _along_x(Ix.T, t, precision)
+    t = _along_y(Iy.T, t, precision)
+    t = _along_z(Iz.T, t, precision)
+    return t.reshape(-1)
+
+
 def _along_x(M, t, prec):
     return jnp.einsum("ax,xyz->ayz", M, t, precision=prec)
 

@@ -86,7 +86,7 @@ def dist_cycle_ops(n_shards):
         lat = _exchange_partials(raw.reshape(level.shape), n_shards)
         return jnp.where(lv["bc_marker"], x, lat.reshape(-1))
 
-    def restrict_op(tr, r, level_c):
+    def restrict_op(tr, r, level_c, level_f):
         raw = restrict(
             r, tr["dofmap_c"], tr["dofmap_f"], tr["M1"], tr["mult_f"],
             level_c.ndofs,
@@ -94,7 +94,7 @@ def dist_cycle_ops(n_shards):
         lat = _exchange_partials(raw.reshape(level_c.shape), n_shards)
         return lat.reshape(-1)
 
-    def prolong_op(tr, u, level_f):
+    def prolong_op(tr, u, level_c, level_f):
         # Interface planes are written identically by both neighbouring
         # shards (same coarse data) — consistent without communication.
         return prolongate(

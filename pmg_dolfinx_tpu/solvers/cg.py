@@ -34,7 +34,8 @@ def _default_dot(u, v):
     return jnp.vdot(u, v)
 
 
-def cg_solve(A, b, x0, diag_inv, *, rtol=1e-8, maxiter=100, record=False, dot=_default_dot):
+def cg_solve(A, b, x0, diag_inv, *, rtol=1e-8, maxiter=100, record=False,
+             dot=_default_dot, precond=None):
     """Solve ``A x = b`` with Jacobi-preconditioned CG.
 
     Parameters
@@ -49,6 +50,9 @@ def cg_solve(A, b, x0, diag_inv, *, rtol=1e-8, maxiter=100, record=False, dot=_d
         `lax.scan` (needed for fixed-shape coefficient buffers).
     record : also return per-iteration (alphas, betas, rnorms, stored-mask).
     dot : inner product; pass a psum-reducing version under shard_map.
+    precond : optional callable ``r -> M^-1 r`` overriding the Jacobi
+        preconditioner (must be a fixed SPD linear operator, e.g. a
+        zero-initial-guess Chebyshev sweep).
 
     Returns
     -------
@@ -56,8 +60,9 @@ def cg_solve(A, b, x0, diag_inv, *, rtol=1e-8, maxiter=100, record=False, dot=_d
     preconditioned residual square), ``rnorm0``, and when recording the
     fixed-shape arrays ``alphas``, ``betas``, ``residuals``, ``stored``.
     """
+    M = precond if precond is not None else (lambda r: diag_inv * r)
     r = b - A(x0)
-    p = diag_inv * r
+    p = M(r)
     rnorm0 = dot(p, r)
     rtol2 = rtol * rtol
 
@@ -66,7 +71,7 @@ def cg_solve(A, b, x0, diag_inv, *, rtol=1e-8, maxiter=100, record=False, dot=_d
         alpha = rnorm / dot(p, y)
         x = x + alpha * p
         r = r - alpha * y
-        z = diag_inv * r
+        z = M(r)
         rnorm_new = dot(r, z)
         beta = rnorm_new / rnorm
         converged = rnorm_new / rnorm0 < rtol2

@@ -77,17 +77,13 @@ def _level_operator(lv):
     )
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _calibration_cg(lv, b, x0, maxiter):
+def _generic_calibration(lv, b, x0, *, ops, level, maxiter):
+    A = lambda x: ops["apply"](lv, x, level)
     return cg_solve(
-        _level_operator(lv), b, x0, lv["diag_inv"],
+        A, b, x0, lv["diag_inv"],
         rtol=DEFAULT_CALIBRATION_RTOL, maxiter=maxiter, record=True,
+        dot=lambda u, v: ops["dot"](u, v, lv),
     )
-
-
-@jax.jit
-def _apply_level(lv, x):
-    return _level_operator(lv)(x)
 
 
 def default_cycle_ops():
@@ -101,16 +97,45 @@ def default_cycle_ops():
     """
     return dict(
         apply=lambda lv, x, level: _level_operator(lv)(x),
-        restrict=lambda tr, r, level_c: restrict(
+        restrict=lambda tr, r, level_c, level_f: restrict(
             r, tr["dofmap_c"], tr["dofmap_f"], tr["M1"], tr["mult_f"],
             level_c.ndofs,
         ),
-        prolong=lambda tr, u, level_f: prolongate(
+        prolong=lambda tr, u, level_c, level_f: prolongate(
             u, tr["dofmap_c"], tr["dofmap_f"], tr["M1"], level_f.ndofs
         ),
         dot=lambda u, v, lv: jnp.vdot(u, v),
         # Marks freshly created arrays as device-varying under shard_map
         # (vma tracking); identity on a single device.
+        pvary=lambda v: v,
+    )
+
+
+def lattice_cycle_ops(precision="highest"):
+    """V-cycle primitives backed by the lattice/MXU fast path
+    (`ops.lattice`): banded per-axis matmuls for the operator AND the
+    inter-degree transfers — no indexed gathers anywhere in the cycle."""
+    from ..ops.lattice import (
+        lattice_laplacian_apply,
+        lattice_prolongate,
+        lattice_restrict,
+    )
+
+    def apply_op(lv, x, level):
+        mats = {k: lv[k] for k in ("Ex", "Dx", "Ey", "Dy", "Ez", "Dz")}
+        return lattice_laplacian_apply(
+            x, mats, lv["G"], lv["bc_marker"], precision=precision
+        )
+
+    return dict(
+        apply=apply_op,
+        restrict=lambda tr, r, level_c, level_f: lattice_restrict(
+            r, (tr["Ix"], tr["Iy"], tr["Iz"]), level_f.shape, precision
+        ),
+        prolong=lambda tr, u, level_c, level_f: lattice_prolongate(
+            u, (tr["Ix"], tr["Iy"], tr["Iz"]), level_c.shape, precision
+        ),
+        dot=lambda u, v, lv: jnp.vdot(u, v),
         pvary=lambda v: v,
     )
 
@@ -149,7 +174,9 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
         r = bs[i] - A(us[i])
         if diagnostics:
             diag["pre"].append(jnp.sqrt(dot(r, r, lvs[i])))
-        bs[i - 1] = ops["restrict"](data["transfer"][i - 1], r, levels[i - 1])
+        bs[i - 1] = ops["restrict"](
+            data["transfer"][i - 1], r, levels[i - 1], levels[i]
+        )
 
     # Coarse level: mask Dirichlet rows of the restricted rhs, then solve.
     bc0 = lvs[0]["bc_marker"]
@@ -180,7 +207,7 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
 
     # Up sweep: prolong, correct, post-smooth.
     for i in range(L - 1):
-        du = ops["prolong"](data["transfer"][i], us[i], levels[i + 1])
+        du = ops["prolong"](data["transfer"][i], us[i], levels[i], levels[i + 1])
         us[i + 1] = us[i + 1] + du
         A = lambda x, _i=i + 1: ops["apply"](lvs[_i], x, levels[_i])
         us[i + 1] = chebyshev4_solve(
@@ -208,48 +235,92 @@ class PMGHierarchy:
     def __init__(self, mesh, degrees=(1, 3), kappa=2.0, dtype=jnp.float64,
                  smoother_iters=DEFAULT_SMOOTHER_ITERS, coarse="smoother",
                  coarse_cfg=None,
-                 calibration_iters=DEFAULT_CALIBRATION_ITERS):
+                 calibration_iters=DEFAULT_CALIBRATION_ITERS,
+                 operator="dofmap", precision="highest"):
+        """``operator`` selects the kernel backend: 'dofmap' (general,
+        oracle-parity path) or 'lattice' (banded-matmul MXU fast path —
+        use on TPU). ``precision`` applies to the lattice matmuls."""
         self.mesh = mesh
         self.degrees = tuple(int(p) for p in degrees)
         self.kappa = float(kappa)
         self.dtype = dtype
         self.coarse = coarse
         self.coarse_cfg = dict(coarse_cfg or {})
+        self.operator_kind = operator
         self.eigs = []
+        if operator == "lattice":
+            self._ops = lattice_cycle_ops(precision)
+        else:
+            self._ops = default_cycle_ops()
+        ops = self._ops
 
-        xgeom = jnp.asarray(mesh.geometry_x, dtype=dtype)
-        gdofmap = jnp.asarray(mesh.geometry_dofmap)
+        from ..ops.lattice import (
+            axis_interpolation_matrix,
+            axis_matrices,
+            geometry_to_qlattice,
+        )
 
         level_data = []
         levels = []
         for P in self.degrees:
-            G, _ = jax.jit(geometry_factors)(
-                xgeom,
-                gdofmap,
-                jnp.asarray(tabulate_geometry_dphi(P), dtype=dtype),
-                jnp.asarray(quadrature_weights_3d(P), dtype=dtype),
+            # Geometry factors in float64 on host, cast to working dtype.
+            G_cells, _ = geometry_factors(
+                mesh.geometry_x,
+                mesh.geometry_dofmap,
+                tabulate_geometry_dphi(P),
+                quadrature_weights_3d(P),
+                xp=np,
             )
-            lv = dict(
-                dofmap=jnp.asarray(mesh.dofmap(P)),
-                G=G,
-                coeff=jnp.full((mesh.ncells,), self.kappa, dtype=dtype),
-                D=jnp.asarray(derivative_matrix(P), dtype=dtype),
-                bc_marker=jnp.asarray(mesh.boundary_dof_marker(P)),
-            )
+            bc = jnp.asarray(mesh.boundary_dof_marker(P))
             ndofs = mesh.num_dofs(P)
+            if operator == "lattice":
+                lv = {}
+                for name, nc_a in zip("xyz", mesh.nc):
+                    E, Dg = axis_matrices(nc_a, P)
+                    lv["E" + name] = jnp.asarray(E, dtype=dtype)
+                    lv["D" + name] = jnp.asarray(Dg, dtype=dtype)
+                lv["G"] = jnp.asarray(
+                    geometry_to_qlattice(G_cells * self.kappa, mesh.nc, P),
+                    dtype=dtype,
+                )
+                lv["bc_marker"] = bc
+                level = Level(P=P, ndofs=ndofs, smoother_iters=smoother_iters,
+                              shape=mesh.lattice_shape(P))
+            else:
+                lv = dict(
+                    dofmap=jnp.asarray(mesh.dofmap(P)),
+                    G=jnp.asarray(G_cells, dtype=dtype),
+                    coeff=jnp.full((mesh.ncells,), self.kappa, dtype=dtype),
+                    D=jnp.asarray(derivative_matrix(P), dtype=dtype),
+                    bc_marker=bc,
+                )
+                level = Level(P=P, ndofs=ndofs, smoother_iters=smoother_iters)
+            # Diagonal via the (exact) dofmap formulation in both modes.
             diag = jax.jit(laplacian_diagonal, static_argnums=(5,))(
-                lv["dofmap"], lv["G"], lv["coeff"], lv["D"], lv["bc_marker"], ndofs
+                jnp.asarray(mesh.dofmap(P)),
+                jnp.asarray(G_cells, dtype=dtype),
+                jnp.full((mesh.ncells,), self.kappa, dtype=dtype),
+                jnp.asarray(derivative_matrix(P), dtype=dtype),
+                bc,
+                ndofs,
             )
             lv["diag_inv"] = 1.0 / diag
             # Smoother calibration: 20 recorded CG iterations on A x = 1,
             # Lanczos estimate, lmax inflated by 1.1 (main.cpp:303-330).
             # Jitted with the level pytree as an argument (never closed
             # over) so the operator arrays stay runtime buffers.
-            _, info = _calibration_cg(
+            calib = jax.jit(
+                partial(
+                    _generic_calibration,
+                    ops=ops,
+                    level=level,
+                    maxiter=calibration_iters,
+                )
+            )
+            _, info = calib(
                 lv,
                 jnp.ones(ndofs, dtype=dtype),
                 jnp.zeros(ndofs, dtype=dtype),
-                calibration_iters,
             )
             eigs = lanczos_eigenvalue_estimates(
                 info["alphas"], info["betas"], info["stored"]
@@ -257,19 +328,26 @@ class PMGHierarchy:
             self.eigs.append(eigs)
             lv["lmax"] = jnp.asarray(EIG_RANGE_FACTORS[1] * eigs[-1], dtype=dtype)
             level_data.append(lv)
-            levels.append(Level(P=P, ndofs=ndofs, smoother_iters=smoother_iters))
+            levels.append(level)
 
         transfer = []
         for i in range(len(self.degrees) - 1):
             Pc, Pf = self.degrees[i], self.degrees[i + 1]
-            transfer.append(
-                dict(
+            if operator == "lattice":
+                tr = {
+                    "I" + name: jnp.asarray(
+                        axis_interpolation_matrix(nc_a, Pc, Pf), dtype=dtype
+                    )
+                    for name, nc_a in zip("xyz", mesh.nc)
+                }
+            else:
+                tr = dict(
                     M1=jnp.asarray(interpolation_matrix_1d(Pc, Pf), dtype=dtype),
                     dofmap_c=jnp.asarray(mesh.dofmap(Pc)),
                     dofmap_f=jnp.asarray(mesh.dofmap(Pf)),
                     mult_f=jnp.asarray(mesh.dof_multiplicity(Pf), dtype=dtype),
                 )
-            )
+            transfer.append(tr)
 
         self.data = dict(levels=tuple(level_data), transfer=tuple(transfer))
         self.levels = tuple(levels)
@@ -287,6 +365,7 @@ class PMGHierarchy:
                 levels=self.levels,
                 coarse=self.coarse,
                 coarse_cfg=self.coarse_cfg,
+                ops=ops,
             )
         )
         self._vcycle_diag = jax.jit(
@@ -295,7 +374,15 @@ class PMGHierarchy:
                 levels=self.levels,
                 coarse=self.coarse,
                 coarse_cfg=self.coarse_cfg,
+                ops=ops,
                 diagnostics=True,
+            )
+        )
+        self._apply_fine = jax.jit(
+            partial(
+                lambda lv, x, *, _ops, _level: _ops["apply"](lv, x, _level),
+                _ops=ops,
+                _level=self.levels[-1],
             )
         )
 
@@ -312,7 +399,16 @@ class PMGHierarchy:
     def operator(self, level=-1):
         """The fine-level (or chosen-level) operator as ``x -> A x``."""
         lv = self.data["levels"][level]
-        return lambda x: _apply_level(lv, x)
+        lvl = self.levels[level]
+        ops = self._ops
+        fn = jax.jit(
+            partial(
+                lambda l, x, *, _ops, _level: _ops["apply"](l, x, _level),
+                _ops=ops,
+                _level=lvl,
+            )
+        )
+        return lambda x: fn(lv, x)
 
     def solve(self, b, num_cycles=10, u0=None, residuals=True):
         """Stationary V-cycle iteration (the reference driver loop,
@@ -324,6 +420,6 @@ class PMGHierarchy:
         for _ in range(num_cycles):
             u = self._vcycle(self.data, b, u)
             if residuals:
-                r = b - _apply_level(lv, u)
+                r = b - self._apply_fine(lv, u)
                 rnorms.append(float(jnp.linalg.norm(r)))
         return u, rnorms

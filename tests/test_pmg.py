@@ -72,3 +72,19 @@ def test_fit_box_cells():
     nx, ny, nz = fit_box_cells(500000, 3)
     nd = (nx * 3 + 1) * (ny * 3 + 1) * (nz * 3 + 1)
     assert abs(nd - 500000) / 500000 < 0.05
+
+
+def test_pmg_lattice_backend_matches_dofmap():
+    """The lattice (MXU fast path) hierarchy reproduces the dofmap
+    hierarchy's V-cycle trajectory to float64 rounding."""
+    nc = (4, 4, 4)
+    a = PoissonProblem(nc=nc, degrees=(1, 3), kappa=2.0, coarse="cg",
+                       operator="dofmap")
+    b = PoissonProblem(nc=nc, degrees=(1, 3), kappa=2.0, coarse="cg",
+                       operator="lattice")
+    for ea, eb in zip(a.hierarchy.eigs, b.hierarchy.eigs):
+        assert np.allclose(ea[-1], eb[-1], rtol=1e-9)
+    ua, ra = a.solve(num_cycles=5)
+    ub, rb = b.solve(num_cycles=5)
+    assert np.allclose(ra, rb, rtol=1e-8), (ra, rb)
+    assert np.allclose(np.asarray(ua), np.asarray(ub), atol=1e-10)
