@@ -40,7 +40,7 @@ def main():
     nx = max(n_dev, (nc[0] // n_dev) * n_dev)
     mesh = BoxMesh((nx, nc[1], nc[2]))
     dist = DistPMG(mesh, n_devices=n_dev, degrees=(1, args.degree),
-                   kappa=args.kappa, dtype=dtype)
+                   kappa=args.kappa, dtype=dtype, operator=args.operator)
     print(f"{n_dev} devices, mesh {mesh.nc}, p={args.degree}, "
           f"ndofs={mesh.num_dofs(args.degree)}")
 

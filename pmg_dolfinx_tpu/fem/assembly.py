@@ -114,6 +114,38 @@ def assemble_rhs(mesh: BoxMesh, P: int, f, bc: bool = True) -> np.ndarray:
     return b
 
 
+def stiffness_diagonal_np(mesh: BoxMesh, P: int, kappa: float = 1.0) -> np.ndarray:
+    """Operator diagonal in NumPy float64 (host, setup-time).
+
+    Same formula as ops.laplacian.laplacian_diagonal; used by the
+    distributed builder so the exact global diagonal never needs a
+    device-wide scatter. BC rows get 1.
+    """
+    from .gll import derivative_matrix
+
+    G, _ = geometry_factors_np(mesh, P)
+    n = P + 1
+    g = G.reshape(mesh.ncells, n, n, n, 6)
+    D = derivative_matrix(P)
+    D2 = D * D
+    d = np.diagonal(D)
+    diag = (
+        np.einsum("mi,cmjk->cijk", D2, g[..., 0])
+        + np.einsum("mj,cimk->cijk", D2, g[..., 3])
+        + np.einsum("mk,cijm->cijk", D2, g[..., 5])
+        + 2.0
+        * (
+            d[:, None, None] * d[None, :, None] * g[..., 1]
+            + d[:, None, None] * d[None, None, :] * g[..., 2]
+            + d[None, :, None] * d[None, None, :] * g[..., 4]
+        )
+    ) * kappa
+    out = np.zeros(mesh.num_dofs(P))
+    np.add.at(out, mesh.dofmap(P).ravel(), diag.ravel())
+    out[mesh.boundary_dof_marker(P)] = 1.0
+    return out
+
+
 def l2_error(mesh: BoxMesh, P: int, u_h: np.ndarray, u_exact, nq: int | None = None) -> float:
     """Accurate L2 norm of ``u_h - u_exact`` via Gauss-Legendre quadrature.
 

@@ -111,7 +111,8 @@ def _along_z(M, t, prec):
     return jnp.einsum("cz,xyz->xyc", M, t, precision=prec)
 
 
-def lattice_laplacian_apply(x, mats, G, bc_marker, precision="highest"):
+def lattice_laplacian_apply(x, mats, G, bc_marker, precision="highest",
+                            apply_bc=True):
     """``y = A x`` on the flat dof vector via the lattice formulation.
 
     Parameters
@@ -157,6 +158,10 @@ def lattice_laplacian_apply(x, mats, G, bc_marker, precision="highest"):
     y = _along_z(Ez.T, cxy, prec) + _along_z(Dz.T, cz, prec)   # (NX, NY, NZ)
 
     y = y.reshape(-1)
+    if not apply_bc:
+        # Raw accumulation (bc zeroed on input only) — the distributed
+        # layer exchanges interface-plane partials before the epilogue.
+        return y
     return jnp.where(bc_marker, x, y)
 
 

@@ -113,6 +113,56 @@ def dist_cycle_ops(n_shards):
     )
 
 
+def dist_lattice_cycle_ops(n_shards, precision="highest"):
+    """Sharded V-cycle primitives over the lattice/MXU fast path.
+
+    Shard-local banded matmuls (local x-axis matrices over the slab's
+    cells, global y/z matrices) + the same interface-plane partial-sum
+    exchange. Restriction zeroes the duplicated fine ghost plane via the
+    ownership weights before the local transposed matmuls, so every fine
+    dof contributes exactly once globally.
+    """
+    from ..ops.lattice import (
+        lattice_laplacian_apply,
+        lattice_prolongate,
+        lattice_restrict,
+    )
+
+    def apply_op(lv, x, level):
+        mats = {k: lv[k] for k in ("Ex", "Dx", "Ey", "Dy", "Ez", "Dz")}
+        raw = lattice_laplacian_apply(
+            x, mats, lv["G"], lv["bc_marker"], precision=precision,
+            apply_bc=False,
+        )
+        lat = _exchange_partials(raw.reshape(level.shape), n_shards)
+        return jnp.where(lv["bc_marker"], x, lat.reshape(-1))
+
+    def restrict_op(tr, r, level_c, level_f):
+        raw = lattice_restrict(
+            r * tr["weights_f"], (tr["Ix"], tr["Iy"], tr["Iz"]),
+            level_f.shape, precision,
+        )
+        lat = _exchange_partials(raw.reshape(level_c.shape), n_shards)
+        return lat.reshape(-1)
+
+    def prolong_op(tr, u, level_c, level_f):
+        # Consistent coarse input -> consistent fine output, no comm.
+        return lattice_prolongate(
+            u, (tr["Ix"], tr["Iy"], tr["Iz"]), level_c.shape, precision
+        )
+
+    def dot(u, v, lv):
+        return jax.lax.psum(jnp.sum(u * v * lv["weights"]), AXIS)
+
+    def pvary(v):
+        return jax.lax.pcast(v, (AXIS,), to="varying")
+
+    return dict(
+        apply=apply_op, restrict=restrict_op, prolong=prolong_op, dot=dot,
+        pvary=pvary,
+    )
+
+
 def _dist_diag(lv, level, n_shards):
     raw = laplacian_diagonal_raw(
         lv["dofmap"], lv["G"], lv["coeff"], lv["D"], level.ndofs
@@ -134,7 +184,15 @@ class DistPMG:
     def __init__(self, mesh, n_devices=None, degrees=(1, 3), kappa=2.0,
                  dtype=jnp.float64, smoother_iters=DEFAULT_SMOOTHER_ITERS,
                  coarse="cg", coarse_cfg=None, devices=None,
-                 calibration_iters=DEFAULT_CALIBRATION_ITERS):
+                 calibration_iters=DEFAULT_CALIBRATION_ITERS,
+                 operator="dofmap", precision="highest"):
+        from ..fem.assembly import stiffness_diagonal_np
+        from ..ops.lattice import (
+            axis_interpolation_matrix,
+            axis_matrices,
+            geometry_to_qlattice,
+        )
+
         n_devices = n_devices or len(jax.devices())
         self.jmesh = make_mesh(n_devices, devices)
         self.n_shards = n_devices
@@ -145,24 +203,23 @@ class DistPMG:
         self.dtype = dtype
         self.coarse = coarse
         self.coarse_cfg = dict(coarse_cfg or {})
+        self.operator_kind = operator
         self.eigs = []
 
         part = self.part
         level_data, level_specs, levels = [], [], []
         for Pdeg in self.degrees:
-            # Geometry factors computed globally (host/default device) —
-            # cells are slab-contiguous so G shards along axis 0.
-            G, _ = jax.jit(geometry_factors)(
-                jnp.asarray(mesh.geometry_x, dtype=dtype),
-                jnp.asarray(mesh.geometry_dofmap),
-                jnp.asarray(tabulate_geometry_dphi(Pdeg), dtype=dtype),
-                jnp.asarray(quadrature_weights_3d(Pdeg), dtype=dtype),
+            # Geometry factors computed on host (float64); cells are
+            # slab-contiguous in x, so per-cell and quadrature-lattice
+            # layouts both shard along axis 0.
+            G_cells, _ = geometry_factors(
+                mesh.geometry_x,
+                mesh.geometry_dofmap,
+                tabulate_geometry_dphi(Pdeg),
+                quadrature_weights_3d(Pdeg),
+                xp=np,
             )
-            lv = dict(
-                dofmap=jnp.asarray(part.local_dofmap(Pdeg)),
-                G=G,
-                coeff=jnp.full((mesh.ncells,), self.kappa, dtype=dtype),
-                D=jnp.asarray(derivative_matrix(Pdeg), dtype=dtype),
+            common = dict(
                 bc_marker=jnp.asarray(
                     part.to_dist(Pdeg, mesh.boundary_dof_marker(Pdeg)).reshape(-1)
                     > 0.5
@@ -170,15 +227,43 @@ class DistPMG:
                 weights=jnp.asarray(
                     part.ownership_weights(Pdeg).reshape(-1), dtype=dtype
                 ),
+                diag_inv=jnp.asarray(
+                    part.to_dist(
+                        Pdeg, 1.0 / stiffness_diagonal_np(mesh, Pdeg, self.kappa)
+                    ).reshape(-1),
+                    dtype=dtype,
+                ),
             )
-            spec = dict(
-                dofmap=P(),
-                G=P(AXIS),
-                coeff=P(AXIS),
-                D=P(),
-                bc_marker=P(AXIS),
-                weights=P(AXIS),
-            )
+            common_spec = dict(bc_marker=P(AXIS), weights=P(AXIS),
+                               diag_inv=P(AXIS))
+            if operator == "lattice":
+                lv = dict(common)
+                spec = dict(common_spec)
+                lv["G"] = jnp.asarray(
+                    geometry_to_qlattice(G_cells * self.kappa, mesh.nc, Pdeg),
+                    dtype=dtype,
+                )
+                spec["G"] = P(AXIS)
+                for name, nc_a in (
+                    ("x", part.cells_per_shard_x),
+                    ("y", mesh.nc[1]),
+                    ("z", mesh.nc[2]),
+                ):
+                    E, Dg = axis_matrices(nc_a, Pdeg)
+                    lv["E" + name] = jnp.asarray(E, dtype=dtype)
+                    lv["D" + name] = jnp.asarray(Dg, dtype=dtype)
+                    spec["E" + name] = P()
+                    spec["D" + name] = P()
+            else:
+                lv = dict(common)
+                spec = dict(common_spec)
+                lv.update(
+                    dofmap=jnp.asarray(part.local_dofmap(Pdeg)),
+                    G=jnp.asarray(G_cells, dtype=dtype),
+                    coeff=jnp.full((mesh.ncells,), self.kappa, dtype=dtype),
+                    D=jnp.asarray(derivative_matrix(Pdeg), dtype=dtype),
+                )
+                spec.update(dofmap=P(), G=P(AXIS), coeff=P(AXIS), D=P())
             level = Level(
                 P=Pdeg,
                 ndofs=part.local_ndofs(Pdeg),
@@ -190,27 +275,19 @@ class DistPMG:
             levels.append(level)
 
         self.levels = tuple(levels)
-        ops = dist_cycle_ops(self.n_shards)
+        if operator == "lattice":
+            ops = dist_lattice_cycle_ops(self.n_shards, precision)
+        else:
+            ops = dist_cycle_ops(self.n_shards)
         self._ops = ops
 
-        # Place data, then compute diagonals + calibration *distributed*.
+        # Place data, then run the smoother calibration *distributed*.
         with self.jmesh:
             for lv, spec, level in zip(level_data, level_specs, levels):
                 for k in lv:
                     lv[k] = jax.device_put(
                         lv[k], NamedSharding(self.jmesh, spec[k])
                     )
-                diag_fn = jax.jit(
-                    jax.shard_map(
-                        partial(_dist_diag, level=level, n_shards=self.n_shards),
-                        mesh=self.jmesh,
-                        in_specs=(spec,),
-                        out_specs=P(AXIS),
-                    )
-                )
-                diag = diag_fn(lv)
-                lv["diag_inv"] = 1.0 / diag
-                spec["diag_inv"] = P(AXIS)
 
                 # Distributed smoother calibration: recorded Jacobi-CG on
                 # A x = 1 (the reference per-level calibration,
@@ -254,16 +331,34 @@ class DistPMG:
         transfer, transfer_specs = [], []
         for i in range(len(self.degrees) - 1):
             Pc, Pf = self.degrees[i], self.degrees[i + 1]
-            tr = dict(
-                M1=jnp.asarray(interpolation_matrix_1d(Pc, Pf), dtype=dtype),
-                dofmap_c=jnp.asarray(part.local_dofmap(Pc)),
-                dofmap_f=jnp.asarray(part.local_dofmap(Pf)),
-                mult_f=jnp.asarray(
-                    part.to_dist(Pf, mesh.dof_multiplicity(Pf)).reshape(-1),
-                    dtype=dtype,
-                ),
-            )
-            spec = dict(M1=P(), dofmap_c=P(), dofmap_f=P(), mult_f=P(AXIS))
+            if operator == "lattice":
+                tr = dict(
+                    Ix=jnp.asarray(
+                        axis_interpolation_matrix(part.cells_per_shard_x, Pc, Pf),
+                        dtype=dtype,
+                    ),
+                    Iy=jnp.asarray(
+                        axis_interpolation_matrix(mesh.nc[1], Pc, Pf), dtype=dtype
+                    ),
+                    Iz=jnp.asarray(
+                        axis_interpolation_matrix(mesh.nc[2], Pc, Pf), dtype=dtype
+                    ),
+                    weights_f=jnp.asarray(
+                        part.ownership_weights(Pf).reshape(-1), dtype=dtype
+                    ),
+                )
+                spec = dict(Ix=P(), Iy=P(), Iz=P(), weights_f=P(AXIS))
+            else:
+                tr = dict(
+                    M1=jnp.asarray(interpolation_matrix_1d(Pc, Pf), dtype=dtype),
+                    dofmap_c=jnp.asarray(part.local_dofmap(Pc)),
+                    dofmap_f=jnp.asarray(part.local_dofmap(Pf)),
+                    mult_f=jnp.asarray(
+                        part.to_dist(Pf, mesh.dof_multiplicity(Pf)).reshape(-1),
+                        dtype=dtype,
+                    ),
+                )
+                spec = dict(M1=P(), dofmap_c=P(), dofmap_f=P(), mult_f=P(AXIS))
             with self.jmesh:
                 for k in tr:
                     tr[k] = jax.device_put(tr[k], NamedSharding(self.jmesh, spec[k]))
