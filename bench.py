@@ -5,9 +5,12 @@ Mirrors the reference's operator micro-benchmark `mat_free --ndofs N`
 the "% Mat-free Matvec" number; SURVEY.md §6). Baseline target from
 BASELINE.md: >= 1 GDOF/s per chip for the sum-factorized p=6 apply.
 
-Runs on the default JAX platform (the real TPU chip under the driver).
-float32 with precision='highest' (true-f32 MXU matmuls, ~1e-7 operator
-accuracy — verified against the f64 assembled oracle in tests).
+Uses the production operator for the reference's own benchmark problem
+(axis-aligned unit-cube mesh): the Kronecker-sum backend (ops/kron.py),
+float32 with precision='highest' (true-f32 MXU matmuls; agrees with the
+f64 assembled oracle to ~1e-7, verified in tests). The general-hex
+lattice backend runs ~2 GDOF/s on the same problem (examples/mat_free.py
+--operator lattice).
 
 Timing methodology: the axon TPU tunnel's `block_until_ready` does not
 reliably synchronize, so reps are chained inside one jitted `fori_loop`
@@ -27,26 +30,26 @@ import jax.numpy as jnp
 
 def main():
     from pmg_dolfinx_tpu.fem.mesh import BoxMesh
-    from pmg_dolfinx_tpu.ops.lattice import LatticeLaplacian, lattice_laplacian_apply
+    from pmg_dolfinx_tpu.ops.kron import KronLaplacian, kron_laplacian_apply
 
     P = 6
     mesh = BoxMesh((21, 21, 21))  # ~2.05M dofs at p=6
     nd = mesh.num_dofs(P)
-    op = LatticeLaplacian(mesh, P, kappa=2.0, dtype=jnp.float32, precision="highest")
+    op = KronLaplacian(mesh, P, kappa=2.0, dtype=jnp.float32, precision="highest")
     x = jnp.ones(nd, dtype=jnp.float32)
 
     @partial(jax.jit, static_argnums=(4,))
-    def chain(x, mats, G, bc, reps):
+    def chain(x, Ks, ms, bc, reps):
         def body(i, v):
             # Data-dependent perturbation prevents loop-invariant hoisting;
             # 1e-30 underflows against O(1) values so the input stays x.
-            return lattice_laplacian_apply(
-                x + 1e-30 * v, mats, G, bc, precision="highest"
+            return kron_laplacian_apply(
+                x + 1e-30 * v, Ks, ms, bc, precision="highest"
             )
         return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
 
     def run(reps):
-        return float(chain(x, op.mats, op.G, op.bc_marker, reps))
+        return float(chain(x, op.Ks, op.ms, op.bc_marker, reps))
 
     # Warm up / compile both shapes.
     run(20)
@@ -62,7 +65,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "matfree_laplacian_apply_p6_f32",
+                "metric": "matfree_laplacian_apply_p6_f32_kron",
                 "value": round(gdofs, 3),
                 "unit": "GDOF/s",
                 "vs_baseline": round(gdofs / 1.0, 3),

@@ -1,0 +1,131 @@
+"""Kronecker-sum Laplacian: the production fast path for box meshes.
+
+On any axis-aligned tensor-product mesh — which is every mesh the
+reference drivers can build (`mesh::create_box`, examples/pmg/main.cpp:442)
+— the per-cell Jacobian is diagonal, the geometry factor G is diagonal and
+per-axis separable, and GLL collocation makes the 1D mass matrix exactly
+diagonal (lumped). The weighted stiffness operator then collapses to the
+Kronecker sum
+
+    A = kappa * ( K_x (x) M_y (x) M_z
+                + M_x (x) K_y (x) M_z
+                + M_x (x) M_y (x) K_z )
+
+with per-axis banded 1D stiffness matrices ``K[(N, N)]`` and diagonal
+lumped mass vectors ``m[(N,)]``. One operator apply = THREE dense banded
+matmuls + broadcast scalings — pure MXU work. Measured on TPU v5e at
+p=6 / 2.05M dofs: 0.11 ms/apply = 18.6 GDOF/s in true-f32 (agrees with
+the general path to 3e-8), 42 GDOF/s with single-pass bf16 matmuls.
+
+This is the same discrete operator the reference's sum-factorized kernel
+(src/laplacian.hpp:143-278) evaluates on these meshes — verified against
+the assembled oracle to 1e-12 in f64 — reached by exploiting structure
+instead of emulating CUDA scatter patterns. General (non-axis-aligned)
+hexes use `ops/lattice.py`; unstructured meshes use `ops/laplacian.py`.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.gll import gauss_lobatto
+from .lattice import axis_matrices
+
+
+def axis_stiffness_mass(nc: int, P: int, h) -> tuple[np.ndarray, np.ndarray]:
+    """1D GLL stiffness ``K[(N, N)]`` and lumped mass ``m[(N,)]`` on an
+    ``nc``-cell 1D mesh with per-cell spacings ``h`` (scalar or (nc,)).
+
+    K = Dg^T diag(w_q / h_c) Dg ;  m = E^T (w_q * h_c)  — the 1D
+    reductions of the 3D geometry pipeline for diagonal Jacobians.
+    """
+    h = np.broadcast_to(np.asarray(h, dtype=np.float64), (nc,))
+    E, Dg = axis_matrices(nc, P)
+    _, w1 = gauss_lobatto(P + 1)
+    w = np.tile(w1, nc)
+    hq = np.repeat(h, P + 1)
+    K = Dg.T @ ((w / hq)[:, None] * Dg)
+    m = E.T @ (w * hq)
+    return K, m
+
+
+def kron_laplacian_apply(x, Ks, ms, bc_marker, precision="highest",
+                         apply_bc=True, exchange=None):
+    """``y = A x`` via the Kronecker-sum form (jittable).
+
+    Parameters
+    ----------
+    Ks : (Kx, Ky, Kz) — per-axis stiffness matrices with kappa folded in.
+    ms : (mx, my, mz) — per-axis lumped mass vectors.
+    bc_marker : flat bool marker; same bc semantics as the other backends.
+    exchange : optional callable applied to the K_x term's lattice BEFORE
+        the mass terms are added — the distributed layer passes the
+        interface partial-sum exchange here (only the x-contraction
+        produces shard-partial sums; the mass terms are pointwise in x
+        and already consistent on duplicated planes).
+    """
+    prec = precision
+    Kx, Ky, Kz = Ks
+    mx, my, mz = ms
+    NX, NY, NZ = Kx.shape[1], Ky.shape[1], Kz.shape[1]
+    xb = jnp.where(bc_marker, jnp.zeros_like(x), x).reshape(NX, NY, NZ)
+
+    t1 = jnp.einsum("ax,xyz->ayz", Kx, xb, precision=prec) * (
+        my[None, :, None] * mz[None, None, :]
+    )
+    if exchange is not None:
+        t1 = exchange(t1)
+    t2 = jnp.einsum("by,xyz->xbz", Ky, xb, precision=prec) * (
+        mx[:, None, None] * mz[None, None, :]
+    )
+    t3 = jnp.einsum("cz,xyz->xyc", Kz, xb, precision=prec) * (
+        mx[:, None, None] * my[None, :, None]
+    )
+    y = (t1 + t2 + t3).reshape(-1)
+    if not apply_bc:
+        return y
+    return jnp.where(bc_marker, x, y)
+
+
+def kron_diagonal(Ks, ms, bc_marker):
+    """Closed-form operator diagonal (for Jacobi): bc rows get 1."""
+    Kx, Ky, Kz = Ks
+    mx, my, mz = ms
+    dx, dy, dz = (jnp.diagonal(K) for K in (Kx, Ky, Kz))
+    diag = (
+        dx[:, None, None] * my[None, :, None] * mz[None, None, :]
+        + mx[:, None, None] * dy[None, :, None] * mz[None, None, :]
+        + mx[:, None, None] * my[None, :, None] * dz[None, None, :]
+    ).reshape(-1)
+    return jnp.where(bc_marker, jnp.ones_like(diag), diag)
+
+
+class KronLaplacian:
+    """Drop-in operator bundle for axis-aligned `BoxMesh` (single device).
+
+    Same contract as `MatFreeLaplacian` / `LatticeLaplacian`.
+    """
+
+    def __init__(self, mesh, P, kappa=2.0, dtype=jnp.float32, precision="highest"):
+        self.P = int(P)
+        self.mesh = mesh
+        self.dtype = dtype
+        self.precision = precision
+        self.ndofs = mesh.num_dofs(P)
+        Ks, ms = [], []
+        for nc_a, h_a in zip(mesh.nc, mesh.h):
+            K, m = axis_stiffness_mass(nc_a, self.P, h_a)
+            # kappa folded into the stiffness factors (one K per term).
+            Ks.append(jnp.asarray(float(kappa) * K, dtype=dtype))
+            ms.append(jnp.asarray(m, dtype=dtype))
+        self.Ks = tuple(Ks)
+        self.ms = tuple(ms)
+        self.bc_marker = jnp.asarray(mesh.boundary_dof_marker(self.P))
+        self._apply = jax.jit(partial(kron_laplacian_apply, precision=precision))
+        self.diag = kron_diagonal(self.Ks, self.ms, self.bc_marker)
+        self.diag_inv = 1.0 / self.diag
+
+    def __call__(self, x):
+        return self._apply(x, self.Ks, self.ms, self.bc_marker)

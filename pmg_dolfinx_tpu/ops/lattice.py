@@ -99,6 +99,112 @@ def lattice_restrict(x_f, I1s, shape_f, precision="highest"):
     return t.reshape(-1)
 
 
+def expand_axis0(t, nc, P):
+    """Dof axis -> quadrature axis along dim 0: ``out[c*n+i] = t[c*P+i]``.
+
+    Pure reshape/concat data movement — replaces the E-matmul of the v1
+    formulation (mathematically a copy) with zero FLOPs.
+    """
+    n = P + 1
+    head = t[:-1].reshape((nc, P) + t.shape[1:])
+    tail = t[P::P][:, None]
+    return jnp.concatenate([head, tail], axis=1).reshape((nc * n,) + t.shape[1:])
+
+
+def fold_axis0(s, nc, P):
+    """Transpose of `expand_axis0`: overlap-ADD cell-block rows back to the
+    dof axis (``out[c*P+i] += s[c*n+i]``) — the former atomicAdd scatter,
+    as two static-slice adds."""
+    n = P + 1
+    s = s.reshape((nc, n) + s.shape[1:])
+    core = s[:, :P].reshape((nc * P,) + s.shape[2:])
+    zero = jnp.zeros((1,) + core.shape[1:], dtype=core.dtype)
+    out = jnp.concatenate([core, zero], axis=0)  # rows 0 .. nc*P
+    extra = s[:, P]  # contributions to rows (c+1)*P
+    tail = out[1:].reshape((nc, P) + core.shape[1:])
+    tail = tail.at[:, P - 1].add(extra)
+    return jnp.concatenate([out[:1], tail.reshape((nc * P,) + core.shape[1:])], axis=0)
+
+
+def _expand(t, axis, nc, P):
+    if axis == 0:
+        return expand_axis0(t, nc, P)
+    t = jnp.moveaxis(t, axis, 0)
+    return jnp.moveaxis(expand_axis0(t, nc, P), 0, axis)
+
+
+def _fold(s, axis, nc, P):
+    if axis == 0:
+        return fold_axis0(s, nc, P)
+    s = jnp.moveaxis(s, axis, 0)
+    return jnp.moveaxis(fold_axis0(s, nc, P), 0, axis)
+
+
+def lattice_laplacian_apply_v2(x, mats, G, bc_marker, nc, P,
+                               precision="highest", apply_bc=True,
+                               weights1d=None, coeff=None):
+    """Copy-free-expansion variant of `lattice_laplacian_apply`.
+
+    Only the six derivative contractions are matmuls (``Dg``/``Dg^T``);
+    expansions and overlap-adds are reshape/concat memory ops. With
+    ``weights1d + coeff`` given, G is interpreted in *affine* form
+    ``G[(ncx, ncy, ncz, 6)]`` (constant per cell, exact for
+    parallelepiped cells — every mesh the reference drivers build) and the
+    quadrature weights are applied as a separable broadcast, cutting the
+    geometry HBM traffic by (P+1)^3.
+
+    ``nc`` = (ncx, ncy, ncz), static.
+    """
+    prec = precision
+    Dx, Dy, Dz = mats["Dx"], mats["Dy"], mats["Dz"]
+    ncx, ncy, ncz = nc
+    n = P + 1
+    NX, NY, NZ = Dx.shape[1], Dy.shape[1], Dz.shape[1]
+
+    xb = jnp.where(bc_marker, jnp.zeros_like(x), x).reshape(NX, NY, NZ)
+
+    t_z = _expand(xb, 2, ncz, P)                       # (NX, NY, Qz)
+    t_zy = _expand(t_z, 1, ncy, P)                     # (NX, Qy, Qz)
+    ux = jnp.einsum("ax,xyz->ayz", Dx, t_zy, precision=prec)
+    uy = _expand(jnp.einsum("by,xyz->xbz", Dy, t_z, precision=prec), 0, ncx, P)
+    uz = _expand(
+        _expand(jnp.einsum("cz,xyz->xyc", Dz, xb, precision=prec), 1, ncy, P),
+        0, ncx, P,
+    )
+
+    if weights1d is not None:
+        wx, wy, wz = weights1d  # (P+1,) GLL weights per axis
+        blk = (ncx, n, ncy, n, ncz, n)
+        g = G.reshape(ncx, 1, ncy, 1, ncz, 1, 6)
+        w = (
+            wx.reshape(1, n, 1, 1, 1, 1)
+            * wy.reshape(1, 1, 1, n, 1, 1)
+            * wz.reshape(1, 1, 1, 1, 1, n)
+        )
+        c = coeff.reshape(ncx, 1, ncy, 1, ncz, 1) if coeff is not None else 1.0
+        s = w * c
+        uxb, uyb, uzb = (v.reshape(blk) for v in (ux, uy, uz))
+        tx = (s * (g[..., 0] * uxb + g[..., 1] * uyb + g[..., 2] * uzb)).reshape(ux.shape)
+        ty = (s * (g[..., 1] * uxb + g[..., 3] * uyb + g[..., 4] * uzb)).reshape(ux.shape)
+        tz = (s * (g[..., 2] * uxb + g[..., 4] * uyb + g[..., 5] * uzb)).reshape(ux.shape)
+    else:
+        tx = G[..., 0] * ux + G[..., 1] * uy + G[..., 2] * uz
+        ty = G[..., 1] * ux + G[..., 3] * uy + G[..., 4] * uz
+        tz = G[..., 2] * ux + G[..., 4] * uy + G[..., 5] * uz
+
+    bx = jnp.einsum("ax,ayz->xyz", Dx, tx, precision=prec)   # (NX, Qy, Qz)
+    by = _fold(ty, 0, ncx, P)
+    bz = _fold(tz, 0, ncx, P)
+    cxy = _fold(bx, 1, ncy, P) + jnp.einsum("by,xbz->xyz", Dy, by, precision=prec)
+    cz = _fold(bz, 1, ncy, P)
+    y = _fold(cxy, 2, ncz, P) + jnp.einsum("cz,xyc->xyz", Dz, cz, precision=prec)
+
+    y = y.reshape(-1)
+    if not apply_bc:
+        return y
+    return jnp.where(bc_marker, x, y)
+
+
 def _along_x(M, t, prec):
     return jnp.einsum("ax,xyz->ayz", M, t, precision=prec)
 

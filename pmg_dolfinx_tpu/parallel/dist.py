@@ -113,6 +113,46 @@ def dist_cycle_ops(n_shards):
     )
 
 
+def dist_kron_cycle_ops(n_shards, precision="highest"):
+    """Sharded Kronecker-sum backend: 3 banded matmuls per apply, with the
+    interface partial-sum exchange applied to the (only shard-partial)
+    x-stiffness term via the `exchange` hook."""
+    from ..ops.kron import kron_laplacian_apply
+    from ..ops.lattice import lattice_prolongate, lattice_restrict
+
+    def apply_op(lv, x, level):
+        y = kron_laplacian_apply(
+            x, (lv["Kx"], lv["Ky"], lv["Kz"]), (lv["mx"], lv["my"], lv["mz"]),
+            lv["bc_marker"], precision=precision, apply_bc=False,
+            exchange=lambda t1: _exchange_partials(t1, n_shards),
+        )
+        return jnp.where(lv["bc_marker"], x, y)
+
+    def restrict_op(tr, r, level_c, level_f):
+        raw = lattice_restrict(
+            r * tr["weights_f"], (tr["Ix"], tr["Iy"], tr["Iz"]),
+            level_f.shape, precision,
+        )
+        lat = _exchange_partials(raw.reshape(level_c.shape), n_shards)
+        return lat.reshape(-1)
+
+    def prolong_op(tr, u, level_c, level_f):
+        return lattice_prolongate(
+            u, (tr["Ix"], tr["Iy"], tr["Iz"]), level_c.shape, precision
+        )
+
+    def dot(u, v, lv):
+        return jax.lax.psum(jnp.sum(u * v * lv["weights"]), AXIS)
+
+    def pvary(v):
+        return jax.lax.pcast(v, (AXIS,), to="varying")
+
+    return dict(
+        apply=apply_op, restrict=restrict_op, prolong=prolong_op, dot=dot,
+        pvary=pvary,
+    )
+
+
 def dist_lattice_cycle_ops(n_shards, precision="highest"):
     """Sharded V-cycle primitives over the lattice/MXU fast path.
 
@@ -236,7 +276,35 @@ class DistPMG:
             )
             common_spec = dict(bc_marker=P(AXIS), weights=P(AXIS),
                                diag_inv=P(AXIS))
-            if operator == "lattice":
+            if operator == "kron":
+                from ..ops.kron import axis_stiffness_mass
+
+                lv = dict(common)
+                spec = dict(common_spec)
+                # Local x-axis stiffness (partial sums at interfaces are
+                # reconciled by the exchange); global y/z matrices.
+                Kx, _ = axis_stiffness_mass(
+                    part.cells_per_shard_x, Pdeg, mesh.h[0]
+                )
+                Ky, my = axis_stiffness_mass(mesh.nc[1], Pdeg, mesh.h[1])
+                Kz, mz = axis_stiffness_mass(mesh.nc[2], Pdeg, mesh.h[2])
+                _, mx_g = axis_stiffness_mass(mesh.nc[0], Pdeg, mesh.h[0])
+                # Global x-mass in the duplicated-plane layout, sharded.
+                npl = part.local_planes(Pdeg)
+                mx_dup = np.concatenate(
+                    [mx_g[s * (npl - 1): s * (npl - 1) + npl]
+                     for s in range(part.n_shards)]
+                )
+                lv.update(
+                    Kx=jnp.asarray(self.kappa * Kx, dtype=dtype),
+                    Ky=jnp.asarray(self.kappa * Ky, dtype=dtype),
+                    Kz=jnp.asarray(self.kappa * Kz, dtype=dtype),
+                    mx=jnp.asarray(mx_dup, dtype=dtype),
+                    my=jnp.asarray(my, dtype=dtype),
+                    mz=jnp.asarray(mz, dtype=dtype),
+                )
+                spec.update(Kx=P(), Ky=P(), Kz=P(), mx=P(AXIS), my=P(), mz=P())
+            elif operator == "lattice":
                 lv = dict(common)
                 spec = dict(common_spec)
                 lv["G"] = jnp.asarray(
@@ -275,7 +343,9 @@ class DistPMG:
             levels.append(level)
 
         self.levels = tuple(levels)
-        if operator == "lattice":
+        if operator == "kron":
+            ops = dist_kron_cycle_ops(self.n_shards, precision)
+        elif operator == "lattice":
             ops = dist_lattice_cycle_ops(self.n_shards, precision)
         else:
             ops = dist_cycle_ops(self.n_shards)
@@ -331,7 +401,7 @@ class DistPMG:
         transfer, transfer_specs = [], []
         for i in range(len(self.degrees) - 1):
             Pc, Pf = self.degrees[i], self.degrees[i + 1]
-            if operator == "lattice":
+            if operator in ("lattice", "kron"):
                 tr = dict(
                     Ix=jnp.asarray(
                         axis_interpolation_matrix(part.cells_per_shard_x, Pc, Pf),

@@ -111,6 +111,32 @@ def default_cycle_ops():
     )
 
 
+def kron_cycle_ops(precision="highest"):
+    """V-cycle primitives backed by the Kronecker-sum operator
+    (`ops.kron`) — 3 banded matmuls per apply; the production path for
+    axis-aligned box meshes. Transfers use the lattice per-axis matmuls."""
+    from ..ops.kron import kron_laplacian_apply
+    from ..ops.lattice import lattice_prolongate, lattice_restrict
+
+    def apply_op(lv, x, level):
+        return kron_laplacian_apply(
+            x, (lv["Kx"], lv["Ky"], lv["Kz"]), (lv["mx"], lv["my"], lv["mz"]),
+            lv["bc_marker"], precision=precision,
+        )
+
+    return dict(
+        apply=apply_op,
+        restrict=lambda tr, r, level_c, level_f: lattice_restrict(
+            r, (tr["Ix"], tr["Iy"], tr["Iz"]), level_f.shape, precision
+        ),
+        prolong=lambda tr, u, level_c, level_f: lattice_prolongate(
+            u, (tr["Ix"], tr["Iy"], tr["Iz"]), level_c.shape, precision
+        ),
+        dot=lambda u, v, lv: jnp.vdot(u, v),
+        pvary=lambda v: v,
+    )
+
+
 def lattice_cycle_ops(precision="highest"):
     """V-cycle primitives backed by the lattice/MXU fast path
     (`ops.lattice`): banded per-axis matmuls for the operator AND the
@@ -238,8 +264,9 @@ class PMGHierarchy:
                  calibration_iters=DEFAULT_CALIBRATION_ITERS,
                  operator="dofmap", precision="highest"):
         """``operator`` selects the kernel backend: 'dofmap' (general,
-        oracle-parity path) or 'lattice' (banded-matmul MXU fast path —
-        use on TPU). ``precision`` applies to the lattice matmuls."""
+        oracle-parity path), 'lattice' (banded-matmul MXU path, general
+        hexes) or 'kron' (Kronecker-sum path, axis-aligned meshes — the
+        production TPU choice). ``precision`` applies to the matmuls."""
         self.mesh = mesh
         self.degrees = tuple(int(p) for p in degrees)
         self.kappa = float(kappa)
@@ -250,6 +277,8 @@ class PMGHierarchy:
         self.eigs = []
         if operator == "lattice":
             self._ops = lattice_cycle_ops(precision)
+        elif operator == "kron":
+            self._ops = kron_cycle_ops(precision)
         else:
             self._ops = default_cycle_ops()
         ops = self._ops
@@ -263,17 +292,30 @@ class PMGHierarchy:
         level_data = []
         levels = []
         for P in self.degrees:
-            # Geometry factors in float64 on host, cast to working dtype.
-            G_cells, _ = geometry_factors(
-                mesh.geometry_x,
-                mesh.geometry_dofmap,
-                tabulate_geometry_dphi(P),
-                quadrature_weights_3d(P),
-                xp=np,
-            )
+            # Geometry factors in float64 on host, cast to working dtype
+            # (not needed by the kron backend, which is fully 1D-factored).
+            if operator != "kron":
+                G_cells, _ = geometry_factors(
+                    mesh.geometry_x,
+                    mesh.geometry_dofmap,
+                    tabulate_geometry_dphi(P),
+                    quadrature_weights_3d(P),
+                    xp=np,
+                )
             bc = jnp.asarray(mesh.boundary_dof_marker(P))
             ndofs = mesh.num_dofs(P)
-            if operator == "lattice":
+            if operator == "kron":
+                from ..ops.kron import axis_stiffness_mass
+
+                lv = {}
+                for name, nc_a, h_a in zip("xyz", mesh.nc, mesh.h):
+                    K, m = axis_stiffness_mass(nc_a, P, h_a)
+                    lv["K" + name] = jnp.asarray(self.kappa * K, dtype=dtype)
+                    lv["m" + name] = jnp.asarray(m, dtype=dtype)
+                lv["bc_marker"] = bc
+                level = Level(P=P, ndofs=ndofs, smoother_iters=smoother_iters,
+                              shape=mesh.lattice_shape(P))
+            elif operator == "lattice":
                 lv = {}
                 for name, nc_a in zip("xyz", mesh.nc):
                     E, Dg = axis_matrices(nc_a, P)
@@ -295,15 +337,25 @@ class PMGHierarchy:
                     bc_marker=bc,
                 )
                 level = Level(P=P, ndofs=ndofs, smoother_iters=smoother_iters)
-            # Diagonal via the (exact) dofmap formulation in both modes.
-            diag = jax.jit(laplacian_diagonal, static_argnums=(5,))(
-                jnp.asarray(mesh.dofmap(P)),
-                jnp.asarray(G_cells, dtype=dtype),
-                jnp.full((mesh.ncells,), self.kappa, dtype=dtype),
-                jnp.asarray(derivative_matrix(P), dtype=dtype),
-                bc,
-                ndofs,
-            )
+            if operator == "kron":
+                # Closed-form Kronecker diagonal (exact, no scatter).
+                from ..ops.kron import kron_diagonal
+
+                diag = kron_diagonal(
+                    (lv["Kx"], lv["Ky"], lv["Kz"]),
+                    (lv["mx"], lv["my"], lv["mz"]),
+                    bc,
+                )
+            else:
+                # Diagonal via the (exact) dofmap formulation.
+                diag = jax.jit(laplacian_diagonal, static_argnums=(5,))(
+                    jnp.asarray(mesh.dofmap(P)),
+                    jnp.asarray(G_cells, dtype=dtype),
+                    jnp.full((mesh.ncells,), self.kappa, dtype=dtype),
+                    jnp.asarray(derivative_matrix(P), dtype=dtype),
+                    bc,
+                    ndofs,
+                )
             lv["diag_inv"] = 1.0 / diag
             # Smoother calibration: 20 recorded CG iterations on A x = 1,
             # Lanczos estimate, lmax inflated by 1.1 (main.cpp:303-330).
@@ -333,7 +385,7 @@ class PMGHierarchy:
         transfer = []
         for i in range(len(self.degrees) - 1):
             Pc, Pf = self.degrees[i], self.degrees[i + 1]
-            if operator == "lattice":
+            if operator in ("lattice", "kron"):
                 tr = {
                     "I" + name: jnp.asarray(
                         axis_interpolation_matrix(nc_a, Pc, Pf), dtype=dtype

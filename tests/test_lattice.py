@@ -49,3 +49,18 @@ def test_axis_matrices_structure():
     assert col_counts[0] == 1 and col_counts[-1] == 1
     # Dg rows sum to zero (derivative of constants).
     assert np.allclose(Dg.sum(axis=1), 0.0, atol=1e-11)
+
+
+def test_kron_vs_assembled():
+    from pmg_dolfinx_tpu.ops.kron import KronLaplacian
+
+    for nc, P in [((2, 2, 2), 1), ((3, 2, 4), 3), ((2, 2, 2), 6)]:
+        mesh = BoxMesh(nc, extent=(1.0, 2.0, 0.5))  # anisotropic box
+        kappa = 2.0
+        op = KronLaplacian(mesh, P, kappa=kappa, dtype=jnp.float64)
+        A = assemble_stiffness(mesh, P, kappa=kappa, bc=True)
+        x = np.random.default_rng(4).standard_normal(mesh.num_dofs(P))
+        y = np.asarray(op(jnp.asarray(x)))
+        err = np.linalg.norm(y - A @ x) / np.linalg.norm(A @ x)
+        assert err < 1e-12, (nc, P, err)
+        assert np.allclose(np.asarray(op.diag), A.diagonal(), atol=1e-11)

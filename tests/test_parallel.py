@@ -105,3 +105,30 @@ def test_dist_lattice_operator_matches_single():
     yd = dist.from_dist(dist.operator()(dist.to_dist(x)))
     ys = np.asarray(op(jnp.asarray(x)))
     assert np.allclose(yd, ys, atol=1e-11)
+
+
+def test_dist_kron_matches_single_device():
+    nc = (8, 4, 4)
+    kappa = 2.0
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa, coarse="cg")
+    u_s, rn_s = single.solve(num_cycles=5)
+    dist = DistPMG(single.mesh, n_devices=8, degrees=(1, 3), kappa=kappa,
+                   coarse="cg", operator="kron")
+    for es, ed in zip(single.hierarchy.eigs, dist.eigs):
+        assert np.allclose(es[-1], ed[-1], rtol=1e-8)
+    b = assemble_rhs(single.mesh, 3, f_rhs(kappa))
+    u_d, rn_d = dist.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_dist_kron_operator_matches_single():
+    mesh = BoxMesh((8, 4, 4))
+    P = 3
+    op = MatFreeLaplacian(mesh, P, kappa=2.0)
+    dist = DistPMG(mesh, n_devices=4, degrees=(1, P), kappa=2.0,
+                   operator="kron")
+    x = np.random.default_rng(5).standard_normal(mesh.num_dofs(P))
+    yd = dist.from_dist(dist.operator()(dist.to_dist(x)))
+    ys = np.asarray(op(jnp.asarray(x)))
+    assert np.allclose(yd, ys, atol=1e-11)

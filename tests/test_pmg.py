@@ -88,3 +88,17 @@ def test_pmg_lattice_backend_matches_dofmap():
     ub, rb = b.solve(num_cycles=5)
     assert np.allclose(ra, rb, rtol=1e-8), (ra, rb)
     assert np.allclose(np.asarray(ua), np.asarray(ub), atol=1e-10)
+
+
+def test_pmg_kron_backend_matches_dofmap():
+    nc = (4, 4, 4)
+    a = PoissonProblem(nc=nc, degrees=(1, 3), kappa=2.0, coarse="cg",
+                       operator="dofmap")
+    b = PoissonProblem(nc=nc, degrees=(1, 3), kappa=2.0, coarse="cg",
+                       operator="kron")
+    for ea, eb in zip(a.hierarchy.eigs, b.hierarchy.eigs):
+        assert np.allclose(ea[-1], eb[-1], rtol=1e-9)
+    ua, ra = a.solve(num_cycles=5)
+    ub, rb = b.solve(num_cycles=5)
+    assert np.allclose(ra, rb, rtol=1e-8), (ra, rb)
+    assert np.allclose(np.asarray(ua), np.asarray(ub), atol=1e-10)
