@@ -462,6 +462,68 @@ class PMGHierarchy:
         )
         return lambda x: fn(lv, x)
 
+    def solve_refined(self, b, num_cycles=15, rtol=0.0, residuals=True):
+        """Mixed-precision iterative refinement: float64 outer residual,
+        working-dtype (f32) V-cycle as the error smoother.
+
+        The reference achieves deep convergence by running everything in
+        double (examples/pmg/main.cpp:30). On TPU, f64 arithmetic is
+        emulated and slow, but only the *residual* needs it: a stationary
+        f32 V-cycle stalls at ~1e-4 relative residual (cancellation noise
+        of ``b - A u`` in f32), while refinement
+
+            r64 = b64 - A64 u64 ;  e = Vcycle_f32(r, 0) ;  u64 += e
+
+        converges to f64-grade accuracy at f32 V-cycle speed — the f64
+        work per cycle is a single Kronecker apply (3 matmuls) + axpys.
+        Requires ``jax_enable_x64``.
+        """
+        from ..ops.kron import KronLaplacian
+
+        if not jax.config.read("jax_enable_x64"):
+            raise RuntimeError("solve_refined requires jax_enable_x64")
+        if getattr(self, "_op64", None) is None:
+            self._op64 = KronLaplacian(
+                self.mesh, self.degrees[-1], kappa=self.kappa,
+                dtype=jnp.float64, precision="highest",
+            )
+        op64 = self._op64
+        if getattr(self, "_refine_step", None) is None:
+            vcycle = self._vcycle
+            work_dtype = self.dtype
+            nd = self.levels[-1].ndofs
+
+            def _step(u64, b64, Ks, ms, bc, data):
+                from ..ops.kron import kron_laplacian_apply
+
+                r64 = b64 - kron_laplacian_apply(u64, Ks, ms, bc,
+                                                 precision="highest")
+                e = v_cycle(
+                    data,
+                    jnp.asarray(r64, dtype=work_dtype),
+                    jnp.zeros(nd, dtype=work_dtype),
+                    levels=self.levels, coarse=self.coarse,
+                    coarse_cfg=self.coarse_cfg, ops=self._ops,
+                )
+                return u64 + jnp.asarray(e, dtype=jnp.float64), jnp.linalg.norm(r64)
+
+            self._refine_step = jax.jit(_step)
+
+        b64 = jnp.asarray(b, dtype=jnp.float64)
+        u64 = jnp.zeros_like(b64)
+        r0 = float(jnp.linalg.norm(b64))
+        rnorms = []
+        for _ in range(num_cycles):
+            u64, rn = self._refine_step(
+                u64, b64, op64.Ks, op64.ms, op64.bc_marker, self.data
+            )
+            rn = float(rn)
+            if residuals:
+                rnorms.append(rn)
+            if rtol and rn < rtol * r0:
+                break
+        return u64, rnorms
+
     def solve(self, b, num_cycles=10, u0=None, residuals=True):
         """Stationary V-cycle iteration (the reference driver loop,
         examples/pmg/main.cpp:362-367). Returns (u, residual_norms)."""

@@ -102,3 +102,16 @@ def test_pmg_kron_backend_matches_dofmap():
     ub, rb = b.solve(num_cycles=5)
     assert np.allclose(ra, rb, rtol=1e-8), (ra, rb)
     assert np.allclose(np.asarray(ua), np.asarray(ub), atol=1e-10)
+
+
+def test_mixed_precision_refined_solve():
+    """f32 V-cycle + f64 outer refinement must converge far below the
+    plain-f32 stationary floor (~1e-4 rel residual)."""
+    import jax.numpy as jnp
+
+    prob = PoissonProblem(nc=(6, 6, 6), degrees=(1, 3), kappa=2.0,
+                          coarse="cg", operator="kron", dtype=jnp.float32)
+    u64, rnorms = prob.hierarchy.solve_refined(prob.b, num_cycles=20)
+    r0 = np.linalg.norm(np.asarray(prob.b))
+    assert rnorms[-1] / r0 < 1e-9, np.array(rnorms) / r0
+    assert prob.error_l2(np.asarray(u64)) < 5e-4
