@@ -1,0 +1,152 @@
+"""Geometric h-multigrid on the structured lattice: the AMG replacement.
+
+The reference's optional coarse-grid solver is hypre BoomerAMG behind a
+PETSc KSP (src/amg.hpp, used at the p=1 level when `--amg` is passed).
+Algebraic MG exists because unstructured meshes have no natural coarse
+grids — but this framework's meshes are structured boxes, so *geometric*
+h-coarsening (factor 2 per level, closed-form transfer operators) does the
+same job with none of the setup machinery, and every level rides the same
+Kronecker-sum MXU operator as the rest of the framework.
+
+Built as data for the SAME generic `v_cycle` used by the p-hierarchy
+(solvers/pmg.py): levels differ by mesh spacing instead of polynomial
+degree; transfers are per-axis 1D nodal interpolation matrices between
+nested lattices (restriction = plain transpose, as for p-transfer);
+smoothers are the same calibrated fourth-kind Chebyshev.
+
+Used via ``PMGHierarchy(..., coarse='hmg')``: the p-multigrid coarse
+(p=1) problem is approximately solved by a fixed number of nested h-MG
+V-cycles, with a dense Cholesky (or Chebyshev) bottom solve on the
+coarsest lattice. The composition p-MG over h-MG is the classic
+"p-multigrid with h-multigrid coarse solve" that the reference emulates
+with AMG.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.gll import gauss_lobatto, lagrange_tabulate
+from ..fem.mesh import BoxMesh
+
+
+def axis_h_interpolation(nc_coarse: int, P: int = 1, dtype=np.float64):
+    """1D nodal interpolation from an ``nc_coarse``-cell lattice to the
+    2x-refined ``2 nc_coarse``-cell lattice at degree P.
+
+    ``I[f, c] = l_c^{coarse}(x_f^{fine})``; each coarse cell contains two
+    fine cells whose nodes sit at ``xg/2`` and ``1/2 + xg/2`` in the
+    coarse cell's reference coordinates.
+    """
+    xg, _ = gauss_lobatto(P + 1)
+    left = lagrange_tabulate(xg, xg / 2.0, 0)[0]          # (P+1, P+1)
+    right = lagrange_tabulate(xg, 0.5 + xg / 2.0, 0)[0]
+    Nf, Nc = 2 * nc_coarse * P + 1, nc_coarse * P + 1
+    I = np.zeros((Nf, Nc), dtype=dtype)
+    for c in range(nc_coarse):
+        rows_l = slice(2 * c * P, 2 * c * P + P + 1)
+        rows_r = slice((2 * c + 1) * P, (2 * c + 1) * P + P + 1)
+        cols = slice(c * P, c * P + P + 1)
+        I[rows_l, cols] = left
+        I[rows_r, cols] = right
+    return I
+
+
+def coarsenable_levels(nc, min_cells=2, max_levels=10):
+    """Mesh sizes [finest, ..., coarsest] halving while all axes stay even
+    and above ``min_cells``."""
+    out = [tuple(nc)]
+    cur = tuple(nc)
+    while len(out) < max_levels:
+        if any(c % 2 != 0 or c // 2 < min_cells for c in cur):
+            break
+        cur = tuple(c // 2 for c in cur)
+        out.append(cur)
+    return out
+
+
+def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
+              max_levels=10, precision="highest",
+              calibration_iters=20, bottom="direct"):
+    """Construct (levels, data, bottom) for the generic `v_cycle`.
+
+    Levels are ordered coarse->fine like the p-hierarchy. Smoother
+    calibration reuses the recorded-CG/Lanczos machinery per level.
+    Returns the static Level tuple, the array pytree (levels/transfer and
+    optionally the dense bottom factor), and the bottom-solve mode.
+    """
+    import jax
+
+    from ..ops.kron import axis_stiffness_mass, kron_diagonal
+    from .cg import cg_solve
+    from .pmg import (
+        DEFAULT_CALIBRATION_RTOL,
+        EIG_RANGE_FACTORS,
+        Level,
+        kron_cycle_ops,
+    )
+    from .tridiag import lanczos_eigenvalue_estimates
+
+    sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
+                               max_levels=max_levels)[::-1]  # coarse->fine
+    meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes]
+    ops = kron_cycle_ops(precision)
+
+    levels, level_data = [], []
+    for m in meshes:
+        lv = {}
+        for name, nc_a, h_a in zip("xyz", m.nc, m.h):
+            K, mass = axis_stiffness_mass(nc_a, P, h_a)
+            lv["K" + name] = jnp.asarray(float(kappa) * K, dtype=dtype)
+            lv["m" + name] = jnp.asarray(mass, dtype=dtype)
+        bc = jnp.asarray(m.boundary_dof_marker(P))
+        lv["bc_marker"] = bc
+        diag = kron_diagonal(
+            (lv["Kx"], lv["Ky"], lv["Kz"]), (lv["mx"], lv["my"], lv["mz"]), bc
+        )
+        lv["diag_inv"] = 1.0 / diag
+        level = Level(P=P, ndofs=m.num_dofs(P), smoother_iters=smoother_iters,
+                      shape=m.lattice_shape(P))
+
+        def _calib(lv_, b_, x0_, _level=level):
+            A = lambda x: ops["apply"](lv_, x, _level)
+            return cg_solve(
+                A, b_, x0_, lv_["diag_inv"],
+                rtol=DEFAULT_CALIBRATION_RTOL, maxiter=calibration_iters,
+                record=True,
+            )
+
+        _, info = jax.jit(_calib)(
+            lv,
+            jnp.ones(level.ndofs, dtype=dtype),
+            jnp.zeros(level.ndofs, dtype=dtype),
+        )
+        try:
+            eigs = lanczos_eigenvalue_estimates(
+                info["alphas"], info["betas"], info["stored"]
+            )
+            lmax = float(eigs[-1])
+        except ValueError:
+            # Near-trivial level (CG converged in < 2 iterations): the
+            # Jacobi-preconditioned spectrum is within (0, 2]; use the
+            # safe upper bound.
+            lmax = 2.0
+        lv["lmax"] = jnp.asarray(EIG_RANGE_FACTORS[1] * lmax, dtype=dtype)
+        levels.append(level)
+        level_data.append(lv)
+
+    transfer = []
+    for i in range(len(meshes) - 1):
+        mc = meshes[i]
+        tr = {
+            "I" + name: jnp.asarray(axis_h_interpolation(nc_a, P), dtype=dtype)
+            for name, nc_a in zip("xyz", mc.nc)
+        }
+        transfer.append(tr)
+
+    data = dict(levels=tuple(level_data), transfer=tuple(transfer))
+    if bottom == "direct":
+        from ..fem.assembly import assemble_stiffness
+
+        A0 = assemble_stiffness(meshes[0], P, kappa=float(kappa)).toarray()
+        data["coarse_chol"] = jnp.asarray(np.linalg.cholesky(A0), dtype=dtype)
+    return tuple(levels), data, ("direct" if bottom == "direct" else "smoother")

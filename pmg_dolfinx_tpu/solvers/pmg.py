@@ -227,6 +227,18 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
         chol = data["coarse_chol"]
         y = jax.scipy.linalg.solve_triangular(chol, b0, lower=True)
         u0 = jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+    elif coarse == "hmg":
+        # Nested geometric h-multigrid V-cycles (the AMG replacement,
+        # solvers/hmg.py) — recursion of this same function over the
+        # h-hierarchy, traced inline into one program.
+        for _ in range(coarse_cfg.get("cycles", 2)):
+            u0 = v_cycle(
+                data["hmg"], b0, u0,
+                levels=coarse_cfg["hmg_levels"],
+                coarse=coarse_cfg.get("hmg_bottom", "direct"),
+                coarse_cfg={},
+                ops=coarse_cfg.get("hmg_ops", ops),
+            )
     else:
         raise ValueError(f"unknown coarse solver '{coarse}'")
     us[0] = u0
@@ -410,6 +422,22 @@ class PMGHierarchy:
             A0 = assemble_stiffness(mesh, self.degrees[0], kappa=self.kappa).toarray()
             chol = np.linalg.cholesky(A0)
             self.data["coarse_chol"] = jnp.asarray(chol, dtype=dtype)
+        elif coarse == "hmg":
+            from .hmg import build_hmg
+
+            hmg_levels, hmg_data, hmg_bottom = build_hmg(
+                mesh, self.degrees[0], self.kappa, dtype,
+                smoother_iters=smoother_iters, precision=precision,
+                bottom=self.coarse_cfg.get("bottom", "direct"),
+                min_cells=self.coarse_cfg.get("min_cells", 2),
+            )
+            self.data["hmg"] = hmg_data
+            self.coarse_cfg.update(
+                hmg_levels=hmg_levels,
+                hmg_ops=kron_cycle_ops(precision),
+                hmg_bottom=hmg_bottom,
+                cycles=self.coarse_cfg.get("cycles", 3),
+            )
 
         self._vcycle = jax.jit(
             partial(

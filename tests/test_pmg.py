@@ -115,3 +115,28 @@ def test_mixed_precision_refined_solve():
     r0 = np.linalg.norm(np.asarray(prob.b))
     assert rnorms[-1] / r0 < 1e-9, np.array(rnorms) / r0
     assert prob.error_l2(np.asarray(u64)) < 5e-4
+
+
+def test_pmg_hmg_coarse_converges():
+    """p-MG with nested geometric h-MG coarse solve (the AMG replacement)
+    must converge like the exact coarse solves."""
+    prob = PoissonProblem(nc=(8, 8, 8), degrees=(1, 3), kappa=2.0,
+                          coarse="hmg", operator="kron")
+    u, rnorms = prob.solve(num_cycles=10)
+    rel = np.array(rnorms) / np.linalg.norm(np.asarray(prob.b))
+    assert rel[-1] < 1e-5, rel
+    assert prob.error_l2(u) < 5e-4
+
+
+def test_hmg_axis_interpolation():
+    from pmg_dolfinx_tpu.solvers.hmg import axis_h_interpolation, coarsenable_levels
+
+    I = axis_h_interpolation(2, P=1)
+    assert I.shape == (5, 3)
+    # Linear functions reproduced exactly.
+    xc = np.linspace(0, 1, 3)
+    xf = np.linspace(0, 1, 5)
+    assert np.allclose(I @ (1 + 2 * xc), 1 + 2 * xf)
+    assert coarsenable_levels((8, 8, 8), min_cells=2) == [
+        (8, 8, 8), (4, 4, 4), (2, 2, 2)]
+    assert coarsenable_levels((6, 4, 4), min_cells=2) == [(6, 4, 4), (3, 2, 2)]
