@@ -142,44 +142,95 @@ def laplacian_diagonal(dofmap, G, coeff, D, bc_marker, ndofs):
     return jnp.where(bc_marker, jnp.ones_like(out), out)
 
 
+def laplacian_apply_batched(x, dofmap, xgeom, geometry_dofmap, dphi_geom,
+                            weights, coeff, D, bc_marker, batch_size):
+    """Apply with per-batch geometry recomputation (memory saver).
+
+    The reference's ``batch_size`` mode (src/laplacian.hpp:324-348,
+    383-395): instead of storing ``G[(ncells, nq, 6)]`` for all cells,
+    recompute it for one batch of cells at a time inside the apply —
+    trading FLOPs (cheap, fully fused by XLA) for HBM footprint
+    (the dominant memory consumer at high degree). Implemented as a
+    `lax.map` over cell batches accumulating into y. ``batch_size`` must
+    divide ncells (pick via `pick_batch_size`).
+    """
+    n = D.shape[0]
+    ncells = dofmap.shape[0]
+    assert ncells % batch_size == 0
+    nbatch = ncells // batch_size
+    xb = jnp.where(bc_marker, jnp.zeros_like(x), x)
+    dm = dofmap.reshape(nbatch, batch_size, n**3)
+    gdm = geometry_dofmap.reshape(nbatch, batch_size, 8)
+    cf = coeff.reshape(nbatch, batch_size)
+
+    def one_batch(y, args):
+        dm_b, gdm_b, cf_b = args
+        G_b, _ = geometry_factors(xgeom, gdm_b, dphi_geom, weights)
+        u_cells = xb[dm_b.reshape(-1)].reshape(batch_size, n, n, n)
+        y_cells = laplacian_apply_cells(u_cells, G_b, cf_b, D)
+        y = y.at[dm_b.reshape(-1)].add(y_cells.reshape(-1), mode="drop")
+        return y, None
+
+    y, _ = jax.lax.scan(one_batch, jnp.zeros_like(x), (dm, gdm, cf))
+    return jnp.where(bc_marker, x, y)
+
+
 class MatFreeLaplacian:
     """Host-side operator bundle (setup + jitted apply), single device.
 
     Counterpart of `acc::MatFreeLaplacian` (src/laplacian.hpp:283-526):
     owns the per-level constants (dofmap, G, 1D derivative table, bc
-    marker, inverse diagonal) and exposes ``op(x) -> y``. Unlike the
-    reference there is no geometry batching knob yet — G is precomputed
-    (the `batch_size == 0` path, laplacian.hpp:324-348); a recompute-G
-    variant is a planned memory/bandwidth tradeoff.
+    marker, inverse diagonal) and exposes ``op(x) -> y``. ``batch_size``
+    mirrors the reference's geometry-batching knob: 0 precomputes G for
+    all cells (laplacian.hpp:324-348); > 0 recomputes G per batch of
+    cells inside every apply, shrinking device memory by
+    ``~6 (P+1)^3 ncells`` floats at the cost of recompute FLOPs.
     """
 
-    def __init__(self, mesh, P, kappa=1.0, dtype=jnp.float64):
+    def __init__(self, mesh, P, kappa=1.0, dtype=jnp.float64, batch_size=0):
         self.P = int(P)
         self.mesh = mesh
         self.dtype = dtype
+        self.batch_size = int(batch_size)
         n = self.P + 1
-        G, _ = jax.jit(geometry_factors)(
-            jnp.asarray(mesh.geometry_x, dtype=dtype),
-            jnp.asarray(mesh.geometry_dofmap),
-            jnp.asarray(tabulate_geometry_dphi(self.P), dtype=dtype),
-            jnp.asarray(quadrature_weights_3d(self.P), dtype=dtype),
-        )
-        self.G = G
+        self.xgeom = jnp.asarray(mesh.geometry_x, dtype=dtype)
+        self.geometry_dofmap = jnp.asarray(mesh.geometry_dofmap)
+        self.dphi_geom = jnp.asarray(tabulate_geometry_dphi(self.P), dtype=dtype)
+        self.weights = jnp.asarray(quadrature_weights_3d(self.P), dtype=dtype)
         self.dofmap = jnp.asarray(mesh.dofmap(self.P))
         self.coeff = jnp.full((mesh.ncells,), kappa, dtype=dtype)
         self.D = jnp.asarray(derivative_matrix(self.P), dtype=dtype)
         self.bc_marker = jnp.asarray(mesh.boundary_dof_marker(self.P))
         self.ndofs = mesh.num_dofs(self.P)
+        if self.batch_size and mesh.ncells % self.batch_size != 0:
+            raise ValueError("batch_size must divide ncells")
+
+        # G precomputed for diagonal extraction (and for the unbatched
+        # apply). In batched mode it is dropped after the diagonal.
+        G, _ = jax.jit(geometry_factors)(
+            self.xgeom, self.geometry_dofmap, self.dphi_geom, self.weights
+        )
         # NOTE: operator data is passed as jit *arguments*, never closed
         # over — closed-over arrays become HLO constants and trigger
         # pathological compile-time constant folding.
-        self._apply = jax.jit(laplacian_apply)
         self.diag = jax.jit(laplacian_diagonal, static_argnums=(5,))(
-            self.dofmap, self.G, self.coeff, self.D, self.bc_marker, self.ndofs
+            self.dofmap, G, self.coeff, self.D, self.bc_marker, self.ndofs
         )
         self.diag_inv = 1.0 / self.diag
+        if self.batch_size:
+            self.G = None
+            self._apply = jax.jit(laplacian_apply_batched, static_argnames=("batch_size",))
+        else:
+            self.G = G
+            self._apply = jax.jit(laplacian_apply)
 
     def __call__(self, x):
+        if self.batch_size:
+            return self._apply(
+                x, self.dofmap, self.xgeom, self.geometry_dofmap,
+                self.dphi_geom, self.weights, self.coeff, self.D,
+                self.bc_marker, batch_size=self.batch_size,
+            )
         return self._apply(x, self.dofmap, self.G, self.coeff, self.D, self.bc_marker)
 
     def as_pure(self):

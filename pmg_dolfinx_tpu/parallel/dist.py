@@ -507,6 +507,105 @@ class DistPMG:
     def residual_norm(self, b_dist, u_dist):
         return float(self._rnorm(self.data["levels"][-1], b_dist, u_dist))
 
+    def solve_refined(self, b, num_cycles=15, rtol=0.0, residuals=True):
+        """Sharded mixed-precision iterative refinement (see the
+        single-device `PMGHierarchy.solve_refined`): f64 residual via a
+        sharded Kronecker apply, f32 sharded V-cycle as error smoother.
+        Requires jax_enable_x64 and an axis-aligned mesh."""
+        from ..ops.kron import axis_stiffness_mass, kron_laplacian_apply
+
+        if not jax.config.read("jax_enable_x64"):
+            raise RuntimeError("solve_refined requires jax_enable_x64")
+        part, mesh = self.part, self.mesh
+        fine = self.levels[-1]
+        Pdeg = self.degrees[-1]
+        if getattr(self, "_refine_step", None) is None:
+            Kx, _ = axis_stiffness_mass(part.cells_per_shard_x, Pdeg, mesh.h[0])
+            Ky, my = axis_stiffness_mass(mesh.nc[1], Pdeg, mesh.h[1])
+            Kz, mz = axis_stiffness_mass(mesh.nc[2], Pdeg, mesh.h[2])
+            _, mx_g = axis_stiffness_mass(mesh.nc[0], Pdeg, mesh.h[0])
+            npl = part.local_planes(Pdeg)
+            mx_dup = np.concatenate(
+                [mx_g[s * (npl - 1): s * (npl - 1) + npl]
+                 for s in range(part.n_shards)]
+            )
+            lv64 = dict(
+                Kx=jnp.asarray(self.kappa * Kx, dtype=jnp.float64),
+                Ky=jnp.asarray(self.kappa * Ky, dtype=jnp.float64),
+                Kz=jnp.asarray(self.kappa * Kz, dtype=jnp.float64),
+                mx=jnp.asarray(mx_dup, dtype=jnp.float64),
+                my=jnp.asarray(my, dtype=jnp.float64),
+                mz=jnp.asarray(mz, dtype=jnp.float64),
+                bc_marker=jnp.asarray(
+                    part.to_dist(Pdeg, mesh.boundary_dof_marker(Pdeg)).reshape(-1)
+                    > 0.5
+                ),
+                weights=jnp.asarray(
+                    part.ownership_weights(Pdeg).reshape(-1), dtype=jnp.float64
+                ),
+            )
+            lv64_spec = dict(Kx=P(), Ky=P(), Kz=P(), mx=P(AXIS), my=P(),
+                             mz=P(), bc_marker=P(AXIS), weights=P(AXIS))
+            with self.jmesh:
+                for k in lv64:
+                    lv64[k] = jax.device_put(
+                        lv64[k], NamedSharding(self.jmesh, lv64_spec[k])
+                    )
+            self._lv64 = lv64
+            n_sh = self.n_shards
+            ops = self._ops
+            work_dtype = self.dtype
+            levels = self.levels
+            coarse, coarse_cfg = self.coarse, self.coarse_cfg
+
+            def _step(lv64_, data, b64, u64):
+                raw = kron_laplacian_apply(
+                    u64, (lv64_["Kx"], lv64_["Ky"], lv64_["Kz"]),
+                    (lv64_["mx"], lv64_["my"], lv64_["mz"]),
+                    lv64_["bc_marker"], precision="highest", apply_bc=False,
+                    exchange=lambda t1: _exchange_partials(t1, n_sh),
+                )
+                Au = jnp.where(lv64_["bc_marker"], u64, raw)
+                r64 = b64 - Au
+                rn = jnp.sqrt(
+                    jax.lax.psum(jnp.sum(r64 * r64 * lv64_["weights"]), AXIS)
+                )
+                e = v_cycle(
+                    data,
+                    jnp.asarray(r64, dtype=work_dtype),
+                    ops["pvary"](jnp.zeros(fine.ndofs, dtype=work_dtype)),
+                    levels=levels, coarse=coarse, coarse_cfg=coarse_cfg,
+                    ops=ops,
+                )
+                return u64 + jnp.asarray(e, dtype=jnp.float64), rn
+
+            self._refine_step = jax.jit(
+                jax.shard_map(
+                    _step,
+                    mesh=self.jmesh,
+                    in_specs=(lv64_spec, self.data_specs, P(AXIS), P(AXIS)),
+                    out_specs=(P(AXIS), P()),
+                )
+            )
+
+        bd = self.part.to_dist(Pdeg, np.asarray(b, dtype=np.float64)).reshape(-1)
+        with self.jmesh:
+            b64 = jax.device_put(
+                jnp.asarray(bd, dtype=jnp.float64),
+                NamedSharding(self.jmesh, P(AXIS)),
+            )
+        u64 = jnp.zeros_like(b64)
+        r0 = float(np.linalg.norm(np.asarray(b, dtype=np.float64)))
+        rnorms = []
+        for _ in range(num_cycles):
+            u64, rn = self._refine_step(self._lv64, self.data, b64, u64)
+            rn = float(rn)
+            if residuals:
+                rnorms.append(rn)
+            if rtol and rn < rtol * r0:
+                break
+        return self.from_dist(u64), rnorms
+
     def solve(self, b, num_cycles=10, residuals=True):
         """Stationary V-cycle iteration on a *global* rhs; returns the
         global solution vector and the residual-norm history."""

@@ -65,3 +65,34 @@ def test_operator_symmetry():
     Ax = np.asarray(op(jnp.asarray(x)))
     Ay = np.asarray(op(jnp.asarray(y)))
     assert abs(x @ Ay - y @ Ax) < 1e-10 * np.linalg.norm(Ax) * np.linalg.norm(y)
+
+
+def test_batched_geometry_matches_unbatched():
+    """batch_size geometry recomputation (the reference --batch_size
+    memory knob, laplacian.hpp:383-395) must be bit-compatible with the
+    precomputed-G apply."""
+    mesh = BoxMesh((4, 3, 2))
+    P = 3
+    a = MatFreeLaplacian(mesh, P, kappa=2.0, batch_size=0)
+    b = MatFreeLaplacian(mesh, P, kappa=2.0, batch_size=6)
+    x = np.random.default_rng(8).standard_normal(mesh.num_dofs(P))
+    ya = np.asarray(a(jnp.asarray(x)))
+    yb = np.asarray(b(jnp.asarray(x)))
+    assert np.allclose(ya, yb, atol=1e-13)
+
+
+def test_vtk_and_npz_writers(tmp_path):
+    from pmg_dolfinx_tpu.utils.io import write_npz, write_vtk
+
+    mesh = BoxMesh((2, 2, 2))
+    P = 2
+    u = np.arange(mesh.num_dofs(P), dtype=float)
+    vtk = tmp_path / "u.vtk"
+    write_vtk(vtk, mesh, P, u)
+    text = vtk.read_text()
+    assert "STRUCTURED_GRID" in text and "SCALARS u double" in text
+    assert f"POINTS {mesh.num_dofs(P)}" in text
+    npz = tmp_path / "u.npz"
+    write_npz(npz, mesh, P, u)
+    data = np.load(npz)
+    assert data["u"].shape == mesh.lattice_shape(P)

@@ -132,3 +132,23 @@ def test_dist_kron_operator_matches_single():
     yd = dist.from_dist(dist.operator()(dist.to_dist(x)))
     ys = np.asarray(op(jnp.asarray(x)))
     assert np.allclose(yd, ys, atol=1e-11)
+
+
+def test_dist_refined_solve_matches_single():
+    """Sharded mixed-precision refinement == single-device refinement."""
+    import jax.numpy as jnp
+
+    nc = (8, 8, 8)  # isotropic cells (Jacobi-Chebyshev MG degrades on
+    # anisotropic cells — same behaviour as the reference smoothers)
+    kappa = 2.0
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa, coarse="cg",
+                            operator="kron", dtype=jnp.float32)
+    u_s, rn_s = single.hierarchy.solve_refined(single.b, num_cycles=12)
+    dist = DistPMG(single.mesh, n_devices=8, degrees=(1, 3), kappa=kappa,
+                   coarse="cg", operator="kron", dtype=jnp.float32)
+    b = assemble_rhs(single.mesh, 3, f_rhs(kappa))
+    u_d, rn_d = dist.solve_refined(b, num_cycles=12)
+    r0 = np.linalg.norm(b)
+    assert rn_d[-1] / r0 < 1e-6, np.array(rn_d) / r0
+    assert np.allclose(rn_d, rn_s, rtol=1e-3), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-6)
