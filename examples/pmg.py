@@ -22,13 +22,21 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--degrees", type=int, nargs="+", default=[1, 3])
     p.add_argument("--cycles", type=int, default=10)
-    p.add_argument("--coarse", choices=["smoother", "cg", "direct"], default="cg")
+    p.add_argument("--coarse", choices=["smoother", "cg", "direct", "hmg"],
+                   default="cg")
+    p.add_argument("--refined", action="store_true",
+                   help="mixed-precision refinement: f64 outer residual + "
+                        "working-dtype V-cycle (needs x64; converges past "
+                        "the f32 residual floor)")
     p.add_argument("--output", type=str, default=None,
-                   help="write solution lattice to this .npz file")
+                   help="write solution to this file (.npz or .vtk)")
     args = p.parse_args()
     dtype = setup_jax(args)
 
     import jax
+
+    if args.refined:
+        jax.config.update("jax_enable_x64", True)
 
     from pmg_dolfinx_tpu.models.poisson import PoissonProblem, fit_box_cells
     from pmg_dolfinx_tpu.utils.timers import Timer, list_timings
@@ -48,7 +56,11 @@ def main():
         print(f"  level p={P}: eig range estimate [{eig[0]:.4f}, {eig[-1]:.4f}]")
 
     with Timer("pmg solve (%d cycles)" % args.cycles, sync=True):
-        u, rnorms = prob.solve(num_cycles=args.cycles)
+        if args.refined:
+            u, rnorms = prob.hierarchy.solve_refined(prob.b,
+                                                     num_cycles=args.cycles)
+        else:
+            u, rnorms = prob.solve(num_cycles=args.cycles)
     r0 = float(np.linalg.norm(np.asarray(prob.b)))
     for i, r in enumerate(rnorms):
         print(f"cycle {i + 1:2d}: |r| = {r:.4e}   rel = {r / r0:.4e}")
@@ -56,9 +68,12 @@ def main():
     print(f"L2 error vs manufactured solution: {err:.4e}")
 
     if args.output:
-        NX, NY, NZ = prob.mesh.lattice_shape(args.degrees[-1])
-        np.savez(args.output, u=np.asarray(u).reshape(NX, NY, NZ),
-                 coords=prob.mesh.dof_coords(args.degrees[-1]))
+        from pmg_dolfinx_tpu.utils.io import write_npz, write_vtk
+
+        if args.output.endswith(".vtk"):
+            write_vtk(args.output, prob.mesh, args.degrees[-1], np.asarray(u))
+        else:
+            write_npz(args.output, prob.mesh, args.degrees[-1], np.asarray(u))
         print(f"solution written to {args.output}")
 
     list_timings()

@@ -67,7 +67,7 @@ def element_stiffness(G_cell: np.ndarray, P: int, coeff: float = 1.0) -> np.ndar
 
 
 def assemble_stiffness(
-    mesh: BoxMesh, P: int, kappa: float = 1.0, bc: bool = True
+    mesh: BoxMesh, P: int, kappa=1.0, bc: bool = True
 ) -> sp.csr_matrix:
     """Assemble the global stiffness matrix (scipy CSR).
 
@@ -82,9 +82,10 @@ def assemble_stiffness(
     ncells, nld = dofmap.shape
     rows = np.repeat(dofmap, nld, axis=1).ravel()
     cols = np.tile(dofmap, (1, nld)).ravel()
+    kappa_c = np.broadcast_to(np.asarray(kappa, dtype=np.float64), (ncells,))
     vals = np.empty((ncells, nld, nld))
     for c in range(ncells):
-        vals[c] = element_stiffness(G[c], P, kappa)
+        vals[c] = element_stiffness(G[c], P, kappa_c[c])
     A = sp.coo_matrix((vals.ravel(), (rows, cols)), shape=(ndofs, ndofs)).tocsr()
     if bc:
         marker = mesh.boundary_dof_marker(P)

@@ -116,7 +116,15 @@ def dist_cycle_ops(n_shards):
 def dist_kron_cycle_ops(n_shards, precision="highest"):
     """Sharded Kronecker-sum backend: 3 banded matmuls per apply, with the
     interface partial-sum exchange applied to the (only shard-partial)
-    x-stiffness term via the `exchange` hook."""
+    x-stiffness term via the `exchange` hook.
+
+    Comm/compute overlap: the exchange depends only on the K_x term, and
+    the K_y/K_z terms are data-independent of it, so XLA's latency-hiding
+    scheduler can run the ppermute pair concurrently with two of the
+    three matmuls — the compiler-scheduled analogue of the reference's
+    hand-written lcells/bcells overlap (scatter_fwd_begin -> interior
+    kernel -> scatter_fwd_end -> boundary kernel, laplacian.hpp:378-455).
+    """
     from ..ops.kron import kron_laplacian_apply
     from ..ops.lattice import lattice_prolongate, lattice_restrict
 

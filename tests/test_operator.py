@@ -96,3 +96,61 @@ def test_vtk_and_npz_writers(tmp_path):
     write_npz(npz, mesh, P, u)
     data = np.load(npz)
     assert data["u"].shape == mesh.lattice_shape(P)
+
+
+def test_variable_dg0_coefficient():
+    """Per-cell (DG-0) kappa — the reference kernel's entity_constants
+    argument (laplacian.hpp:144,230) — through the dofmap and lattice
+    backends, against the oracle with per-cell coefficients."""
+    from pmg_dolfinx_tpu.fem.geometry import (
+        geometry_factors,
+        quadrature_weights_3d,
+        tabulate_geometry_dphi,
+    )
+    from pmg_dolfinx_tpu.ops.laplacian import laplacian_apply
+    from pmg_dolfinx_tpu.ops.lattice import (
+        LatticeLaplacian,
+        geometry_to_qlattice,
+        lattice_laplacian_apply,
+        axis_matrices,
+    )
+    from pmg_dolfinx_tpu.fem.gll import derivative_matrix
+
+    mesh = BoxMesh((3, 2, 2))
+    P = 2
+    rng = np.random.default_rng(12)
+    kappa_c = 1.0 + rng.random(mesh.ncells)
+    A = assemble_stiffness(mesh, P, kappa=kappa_c)
+    x = rng.standard_normal(mesh.num_dofs(P))
+    y_ref = A @ x
+
+    # dofmap backend: coeff is per-cell natively
+    import pmg_dolfinx_tpu.fem.geometry as geo
+
+    G, _ = geo.geometry_factors(
+        mesh.geometry_x, mesh.geometry_dofmap,
+        tabulate_geometry_dphi(P), quadrature_weights_3d(P), xp=np,
+    )
+    y_dof = np.asarray(
+        laplacian_apply(
+            jnp.asarray(x), jnp.asarray(mesh.dofmap(P)), jnp.asarray(G),
+            jnp.asarray(kappa_c), jnp.asarray(derivative_matrix(P)),
+            jnp.asarray(mesh.boundary_dof_marker(P)),
+        )
+    )
+    assert np.allclose(y_dof, y_ref, atol=1e-12)
+
+    # lattice backend: kappa folded into the per-cell G factors
+    mats = {}
+    for name, nc_a in zip("xyz", mesh.nc):
+        E, Dg = axis_matrices(nc_a, P)
+        mats["E" + name] = jnp.asarray(E)
+        mats["D" + name] = jnp.asarray(Dg)
+    Gq = geometry_to_qlattice(G * kappa_c[:, None, None], mesh.nc, P)
+    y_lat = np.asarray(
+        lattice_laplacian_apply(
+            jnp.asarray(x), mats, jnp.asarray(Gq),
+            jnp.asarray(mesh.boundary_dof_marker(P)),
+        )
+    )
+    assert np.allclose(y_lat, y_ref, atol=1e-12)
