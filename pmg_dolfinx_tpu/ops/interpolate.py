@@ -30,7 +30,6 @@ from ..fem.gll import interpolation_matrix_1d
 def prolongate(x_coarse, dofmap_c, dofmap_f, M1, ndofs_f):
     """Coarse->fine interpolation on flat dof vectors (jittable)."""
     nc = M1.shape[1]
-    nf = M1.shape[0]
     ncells = dofmap_c.shape[0]
     u = x_coarse[dofmap_c.reshape(-1)].reshape(ncells, nc, nc, nc)
     v = jnp.einsum("ai,bj,ck,xijk->xabc", M1, M1, M1, u)

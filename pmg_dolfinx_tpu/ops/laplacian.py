@@ -17,14 +17,13 @@ batched XLA ops over all cells at once:
 
 The scatter-add replaces atomicAdd race-free (pure functional scatter).
 Each contraction is a small-K matmul batched over cells — XLA maps these
-onto the MXU/VPU; a fused Pallas variant lives in `laplacian_pallas.py`.
+onto the MXU/VPU; fused Pallas and Kronecker-form variants live in `pallas_kron.py` and `kron.py`.
 
 Degree P is a trace-time constant (shapes depend on it): one jitted program
 per level, mirroring the reference's compile-time template dispatch
 (laplacian.hpp:468-479) but without its P<=5 limit.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -151,8 +150,8 @@ def laplacian_apply_batched(x, dofmap, xgeom, geometry_dofmap, dphi_geom,
     recompute it for one batch of cells at a time inside the apply —
     trading FLOPs (cheap, fully fused by XLA) for HBM footprint
     (the dominant memory consumer at high degree). Implemented as a
-    `lax.map` over cell batches accumulating into y. ``batch_size`` must
-    divide ncells (pick via `pick_batch_size`).
+    `lax.scan` over cell batches accumulating into y. ``batch_size``
+    must divide ncells.
     """
     n = D.shape[0]
     ncells = dofmap.shape[0]

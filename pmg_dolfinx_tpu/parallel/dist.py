@@ -35,7 +35,7 @@ from ..fem.geometry import (
 )
 from ..fem.gll import derivative_matrix, interpolation_matrix_1d
 from ..ops.interpolate import prolongate, restrict
-from ..ops.laplacian import laplacian_diagonal_raw, laplacian_scatter_raw
+from ..ops.laplacian import laplacian_scatter_raw
 from ..solvers.cg import cg_solve
 from ..solvers.pmg import (
     DEFAULT_CALIBRATION_ITERS,
@@ -209,15 +209,6 @@ def dist_lattice_cycle_ops(n_shards, precision="highest"):
         apply=apply_op, restrict=restrict_op, prolong=prolong_op, dot=dot,
         pvary=pvary,
     )
-
-
-def _dist_diag(lv, level, n_shards):
-    raw = laplacian_diagonal_raw(
-        lv["dofmap"], lv["G"], lv["coeff"], lv["D"], level.ndofs
-    )
-    lat = _exchange_partials(raw.reshape(level.shape), n_shards)
-    d = lat.reshape(-1)
-    return jnp.where(lv["bc_marker"], jnp.ones_like(d), d)
 
 
 class DistPMG:
