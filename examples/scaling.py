@@ -1,0 +1,80 @@
+"""Weak/strong scaling sweep over a device mesh.
+
+Counterpart of the reference's SLURM scaling scripts (examples/pmg/
+submit.sh: `--ndofs 500000` per rank over 8 GCDs/node; SURVEY.md §6) as a
+single driver: runs the sharded PMG solve on 1, 2, 4, ... devices and
+reports per-cycle time, residual trajectory invariance, and (weak mode)
+dofs/device held constant.
+
+On CPU (`--cpu`) the timings are meaningless but the rank-count-invariance
+of the residual norms — the correctness contract — is checked exactly.
+"""
+
+import time
+
+import numpy as np
+
+from _common import base_parser, setup_jax
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--mode", choices=["weak", "strong"], default="strong")
+    p.add_argument("--degrees", type=int, nargs="+", default=[1, 3])
+    p.add_argument("--cycles", type=int, default=5)
+    p.add_argument("--max-devices", type=int, default=0)
+    args = p.parse_args()
+    dtype = setup_jax(args, n_cpu_devices=args.max_devices or 8)
+
+    import jax
+
+    from pmg_dolfinx_tpu.fem.assembly import assemble_rhs
+    from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+    from pmg_dolfinx_tpu.models.poisson import f_rhs, fit_box_cells
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+
+    n_avail = args.max_devices or len(jax.devices())
+    counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_avail]
+    pmax = max(args.degrees)
+    ref_trajectory = None
+    rtol = 1e-9 if args.dtype == "f64" else 1e-3
+    # Strong mode: ONE mesh divisible by every device count, so residual
+    # trajectories are comparable across the sweep.
+    lcm = max(counts)
+    print(f"{'devices':>8} {'ndofs':>12} {'setup[s]':>9} {'s/cycle':>10} "
+          f"{'rel resid':>11}")
+    for nd in counts:
+        target = args.ndofs * (nd if args.mode == "weak" else 1)
+        nc = fit_box_cells(target, pmax)
+        div = lcm if args.mode == "strong" else nd
+        nx = max(div, (nc[0] + div - 1) // div * div)
+        mesh = BoxMesh((nx, nc[1], nc[2]))
+        t0 = time.time()
+        dist = DistPMG(mesh, n_devices=nd, degrees=tuple(args.degrees),
+                       kappa=args.kappa, dtype=dtype, coarse="cg",
+                       operator=args.operator)
+        setup = time.time() - t0
+        b = assemble_rhs(mesh, pmax, f_rhs(args.kappa))
+        bd = dist.to_dist(b)
+        ud = bd * 0
+        dist.apply(bd, ud)  # compile
+        t0 = time.time()
+        rnorms = []
+        for _ in range(args.cycles):
+            ud = dist.apply(bd, ud)
+            rnorms.append(dist.residual_norm(bd, ud))
+        per = (time.time() - t0) / args.cycles
+        rel = rnorms[-1] / float(np.linalg.norm(b))
+        print(f"{nd:>8} {mesh.num_dofs(pmax):>12} {setup:>9.1f} "
+              f"{per:>10.4f} {rel:>11.3e}")
+        if args.mode == "strong":
+            if ref_trajectory is None:
+                ref_trajectory = rnorms
+            else:
+                invariant = np.allclose(rnorms, ref_trajectory, rtol=rtol)
+                print(f"{'':>8} residual trajectory invariant vs 1 device: "
+                      f"{invariant}")
+
+
+if __name__ == "__main__":
+    main()

@@ -64,3 +64,47 @@ def test_kron_vs_assembled():
         err = np.linalg.norm(y - A @ x) / np.linalg.norm(A @ x)
         assert err < 1e-12, (nc, P, err)
         assert np.allclose(np.asarray(op.diag), A.diagonal(), atol=1e-11)
+
+
+def test_lattice_v2_and_affine_vs_assembled():
+    """The copy-free-expansion variant (v2) and its affine-G mode equal
+    the oracle exactly in f64."""
+    import jax.numpy as jnp
+
+    from pmg_dolfinx_tpu.fem.geometry import (
+        geometry_factors,
+        quadrature_weights_3d,
+        tabulate_geometry_dphi,
+    )
+    from pmg_dolfinx_tpu.fem.gll import gauss_lobatto
+    from pmg_dolfinx_tpu.ops.lattice import (
+        geometry_to_qlattice,
+        lattice_laplacian_apply_v2,
+    )
+
+    mesh = BoxMesh((3, 4, 2))
+    P, kappa, n = 3, 2.0, 4
+    A = assemble_stiffness(mesh, P, kappa=kappa)
+    x = np.random.default_rng(2).standard_normal(mesh.num_dofs(P))
+    y_ref = A @ x
+    op = LatticeLaplacian(mesh, P, kappa=kappa, dtype=jnp.float64)
+    G_cells, _ = geometry_factors(
+        mesh.geometry_x, mesh.geometry_dofmap,
+        tabulate_geometry_dphi(P), quadrature_weights_3d(P), xp=np,
+    )
+    Gq = jnp.asarray(geometry_to_qlattice(G_cells * kappa, mesh.nc, P))
+    bc = jnp.asarray(mesh.boundary_dof_marker(P))
+    xx = jnp.asarray(x)
+    y2 = np.asarray(lattice_laplacian_apply_v2(xx, op.mats, Gq, bc, mesh.nc, P))
+    assert np.linalg.norm(y2 - y_ref) / np.linalg.norm(y_ref) < 1e-13
+    w3 = quadrature_weights_3d(P)
+    Gaff = jnp.asarray((G_cells[:, 0, :] / w3[0]).reshape(mesh.nc + (6,)))
+    _, w1 = gauss_lobatto(n)
+    w1 = jnp.asarray(w1)
+    y3 = np.asarray(
+        lattice_laplacian_apply_v2(
+            xx, op.mats, Gaff, bc, mesh.nc, P,
+            weights1d=(w1, w1, w1), coeff=jnp.full(mesh.nc, kappa),
+        )
+    )
+    assert np.linalg.norm(y3 - y_ref) / np.linalg.norm(y_ref) < 1e-13
