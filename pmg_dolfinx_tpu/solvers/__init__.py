@@ -12,3 +12,4 @@ from .cg import cg_solve
 from .chebyshev import chebyshev4_solve, chebyshev1_solve
 from .tridiag import lanczos_eigenvalue_estimates, tqli
 from .pmg import Level, PMGHierarchy, v_cycle
+from .hmg import build_hmg

@@ -108,3 +108,18 @@ def test_lattice_v2_and_affine_vs_assembled():
         )
     )
     assert np.linalg.norm(y3 - y_ref) / np.linalg.norm(y_ref) < 1e-13
+
+
+@pytest.mark.parametrize("P", [7, 8])
+def test_high_degree_beyond_reference(P):
+    """Degrees beyond the reference's compile-time P<=5 cap
+    (laplacian.hpp:336-346,468-479) — our dispatch is degree-generic."""
+    mesh = BoxMesh((1, 2, 1))
+    kappa = 2.0
+    from pmg_dolfinx_tpu.ops.kron import KronLaplacian
+
+    op = KronLaplacian(mesh, P, kappa=kappa, dtype=jnp.float64)
+    A = assemble_stiffness(mesh, P, kappa=kappa)
+    x = np.random.default_rng(P).standard_normal(mesh.num_dofs(P))
+    y = np.asarray(op(jnp.asarray(x)))
+    assert np.linalg.norm(y - A @ x) / np.linalg.norm(A @ x) < 1e-12

@@ -140,3 +140,16 @@ def test_hmg_axis_interpolation():
     assert coarsenable_levels((8, 8, 8), min_cells=2) == [
         (8, 8, 8), (4, 4, 4), (2, 2, 2)]
     assert coarsenable_levels((6, 4, 4), min_cells=2) == [(6, 4, 4), (3, 2, 2)]
+
+
+def test_vcycle_trajectory_regression():
+    """Pin the two-level V-cycle residual trajectory (n=6, p=[1,3],
+    kappa=2, CG coarse) — guards algorithmic drift. Values recorded from
+    the validated implementation (matching the oracle-checked operator,
+    smoother mirrors, and transfer identities)."""
+    prob = PoissonProblem(nc=(6, 6, 6), degrees=(1, 3), kappa=2.0,
+                          coarse="cg", operator="kron")
+    _, rnorms = prob.solve(num_cycles=4)
+    rel = np.array(rnorms) / np.linalg.norm(np.asarray(prob.b))
+    expected = [1.6321e-01, 2.9059e-02, 5.6003e-03, 1.0813e-03]
+    assert np.allclose(rel, expected, rtol=2e-3), rel
