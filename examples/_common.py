@@ -22,6 +22,11 @@ def base_parser(description):
 def setup_jax(args, n_cpu_devices=None):
     import jax
 
+    # Persistent compilation cache: repeat driver runs skip the (remote)
+    # XLA compiles.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/pmg_tpu_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     if args.cpu:
         # NOTE: the JAX_PLATFORMS env var is not honoured under the axon
         # TPU plugin; the config update is.

@@ -607,12 +607,41 @@ class DistPMG:
 
     def solve(self, b, num_cycles=10, residuals=True):
         """Stationary V-cycle iteration on a *global* rhs; returns the
-        global solution vector and the residual-norm history."""
+        global solution vector and the residual-norm history.
+
+        Runs the whole iteration as one jitted sharded `lax.scan` with
+        device-side residual norms — a single host sync at the end."""
+        if not hasattr(self, "_solve_scans"):
+            self._solve_scans = {}
+        if num_cycles not in self._solve_scans:
+            ops = self._ops
+            fine = self.levels[-1]
+            vc = partial(
+                v_cycle, levels=self.levels, coarse=self.coarse,
+                coarse_cfg=self.coarse_cfg, ops=ops,
+            )
+
+            def _run(data, bd, ud, _n=num_cycles):
+                def body(uc, _):
+                    uc = vc(data, bd, uc)
+                    lvf = data["levels"][-1]
+                    r = bd - ops["apply"](lvf, uc, fine)
+                    return uc, jnp.sqrt(ops["dot"](r, r, lvf))
+
+                return jax.lax.scan(body, ud, None, length=_n)
+
+            self._solve_scans[num_cycles] = jax.jit(
+                jax.shard_map(
+                    _run,
+                    mesh=self.jmesh,
+                    in_specs=(self.data_specs, P(AXIS), P(AXIS)),
+                    out_specs=(P(AXIS), P()),
+                )
+            )
         bd = self.to_dist(b)
         ud = jnp.zeros_like(bd)
-        rnorms = []
-        for _ in range(num_cycles):
-            ud = self._vcycle(self.data, bd, ud)
-            if residuals:
-                rnorms.append(self.residual_norm(bd, ud))
-        return self.from_dist(ud), rnorms
+        ud, rnorms = self._solve_scans[num_cycles](self.data, bd, ud)
+        out = self.from_dist(ud)
+        if not residuals:
+            return out, []
+        return out, [float(r) for r in np.asarray(rnorms)]

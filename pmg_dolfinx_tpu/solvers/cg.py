@@ -125,3 +125,48 @@ def cg_solve(A, b, x0, diag_inv, *, rtol=1e-8, maxiter=100, record=False,
         residuals=residuals,
         stored=stored,
     )
+
+
+def fcg_solve(A, b, x0, M, *, rtol=1e-8, maxiter=50, dot=_default_dot):
+    """Flexible (Polak-Ribiere) preconditioned conjugate gradients.
+
+    For preconditioners that are not exactly fixed linear operators —
+    e.g. a V-cycle whose coarse solve is itself a Krylov iteration. The
+    flexible beta ``<z, r - r_old> / <z_old, r_old>`` restores robustness
+    where classic CG would silently degrade. This is a capability the
+    reference lacks (it drives the PMG as a stationary Richardson
+    iteration, examples/pmg/main.cpp:362-367); MG-preconditioned FCG
+    typically converges in ~half the cycles.
+
+    Returns ``(x, info)`` with ``niter`` and the true-residual norms are
+    the caller's to compute (the loop tracks the preconditioned norm).
+    """
+    r = b - A(x0)
+    z = M(r)
+    p = z
+    rz = dot(r, z)
+    rz0 = rz
+    rtol2 = rtol * rtol
+
+    def cond(state):
+        k, x, r, z, p, rz, done = state
+        return jnp.logical_and(k < maxiter, jnp.logical_not(done))
+
+    def body(state):
+        k, x, r, z, p, rz, _ = state
+        q = A(p)
+        alpha = rz / dot(p, q)
+        x = x + alpha * p
+        r_new = r - alpha * q
+        z_new = M(r_new)
+        # Polak-Ribiere (flexible) beta.
+        beta = dot(z_new, r_new - r) / rz
+        rz_new = dot(r_new, z_new)
+        done = rz_new / rz0 < rtol2
+        p = z_new + beta * p
+        return k + 1, x, r_new, z_new, p, rz_new, done
+
+    k, x, r, z, p, rz, done = jax.lax.while_loop(
+        cond, body, (0, x0, r, z, p, rz, rz < jnp.zeros_like(rz))
+    )
+    return x, dict(niter=k, rnorm=rz, rnorm0=rz0)

@@ -153,3 +153,16 @@ def test_vcycle_trajectory_regression():
     rel = np.array(rnorms) / np.linalg.norm(np.asarray(prob.b))
     expected = [1.6321e-01, 2.9059e-02, 5.6003e-03, 1.0813e-03]
     assert np.allclose(rel, expected, rtol=2e-3), rel
+
+
+def test_pcg_outer_beats_stationary():
+    """V-cycle-preconditioned flexible CG reaches the tolerance in fewer
+    cycles than the stationary Richardson iteration."""
+    prob = PoissonProblem(nc=(6, 6, 6), degrees=(1, 3), kappa=2.0,
+                          coarse="cg", operator="kron")
+    u_pcg, niter = prob.hierarchy.solve_pcg(prob.b, rtol=1e-8, maxiter=30)
+    u_st, rnorms = prob.solve(num_cycles=12)
+    r0 = np.linalg.norm(np.asarray(prob.b))
+    st_needed = next(i + 1 for i, r in enumerate(rnorms) if r / r0 < 1e-7)
+    assert niter <= st_needed, (niter, st_needed)
+    assert prob.error_l2(np.asarray(u_pcg)) < 5e-4
