@@ -67,7 +67,7 @@ class PoissonProblem:
 
     def __init__(self, nc=(10, 10, 10), degrees=(1, 3), kappa=2.0,
                  dtype=jnp.float64, coarse="smoother", coarse_cfg=None,
-                 smoother_iters=2, operator="dofmap", precision="highest"):
+                 smoother_iters=2, operator="kron", precision="highest"):
         self.mesh = BoxMesh(nc)
         self.degrees = tuple(degrees)
         self.kappa = float(kappa)
