@@ -52,15 +52,20 @@ def main():
         return float(chain(x, op.Ks, op.ms, op.bc_marker, reps))
 
     # Warm up / compile both shapes.
-    run(20)
-    run(100)
-    t0 = time.time()
-    run(20)
-    t20 = time.time() - t0
-    t0 = time.time()
-    run(100)
-    t100 = time.time() - t0
-    per_apply = (t100 - t20) / 80
+    run(50)
+    run(250)
+    # Tunnel round-trip jitter is significant; take the median of
+    # repeated slope measurements.
+    slopes = []
+    for _ in range(5):
+        t0 = time.time()
+        run(50)
+        t_lo = time.time() - t0
+        t0 = time.time()
+        run(250)
+        t_hi = time.time() - t0
+        slopes.append((t_hi - t_lo) / 200)
+    per_apply = sorted(slopes)[len(slopes) // 2]
     gdofs = nd / per_apply / 1e9
     print(
         json.dumps(
