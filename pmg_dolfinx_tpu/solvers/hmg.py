@@ -29,37 +29,45 @@ from ..fem.gll import gauss_lobatto, lagrange_tabulate
 from ..fem.mesh import BoxMesh
 
 
-def axis_h_interpolation(nc_coarse: int, P: int = 1, dtype=np.float64):
+def axis_h_interpolation(nc_coarse: int, P: int = 1, factor: int = 2,
+                         dtype=np.float64):
     """1D nodal interpolation from an ``nc_coarse``-cell lattice to the
-    2x-refined ``2 nc_coarse``-cell lattice at degree P.
+    ``factor``-refined ``factor * nc_coarse``-cell lattice at degree P.
 
-    ``I[f, c] = l_c^{coarse}(x_f^{fine})``; each coarse cell contains two
-    fine cells whose nodes sit at ``xg/2`` and ``1/2 + xg/2`` in the
+    ``I[f, c] = l_c^{coarse}(x_f^{fine})``; each coarse cell contains
+    ``factor`` fine cells whose nodes sit at ``(k + xg)/factor`` in the
     coarse cell's reference coordinates.
     """
     xg, _ = gauss_lobatto(P + 1)
-    left = lagrange_tabulate(xg, xg / 2.0, 0)[0]          # (P+1, P+1)
-    right = lagrange_tabulate(xg, 0.5 + xg / 2.0, 0)[0]
-    Nf, Nc = 2 * nc_coarse * P + 1, nc_coarse * P + 1
+    blocks = [
+        lagrange_tabulate(xg, (k + xg) / factor, 0)[0]  # (P+1, P+1)
+        for k in range(factor)
+    ]
+    Nf, Nc = factor * nc_coarse * P + 1, nc_coarse * P + 1
     I = np.zeros((Nf, Nc), dtype=dtype)
     for c in range(nc_coarse):
-        rows_l = slice(2 * c * P, 2 * c * P + P + 1)
-        rows_r = slice((2 * c + 1) * P, (2 * c + 1) * P + P + 1)
         cols = slice(c * P, c * P + P + 1)
-        I[rows_l, cols] = left
-        I[rows_r, cols] = right
+        for k in range(factor):
+            fcell = factor * c + k
+            rows = slice(fcell * P, fcell * P + P + 1)
+            I[rows, cols] = blocks[k]
     return I
 
 
 def coarsenable_levels(nc, min_cells=2, max_levels=10):
-    """Mesh sizes [finest, ..., coarsest] halving while all axes stay even
-    and above ``min_cells``."""
+    """Mesh sizes [finest, ..., coarsest], coarsening by factor 2 (or 3
+    when 2 does not divide) while all axes stay above ``min_cells``."""
     out = [tuple(nc)]
     cur = tuple(nc)
     while len(out) < max_levels:
-        if any(c % 2 != 0 or c // 2 < min_cells for c in cur):
+        nxt = None
+        for f in (2, 3):
+            if all(c % f == 0 and c // f >= min_cells for c in cur):
+                nxt = tuple(c // f for c in cur)
+                break
+        if nxt is None:
             break
-        cur = tuple(c // 2 for c in cur)
+        cur = nxt
         out.append(cur)
     return out
 
@@ -136,17 +144,24 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
 
     transfer = []
     for i in range(len(meshes) - 1):
-        mc = meshes[i]
+        mc, mf = meshes[i], meshes[i + 1]
         tr = {
-            "I" + name: jnp.asarray(axis_h_interpolation(nc_a, P), dtype=dtype)
-            for name, nc_a in zip("xyz", mc.nc)
+            "I" + name: jnp.asarray(
+                axis_h_interpolation(nc_c, P, factor=nc_f // nc_c), dtype=dtype
+            )
+            for name, nc_c, nc_f in zip("xyz", mc.nc, mf.nc)
         }
         transfer.append(tr)
 
     data = dict(levels=tuple(level_data), transfer=tuple(transfer))
+    if bottom == "direct" and meshes[0].num_dofs(P) > 4096:
+        # A dense factor at this size would dwarf the cycle; fall back to
+        # a Krylov bottom solve (the coarse-grid role hypre's own nested
+        # hierarchy plays in the reference).
+        bottom = "cg"
     if bottom == "direct":
         from ..fem.assembly import assemble_stiffness
 
         A0 = assemble_stiffness(meshes[0], P, kappa=float(kappa)).toarray()
         data["coarse_chol"] = jnp.asarray(np.linalg.cholesky(A0), dtype=dtype)
-    return tuple(levels), data, ("direct" if bottom == "direct" else "smoother")
+    return tuple(levels), data, bottom
