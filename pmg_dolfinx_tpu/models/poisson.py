@@ -81,10 +81,11 @@ class PoissonProblem:
             dtype=dtype,
         )
 
-    def solve(self, num_cycles=10, residuals=True):
-        """Run the stationary V-cycle iteration (reference main loop)."""
+    def solve(self, num_cycles=10, residuals=True, u0=None):
+        """Run the stationary V-cycle iteration (reference main loop).
+        ``u0`` resumes from a checkpointed iterate (utils.checkpoint)."""
         return self.hierarchy.solve(self.b, num_cycles=num_cycles,
-                                    residuals=residuals)
+                                    residuals=residuals, u0=u0)
 
     def error_l2(self, u):
         """L2 error of the discrete solution vs the manufactured solution."""

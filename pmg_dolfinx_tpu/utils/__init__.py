@@ -9,3 +9,5 @@ telemetry (src/amd_gpu.hpp:71-234).
 from .timers import Timer, list_timings, reset_timings
 from .profiling import annotate, device_memory_stats, trace
 from .logging import init_logging, get_logger
+from .checkpoint import load_state, save_state
+from .io import write_npz, write_vtk

@@ -154,3 +154,18 @@ def test_variable_dg0_coefficient():
         )
     )
     assert np.allclose(y_lat, y_ref, atol=1e-12)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from pmg_dolfinx_tpu.utils.checkpoint import load_state, save_state
+
+    mesh = BoxMesh((2, 2, 2))
+    u = np.random.default_rng(0).standard_normal(mesh.num_dofs(2))
+    path = tmp_path / "state.npz"
+    save_state(path, mesh, (1, 2), 2.0, u, [1.0, 0.1], cycle=2)
+    u2, rnorms, cycle = load_state(path, mesh, (1, 2), 2.0)
+    assert np.array_equal(u2, u) and cycle == 2 and rnorms == [1.0, 0.1]
+    import pytest
+
+    with pytest.raises(ValueError):
+        load_state(path, mesh, (1, 3), 2.0)
