@@ -27,7 +27,6 @@ per level, mirroring the reference's compile-time template dispatch
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..fem.geometry import (
     geometry_factors,

@@ -26,7 +26,6 @@ Mosaic notes (hard-won):
 - `precision=HIGHEST` works inside the kernel (exact-f32 3-pass matmuls).
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -458,14 +458,6 @@ class PMGHierarchy:
                 diagnostics=True,
             )
         )
-        self._apply_fine = jax.jit(
-            partial(
-                lambda lv, x, *, _ops, _level: _ops["apply"](lv, x, _level),
-                _ops=ops,
-                _level=self.levels[-1],
-            )
-        )
-
     # -- public API ----------------------------------------------------
 
     def apply(self, b, u, diagnostics=False):
