@@ -31,6 +31,10 @@ def main():
     p.add_argument("--pcg", action="store_true",
                    help="V-cycle-preconditioned flexible CG outer solver "
                         "(fewer cycles than the stationary iteration)")
+    p.add_argument("--fdm", action="store_true",
+                   help="fast-diagonalization DIRECT solve (constant "
+                        "kappa, box mesh): the whole system in ~one "
+                        "matvec cost; combine with --refined for f64")
     p.add_argument("--output", type=str, default=None,
                    help="write solution to this file (.npz or .vtk)")
     args = p.parse_args()
@@ -57,6 +61,27 @@ def main():
     print("hierarchy:", " -> ".join(f"p={P}: {n}" for P, n in zip(args.degrees, ndofs)))
     for P, eig in zip(args.degrees, prob.hierarchy.eigs):
         print(f"  level p={P}: eig range estimate [{eig[0]:.4f}, {eig[-1]:.4f}]")
+
+    if args.fdm:
+        from pmg_dolfinx_tpu.solvers.fdm import FastDiagonalizationSolver
+
+        fdm = FastDiagonalizationSolver(prob.mesh, args.degrees[-1],
+                                        kappa=args.kappa, dtype=dtype)
+        with Timer("fdm solve", sync=True):
+            if args.refined:
+                u, rnorms = fdm.refine(prob.b, cycles=min(args.cycles, 4))
+            else:
+                u = fdm.solve(prob.b)
+                rnorms = []
+        r0 = float(np.linalg.norm(np.asarray(prob.b)))
+        for i, r in enumerate(rnorms):
+            print(f"refine {i}: rel = {r / r0:.4e}")
+        err = prob.error_l2(np.asarray(u))
+        print(f"L2 error vs manufactured solution: {err:.4e}")
+        list_timings()
+        rel = rnorms[-1] / r0 if rnorms else None
+        print(json.dumps({"rel_residual": rel, "l2_error": err}))
+        return
 
     with Timer("pmg solve (%d cycles)" % args.cycles, sync=True):
         if args.refined:

@@ -13,3 +13,4 @@ from .chebyshev import chebyshev4_solve, chebyshev1_solve
 from .tridiag import lanczos_eigenvalue_estimates, tqli
 from .pmg import Level, PMGHierarchy, v_cycle
 from .hmg import build_hmg
+from .fdm import FastDiagonalizationSolver
