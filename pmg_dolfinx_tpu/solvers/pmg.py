@@ -227,6 +227,18 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
         chol = data["coarse_chol"]
         y = jax.scipy.linalg.solve_triangular(chol, b0, lower=True)
         u0 = jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+    elif coarse == "fdm":
+        # Exact fast-diagonalization coarse solve (solvers/fdm.py): six
+        # small per-axis matmuls — both cheaper and more accurate than
+        # any iterative coarse option on constant-coefficient boxes.
+        from .fdm import fdm_solve
+
+        fd = data["fdm"]
+        u0 = fdm_solve(
+            b0, (fd["Vx"], fd["Vy"], fd["Vz"]),
+            (fd["Vxt"], fd["Vyt"], fd["Vzt"]), fd["dinv"], bc0,
+            coarse_cfg["fdm_shape"],
+        )
     elif coarse == "hmg":
         # Nested geometric h-multigrid V-cycles (the AMG replacement,
         # solvers/hmg.py) — recursion of this same function over the
@@ -422,6 +434,19 @@ class PMGHierarchy:
             A0 = assemble_stiffness(mesh, self.degrees[0], kappa=self.kappa).toarray()
             chol = np.linalg.cholesky(A0)
             self.data["coarse_chol"] = jnp.asarray(chol, dtype=dtype)
+        elif coarse == "fdm":
+            from .fdm import FastDiagonalizationSolver
+
+            fd = FastDiagonalizationSolver(
+                mesh, self.degrees[0], kappa=self.kappa, dtype=dtype,
+                precision=precision,
+            )
+            self.data["fdm"] = dict(
+                Vx=fd.Vs[0], Vy=fd.Vs[1], Vz=fd.Vs[2],
+                Vxt=fd.Vts[0], Vyt=fd.Vts[1], Vzt=fd.Vts[2],
+                dinv=fd.dinv,
+            )
+            self.coarse_cfg["fdm_shape"] = mesh.lattice_shape(self.degrees[0])
         elif coarse == "hmg":
             from .hmg import build_hmg
 

@@ -45,3 +45,52 @@ def test_fdm_f32_with_refinement():
     A = assemble_stiffness(mesh, P, kappa=kappa)
     r = np.linalg.norm(A @ np.asarray(u64) - b) / np.linalg.norm(b)
     assert r < 1e-10, (rnorms, r)
+
+
+def test_fdm_preconditions_variable_coefficient():
+    """FDM at the mean coefficient as FCG preconditioner for a
+    variable-(DG-0)-kappa problem: converges in O(10) iterations where
+    Jacobi-CG needs many more."""
+    import jax
+
+    from pmg_dolfinx_tpu.fem.geometry import (
+        geometry_factors,
+        quadrature_weights_3d,
+        tabulate_geometry_dphi,
+    )
+    from pmg_dolfinx_tpu.fem.gll import derivative_matrix
+    from pmg_dolfinx_tpu.ops.laplacian import laplacian_apply
+    from pmg_dolfinx_tpu.solvers.cg import cg_solve, fcg_solve
+
+    mesh = BoxMesh((4, 4, 4))
+    P = 2
+    rng = np.random.default_rng(3)
+    kappa_c = 1.0 + 0.8 * rng.random(mesh.ncells)  # 1.8x contrast
+    G, _ = geometry_factors(
+        mesh.geometry_x, mesh.geometry_dofmap,
+        tabulate_geometry_dphi(P), quadrature_weights_3d(P), xp=np,
+    )
+    lv = dict(
+        dofmap=jnp.asarray(mesh.dofmap(P)), G=jnp.asarray(G),
+        coeff=jnp.asarray(kappa_c), D=jnp.asarray(derivative_matrix(P)),
+        bc=jnp.asarray(mesh.boundary_dof_marker(P)),
+    )
+    A = lambda x: laplacian_apply(x, lv["dofmap"], lv["G"], lv["coeff"],
+                                  lv["D"], lv["bc"])
+    fdm = FastDiagonalizationSolver(mesh, P, kappa=float(kappa_c.mean()),
+                                    dtype=jnp.float64)
+    b = np.zeros(mesh.num_dofs(P))
+    b[~np.asarray(mesh.boundary_dof_marker(P))] = 1.0
+    b = jnp.asarray(b)
+    x, info = fcg_solve(A, b, jnp.zeros_like(b), fdm.solve,
+                        rtol=1e-10, maxiter=60)
+    niter = int(info["niter"])
+    r = np.linalg.norm(np.asarray(b - A(x)))
+    assert r / np.linalg.norm(np.asarray(b)) < 1e-8
+    assert niter <= 15, niter
+    # Jacobi-CG needs substantially more iterations on the same problem.
+    from pmg_dolfinx_tpu.fem.assembly import stiffness_diagonal_np
+
+    dinv = jnp.asarray(1.0 / stiffness_diagonal_np(mesh, P, float(kappa_c.mean())))
+    _, info_j = cg_solve(A, b, jnp.zeros_like(b), dinv, rtol=1e-10, maxiter=200)
+    assert int(info_j["niter"]) > 2 * niter

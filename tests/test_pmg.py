@@ -166,3 +166,16 @@ def test_pcg_outer_beats_stationary():
     st_needed = next(i + 1 for i, r in enumerate(rnorms) if r / r0 < 1e-7)
     assert niter <= st_needed, (niter, st_needed)
     assert prob.error_l2(np.asarray(u_pcg)) < 5e-4
+
+
+def test_pmg_fdm_coarse_matches_direct_coarse():
+    """FDM coarse solve (exact, six matmuls) gives the same trajectory as
+    the dense-Cholesky 'direct' coarse."""
+    a = PoissonProblem(nc=(6, 6, 6), degrees=(1, 3), kappa=2.0,
+                       coarse="direct", operator="kron")
+    b = PoissonProblem(nc=(6, 6, 6), degrees=(1, 3), kappa=2.0,
+                       coarse="fdm", operator="kron")
+    ua, ra = a.solve(num_cycles=6)
+    ub, rb = b.solve(num_cycles=6)
+    assert np.allclose(ra, rb, rtol=1e-9), (ra, rb)
+    assert np.allclose(np.asarray(ua), np.asarray(ub), atol=1e-11)
