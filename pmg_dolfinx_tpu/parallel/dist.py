@@ -348,6 +348,41 @@ class DistPMG:
             ops = dist_lattice_cycle_ops(self.n_shards, precision)
         else:
             ops = dist_cycle_ops(self.n_shards)
+
+        if coarse == "fdm":
+            # Exact coarse solve: gather the (small) coarse rhs, run the
+            # fast-diagonalization solve redundantly on every shard,
+            # slice the local planes back.
+            from ..solvers.fdm import FastDiagonalizationSolver
+
+            P0 = self.degrees[0]
+            fd = FastDiagonalizationSolver(mesh, P0, kappa=self.kappa,
+                                           dtype=dtype, precision=precision)
+            self._fdm_data = dict(
+                Vx=fd.Vs[0], Vy=fd.Vs[1], Vz=fd.Vs[2],
+                Vxt=fd.Vts[0], Vyt=fd.Vts[1], Vzt=fd.Vts[2],
+                dinv=fd.dinv, bc_global=fd.bc_marker,
+            )
+            self.coarse_cfg["fdm_shape"] = mesh.lattice_shape(P0)
+            npl0, NY0, NZ0 = part.local_shape(P0)
+            NXg = mesh.lattice_shape(P0)[0]
+            n_sh = self.n_shards
+
+            def fdm_gather(b0_local):
+                lat = b0_local.reshape(npl0, NY0, NZ0)
+                allg = jax.lax.all_gather(lat, AXIS)  # (n_sh, npl, NY, NZ)
+                parts = [allg[s, :-1] for s in range(n_sh - 1)] + [allg[-1]]
+                return jnp.concatenate(parts, axis=0).reshape(-1)
+
+            def fdm_slice(ug):
+                lat = ug.reshape(NXg, NY0, NZ0)
+                s = jax.lax.axis_index(AXIS)
+                loc = jax.lax.dynamic_slice_in_dim(
+                    lat, s * (npl0 - 1), npl0, axis=0
+                )
+                return loc.reshape(-1)
+
+            ops = dict(ops, fdm_gather=fdm_gather, fdm_slice=fdm_slice)
         self._ops = ops
 
         # Place data, then run the smoother calibration *distributed*.
@@ -438,6 +473,15 @@ class DistPMG:
         self.data_specs = dict(
             levels=tuple(level_specs), transfer=tuple(transfer_specs)
         )
+        if coarse == "fdm":
+            fdm_spec = {k: P() for k in self._fdm_data}
+            with self.jmesh:
+                for k in self._fdm_data:
+                    self._fdm_data[k] = jax.device_put(
+                        self._fdm_data[k], NamedSharding(self.jmesh, P())
+                    )
+            self.data["fdm"] = self._fdm_data
+            self.data_specs["fdm"] = fdm_spec
 
         self._vcycle = jax.jit(
             jax.shard_map(

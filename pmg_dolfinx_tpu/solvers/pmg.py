@@ -231,14 +231,19 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
         # Exact fast-diagonalization coarse solve (solvers/fdm.py): six
         # small per-axis matmuls — both cheaper and more accurate than
         # any iterative coarse option on constant-coefficient boxes.
+        # Distributed: the coarse problem is small, so gather it, solve
+        # redundantly on every shard, and slice the local part back
+        # (ops['fdm_gather']/['fdm_slice'] are identities on one device).
         from .fdm import fdm_solve
 
         fd = data["fdm"]
-        u0 = fdm_solve(
-            b0, (fd["Vx"], fd["Vy"], fd["Vz"]),
-            (fd["Vxt"], fd["Vyt"], fd["Vzt"]), fd["dinv"], bc0,
+        b0g = ops.get("fdm_gather", lambda v: v)(b0)
+        u0g = fdm_solve(
+            b0g, (fd["Vx"], fd["Vy"], fd["Vz"]),
+            (fd["Vxt"], fd["Vyt"], fd["Vzt"]), fd["dinv"], fd["bc_global"],
             coarse_cfg["fdm_shape"],
         )
+        u0 = ops.get("fdm_slice", lambda v: v)(u0g)
     elif coarse == "hmg":
         # Nested geometric h-multigrid V-cycles (the AMG replacement,
         # solvers/hmg.py) — recursion of this same function over the
@@ -444,7 +449,7 @@ class PMGHierarchy:
             self.data["fdm"] = dict(
                 Vx=fd.Vs[0], Vy=fd.Vs[1], Vz=fd.Vs[2],
                 Vxt=fd.Vts[0], Vyt=fd.Vts[1], Vzt=fd.Vts[2],
-                dinv=fd.dinv,
+                dinv=fd.dinv, bc_global=fd.bc_marker,
             )
             self.coarse_cfg["fdm_shape"] = mesh.lattice_shape(self.degrees[0])
         elif coarse == "hmg":

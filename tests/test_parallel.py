@@ -152,3 +152,19 @@ def test_dist_refined_solve_matches_single():
     assert rn_d[-1] / r0 < 1e-6, np.array(rn_d) / r0
     assert np.allclose(rn_d, rn_s, rtol=1e-3), (rn_s, rn_d)
     assert np.allclose(u_d, np.asarray(u_s), atol=1e-6)
+
+
+def test_dist_fdm_coarse_matches_single():
+    """Sharded FDM coarse (gather -> redundant exact solve -> slice)
+    matches the single-device FDM-coarse trajectory."""
+    nc = (8, 8, 8)
+    kappa = 2.0
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa, coarse="fdm",
+                            operator="kron")
+    u_s, rn_s = single.solve(num_cycles=5)
+    dist = DistPMG(single.mesh, n_devices=8, degrees=(1, 3), kappa=kappa,
+                   coarse="fdm", operator="kron")
+    b = assemble_rhs(single.mesh, 3, f_rhs(kappa))
+    u_d, rn_d = dist.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-9), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-10)
