@@ -19,3 +19,4 @@ becomes a compiler scheduling concern instead of hand-written streams).
 
 from .partition import SlabPartition
 from .dist import DistPMG, make_mesh
+from .grid2d import GridPMG, GridPartition

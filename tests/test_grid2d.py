@@ -1,0 +1,45 @@
+"""2D (x, y) device-mesh decomposition tests (kron backend).
+
+Same rank-invariance contract as the 1D slab tests, on a 2x4 and 4x2
+device grid: operator, calibration, and full V-cycle trajectories must
+match the single-device results.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmg_dolfinx_tpu.fem.assembly import assemble_rhs
+from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+from pmg_dolfinx_tpu.models.poisson import PoissonProblem, f_rhs
+from pmg_dolfinx_tpu.parallel.grid2d import GridPartition, GridPMG
+
+
+def test_grid_partition_roundtrip_and_weights():
+    mesh = BoxMesh((4, 6, 3))
+    part = GridPartition(mesh, (2, 3))
+    for P in (1, 3):
+        u = np.random.default_rng(0).standard_normal(mesh.num_dofs(P))
+        ud = part.to_dist(P, u)
+        assert np.array_equal(part.from_dist(P, ud), u)
+        w = part.ownership_weights(P)
+        assert w.shape == ud.shape
+        assert int(round(w.sum())) == mesh.num_dofs(P)
+        assert np.allclose((ud**2 * w).sum(), u @ u)
+
+
+@pytest.mark.parametrize("shards", [(2, 4), (4, 2)])
+def test_grid2d_pmg_matches_single_device(shards):
+    nc = (8, 8, 4)
+    kappa = 2.0
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa, coarse="cg",
+                            operator="kron")
+    u_s, rn_s = single.solve(num_cycles=5)
+    grid = GridPMG(single.mesh, shards=shards, degrees=(1, 3), kappa=kappa,
+                   coarse="cg")
+    for es, ed in zip(single.hierarchy.eigs, grid.eigs):
+        assert np.allclose(es[-1], ed[-1], rtol=1e-8)
+    b = assemble_rhs(single.mesh, 3, f_rhs(kappa))
+    u_d, rn_d = grid.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
