@@ -43,3 +43,30 @@ def test_grid2d_pmg_matches_single_device(shards):
     u_d, rn_d = grid.solve(b, num_cycles=5)
     assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
     assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_grid3d_pmg_matches_single_device():
+    """Full 3D (2,2,2) box decomposition on 8 devices == single device."""
+    nc = (4, 4, 4)
+    kappa = 2.0
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa, coarse="cg",
+                            operator="kron")
+    u_s, rn_s = single.solve(num_cycles=5)
+    grid = GridPMG(single.mesh, shards=(2, 2, 2), degrees=(1, 3), kappa=kappa,
+                   coarse="cg")
+    b = assemble_rhs(single.mesh, 3, f_rhs(kappa))
+    u_d, rn_d = grid.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_grid3d_partition_roundtrip():
+    mesh = BoxMesh((4, 4, 6))
+    part = GridPartition(mesh, (2, 2, 2))
+    for P in (1, 2):
+        u = np.random.default_rng(1).standard_normal(mesh.num_dofs(P))
+        ud = part.to_dist(P, u)
+        assert np.array_equal(part.from_dist(P, ud), u)
+        w = part.ownership_weights(P)
+        assert int(round(w.sum())) == mesh.num_dofs(P)
+        assert np.allclose((ud**2 * w).sum(), u @ u)
