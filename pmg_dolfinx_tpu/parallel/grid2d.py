@@ -350,6 +350,8 @@ class GridPMG:
                 ),
             )
 
+        self._flatten_data = _flatten_data
+
         def _cycle(data, b3, u3):
             u = v_cycle(
                 _flatten_data(data), b3.reshape(-1), u3.reshape(-1),
@@ -396,11 +398,41 @@ class GridPMG:
         return self.part.from_dist(self.degrees[level], np.asarray(ud))
 
     def solve(self, b, num_cycles=10, residuals=True):
+        """Stationary V-cycle iteration as one jitted sharded `lax.scan`
+        (device-side residual norms, single host sync at the end)."""
+        if not hasattr(self, "_solve_scans"):
+            self._solve_scans = {}
+        if num_cycles not in self._solve_scans:
+            ops = self._ops
+            fine = self.levels[-1]
+            flat3 = ("bc_marker", "weights", "diag_inv")
+
+            def _run(data, bd, ud, _n=num_cycles):
+                fdata = self._flatten_data(data)
+
+                def body(uc, _):
+                    u = v_cycle(
+                        fdata, bd.reshape(-1), uc.reshape(-1),
+                        levels=self.levels, coarse=self.coarse,
+                        coarse_cfg=self.coarse_cfg, ops=ops,
+                    ).reshape(bd.shape)
+                    lvf = fdata["levels"][-1]
+                    r = bd.reshape(-1) - ops["apply"](lvf, u.reshape(-1), fine)
+                    return u, jnp.sqrt(ops["dot"](r, r, lvf))
+
+                return jax.lax.scan(body, ud, None, length=_n)
+
+            self._solve_scans[num_cycles] = jax.jit(
+                jax.shard_map(
+                    _run, mesh=self.jmesh,
+                    in_specs=(self.data_specs, P(*AXES), P(*AXES)),
+                    out_specs=(P(*AXES), P()),
+                )
+            )
         bd = self.to_dist(b)
         ud = jnp.zeros_like(bd)
-        rnorms = []
-        for _ in range(num_cycles):
-            ud = self._vcycle(self.data, bd, ud)
-            if residuals:
-                rnorms.append(float(self._rnorm(self.data["levels"][-1], bd, ud)))
-        return self.from_dist(ud), rnorms
+        ud, rnorms = self._solve_scans[num_cycles](self.data, bd, ud)
+        out = self.from_dist(ud)
+        if not residuals:
+            return out, []
+        return out, [float(r) for r in np.asarray(rnorms)]
