@@ -42,7 +42,23 @@ def main():
           f"backend {jax.default_backend()}, operator {args.operator}")
 
     x = jnp.ones(nd, dtype=dtype)
-    if args.operator == "lattice":
+    if args.operator == "kron":
+        from pmg_dolfinx_tpu.ops.kron import KronLaplacian, kron_laplacian_apply
+
+        op = KronLaplacian(mesh, args.degree, kappa=args.kappa, dtype=dtype,
+                           precision=args.precision)
+
+        @partial(jax.jit, static_argnums=(4,))
+        def chain(x, Ks, ms, bc, reps):
+            def body(i, v):
+                return kron_laplacian_apply(
+                    x + 1e-30 * v, Ks, ms, bc, precision=args.precision
+                )
+            return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
+
+        def run(reps):
+            return float(chain(x, op.Ks, op.ms, op.bc_marker, reps))
+    elif args.operator == "lattice":
         op = LatticeLaplacian(mesh, args.degree, kappa=args.kappa, dtype=dtype,
                               precision=args.precision)
 
