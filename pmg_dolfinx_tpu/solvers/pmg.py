@@ -287,6 +287,13 @@ class PMGHierarchy:
     the composed V-cycle — exposed as jitted ``v_cycle`` / ``solve``.
     """
 
+    @property
+    def ops(self):
+        """The cycle-ops dict (apply/restrict/prolong/dot) — the public
+        handle for composing ``v_cycle``/``cg_solve`` with this hierarchy's
+        operator backend."""
+        return self._ops
+
     def __init__(self, mesh, degrees=(1, 3), kappa=2.0, dtype=jnp.float64,
                  smoother_iters=DEFAULT_SMOOTHER_ITERS, coarse="smoother",
                  coarse_cfg=None,
