@@ -22,7 +22,8 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--degrees", type=int, nargs="+", default=[1, 3])
     p.add_argument("--cycles", type=int, default=10)
-    p.add_argument("--coarse", choices=["smoother", "cg", "direct", "hmg"],
+    p.add_argument("--coarse",
+                   choices=["smoother", "cg", "direct", "hmg", "fdm"],
                    default="cg")
     p.add_argument("--refined", action="store_true",
                    help="mixed-precision refinement: f64 outer residual + "

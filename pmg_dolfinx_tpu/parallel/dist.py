@@ -43,6 +43,7 @@ from ..solvers.pmg import (
     DEFAULT_SMOOTHER_ITERS,
     EIG_RANGE_FACTORS,
     Level,
+    pcast_varying,
     v_cycle,
 )
 from ..solvers.tridiag import lanczos_eigenvalue_estimates
@@ -105,7 +106,7 @@ def dist_cycle_ops(n_shards):
         return jax.lax.psum(jnp.sum(u * v * lv["weights"]), AXIS)
 
     def pvary(v):
-        return jax.lax.pcast(v, (AXIS,), to="varying")
+        return pcast_varying(v, (AXIS,))
 
     return dict(
         apply=apply_op, restrict=restrict_op, prolong=prolong_op, dot=dot,
@@ -153,7 +154,7 @@ def dist_kron_cycle_ops(n_shards, precision="highest"):
         return jax.lax.psum(jnp.sum(u * v * lv["weights"]), AXIS)
 
     def pvary(v):
-        return jax.lax.pcast(v, (AXIS,), to="varying")
+        return pcast_varying(v, (AXIS,))
 
     return dict(
         apply=apply_op, restrict=restrict_op, prolong=prolong_op, dot=dot,
@@ -203,7 +204,7 @@ def dist_lattice_cycle_ops(n_shards, precision="highest"):
         return jax.lax.psum(jnp.sum(u * v * lv["weights"]), AXIS)
 
     def pvary(v):
-        return jax.lax.pcast(v, (AXIS,), to="varying")
+        return pcast_varying(v, (AXIS,))
 
     return dict(
         apply=apply_op, restrict=restrict_op, prolong=prolong_op, dot=dot,
@@ -349,32 +350,30 @@ class DistPMG:
         else:
             ops = dist_cycle_ops(self.n_shards)
 
-        if coarse == "fdm":
-            # Exact coarse solve: gather the (small) coarse rhs, run the
-            # fast-diagonalization solve redundantly on every shard,
-            # slice the local planes back.
-            from ..solvers.fdm import FastDiagonalizationSolver
-
-            P0 = self.degrees[0]
-            fd = FastDiagonalizationSolver(mesh, P0, kappa=self.kappa,
-                                           dtype=dtype, precision=precision)
-            self._fdm_data = dict(
-                Vx=fd.Vs[0], Vy=fd.Vs[1], Vz=fd.Vs[2],
-                Vxt=fd.Vts[0], Vyt=fd.Vts[1], Vzt=fd.Vts[2],
-                dinv=fd.dinv, bc_global=fd.bc_marker,
+        if coarse not in ("cg", "smoother", "fdm", "direct", "hmg"):
+            raise ValueError(
+                f"DistPMG: unsupported coarse solver '{coarse}' "
+                "(choose from cg, smoother, fdm, direct, hmg)"
             )
-            self.coarse_cfg["fdm_shape"] = mesh.lattice_shape(P0)
+
+        self._coarse_data = None
+        if coarse in ("fdm", "direct", "hmg"):
+            # Global-coarse solvers: gather the (small) coarse rhs, solve
+            # redundantly on every shard, slice the local planes back —
+            # the TPU analogue of the reference coarse solve running under
+            # any rank layout (src/amg.hpp:67-113).
+            P0 = self.degrees[0]
             npl0, NY0, NZ0 = part.local_shape(P0)
             NXg = mesh.lattice_shape(P0)[0]
             n_sh = self.n_shards
 
-            def fdm_gather(b0_local):
+            def coarse_gather(b0_local):
                 lat = b0_local.reshape(npl0, NY0, NZ0)
                 allg = jax.lax.all_gather(lat, AXIS)  # (n_sh, npl, NY, NZ)
                 parts = [allg[s, :-1] for s in range(n_sh - 1)] + [allg[-1]]
                 return jnp.concatenate(parts, axis=0).reshape(-1)
 
-            def fdm_slice(ug):
+            def coarse_slice(ug):
                 lat = ug.reshape(NXg, NY0, NZ0)
                 s = jax.lax.axis_index(AXIS)
                 loc = jax.lax.dynamic_slice_in_dim(
@@ -382,7 +381,50 @@ class DistPMG:
                 )
                 return loc.reshape(-1)
 
-            ops = dict(ops, fdm_gather=fdm_gather, fdm_slice=fdm_slice)
+            ops = dict(ops, coarse_gather=coarse_gather,
+                       coarse_slice=coarse_slice)
+
+            if coarse == "fdm":
+                from ..solvers.fdm import FastDiagonalizationSolver
+
+                fd = FastDiagonalizationSolver(
+                    mesh, P0, kappa=self.kappa, dtype=dtype,
+                    precision=precision,
+                )
+                self._coarse_data = ("fdm", dict(
+                    Vx=fd.Vs[0], Vy=fd.Vs[1], Vz=fd.Vs[2],
+                    Vxt=fd.Vts[0], Vyt=fd.Vts[1], Vzt=fd.Vts[2],
+                    dinv=fd.dinv, bc_global=fd.bc_marker,
+                ))
+                self.coarse_cfg["fdm_shape"] = mesh.lattice_shape(P0)
+            elif coarse == "direct":
+                from ..fem.assembly import assemble_stiffness
+
+                A0 = assemble_stiffness(mesh, P0, kappa=self.kappa).toarray()
+                self._coarse_data = (
+                    "coarse_chol",
+                    jnp.asarray(np.linalg.cholesky(A0), dtype=dtype),
+                )
+            else:  # hmg
+                from ..solvers.hmg import build_hmg
+                from ..solvers.pmg import kron_cycle_ops
+
+                hmg_levels, hmg_data, hmg_bottom = build_hmg(
+                    mesh, P0, self.kappa, dtype,
+                    smoother_iters=smoother_iters, precision=precision,
+                    bottom=self.coarse_cfg.get("bottom", "direct"),
+                    min_cells=self.coarse_cfg.get("min_cells", 2),
+                )
+                hmg_ops = dict(
+                    kron_cycle_ops(precision),
+                    pvary=lambda v: pcast_varying(v, (AXIS,)),
+                )
+                self.coarse_cfg.update(
+                    hmg_levels=hmg_levels, hmg_ops=hmg_ops,
+                    hmg_bottom=hmg_bottom,
+                    cycles=self.coarse_cfg.get("cycles", 3),
+                )
+                self._coarse_data = ("hmg", hmg_data)
         self._ops = ops
 
         # Place data, then run the smoother calibration *distributed*.
@@ -473,15 +515,14 @@ class DistPMG:
         self.data_specs = dict(
             levels=tuple(level_specs), transfer=tuple(transfer_specs)
         )
-        if coarse == "fdm":
-            fdm_spec = {k: P() for k in self._fdm_data}
+        if self._coarse_data is not None:
+            key, cdata = self._coarse_data
             with self.jmesh:
-                for k in self._fdm_data:
-                    self._fdm_data[k] = jax.device_put(
-                        self._fdm_data[k], NamedSharding(self.jmesh, P())
-                    )
-            self.data["fdm"] = self._fdm_data
-            self.data_specs["fdm"] = fdm_spec
+                cdata = jax.device_put(
+                    cdata, NamedSharding(self.jmesh, P())
+                )
+            self.data[key] = cdata
+            self.data_specs[key] = jax.tree.map(lambda _: P(), cdata)
 
         self._vcycle = jax.jit(
             jax.shard_map(
@@ -549,6 +590,45 @@ class DistPMG:
 
     def residual_norm(self, b_dist, u_dist):
         return float(self._rnorm(self.data["levels"][-1], b_dist, u_dist))
+
+    def solve_pcg(self, b, rtol=1e-8, maxiter=50):
+        """Sharded V-cycle-preconditioned flexible CG — one jitted
+        shard_map'd while_loop (see `PMGHierarchy.solve_pcg`).
+        Returns ``(u, niter)``."""
+        from ..solvers.cg import fcg_solve
+
+        if not hasattr(self, "_pcg_cache"):
+            self._pcg_cache = {}
+        key = (float(rtol), int(maxiter))
+        if key not in self._pcg_cache:
+            ops = self._ops
+            fine = self.levels[-1]
+
+            def _run(data, bd, _rtol=key[0], _maxiter=key[1]):
+                lvf = data["levels"][-1]
+                A = lambda x: ops["apply"](lvf, x, fine)
+                M = lambda r: v_cycle(
+                    data, r, ops["pvary"](jnp.zeros_like(r)),
+                    levels=self.levels, coarse=self.coarse,
+                    coarse_cfg=self.coarse_cfg, ops=ops,
+                )
+                return fcg_solve(
+                    A, bd, ops["pvary"](jnp.zeros_like(bd)), M,
+                    rtol=_rtol, maxiter=_maxiter,
+                    dot=lambda u_, v_: ops["dot"](u_, v_, lvf),
+                )
+
+            self._pcg_cache[key] = jax.jit(
+                jax.shard_map(
+                    _run, mesh=self.jmesh,
+                    in_specs=(self.data_specs, P(AXIS)),
+                    out_specs=(P(AXIS),
+                               dict(niter=P(), rnorm=P(), rnorm0=P())),
+                )
+            )
+        bd = self.to_dist(b)
+        u, info = self._pcg_cache[key](self.data, bd)
+        return self.from_dist(u), int(info["niter"])
 
     def solve_refined(self, b, num_cycles=15, rtol=0.0, residuals=True):
         """Sharded mixed-precision iterative refinement (see the

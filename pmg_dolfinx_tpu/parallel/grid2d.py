@@ -34,6 +34,7 @@ from ..solvers.pmg import (
     DEFAULT_SMOOTHER_ITERS,
     EIG_RANGE_FACTORS,
     Level,
+    pcast_varying,
     v_cycle,
 )
 from ..solvers.tridiag import lanczos_eigenvalue_estimates
@@ -124,6 +125,50 @@ def _exchange_axis(lat, n_shards, axis_name, dim):
     return lat.at[idx_first].add(from_left).at[idx_last].add(from_right)
 
 
+def grid_coarse_hooks(part, P0):
+    """Gather/slice hooks for global coarse solvers on the box partition.
+
+    ``coarse_gather``: local flat coarse vector -> the full global coarse
+    vector (replicated on every shard), via one all_gather per sharded
+    axis with the duplicated interface planes stripped. ``coarse_slice``:
+    the inverse, one dynamic_slice per sharded axis. The multi-axis
+    generalization of the 1D slab pattern in `parallel.dist`.
+    """
+    shards = part.shards
+    npls = part.local_shape(P0)
+    glob = part.mesh.lattice_shape(P0)
+
+    def coarse_gather(b0_local):
+        lat = b0_local.reshape(npls)
+        for a in range(3):
+            if shards[a] == 1:
+                continue
+            allg = jax.lax.all_gather(lat, AXES[a])  # (s, *lat.shape)
+            parts = [
+                jax.lax.index_in_dim(allg, s, axis=0, keepdims=False)
+                for s in range(shards[a])
+            ]
+            parts = [
+                jax.lax.slice_in_dim(p, 0, p.shape[a] - 1, axis=a)
+                for p in parts[:-1]
+            ] + [parts[-1]]
+            lat = jnp.concatenate(parts, axis=a)
+        return lat.reshape(-1)
+
+    def coarse_slice(ug):
+        lat = ug.reshape(glob)
+        for a in range(3):
+            if shards[a] == 1:
+                continue
+            idx = jax.lax.axis_index(AXES[a])
+            lat = jax.lax.dynamic_slice_in_dim(
+                lat, idx * (npls[a] - 1), npls[a], axis=a
+            )
+        return lat.reshape(-1)
+
+    return coarse_gather, coarse_slice
+
+
 def grid_kron_cycle_ops(shards, precision="highest"):
     """V-cycle primitives on the multi-axis box partition (kron backend)."""
     from ..ops.lattice import lattice_prolongate, lattice_restrict
@@ -171,7 +216,7 @@ def grid_kron_cycle_ops(shards, precision="highest"):
         return jax.lax.psum(jnp.sum(u * v * lv["weights"]), AXES)
 
     def pvary(v):
-        return jax.lax.pcast(v, AXES, to="varying")
+        return pcast_varying(v, AXES)
 
     return dict(apply=apply_op, restrict=restrict_op, prolong=prolong_op,
                 dot=dot, pvary=pvary)
@@ -182,7 +227,8 @@ class GridPMG:
 
     The multi-axis generalization of `DistPMG`: per-axis duplicated-plane
     invariants, axis-separable exchanges, everything inside one shard_map.
-    Coarse solvers: 'cg' (default) or 'smoother'.
+    Coarse solvers: 'cg' (default), 'smoother', or the global gathered
+    modes 'fdm' / 'direct' / 'hmg' (gather -> redundant solve -> slice).
     """
 
     def __init__(self, mesh, shards=(2, 2), degrees=(1, 3), kappa=2.0,
@@ -208,6 +254,60 @@ class GridPMG:
         self.eigs = []
         part = self.part
         ops = grid_kron_cycle_ops(shards, precision)
+
+        if coarse not in ("cg", "smoother", "fdm", "direct", "hmg"):
+            raise ValueError(
+                f"GridPMG: unsupported coarse solver '{coarse}' "
+                "(choose from cg, smoother, fdm, direct, hmg)"
+            )
+        self._coarse_data = None
+        if coarse in ("fdm", "direct", "hmg"):
+            P0 = self.degrees[0]
+            coarse_gather, coarse_slice = grid_coarse_hooks(part, P0)
+            ops = dict(ops, coarse_gather=coarse_gather,
+                       coarse_slice=coarse_slice)
+            if coarse == "fdm":
+                from ..solvers.fdm import FastDiagonalizationSolver
+
+                fd = FastDiagonalizationSolver(
+                    mesh, P0, kappa=self.kappa, dtype=dtype,
+                    precision=precision,
+                )
+                self._coarse_data = ("fdm", dict(
+                    Vx=fd.Vs[0], Vy=fd.Vs[1], Vz=fd.Vs[2],
+                    Vxt=fd.Vts[0], Vyt=fd.Vts[1], Vzt=fd.Vts[2],
+                    dinv=fd.dinv, bc_global=fd.bc_marker,
+                ))
+                self.coarse_cfg["fdm_shape"] = mesh.lattice_shape(P0)
+            elif coarse == "direct":
+                from ..fem.assembly import assemble_stiffness
+
+                A0 = assemble_stiffness(mesh, P0, kappa=self.kappa).toarray()
+                self._coarse_data = (
+                    "coarse_chol",
+                    jnp.asarray(np.linalg.cholesky(A0), dtype=dtype),
+                )
+            else:  # hmg
+                from ..solvers.hmg import build_hmg
+                from ..solvers.pmg import kron_cycle_ops
+
+                hmg_levels, hmg_data, hmg_bottom = build_hmg(
+                    mesh, P0, self.kappa, dtype,
+                    smoother_iters=smoother_iters, precision=precision,
+                    bottom=self.coarse_cfg.get("bottom", "direct"),
+                    min_cells=self.coarse_cfg.get("min_cells", 2),
+                )
+                hmg_ops = dict(
+                    kron_cycle_ops(precision),
+                    pvary=lambda v: pcast_varying(v, AXES),
+                )
+                self.coarse_cfg.update(
+                    hmg_levels=hmg_levels, hmg_ops=hmg_ops,
+                    hmg_bottom=hmg_bottom,
+                    cycles=self.coarse_cfg.get("cycles", 3),
+                )
+                self._coarse_data = ("hmg", hmg_data)
+
         self._ops = ops
         PSHARD = P(*AXES)
 
@@ -334,6 +434,11 @@ class GridPMG:
         self.data = dict(levels=tuple(level_data), transfer=tuple(transfer))
         self.data_specs = dict(levels=tuple(level_specs),
                                transfer=tuple(transfer_specs))
+        if self._coarse_data is not None:
+            key, cdata = self._coarse_data
+            cdata = jax.device_put(cdata, NamedSharding(self.jmesh, P()))
+            self.data[key] = cdata
+            self.data_specs[key] = jax.tree.map(lambda _: P(), cdata)
 
         def _flatten_data(data):
             return dict(
@@ -436,3 +541,143 @@ class GridPMG:
         if not residuals:
             return out, []
         return out, [float(r) for r in np.asarray(rnorms)]
+
+    def solve_pcg(self, b, rtol=1e-8, maxiter=50):
+        """Sharded V-cycle-preconditioned flexible CG over the device
+        grid — one jitted shard_map'd while_loop (see
+        `PMGHierarchy.solve_pcg`). Returns ``(u, niter)``."""
+        from ..solvers.cg import fcg_solve
+
+        if not hasattr(self, "_pcg_cache"):
+            self._pcg_cache = {}
+        key = (float(rtol), int(maxiter))
+        if key not in self._pcg_cache:
+            ops = self._ops
+            fine = self.levels[-1]
+
+            def _run(data, b3, _rtol=key[0], _maxiter=key[1]):
+                fdata = self._flatten_data(data)
+                lvf = fdata["levels"][-1]
+                bd = b3.reshape(-1)
+                A = lambda x: ops["apply"](lvf, x, fine)
+                M = lambda r: v_cycle(
+                    fdata, r, ops["pvary"](jnp.zeros_like(r)),
+                    levels=self.levels, coarse=self.coarse,
+                    coarse_cfg=self.coarse_cfg, ops=ops,
+                )
+                u, info = fcg_solve(
+                    A, bd, ops["pvary"](jnp.zeros_like(bd)), M,
+                    rtol=_rtol, maxiter=_maxiter,
+                    dot=lambda u_, v_: ops["dot"](u_, v_, lvf),
+                )
+                return u.reshape(b3.shape), info
+
+            self._pcg_cache[key] = jax.jit(
+                jax.shard_map(
+                    _run, mesh=self.jmesh,
+                    in_specs=(self.data_specs, P(*AXES)),
+                    out_specs=(P(*AXES),
+                               dict(niter=P(), rnorm=P(), rnorm0=P())),
+                )
+            )
+        bd = self.to_dist(b)
+        u, info = self._pcg_cache[key](self.data, bd)
+        return self.from_dist(u), int(info["niter"])
+
+    def solve_refined(self, b, num_cycles=15, rtol=0.0, residuals=True):
+        """Sharded mixed-precision iterative refinement over the device
+        grid: f64 residual via the sharded Kronecker apply, working-dtype
+        V-cycle as error smoother (see `PMGHierarchy.solve_refined`).
+        Requires jax_enable_x64."""
+        from ..ops.kron import axis_stiffness_mass
+
+        if not jax.config.read("jax_enable_x64"):
+            raise RuntimeError("solve_refined requires jax_enable_x64")
+        part, mesh = self.part, self.mesh
+        shards = part.shards
+        fine = self.levels[-1]
+        Pdeg = self.degrees[-1]
+        if getattr(self, "_refine_step", None) is None:
+            npls = part.local_shape(Pdeg)
+            lv64 = {}
+            for a, name in enumerate("xyz"):
+                Kl, _ = axis_stiffness_mass(
+                    part.cells_per_shard[a], Pdeg, mesh.h[a]
+                )
+                _, mg = axis_stiffness_mass(mesh.nc[a], Pdeg, mesh.h[a])
+                npl = npls[a]
+                m_dup = np.concatenate(
+                    [mg[s * (npl - 1): s * (npl - 1) + npl]
+                     for s in range(shards[a])]
+                )
+                lv64["K" + name] = jnp.asarray(self.kappa * Kl,
+                                               dtype=jnp.float64)
+                lv64["m" + name] = jnp.asarray(m_dup, dtype=jnp.float64)
+            lv64["bc_marker"] = jnp.asarray(
+                part.to_dist(Pdeg, mesh.boundary_dof_marker(Pdeg)) > 0.5
+            )
+            lv64["weights"] = jnp.asarray(
+                part.ownership_weights(Pdeg), dtype=jnp.float64
+            )
+            lv64_spec = dict(
+                Kx=P(), Ky=P(), Kz=P(),
+                mx=P(AXES[0]), my=P(AXES[1]), mz=P(AXES[2]),
+                bc_marker=P(*AXES), weights=P(*AXES),
+            )
+            for k in lv64:
+                lv64[k] = jax.device_put(
+                    lv64[k], NamedSharding(self.jmesh, lv64_spec[k])
+                )
+            self._lv64 = lv64
+            ops = self._ops
+            apply64 = grid_kron_cycle_ops(shards, "highest")["apply"]
+            work_dtype = self.dtype
+            levels, coarse, coarse_cfg = (self.levels, self.coarse,
+                                          self.coarse_cfg)
+
+            def _step(lv64_, data, b64_3, u64_3):
+                fdata = self._flatten_data(data)
+                lv64f = {k: (v.reshape(-1) if k in ("bc_marker", "weights")
+                             else v)
+                         for k, v in lv64_.items()}
+                b64 = b64_3.reshape(-1)
+                u64 = u64_3.reshape(-1)
+                r64 = b64 - apply64(lv64f, u64, fine)
+                rn = jnp.sqrt(
+                    jax.lax.psum(jnp.sum(r64 * r64 * lv64f["weights"]), AXES)
+                )
+                e = v_cycle(
+                    fdata,
+                    jnp.asarray(r64, dtype=work_dtype),
+                    ops["pvary"](jnp.zeros(fine.ndofs, dtype=work_dtype)),
+                    levels=levels, coarse=coarse, coarse_cfg=coarse_cfg,
+                    ops=ops,
+                )
+                u64n = u64 + jnp.asarray(e, dtype=jnp.float64)
+                return u64n.reshape(b64_3.shape), rn
+
+            self._refine_step = jax.jit(
+                jax.shard_map(
+                    _step, mesh=self.jmesh,
+                    in_specs=(lv64_spec, self.data_specs,
+                              P(*AXES), P(*AXES)),
+                    out_specs=(P(*AXES), P()),
+                )
+            )
+
+        bd = part.to_dist(Pdeg, np.asarray(b, dtype=np.float64))
+        b64 = jax.device_put(
+            jnp.asarray(bd, dtype=jnp.float64),
+            NamedSharding(self.jmesh, P(*AXES)),
+        )
+        u64 = jnp.zeros_like(b64)
+        r0 = float(np.linalg.norm(np.asarray(b, dtype=np.float64)))
+        rnorms = []
+        for _ in range(num_cycles):
+            u64, rn = self._refine_step(self._lv64, self.data, b64, u64)
+            rn = float(rn)
+            if residuals:
+                rnorms.append(rn)
+            if rtol and rn < rtol * r0:
+                break
+        return self.from_dist(u64), rnorms

@@ -55,6 +55,18 @@ DEFAULT_CALIBRATION_RTOL = 1e-6
 EIG_RANGE_FACTORS = (0.1, 1.1)  # examples/pmg/main.cpp:327
 
 
+def pcast_varying(v, axes):
+    """Idempotent `jax.lax.pcast(..., to="varying")`: promotes only the
+    mesh axes the value does not already vary over (pcast itself rejects
+    already-varying inputs). Identity outside shard_map."""
+    try:
+        cur = jax.typeof(v).vma
+    except Exception:
+        cur = ()
+    missing = tuple(a for a in axes if a not in cur)
+    return jax.lax.pcast(v, missing, to="varying") if missing else v
+
+
 @dataclass(frozen=True)
 class Level:
     """Static metadata for one p-level (arrays live in the data pytree).
@@ -205,10 +217,18 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
         )
 
     # Coarse level: mask Dirichlet rows of the restricted rhs, then solve.
+    # The direct / fdm / hmg coarse solvers operate on the GLOBAL coarse
+    # problem: under shard_map the caller supplies 'coarse_gather' /
+    # 'coarse_slice' hooks (gather the small coarse rhs, solve redundantly
+    # on every shard, slice the local planes back — the TPU-native
+    # analogue of the reference coarse solve working under any rank
+    # layout, src/amg.hpp:67-113). On one device both are identities.
     bc0 = lvs[0]["bc_marker"]
     b0 = jnp.where(bc0, jnp.zeros_like(bs[0]), bs[0])
     A0 = lambda x: ops["apply"](lvs[0], x, levels[0])
     u0 = fresh(jnp.zeros(levels[0].ndofs, dtype=b_in.dtype))
+    gather = ops.get("coarse_gather", lambda v: v)
+    unslice = ops.get("coarse_slice", lambda v: v)
     if coarse == "smoother":
         u0 = chebyshev4_solve(
             A0, b0, u0, lvs[0]["diag_inv"], lvs[0]["lmax"],
@@ -225,37 +245,46 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
         # Dense Cholesky solve (the python mirror's LU coarse path,
         # python_tests/pmg.py:140-141). Factor precomputed at setup.
         chol = data["coarse_chol"]
-        y = jax.scipy.linalg.solve_triangular(chol, b0, lower=True)
-        u0 = jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+        b0g = gather(b0)
+        y = jax.scipy.linalg.solve_triangular(chol, b0g, lower=True)
+        u0 = unslice(jax.scipy.linalg.solve_triangular(chol.T, y, lower=False))
     elif coarse == "fdm":
         # Exact fast-diagonalization coarse solve (solvers/fdm.py): six
         # small per-axis matmuls — both cheaper and more accurate than
         # any iterative coarse option on constant-coefficient boxes.
-        # Distributed: the coarse problem is small, so gather it, solve
-        # redundantly on every shard, and slice the local part back
-        # (ops['fdm_gather']/['fdm_slice'] are identities on one device).
         from .fdm import fdm_solve
 
         fd = data["fdm"]
-        b0g = ops.get("fdm_gather", lambda v: v)(b0)
+        b0g = gather(b0)
         u0g = fdm_solve(
             b0g, (fd["Vx"], fd["Vy"], fd["Vz"]),
             (fd["Vxt"], fd["Vyt"], fd["Vzt"]), fd["dinv"], fd["bc_global"],
             coarse_cfg["fdm_shape"],
         )
-        u0 = ops.get("fdm_slice", lambda v: v)(u0g)
+        u0 = unslice(u0g)
     elif coarse == "hmg":
         # Nested geometric h-multigrid V-cycles (the AMG replacement,
         # solvers/hmg.py) — recursion of this same function over the
-        # h-hierarchy, traced inline into one program.
+        # h-hierarchy, traced inline into one program. Distributed: the
+        # gathered global problem is solved redundantly with the
+        # single-device hmg ops (whose 'pvary' must match the caller's
+        # SPMD context).
+        hmg_ops = coarse_cfg.get("hmg_ops", ops)
+        hmg_levels = coarse_cfg["hmg_levels"]
+        hfresh = hmg_ops.get("pvary", lambda v: v)
+        # pvary the gathered rhs too: the nested smoother loop carries must
+        # have a consistent device-varying type under shard_map.
+        b0g = hfresh(gather(b0))
+        u0g = hfresh(jnp.zeros(hmg_levels[-1].ndofs, dtype=b_in.dtype))
         for _ in range(coarse_cfg.get("cycles", 2)):
-            u0 = v_cycle(
-                data["hmg"], b0, u0,
-                levels=coarse_cfg["hmg_levels"],
+            u0g = v_cycle(
+                data["hmg"], b0g, u0g,
+                levels=hmg_levels,
                 coarse=coarse_cfg.get("hmg_bottom", "direct"),
                 coarse_cfg={},
-                ops=coarse_cfg.get("hmg_ops", ops),
+                ops=hmg_ops,
             )
+        u0 = unslice(u0g)
     else:
         raise ValueError(f"unknown coarse solver '{coarse}'")
     us[0] = u0
@@ -576,7 +605,6 @@ class PMGHierarchy:
             )
         op64 = self._op64
         if getattr(self, "_refine_step", None) is None:
-            vcycle = self._vcycle
             work_dtype = self.dtype
             nd = self.levels[-1].ndofs
 

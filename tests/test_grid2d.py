@@ -70,3 +70,70 @@ def test_grid3d_partition_roundtrip():
         w = part.ownership_weights(P)
         assert int(round(w.sum())) == mesh.num_dofs(P)
         assert np.allclose((ud**2 * w).sum(), u @ u)
+
+
+@pytest.mark.parametrize("coarse", ["fdm", "direct", "hmg"])
+def test_grid_global_coarse_matches_single_device(coarse):
+    """Gathered global coarse solvers (fdm/direct/hmg) on a (2,2,2) grid
+    reproduce the single-device trajectories (VERDICT r1 item 2)."""
+    nc = (4, 4, 4)
+    kappa = 2.0
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa,
+                            coarse=coarse, operator="kron")
+    u_s, rn_s = single.solve(num_cycles=5)
+    grid = GridPMG(single.mesh, shards=(2, 2, 2), degrees=(1, 3),
+                   kappa=kappa, coarse=coarse)
+    b = assemble_rhs(single.mesh, 3, f_rhs(kappa))
+    u_d, rn_d = grid.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_grid_fdm_coarse_2d_shards():
+    """FDM coarse with an unsharded axis (shards=(2,4,1))."""
+    nc = (4, 8, 4)
+    kappa = 2.0
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa,
+                            coarse="fdm", operator="kron")
+    u_s, rn_s = single.solve(num_cycles=5)
+    grid = GridPMG(single.mesh, shards=(2, 4), degrees=(1, 3), kappa=kappa,
+                   coarse="fdm")
+    b = assemble_rhs(single.mesh, 3, f_rhs(kappa))
+    u_d, rn_d = grid.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_grid_solve_pcg_converges_and_matches_single():
+    nc = (4, 4, 4)
+    kappa = 2.0
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa,
+                            coarse="fdm", operator="kron")
+    u_s, n_s = single.hierarchy.solve_pcg(single.b, rtol=1e-8)
+    grid = GridPMG(single.mesh, shards=(2, 2, 2), degrees=(1, 3),
+                   kappa=kappa, coarse="fdm")
+    b = assemble_rhs(single.mesh, 3, f_rhs(kappa))
+    u_d, n_d = grid.solve_pcg(b, rtol=1e-8)
+    assert n_d == n_s
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-8)
+
+
+def test_grid_refined_solve_matches_single():
+    nc = (4, 4, 4)
+    kappa = 2.0
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa, coarse="cg",
+                            operator="kron", dtype=jnp.float32)
+    u_s, rn_s = single.hierarchy.solve_refined(single.b, num_cycles=12)
+    grid = GridPMG(single.mesh, shards=(2, 2, 2), degrees=(1, 3),
+                   kappa=kappa, coarse="cg", dtype=jnp.float32)
+    b = assemble_rhs(single.mesh, 3, f_rhs(kappa))
+    u_d, rn_d = grid.solve_refined(b, num_cycles=12)
+    r0 = np.linalg.norm(b)
+    assert rn_d[-1] / r0 < 1e-6, np.array(rn_d) / r0
+    assert np.allclose(rn_d, rn_s, rtol=1e-3), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-6)
+
+
+def test_grid_rejects_unknown_coarse():
+    with pytest.raises(ValueError, match="unsupported coarse"):
+        GridPMG(BoxMesh((4, 4, 4)), shards=(2, 2), coarse="nope")

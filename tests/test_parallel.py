@@ -168,3 +168,39 @@ def test_dist_fdm_coarse_matches_single():
     u_d, rn_d = dist.solve(b, num_cycles=5)
     assert np.allclose(rn_d, rn_s, rtol=1e-9), (rn_s, rn_d)
     assert np.allclose(u_d, np.asarray(u_s), atol=1e-10)
+
+
+@pytest.mark.parametrize("coarse", ["direct", "hmg"])
+def test_dist_global_coarse_matches_single(coarse):
+    """Gathered direct/hmg coarse on the 1D slab partition reproduces the
+    single-device trajectories."""
+    nc = (8, 4, 4)
+    kappa = 2.0
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa,
+                            coarse=coarse, operator="kron")
+    u_s, rn_s = single.solve(num_cycles=5)
+    dist = DistPMG(single.mesh, n_devices=4, degrees=(1, 3), kappa=kappa,
+                   coarse=coarse, operator="kron")
+    b = assemble_rhs(single.mesh, 3, f_rhs(kappa))
+    u_d, rn_d = dist.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_dist_solve_pcg_matches_single():
+    nc = (8, 4, 4)
+    kappa = 2.0
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa,
+                            coarse="fdm", operator="kron")
+    u_s, n_s = single.hierarchy.solve_pcg(single.b, rtol=1e-8)
+    dist = DistPMG(single.mesh, n_devices=4, degrees=(1, 3), kappa=kappa,
+                   coarse="fdm", operator="kron")
+    b = assemble_rhs(single.mesh, 3, f_rhs(kappa))
+    u_d, n_d = dist.solve_pcg(b, rtol=1e-8)
+    assert n_d == n_s
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-8)
+
+
+def test_dist_rejects_unknown_coarse():
+    with pytest.raises(ValueError, match="unsupported coarse"):
+        DistPMG(BoxMesh((8, 4, 4)), n_devices=4, coarse="nope")
