@@ -4,18 +4,25 @@ Mirrors the reference's operator micro-benchmark `mat_free --ndofs N`
 (examples/mat_free/main.cpp:260-265: 1000 repeated matvecs under a timer,
 the "% Mat-free Matvec" number; SURVEY.md §6). Baseline target from
 BASELINE.md: >= 1 GDOF/s per chip for the sum-factorized p=6 apply.
+Two problem sizes: 2.05M dofs (the round-1 config) and 16.2M dofs (the
+reference profiles up to 30M dofs, examples/cg/submit_rocprof.sh — the
+large-N regime where the dense axis contraction's O(N) flops/dof bound
+bites; see the roofline note in README).
 
 Uses the production operator for the reference's own benchmark problem
 (axis-aligned unit-cube mesh): the Kronecker-sum backend (ops/kron.py),
 float32 with precision='highest' (true-f32 MXU matmuls; agrees with the
-f64 assembled oracle to ~1e-7, verified in tests). The general-hex
-lattice backend runs ~2 GDOF/s on the same problem (examples/mat_free.py
---operator lattice).
+f64 assembled oracle to ~1e-7, verified in tests), carrying
+LATTICE-SHAPED vectors (the TPU-native layout — flat vectors would add
+two physical relayouts per apply).
 
 Timing methodology: the axon TPU tunnel's `block_until_ready` does not
-reliably synchronize, so reps are chained inside one jitted `fori_loop`
-with a scalar reduction forced to host; per-apply time is the slope
-between two rep counts (subtracting launch/readback overhead).
+reliably synchronize, so reps are chained inside one jitted loop with a
+scalar reduction forced to host; per-apply time is the slope between two
+rep counts (subtracting launch/readback overhead). The slope is sampled
+repeatedly; the reported value is the median, and sampling widens until
+the inner-quartile spread is below SPREAD_TARGET (or the attempt cap is
+hit, in which case the spread is reported honestly in the JSON line).
 
 Prints exactly ONE JSON line.
 """
@@ -27,16 +34,48 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+SPREAD_TARGET = 0.10
+MAX_SAMPLES = 25
 
-def main():
+
+def _measure(run, lo, hi, min_samples=7):
+    """Median per-apply slope between rep counts lo < hi, plus spread.
+
+    Spread = (q3 - q1) / median over the collected slope samples; keeps
+    sampling until it drops below SPREAD_TARGET or MAX_SAMPLES is hit.
+    """
+    run(lo)
+    run(hi)  # warm both rep counts (compile + cache)
+    slopes = []
+    while True:
+        for _ in range(min_samples if not slopes else 4):
+            t0 = time.time()
+            run(lo)
+            t_lo = time.time() - t0
+            t0 = time.time()
+            run(hi)
+            t_hi = time.time() - t0
+            slopes.append((t_hi - t_lo) / (hi - lo))
+        s = sorted(slopes)
+        n = len(s)
+        med = s[n // 2]
+        spread = (s[(3 * n) // 4] - s[n // 4]) / med
+        if spread <= SPREAD_TARGET or n >= MAX_SAMPLES:
+            return med, spread
+
+
+def _bench_size(nc, lo, hi):
     from pmg_dolfinx_tpu.fem.mesh import BoxMesh
     from pmg_dolfinx_tpu.ops.kron import KronLaplacian, kron_laplacian_apply
 
     P = 6
-    mesh = BoxMesh((21, 21, 21))  # ~2.05M dofs at p=6
+    mesh = BoxMesh((nc, nc, nc))
     nd = mesh.num_dofs(P)
-    op = KronLaplacian(mesh, P, kappa=2.0, dtype=jnp.float32, precision="highest")
-    x = jnp.ones(nd, dtype=jnp.float32)
+    op = KronLaplacian(mesh, P, kappa=2.0, dtype=jnp.float32,
+                       precision="highest")
+    shape = mesh.lattice_shape(P)
+    x3 = jnp.ones(shape, dtype=jnp.float32)
+    bc3 = op.bc_marker.reshape(shape)
 
     @partial(jax.jit, static_argnums=(4,))
     def chain(x, Ks, ms, bc, reps):
@@ -49,31 +88,31 @@ def main():
         return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
 
     def run(reps):
-        return float(chain(x, op.Ks, op.ms, op.bc_marker, reps))
+        return float(chain(x3, op.Ks, op.ms, bc3, reps))
 
-    # Warm up / compile both shapes.
-    run(50)
-    run(250)
-    # Tunnel round-trip jitter is significant; take the median of
-    # repeated slope measurements.
-    slopes = []
-    for _ in range(5):
-        t0 = time.time()
-        run(50)
-        t_lo = time.time() - t0
-        t0 = time.time()
-        run(250)
-        t_hi = time.time() - t0
-        slopes.append((t_hi - t_lo) / 200)
-    per_apply = sorted(slopes)[len(slopes) // 2]
-    gdofs = nd / per_apply / 1e9
+    per_apply, spread = _measure(run, lo, hi)
+    return nd, nd / per_apply / 1e9, spread
+
+
+def main():
+    # 2.05M dofs: enough reps that the slope dwarfs tunnel jitter.
+    nd_s, gdofs_s, spread_s = _bench_size(21, 200, 1000)
+    # 16.2M dofs: ~1.5 ms/apply, fewer reps needed.
+    nd_l, gdofs_l, spread_l = _bench_size(42, 20, 100)
     print(
         json.dumps(
             {
                 "metric": "matfree_laplacian_apply_p6_f32_kron",
-                "value": round(gdofs, 3),
+                "value": round(gdofs_s, 3),
                 "unit": "GDOF/s",
-                "vs_baseline": round(gdofs / 1.0, 3),
+                "vs_baseline": round(gdofs_s / 1.0, 3),
+                "spread": round(spread_s, 3),
+                "extra": {
+                    "ndofs": nd_s,
+                    "gdofs_16M": round(gdofs_l, 3),
+                    "ndofs_16M": nd_l,
+                    "spread_16M": round(spread_l, 3),
+                },
             }
         )
     )

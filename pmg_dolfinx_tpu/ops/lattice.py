@@ -80,23 +80,28 @@ def axis_interpolation_matrix(nc: int, P_coarse: int, P_fine: int, dtype=np.floa
 
 
 def lattice_prolongate(x_c, I1s, shape_c, precision="highest"):
-    """Coarse->fine transfer via three per-axis dense matmuls."""
+    """Coarse->fine transfer via three per-axis dense matmuls.
+
+    Shape-preserving: lattice-shaped input -> lattice-shaped output (the
+    TPU-native layout, no relayout), flat input -> flat output."""
     Ix, Iy, Iz = I1s
     t = x_c.reshape(shape_c)
     t = _along_x(Ix, t, precision)
     t = _along_y(Iy, t, precision)
     t = _along_z(Iz, t, precision)
-    return t.reshape(-1)
+    return t if x_c.ndim == 3 else t.reshape(-1)
 
 
 def lattice_restrict(x_f, I1s, shape_f, precision="highest"):
-    """Fine->coarse transfer: transposed per-axis matmuls (global I^T)."""
+    """Fine->coarse transfer: transposed per-axis matmuls (global I^T).
+
+    Shape-preserving (see `lattice_prolongate`)."""
     Ix, Iy, Iz = I1s
     t = x_f.reshape(shape_f)
     t = _along_x(Ix.T, t, precision)
     t = _along_y(Iy.T, t, precision)
     t = _along_z(Iz.T, t, precision)
-    return t.reshape(-1)
+    return t if x_f.ndim == 3 else t.reshape(-1)
 
 
 def expand_axis0(t, nc, P):

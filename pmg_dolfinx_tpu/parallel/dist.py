@@ -129,6 +129,10 @@ def dist_kron_cycle_ops(n_shards, precision="highest"):
     from ..ops.kron import kron_laplacian_apply
     from ..ops.lattice import lattice_prolongate, lattice_restrict
 
+    # LATTICE-SHAPED vectors (3D local blocks) end-to-end, matching the
+    # single-device kron ops — flat<->3D reshapes are physical relayouts
+    # on TPU (see solvers.pmg.kron_cycle_ops).
+
     def apply_op(lv, x, level):
         y = kron_laplacian_apply(
             x, (lv["Kx"], lv["Ky"], lv["Kz"]), (lv["mx"], lv["my"], lv["mz"]),
@@ -142,8 +146,7 @@ def dist_kron_cycle_ops(n_shards, precision="highest"):
             r * tr["weights_f"], (tr["Ix"], tr["Iy"], tr["Iz"]),
             level_f.shape, precision,
         )
-        lat = _exchange_partials(raw.reshape(level_c.shape), n_shards)
-        return lat.reshape(-1)
+        return _exchange_partials(raw, n_shards)
 
     def prolong_op(tr, u, level_c, level_f):
         return lattice_prolongate(
@@ -159,6 +162,7 @@ def dist_kron_cycle_ops(n_shards, precision="highest"):
     return dict(
         apply=apply_op, restrict=restrict_op, prolong=prolong_op, dot=dot,
         pvary=pvary,
+        zeros=lambda level, dtype: jnp.zeros(level.shape, dtype=dtype),
     )
 
 
@@ -259,18 +263,22 @@ class DistPMG:
                 quadrature_weights_3d(Pdeg),
                 xp=np,
             )
+            # kron carries lattice-shaped (3D) vectors; the general
+            # backends keep the flat contract of the dofmap/E-matrix ops.
+            conform = ((lambda a: a) if operator == "kron"
+                       else (lambda a: a.reshape(-1)))
             common = dict(
                 bc_marker=jnp.asarray(
-                    part.to_dist(Pdeg, mesh.boundary_dof_marker(Pdeg)).reshape(-1)
+                    conform(part.to_dist(Pdeg, mesh.boundary_dof_marker(Pdeg)))
                     > 0.5
                 ),
                 weights=jnp.asarray(
-                    part.ownership_weights(Pdeg).reshape(-1), dtype=dtype
+                    conform(part.ownership_weights(Pdeg)), dtype=dtype
                 ),
                 diag_inv=jnp.asarray(
-                    part.to_dist(
+                    conform(part.to_dist(
                         Pdeg, 1.0 / stiffness_diagonal_np(mesh, Pdeg, self.kappa)
-                    ).reshape(-1),
+                    )),
                     dtype=dtype,
                 ),
             )
@@ -367,11 +375,14 @@ class DistPMG:
             NXg = mesh.lattice_shape(P0)[0]
             n_sh = self.n_shards
 
+            # Shape-preserving hooks: lattice-shaped in -> lattice-shaped
+            # out (kron), flat in -> flat out (general backends).
             def coarse_gather(b0_local):
                 lat = b0_local.reshape(npl0, NY0, NZ0)
                 allg = jax.lax.all_gather(lat, AXIS)  # (n_sh, npl, NY, NZ)
                 parts = [allg[s, :-1] for s in range(n_sh - 1)] + [allg[-1]]
-                return jnp.concatenate(parts, axis=0).reshape(-1)
+                out = jnp.concatenate(parts, axis=0)
+                return out if b0_local.ndim == 3 else out.reshape(-1)
 
             def coarse_slice(ug):
                 lat = ug.reshape(NXg, NY0, NZ0)
@@ -379,7 +390,7 @@ class DistPMG:
                 loc = jax.lax.dynamic_slice_in_dim(
                     lat, s * (npl0 - 1), npl0, axis=0
                 )
-                return loc.reshape(-1)
+                return loc if ug.ndim == 3 else loc.reshape(-1)
 
             ops = dict(ops, coarse_gather=coarse_gather,
                        coarse_slice=coarse_slice)
@@ -458,11 +469,14 @@ class DistPMG:
                         )),
                     )
                 )
-                nloc = level.ndofs * self.n_shards
+                if operator == "kron":
+                    vshape = (level.shape[0] * self.n_shards,) + level.shape[1:]
+                else:
+                    vshape = (level.ndofs * self.n_shards,)
                 _, info = calib_fn(
                     lv,
-                    jnp.ones(nloc, dtype=dtype),
-                    jnp.zeros(nloc, dtype=dtype),
+                    jnp.ones(vshape, dtype=dtype),
+                    jnp.zeros(vshape, dtype=dtype),
                 )
                 eigs = lanczos_eigenvalue_estimates(
                     info["alphas"], info["betas"], info["stored"]
@@ -490,7 +504,9 @@ class DistPMG:
                         axis_interpolation_matrix(mesh.nc[2], Pc, Pf), dtype=dtype
                     ),
                     weights_f=jnp.asarray(
-                        part.ownership_weights(Pf).reshape(-1), dtype=dtype
+                        (part.ownership_weights(Pf) if operator == "kron"
+                         else part.ownership_weights(Pf).reshape(-1)),
+                        dtype=dtype,
                     ),
                 )
                 spec = dict(Ix=P(), Iy=P(), Iz=P(), weights_f=P(AXIS))
@@ -568,7 +584,9 @@ class DistPMG:
 
     def to_dist(self, u, level=-1):
         Pdeg = self.degrees[level]
-        ud = self.part.to_dist(Pdeg, np.asarray(u)).reshape(-1)
+        ud = self.part.to_dist(Pdeg, np.asarray(u))
+        if self.operator_kind != "kron":
+            ud = ud.reshape(-1)  # general backends keep the flat contract
         return jax.device_put(
             jnp.asarray(ud, dtype=self.dtype),
             NamedSharding(self.jmesh, P(AXIS)),
@@ -652,6 +670,10 @@ class DistPMG:
                 [mx_g[s * (npl - 1): s * (npl - 1) + npl]
                  for s in range(part.n_shards)]
             )
+            # f64 state shares the work layout of the f32 cycle: 3D for
+            # kron, flat for the general backends.
+            conform = ((lambda a: a) if self.operator_kind == "kron"
+                       else (lambda a: a.reshape(-1)))
             lv64 = dict(
                 Kx=jnp.asarray(self.kappa * Kx, dtype=jnp.float64),
                 Ky=jnp.asarray(self.kappa * Ky, dtype=jnp.float64),
@@ -660,11 +682,11 @@ class DistPMG:
                 my=jnp.asarray(my, dtype=jnp.float64),
                 mz=jnp.asarray(mz, dtype=jnp.float64),
                 bc_marker=jnp.asarray(
-                    part.to_dist(Pdeg, mesh.boundary_dof_marker(Pdeg)).reshape(-1)
+                    conform(part.to_dist(Pdeg, mesh.boundary_dof_marker(Pdeg)))
                     > 0.5
                 ),
                 weights=jnp.asarray(
-                    part.ownership_weights(Pdeg).reshape(-1), dtype=jnp.float64
+                    conform(part.ownership_weights(Pdeg)), dtype=jnp.float64
                 ),
             )
             lv64_spec = dict(Kx=P(), Ky=P(), Kz=P(), mx=P(AXIS), my=P(),
@@ -693,10 +715,14 @@ class DistPMG:
                 rn = jnp.sqrt(
                     jax.lax.psum(jnp.sum(r64 * r64 * lv64_["weights"]), AXIS)
                 )
+                wz = ops.get(
+                    "zeros",
+                    lambda level, dt: jnp.zeros(level.ndofs, dtype=dt),
+                )
                 e = v_cycle(
                     data,
                     jnp.asarray(r64, dtype=work_dtype),
-                    ops["pvary"](jnp.zeros(fine.ndofs, dtype=work_dtype)),
+                    ops["pvary"](wz(fine, work_dtype)),
                     levels=levels, coarse=coarse, coarse_cfg=coarse_cfg,
                     ops=ops,
                 )
@@ -711,7 +737,9 @@ class DistPMG:
                 )
             )
 
-        bd = self.part.to_dist(Pdeg, np.asarray(b, dtype=np.float64)).reshape(-1)
+        bd = self.part.to_dist(Pdeg, np.asarray(b, dtype=np.float64))
+        if self.operator_kind != "kron":
+            bd = bd.reshape(-1)
         with self.jmesh:
             b64 = jax.device_put(
                 jnp.asarray(bd, dtype=jnp.float64),

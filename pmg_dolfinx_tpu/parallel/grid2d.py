@@ -153,7 +153,7 @@ def grid_coarse_hooks(part, P0):
                 for p in parts[:-1]
             ] + [parts[-1]]
             lat = jnp.concatenate(parts, axis=a)
-        return lat.reshape(-1)
+        return lat if b0_local.ndim == 3 else lat.reshape(-1)
 
     def coarse_slice(ug):
         lat = ug.reshape(glob)
@@ -164,46 +164,57 @@ def grid_coarse_hooks(part, P0):
             lat = jax.lax.dynamic_slice_in_dim(
                 lat, idx * (npls[a] - 1), npls[a], axis=a
             )
-        return lat.reshape(-1)
+        return lat if ug.ndim == 3 else lat.reshape(-1)
 
     return coarse_gather, coarse_slice
 
 
 def grid_kron_cycle_ops(shards, precision="highest"):
-    """V-cycle primitives on the multi-axis box partition (kron backend)."""
+    """V-cycle primitives on the multi-axis box partition (kron backend).
+
+    LATTICE-SHAPED local vectors end-to-end (see
+    `solvers.pmg.kron_cycle_ops` — flat<->3D reshapes are physical
+    relayouts on TPU). Uses the same symmetrized scaling as the
+    single-device kron apply: ``A = S (Kt_x ⊕ Kt_y ⊕ Kt_z) S`` — each
+    ``Kt_a`` term is shard-partial only across a-interfaces, so one
+    exchange per sharded axis reconciles everything, exactly as for the
+    mass-weighted form (the s3 scaling is pointwise and consistent on
+    duplicated planes)."""
     from ..ops.lattice import lattice_prolongate, lattice_restrict
 
     shards = _norm_shards(shards)
 
     def apply_op(lv, x, level):
-        Ks = (lv["Kx"], lv["Ky"], lv["Kz"])
-        ms = (lv["mx"], lv["my"], lv["mz"])
-        xb = jnp.where(lv["bc_marker"], jnp.zeros_like(x), x).reshape(level.shape)
-        terms = []
-        t = jnp.einsum("ax,xyz->ayz", Ks[0], xb, precision=precision) * (
-            ms[1][None, :, None] * ms[2][None, None, :]
+        mx, my, mz = lv["mx"], lv["my"], lv["mz"]
+        sx, sy, sz = jnp.sqrt(mx), jnp.sqrt(my), jnp.sqrt(mz)
+        Ktx = lv["Kx"] / sx[:, None] / sx[None, :]
+        Kty = lv["Ky"] / sy[:, None] / sy[None, :]
+        Ktz = lv["Kz"] / sz[:, None] / sz[None, :]
+        s3 = sx[:, None, None] * sy[None, :, None] * sz[None, None, :]
+        w = jnp.where(lv["bc_marker"], jnp.zeros_like(x), x) * s3
+        t1 = _exchange_axis(
+            jnp.einsum("ax,xyz->ayz", Ktx, w, precision=precision),
+            shards[0], AXES[0], 0,
         )
-        terms.append(_exchange_axis(t, shards[0], AXES[0], 0))
-        t = jnp.einsum("by,xyz->xbz", Ks[1], xb, precision=precision) * (
-            ms[0][:, None, None] * ms[2][None, None, :]
+        t2 = _exchange_axis(
+            jnp.einsum("by,xyz->xbz", Kty, w, precision=precision),
+            shards[1], AXES[1], 1,
         )
-        terms.append(_exchange_axis(t, shards[1], AXES[1], 1))
-        t = jnp.einsum("cz,xyz->xyc", Ks[2], xb, precision=precision) * (
-            ms[0][:, None, None] * ms[1][None, :, None]
+        t3 = _exchange_axis(
+            jnp.einsum("cz,xyz->xyc", Ktz, w, precision=precision),
+            shards[2], AXES[2], 2,
         )
-        terms.append(_exchange_axis(t, shards[2], AXES[2], 2))
-        y = (terms[0] + terms[1] + terms[2]).reshape(-1)
+        y = (t1 + t2 + t3) * s3
         return jnp.where(lv["bc_marker"], x, y)
 
     def restrict_op(tr, r, level_c, level_f):
-        raw = lattice_restrict(
+        lat = lattice_restrict(
             r * tr["weights_f"], (tr["Ix"], tr["Iy"], tr["Iz"]),
             level_f.shape, precision,
         )
-        lat = raw.reshape(level_c.shape)
         for a in range(3):
             lat = _exchange_axis(lat, shards[a], AXES[a], a)
-        return lat.reshape(-1)
+        return lat
 
     def prolong_op(tr, u, level_c, level_f):
         return lattice_prolongate(
@@ -219,7 +230,8 @@ def grid_kron_cycle_ops(shards, precision="highest"):
         return pcast_varying(v, AXES)
 
     return dict(apply=apply_op, restrict=restrict_op, prolong=prolong_op,
-                dot=dot, pvary=pvary)
+                dot=dot, pvary=pvary,
+                zeros=lambda level, dtype: jnp.zeros(level.shape, dtype=dtype))
 
 
 class GridPMG:
@@ -362,20 +374,17 @@ class GridPMG:
                 levels.append(level)
 
             self.levels = tuple(levels)
-            flat3 = ("bc_marker", "weights", "diag_inv")
             for lv, spec, level in zip(level_data, level_specs, levels):
                 for k in lv:
                     lv[k] = jax.device_put(lv[k], NamedSharding(self.jmesh, spec[k]))
 
                 def _calib(lv_, b_, x0_, _level=level):
-                    lvf = {k: (v.reshape(-1) if k in flat3 else v)
-                           for k, v in lv_.items()}
-                    A = lambda x: ops["apply"](lvf, x, _level)
+                    A = lambda x: ops["apply"](lv_, x, _level)
                     _, info = cg_solve(
-                        A, b_.reshape(-1), x0_.reshape(-1), lvf["diag_inv"],
+                        A, b_, x0_, lv_["diag_inv"],
                         rtol=DEFAULT_CALIBRATION_RTOL,
                         maxiter=calibration_iters, record=True,
-                        dot=lambda u, v: ops["dot"](u, v, lvf),
+                        dot=lambda u, v: ops["dot"](u, v, lv_),
                     )
                     return info  # scalars only (replicated via psum dots)
 
@@ -440,30 +449,14 @@ class GridPMG:
             self.data[key] = cdata
             self.data_specs[key] = jax.tree.map(lambda _: P(), cdata)
 
-        def _flatten_data(data):
-            return dict(
-                data,
-                levels=tuple(
-                    {k: (v.reshape(-1) if k in flat3 else v)
-                     for k, v in lv.items()}
-                    for lv in data["levels"]
-                ),
-                transfer=tuple(
-                    {k: (v.reshape(-1) if k == "weights_f" else v)
-                     for k, v in tr.items()}
-                    for tr in data["transfer"]
-                ),
-            )
-
-        self._flatten_data = _flatten_data
-
+        # Vectors are lattice-shaped (3D local blocks) everywhere: at the
+        # shard_map boundary AND inside the cycle — one layout contract.
         def _cycle(data, b3, u3):
-            u = v_cycle(
-                _flatten_data(data), b3.reshape(-1), u3.reshape(-1),
+            return v_cycle(
+                data, b3, u3,
                 levels=self.levels, coarse=self.coarse,
                 coarse_cfg=self.coarse_cfg, ops=ops,
             )
-            return u.reshape(b3.shape)
 
         self._vcycle = jax.jit(
             jax.shard_map(
@@ -476,9 +469,8 @@ class GridPMG:
         fine = self.levels[-1]
 
         def _rn(lv, b3, u3):
-            lvf = {k: (v.reshape(-1) if k in flat3 else v) for k, v in lv.items()}
-            r = b3.reshape(-1) - ops["apply"](lvf, u3.reshape(-1), fine)
-            return jnp.sqrt(ops["dot"](r, r, lvf))
+            r = b3 - ops["apply"](lv, u3, fine)
+            return jnp.sqrt(ops["dot"](r, r, lv))
 
         self._rnorm = jax.jit(
             jax.shard_map(
@@ -510,19 +502,16 @@ class GridPMG:
         if num_cycles not in self._solve_scans:
             ops = self._ops
             fine = self.levels[-1]
-            flat3 = ("bc_marker", "weights", "diag_inv")
 
             def _run(data, bd, ud, _n=num_cycles):
-                fdata = self._flatten_data(data)
-
                 def body(uc, _):
                     u = v_cycle(
-                        fdata, bd.reshape(-1), uc.reshape(-1),
+                        data, bd, uc,
                         levels=self.levels, coarse=self.coarse,
                         coarse_cfg=self.coarse_cfg, ops=ops,
-                    ).reshape(bd.shape)
-                    lvf = fdata["levels"][-1]
-                    r = bd.reshape(-1) - ops["apply"](lvf, u.reshape(-1), fine)
+                    )
+                    lvf = data["levels"][-1]
+                    r = bd - ops["apply"](lvf, u, fine)
                     return u, jnp.sqrt(ops["dot"](r, r, lvf))
 
                 return jax.lax.scan(body, ud, None, length=_n)
@@ -556,21 +545,18 @@ class GridPMG:
             fine = self.levels[-1]
 
             def _run(data, b3, _rtol=key[0], _maxiter=key[1]):
-                fdata = self._flatten_data(data)
-                lvf = fdata["levels"][-1]
-                bd = b3.reshape(-1)
+                lvf = data["levels"][-1]
                 A = lambda x: ops["apply"](lvf, x, fine)
                 M = lambda r: v_cycle(
-                    fdata, r, ops["pvary"](jnp.zeros_like(r)),
+                    data, r, ops["pvary"](jnp.zeros_like(r)),
                     levels=self.levels, coarse=self.coarse,
                     coarse_cfg=self.coarse_cfg, ops=ops,
                 )
-                u, info = fcg_solve(
-                    A, bd, ops["pvary"](jnp.zeros_like(bd)), M,
+                return fcg_solve(
+                    A, b3, ops["pvary"](jnp.zeros_like(b3)), M,
                     rtol=_rtol, maxiter=_maxiter,
                     dot=lambda u_, v_: ops["dot"](u_, v_, lvf),
                 )
-                return u.reshape(b3.shape), info
 
             self._pcg_cache[key] = jax.jit(
                 jax.shard_map(
@@ -635,26 +621,20 @@ class GridPMG:
             levels, coarse, coarse_cfg = (self.levels, self.coarse,
                                           self.coarse_cfg)
 
-            def _step(lv64_, data, b64_3, u64_3):
-                fdata = self._flatten_data(data)
-                lv64f = {k: (v.reshape(-1) if k in ("bc_marker", "weights")
-                             else v)
-                         for k, v in lv64_.items()}
-                b64 = b64_3.reshape(-1)
-                u64 = u64_3.reshape(-1)
-                r64 = b64 - apply64(lv64f, u64, fine)
+            def _step(lv64_, data, b64, u64):
+                r64 = b64 - apply64(lv64_, u64, fine)
                 rn = jnp.sqrt(
-                    jax.lax.psum(jnp.sum(r64 * r64 * lv64f["weights"]), AXES)
+                    jax.lax.psum(jnp.sum(r64 * r64 * lv64_["weights"]), AXES)
                 )
                 e = v_cycle(
-                    fdata,
+                    data,
                     jnp.asarray(r64, dtype=work_dtype),
-                    ops["pvary"](jnp.zeros(fine.ndofs, dtype=work_dtype)),
+                    ops["pvary"](jnp.zeros(fine.shape, dtype=work_dtype)),
                     levels=levels, coarse=coarse, coarse_cfg=coarse_cfg,
                     ops=ops,
                 )
                 u64n = u64 + jnp.asarray(e, dtype=jnp.float64)
-                return u64n.reshape(b64_3.shape), rn
+                return u64n, rn
 
             self._refine_step = jax.jit(
                 jax.shard_map(

@@ -66,15 +66,22 @@ def cg_solve(A, b, x0, diag_inv, *, rtol=1e-8, maxiter=100, record=False,
     rnorm0 = dot(p, r)
     rtol2 = rtol * rtol
 
+    def _safe_div(num, den):
+        # When the residual hits EXACTLY zero (deep convergence in a
+        # fused program) alpha/beta become 0/0 = nan and poison the
+        # iterate even though the loop is about to exit. num is zero
+        # whenever den is, so substituting den=1 yields the correct 0.
+        return num / jnp.where(den == 0, jnp.ones_like(den), den)
+
     def iteration(x, r, p, rnorm):
         y = A(p)
-        alpha = rnorm / dot(p, y)
+        alpha = _safe_div(rnorm, dot(p, y))
         x = x + alpha * p
         r = r - alpha * y
         z = M(r)
         rnorm_new = dot(r, z)
-        beta = rnorm_new / rnorm
-        converged = rnorm_new / rnorm0 < rtol2
+        beta = _safe_div(rnorm_new, rnorm)
+        converged = _safe_div(rnorm_new, rnorm0) < rtol2
         p = beta * p + z
         return x, r, p, rnorm_new, alpha, beta, converged
 
@@ -89,7 +96,7 @@ def cg_solve(A, b, x0, diag_inv, *, rtol=1e-8, maxiter=100, record=False,
             return k + 1, x, r, p, rnorm_new, converged
 
         k, x, r, p, rnorm, done = jax.lax.while_loop(
-            cond, body, (0, x0, r, p, rnorm0, rnorm0 < jnp.zeros_like(rnorm0))
+            cond, body, (0, x0, r, p, rnorm0, rnorm0 <= jnp.zeros_like(rnorm0))
         )
         return x, dict(niter=k, rnorm=rnorm, rnorm0=rnorm0)
 
@@ -148,6 +155,10 @@ def fcg_solve(A, b, x0, M, *, rtol=1e-8, maxiter=50, dot=_default_dot):
     rz0 = rz
     rtol2 = rtol * rtol
 
+    def _safe_div(num, den):
+        # Guard against exact-zero residuals (see cg_solve._safe_div).
+        return num / jnp.where(den == 0, jnp.ones_like(den), den)
+
     def cond(state):
         k, x, r, z, p, rz, done = state
         return jnp.logical_and(k < maxiter, jnp.logical_not(done))
@@ -155,18 +166,18 @@ def fcg_solve(A, b, x0, M, *, rtol=1e-8, maxiter=50, dot=_default_dot):
     def body(state):
         k, x, r, z, p, rz, _ = state
         q = A(p)
-        alpha = rz / dot(p, q)
+        alpha = _safe_div(rz, dot(p, q))
         x = x + alpha * p
         r_new = r - alpha * q
         z_new = M(r_new)
         # Polak-Ribiere (flexible) beta.
-        beta = dot(z_new, r_new - r) / rz
+        beta = _safe_div(dot(z_new, r_new - r), rz)
         rz_new = dot(r_new, z_new)
-        done = rz_new / rz0 < rtol2
+        done = _safe_div(rz_new, rz0) < rtol2
         p = z_new + beta * p
         return k + 1, x, r_new, z_new, p, rz_new, done
 
     k, x, r, z, p, rz, done = jax.lax.while_loop(
-        cond, body, (0, x0, r, z, p, rz, rz < jnp.zeros_like(rz))
+        cond, body, (0, x0, r, z, p, rz, rz <= jnp.zeros_like(rz))
     )
     return x, dict(niter=k, rnorm=rz, rnorm0=rz0)

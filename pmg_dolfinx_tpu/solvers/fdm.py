@@ -51,11 +51,12 @@ def _axis_eig(nc, P, h):
 
 
 def fdm_solve(b, Vs, Vts, dinv, bc_marker, shape, precision="highest"):
-    """Direct solve ``u = A^{-1} b`` (jittable).
+    """Direct solve ``u = A^{-1} b`` (jittable, shape-preserving).
 
     ``Vs``/``Vts`` are per-axis eigenvector matrices and transposes
     (interior sizes), ``dinv`` the reciprocal eigenvalue-sum lattice,
-    ``shape`` the full lattice shape. bc rows return ``u[bc] = b[bc]``
+    ``shape`` the full lattice shape. ``b`` may be flat or
+    lattice-shaped; the output matches. bc rows return ``u[bc] = b[bc]``
     (identity rows, consistent with all operator backends).
     """
     NX, NY, NZ = shape
@@ -70,9 +71,8 @@ def fdm_solve(b, Vs, Vts, dinv, bc_marker, shape, precision="highest"):
     t = jnp.einsum("ax,xyz->ayz", Vx, t, precision=precision)
     t = jnp.einsum("by,xyz->xbz", Vy, t, precision=precision)
     t = jnp.einsum("cz,xyz->xyc", Vz, t, precision=precision)
-    u = jnp.pad(t, ((1, 1), (1, 1), (1, 1)))
-    u = u.reshape(-1)
-    return jnp.where(bc_marker, b, u)
+    u = jnp.pad(t, ((1, 1), (1, 1), (1, 1))).reshape(jnp.shape(b))
+    return jnp.where(bc_marker.reshape(jnp.shape(b)), b, u)
 
 
 class FastDiagonalizationSolver:

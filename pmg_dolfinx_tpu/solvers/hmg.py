@@ -107,11 +107,12 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
             lv["K" + name] = jnp.asarray(float(kappa) * K, dtype=dtype)
             lv["m" + name] = jnp.asarray(mass, dtype=dtype)
         bc = jnp.asarray(m.boundary_dof_marker(P))
-        lv["bc_marker"] = bc
         diag = kron_diagonal(
             (lv["Kx"], lv["Ky"], lv["Kz"]), (lv["mx"], lv["my"], lv["mz"]), bc
         )
-        lv["diag_inv"] = 1.0 / diag
+        # Lattice-shaped markers/diagonal: kron cycle vectors are 3D.
+        lv["bc_marker"] = bc.reshape(m.lattice_shape(P))
+        lv["diag_inv"] = (1.0 / diag).reshape(m.lattice_shape(P))
         level = Level(P=P, ndofs=m.num_dofs(P), smoother_iters=smoother_iters,
                       shape=m.lattice_shape(P))
 
@@ -120,13 +121,13 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
             return cg_solve(
                 A, b_, x0_, lv_["diag_inv"],
                 rtol=DEFAULT_CALIBRATION_RTOL, maxiter=calibration_iters,
-                record=True,
+                record=True, dot=lambda u, v: jnp.sum(u * v),
             )
 
         _, info = jax.jit(_calib)(
             lv,
-            jnp.ones(level.ndofs, dtype=dtype),
-            jnp.zeros(level.ndofs, dtype=dtype),
+            jnp.ones(level.shape, dtype=dtype),
+            jnp.zeros(level.shape, dtype=dtype),
         )
         try:
             eigs = lanczos_eigenvalue_estimates(

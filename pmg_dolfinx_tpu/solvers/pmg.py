@@ -126,7 +126,14 @@ def default_cycle_ops():
 def kron_cycle_ops(precision="highest"):
     """V-cycle primitives backed by the Kronecker-sum operator
     (`ops.kron`) — 3 banded matmuls per apply; the production path for
-    axis-aligned box meshes. Transfers use the lattice per-axis matmuls."""
+    axis-aligned box meshes. Transfers use the lattice per-axis matmuls.
+
+    LATTICE-SHAPED vectors: all primitives carry ``(NX, NY, NZ)`` arrays
+    (the ``zeros`` hook creates them; ``bc_marker``/``diag_inv`` in the
+    level data are lattice-shaped too). On TPU a flat<->3D reshape is a
+    physical relayout (minor-dim 128-lane padding) costing more than a
+    matmul at large N — keeping the lattice shape end-to-end nearly
+    doubled 16M-dof apply throughput (measured v5e)."""
     from ..ops.kron import kron_laplacian_apply
     from ..ops.lattice import lattice_prolongate, lattice_restrict
 
@@ -144,8 +151,9 @@ def kron_cycle_ops(precision="highest"):
         prolong=lambda tr, u, level_c, level_f: lattice_prolongate(
             u, (tr["Ix"], tr["Iy"], tr["Iz"]), level_c.shape, precision
         ),
-        dot=lambda u, v, lv: jnp.vdot(u, v),
+        dot=lambda u, v, lv: jnp.sum(u * v),
         pvary=lambda v: v,
+        zeros=lambda level, dtype: jnp.zeros(level.shape, dtype=dtype),
     )
 
 
@@ -199,12 +207,14 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
     diag = {"pre": [], "post": []} if diagnostics else None
     dot = ops["dot"]
     fresh = ops.get("pvary", lambda v: v)
+    zeros = ops.get("zeros",
+                    lambda level, dtype: jnp.zeros(level.ndofs, dtype=dtype))
 
     # Down sweep: pre-smooth and restrict.
     for i in range(L - 1, 0, -1):
         A = lambda x, _i=i: ops["apply"](lvs[_i], x, levels[_i])
         if i < L - 1:
-            us[i] = fresh(jnp.zeros(levels[i].ndofs, dtype=b_in.dtype))
+            us[i] = fresh(zeros(levels[i], b_in.dtype))
         us[i] = chebyshev4_solve(
             A, bs[i], us[i], lvs[i]["diag_inv"], lvs[i]["lmax"],
             levels[i].smoother_iters,
@@ -226,7 +236,7 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
     bc0 = lvs[0]["bc_marker"]
     b0 = jnp.where(bc0, jnp.zeros_like(bs[0]), bs[0])
     A0 = lambda x: ops["apply"](lvs[0], x, levels[0])
-    u0 = fresh(jnp.zeros(levels[0].ndofs, dtype=b_in.dtype))
+    u0 = fresh(zeros(levels[0], b_in.dtype))
     gather = ops.get("coarse_gather", lambda v: v)
     unslice = ops.get("coarse_slice", lambda v: v)
     if coarse == "smoother":
@@ -243,11 +253,16 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
         )
     elif coarse == "direct":
         # Dense Cholesky solve (the python mirror's LU coarse path,
-        # python_tests/pmg.py:140-141). Factor precomputed at setup.
+        # python_tests/pmg.py:140-141). Factor precomputed at setup. The
+        # triangular solves need a flat vector; the coarse level is small
+        # so the flat<->lattice relayouts are negligible here.
         chol = data["coarse_chol"]
         b0g = gather(b0)
-        y = jax.scipy.linalg.solve_triangular(chol, b0g, lower=True)
-        u0 = unslice(jax.scipy.linalg.solve_triangular(chol.T, y, lower=False))
+        y = jax.scipy.linalg.solve_triangular(
+            chol, b0g.reshape(-1), lower=True
+        )
+        u0g = jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+        u0 = unslice(u0g.reshape(jnp.shape(b0g)))
     elif coarse == "fdm":
         # Exact fast-diagonalization coarse solve (solvers/fdm.py): six
         # small per-axis matmuls — both cheaper and more accurate than
@@ -272,10 +287,15 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
         hmg_ops = coarse_cfg.get("hmg_ops", ops)
         hmg_levels = coarse_cfg["hmg_levels"]
         hfresh = hmg_ops.get("pvary", lambda v: v)
-        # pvary the gathered rhs too: the nested smoother loop carries must
-        # have a consistent device-varying type under shard_map.
-        b0g = hfresh(gather(b0))
-        u0g = hfresh(jnp.zeros(hmg_levels[-1].ndofs, dtype=b_in.dtype))
+        hzeros = hmg_ops.get(
+            "zeros", lambda level, dtype: jnp.zeros(level.ndofs, dtype=dtype)
+        )
+        u0g = hfresh(hzeros(hmg_levels[-1], b_in.dtype))
+        # pvary the gathered rhs too (the nested smoother loop carries must
+        # have a consistent device-varying type under shard_map) and
+        # conform it to the hmg ops' vector layout (lattice vs flat).
+        b0g_raw = gather(b0)
+        b0g = hfresh(b0g_raw).reshape(jnp.shape(u0g))
         for _ in range(coarse_cfg.get("cycles", 2)):
             u0g = v_cycle(
                 data["hmg"], b0g, u0g,
@@ -284,7 +304,7 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
                 coarse_cfg={},
                 ops=hmg_ops,
             )
-        u0 = unslice(u0g)
+        u0 = unslice(u0g.reshape(jnp.shape(b0g_raw)))
     else:
         raise ValueError(f"unknown coarse solver '{coarse}'")
     us[0] = u0
@@ -377,7 +397,9 @@ class PMGHierarchy:
                     K, m = axis_stiffness_mass(nc_a, P, h_a)
                     lv["K" + name] = jnp.asarray(self.kappa * K, dtype=dtype)
                     lv["m" + name] = jnp.asarray(m, dtype=dtype)
-                lv["bc_marker"] = bc
+                # Lattice-shaped markers: the kron cycle carries
+                # lattice-shaped vectors end-to-end (see kron_cycle_ops).
+                lv["bc_marker"] = bc.reshape(mesh.lattice_shape(P))
                 level = Level(P=P, ndofs=ndofs, smoother_iters=smoother_iters,
                               shape=mesh.lattice_shape(P))
             elif operator == "lattice":
@@ -422,6 +444,9 @@ class PMGHierarchy:
                     ndofs,
                 )
             lv["diag_inv"] = 1.0 / diag
+            if operator == "kron":
+                lv["diag_inv"] = lv["diag_inv"].reshape(level.shape)
+            vshape = level.shape if operator == "kron" else (ndofs,)
             # Smoother calibration: 20 recorded CG iterations on A x = 1,
             # Lanczos estimate, lmax inflated by 1.1 (main.cpp:303-330).
             # Jitted with the level pytree as an argument (never closed
@@ -436,8 +461,8 @@ class PMGHierarchy:
             )
             _, info = calib(
                 lv,
-                jnp.ones(ndofs, dtype=dtype),
-                jnp.zeros(ndofs, dtype=dtype),
+                jnp.ones(vshape, dtype=dtype),
+                jnp.zeros(vshape, dtype=dtype),
             )
             eigs = lanczos_eigenvalue_estimates(
                 info["alphas"], info["betas"], info["stored"]
@@ -525,17 +550,31 @@ class PMGHierarchy:
             )
         )
     # -- public API ----------------------------------------------------
+    #
+    # Public vectors are FLAT (the reference's acc::Vector contract);
+    # the kron backend works on lattice-shaped arrays internally, so the
+    # boundary methods reshape once per call — never inside hot loops.
+
+    def _to_work(self, v, level=-1):
+        if self.operator_kind == "kron":
+            return v.reshape(self.levels[level].shape)
+        return v
+
+    def _from_work(self, v):
+        return v.reshape(-1) if self.operator_kind == "kron" else v
 
     def apply(self, b, u, diagnostics=False):
         """One V-cycle from iterate ``u`` (the reference pmg.apply)."""
-        b = jnp.asarray(b, dtype=self.dtype)
-        u = jnp.asarray(u, dtype=self.dtype)
+        b = self._to_work(jnp.asarray(b, dtype=self.dtype))
+        u = self._to_work(jnp.asarray(u, dtype=self.dtype))
         if diagnostics:
-            return self._vcycle_diag(self.data, b, u)
-        return self._vcycle(self.data, b, u)
+            u, diag = self._vcycle_diag(self.data, b, u)
+            return self._from_work(u), diag
+        return self._from_work(self._vcycle(self.data, b, u))
 
     def operator(self, level=-1):
-        """The fine-level (or chosen-level) operator as ``x -> A x``."""
+        """The fine-level (or chosen-level) operator as ``x -> A x``
+        (flat public contract)."""
         lv = self.data["levels"][level]
         lvl = self.levels[level]
         ops = self._ops
@@ -546,7 +585,7 @@ class PMGHierarchy:
                 _level=lvl,
             )
         )
-        return lambda x: fn(lv, x)
+        return lambda x: self._from_work(fn(lv, self._to_work(x, level)))
 
     def solve_pcg(self, b, rtol=1e-8, maxiter=50):
         """V-cycle-preconditioned flexible CG (beyond-reference mode).
@@ -571,12 +610,15 @@ class PMGHierarchy:
                 A = lambda x: ops["apply"](data["levels"][-1], x, fine)
                 M = lambda r: vc(data, r, jnp.zeros_like(r))
                 return fcg_solve(A, b, jnp.zeros_like(b), M,
-                                 rtol=rtol_, maxiter=maxiter_)
+                                 rtol=rtol_, maxiter=maxiter_,
+                                 dot=lambda u_, v_: ops["dot"](
+                                     u_, v_, data["levels"][-1]),
+                                 )
 
             self._pcg = jax.jit(_run, static_argnums=(2, 3))
-        b = jnp.asarray(b, dtype=self.dtype)
+        b = self._to_work(jnp.asarray(b, dtype=self.dtype))
         u, info = self._pcg(self.data, b, float(rtol), int(maxiter))
-        return u, int(info["niter"])
+        return self._from_work(u), int(info["niter"])
 
     def solve_refined(self, b, num_cycles=15, rtol=0.0, residuals=True):
         """Mixed-precision iterative refinement: float64 outer residual,
@@ -606,7 +648,11 @@ class PMGHierarchy:
         op64 = self._op64
         if getattr(self, "_refine_step", None) is None:
             work_dtype = self.dtype
-            nd = self.levels[-1].ndofs
+            fine = self.levels[-1]
+            wz = (self._ops.get("zeros")
+                  or (lambda level, dtype: jnp.zeros(level.ndofs, dtype)))
+
+            wshape = fine.shape if self.operator_kind == "kron" else (-1,)
 
             def _step(u64, b64, Ks, ms, bc, data):
                 from ..ops.kron import kron_laplacian_apply
@@ -615,29 +661,34 @@ class PMGHierarchy:
                                                  precision="highest")
                 e = v_cycle(
                     data,
-                    jnp.asarray(r64, dtype=work_dtype),
-                    jnp.zeros(nd, dtype=work_dtype),
+                    jnp.asarray(r64, dtype=work_dtype).reshape(wshape),
+                    wz(fine, work_dtype),
                     levels=self.levels, coarse=self.coarse,
                     coarse_cfg=self.coarse_cfg, ops=self._ops,
                 )
+                e = e.reshape(jnp.shape(u64))
                 return u64 + jnp.asarray(e, dtype=jnp.float64), jnp.linalg.norm(r64)
 
             self._refine_step = jax.jit(_step)
 
-        b64 = jnp.asarray(b, dtype=jnp.float64)
+        # f64 state is lattice-shaped too (the f64 kron apply pays the
+        # same relayout costs as the f32 one).
+        shape = self.levels[-1].shape
+        b64 = jnp.asarray(b, dtype=jnp.float64).reshape(shape)
+        bc64 = op64.bc_marker.reshape(shape)
         u64 = jnp.zeros_like(b64)
         r0 = float(jnp.linalg.norm(b64))
         rnorms = []
         for _ in range(num_cycles):
             u64, rn = self._refine_step(
-                u64, b64, op64.Ks, op64.ms, op64.bc_marker, self.data
+                u64, b64, op64.Ks, op64.ms, bc64, self.data
             )
             rn = float(rn)
             if residuals:
                 rnorms.append(rn)
             if rtol and rn < rtol * r0:
                 break
-        return u64, rnorms
+        return u64.reshape(-1), rnorms
 
     def solve(self, b, num_cycles=10, u0=None, residuals=True):
         """Stationary V-cycle iteration (the reference driver loop,
@@ -647,8 +698,9 @@ class PMGHierarchy:
         residual norms collected device-side — a single host readback at
         the end (per-cycle host syncs cost ~0.5 s each over the remote
         TPU tunnel, vs ~2 ms of compute per cycle)."""
-        b = jnp.asarray(b, dtype=self.dtype)
-        u = jnp.zeros_like(b) if u0 is None else jnp.asarray(u0, dtype=self.dtype)
+        b = self._to_work(jnp.asarray(b, dtype=self.dtype))
+        u = (jnp.zeros_like(b) if u0 is None
+             else self._to_work(jnp.asarray(u0, dtype=self.dtype)))
         if getattr(self, "_solve_scan", None) is None:
             vc = partial(
                 v_cycle, levels=self.levels, coarse=self.coarse,
@@ -661,12 +713,13 @@ class PMGHierarchy:
                 def body(uc, _):
                     uc = vc(data, b, uc)
                     r = b - ops["apply"](data["levels"][-1], uc, fine)
-                    return uc, jnp.linalg.norm(r)
+                    return uc, jnp.sqrt(ops["dot"](r, r, data["levels"][-1]))
 
                 return jax.lax.scan(body, u, None, length=num_cycles)
 
             self._solve_scan = jax.jit(_run, static_argnums=(3,))
         u, rnorms = self._solve_scan(self.data, b, u, num_cycles)
+        u = self._from_work(u)
         if not residuals:
             return u, []
         return u, [float(r) for r in np.asarray(rnorms)]
