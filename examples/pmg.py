@@ -38,6 +38,11 @@ def main():
                         "matvec cost; combine with --refined for f64")
     p.add_argument("--output", type=str, default=None,
                    help="write solution to this file (.npz or .vtk)")
+    p.add_argument("--kappa-field", choices=["const", "linear"],
+                   default="const",
+                   help="'linear': variable coefficient kappa(x)=1+x "
+                        "(DG-0 per cell; requires --operator lattice or "
+                        "dofmap, reference laplacian.hpp:220-241)")
     args = p.parse_args()
     dtype = setup_jax(args)
 
@@ -46,17 +51,29 @@ def main():
     if args.refined:
         jax.config.update("jax_enable_x64", True)
 
-    from pmg_dolfinx_tpu.models.poisson import PoissonProblem, fit_box_cells
+    from pmg_dolfinx_tpu.models.poisson import (
+        PoissonProblem,
+        f_rhs_variable,
+        fit_box_cells,
+        kappa_linear,
+    )
     from pmg_dolfinx_tpu.utils.timers import Timer, list_timings
 
     nc = fit_box_cells(args.ndofs, max(args.degrees))
     print(f"mesh {nc[0]}x{nc[1]}x{nc[2]}, degrees {args.degrees}, "
           f"backend {jax.default_backend()}, dtype {args.dtype}")
 
+    kappa, f = args.kappa, None
+    if args.kappa_field == "linear":
+        kappa, f = kappa_linear, f_rhs_variable()
+        if args.operator == "kron":
+            args.operator = "lattice"
+            print("variable kappa: switching operator backend to 'lattice'")
+
     with Timer("setup (operators+calibration+rhs)"):
         prob = PoissonProblem(
-            nc=nc, degrees=tuple(args.degrees), kappa=args.kappa, dtype=dtype,
-            coarse=args.coarse, operator=args.operator,
+            nc=nc, degrees=tuple(args.degrees), kappa=kappa, dtype=dtype,
+            coarse=args.coarse, operator=args.operator, f=f,
         )
     ndofs = [prob.mesh.num_dofs(P) for P in args.degrees]
     print("hierarchy:", " -> ".join(f"p={P}: {n}" for P, n in zip(args.degrees, ndofs)))
@@ -64,6 +81,9 @@ def main():
         print(f"  level p={P}: eig range estimate [{eig[0]:.4f}, {eig[-1]:.4f}]")
 
     if args.fdm:
+        if args.kappa_field != "const":
+            raise SystemExit("--fdm is a constant-coefficient direct solve; "
+                             "use --pcg for variable kappa")
         from pmg_dolfinx_tpu.solvers.fdm import FastDiagonalizationSolver
 
         fdm = FastDiagonalizationSolver(prob.mesh, args.degrees[-1],

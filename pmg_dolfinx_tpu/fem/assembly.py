@@ -115,15 +115,49 @@ def assemble_rhs(mesh: BoxMesh, P: int, f, bc: bool = True) -> np.ndarray:
     return b
 
 
-def stiffness_diagonal_np(mesh: BoxMesh, P: int, kappa: float = 1.0) -> np.ndarray:
+def resolve_kappa(mesh: BoxMesh, kappa):
+    """Resolve a coefficient spec to ``(kappa_cells, is_constant)``.
+
+    ``kappa`` may be a scalar, an ``(ncells,)`` array (a DG-0 field in
+    dofmap cell order), or a callable over points ``x[(3, npts)]``
+    sampled at cell centroids. This is the TPU-native counterpart of the
+    reference interpolating a coefficient Function into DG-0 and passing
+    it per cell through the stiffness kernel
+    (src/laplacian.hpp:220-241, examples/pmg/main.cpp:253-257).
+    """
+    if callable(kappa):
+        vals = np.asarray(
+            kappa(mesh.cell_centroids().T), dtype=np.float64
+        ).reshape(-1)
+        if vals.shape != (mesh.ncells,):
+            raise ValueError(
+                f"kappa callable returned shape {vals.shape}, "
+                f"expected ({mesh.ncells},)"
+            )
+        return vals, bool(np.all(vals == vals[0]))
+    arr = np.asarray(kappa, dtype=np.float64)
+    if arr.ndim == 0:
+        return np.full(mesh.ncells, float(arr)), True
+    if arr.shape != (mesh.ncells,):
+        raise ValueError(
+            f"per-cell kappa has shape {arr.shape}, expected ({mesh.ncells},)"
+        )
+    return arr.copy(), bool(np.all(arr == arr[0]))
+
+
+def stiffness_diagonal_np(mesh: BoxMesh, P: int, kappa=1.0) -> np.ndarray:
     """Operator diagonal in NumPy float64 (host, setup-time).
 
     Same formula as ops.laplacian.laplacian_diagonal; used by the
     distributed builder so the exact global diagonal never needs a
-    device-wide scatter. BC rows get 1.
+    device-wide scatter. ``kappa`` may be scalar or per-cell. BC rows
+    get 1.
     """
     from .gll import derivative_matrix
 
+    kappa = np.broadcast_to(
+        np.asarray(kappa, dtype=np.float64), (mesh.ncells,)
+    )[:, None, None, None]
     G, _ = geometry_factors_np(mesh, P)
     n = P + 1
     g = G.reshape(mesh.ncells, n, n, n, 6)

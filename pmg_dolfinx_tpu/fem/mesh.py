@@ -167,5 +167,18 @@ class BoxMesh:
         out.setflags(write=False)
         return out
 
+    def cell_centroids(self) -> np.ndarray:
+        """Cell centroid coordinates ``(ncells, 3)`` in dofmap cell order
+        (x slowest, z fastest). DG-0 coefficient fields are sampled here —
+        the analogue of the reference interpolating a coefficient into a
+        degree-0 DG space (examples/pmg/main.cpp:253-257)."""
+        nx, ny, nz = self.nc
+        hx, hy, hz = self.h
+        X = (np.arange(nx) + 0.5) * hx
+        Y = (np.arange(ny) + 0.5) * hy
+        Z = (np.arange(nz) + 0.5) * hz
+        pts = np.stack(np.meshgrid(X, Y, Z, indexing="ij"), axis=-1)
+        return pts.reshape(-1, 3)
+
     def __repr__(self):
         return f"BoxMesh(nc={self.nc}, extent={self.extent})"

@@ -31,6 +31,42 @@ def f_rhs(kappa):
     return f
 
 
+def grad_u_exact(x):
+    """Gradient of the manufactured solution at ``x[(3, npts)]``."""
+    sx, sy, sz = (np.sin(np.pi * x[i]) for i in range(3))
+    cx, cy, cz = (np.cos(np.pi * x[i]) for i in range(3))
+    return np.pi * np.stack([cx * sy * sz, sx * cy * sz, sx * sy * cz])
+
+
+def kappa_linear(x):
+    """Smooth model coefficient ``kappa = 1 + x`` (variable-coefficient
+    family; DG-0 sampled at cell centroids by `resolve_kappa`)."""
+    return 1.0 + x[0]
+
+
+def grad_kappa_linear(x):
+    return np.stack([np.ones_like(x[0]), np.zeros_like(x[0]),
+                     np.zeros_like(x[0])])
+
+
+def f_rhs_variable(kappa_fn=kappa_linear, grad_kappa_fn=grad_kappa_linear):
+    """Source for the manufactured ``u_e`` under a smooth coefficient:
+    ``f = -div(kappa grad u_e) = kappa 3 pi^2 u_e - grad(kappa).grad(u_e)``.
+
+    Counterpart of the reference threading a (DG-0-interpolated)
+    coefficient through the whole PMG stack
+    (src/laplacian.hpp:220-241, examples/pmg/main.cpp:253-257).
+    """
+
+    def f(x):
+        gk = grad_kappa_fn(x)
+        gu = grad_u_exact(x)
+        return (3.0 * np.pi**2 * kappa_fn(x) * u_exact(x)
+                - (gk * gu).sum(axis=0))
+
+    return f
+
+
 def fit_box_cells(ndofs_target: int, max_degree: int, search: int = 5):
     """Pick (nx, ny, nz) so the finest space has ~``ndofs_target`` dofs.
 
@@ -67,18 +103,28 @@ class PoissonProblem:
 
     def __init__(self, nc=(10, 10, 10), degrees=(1, 3), kappa=2.0,
                  dtype=jnp.float64, coarse="smoother", coarse_cfg=None,
-                 smoother_iters=2, operator="kron", precision="highest"):
+                 smoother_iters=2, operator="kron", precision="highest",
+                 f=None):
+        """``kappa`` may be a scalar, a per-cell DG-0 array, or a callable
+        (see `PMGHierarchy`). For non-scalar kappa pass the matching
+        source term ``f`` (e.g. `f_rhs_variable`)."""
         self.mesh = BoxMesh(nc)
         self.degrees = tuple(degrees)
-        self.kappa = float(kappa)
+        self.kappa = kappa
         self.hierarchy = PMGHierarchy(
-            self.mesh, degrees=self.degrees, kappa=self.kappa, dtype=dtype,
+            self.mesh, degrees=self.degrees, kappa=kappa, dtype=dtype,
             coarse=coarse, coarse_cfg=coarse_cfg, smoother_iters=smoother_iters,
             operator=operator, precision=precision,
         )
+        if f is None:
+            if self.hierarchy.kappa is None:
+                raise ValueError(
+                    "non-constant kappa: pass the matching source term f "
+                    "(e.g. models.poisson.f_rhs_variable(...))"
+                )
+            f = f_rhs(self.hierarchy.kappa)
         self.b = jnp.asarray(
-            assemble_rhs(self.mesh, self.degrees[-1], f_rhs(self.kappa)),
-            dtype=dtype,
+            assemble_rhs(self.mesh, self.degrees[-1], f), dtype=dtype,
         )
 
     def solve(self, num_cycles=10, residuals=True, u0=None):

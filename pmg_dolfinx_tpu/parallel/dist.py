@@ -243,7 +243,21 @@ class DistPMG:
         self.part = SlabPartition(mesh, n_devices)
         self.mesh = mesh
         self.degrees = tuple(int(p) for p in degrees)
-        self.kappa = float(kappa)
+        from ..fem.assembly import resolve_kappa
+
+        self.kappa_cells, _kconst = resolve_kappa(mesh, kappa)
+        self.kappa = float(self.kappa_cells[0]) if _kconst else None
+        if not _kconst:
+            if operator == "kron":
+                raise ValueError(
+                    "DistPMG: variable kappa requires operator='lattice' "
+                    "or 'dofmap' (the Kronecker sum is constant-only)"
+                )
+            if coarse in ("fdm", "hmg"):
+                raise ValueError(
+                    f"DistPMG: coarse='{coarse}' is constant-coefficient "
+                    "only; use 'cg', 'smoother' or 'direct'"
+                )
         self.dtype = dtype
         self.coarse = coarse
         self.coarse_cfg = dict(coarse_cfg or {})
@@ -277,7 +291,8 @@ class DistPMG:
                 ),
                 diag_inv=jnp.asarray(
                     conform(part.to_dist(
-                        Pdeg, 1.0 / stiffness_diagonal_np(mesh, Pdeg, self.kappa)
+                        Pdeg,
+                        1.0 / stiffness_diagonal_np(mesh, Pdeg, self.kappa_cells),
                     )),
                     dtype=dtype,
                 ),
@@ -316,7 +331,10 @@ class DistPMG:
                 lv = dict(common)
                 spec = dict(common_spec)
                 lv["G"] = jnp.asarray(
-                    geometry_to_qlattice(G_cells * self.kappa, mesh.nc, Pdeg),
+                    geometry_to_qlattice(
+                        G_cells * self.kappa_cells[:, None, None],
+                        mesh.nc, Pdeg,
+                    ),
                     dtype=dtype,
                 )
                 spec["G"] = P(AXIS)
@@ -336,7 +354,7 @@ class DistPMG:
                 lv.update(
                     dofmap=jnp.asarray(part.local_dofmap(Pdeg)),
                     G=jnp.asarray(G_cells, dtype=dtype),
-                    coeff=jnp.full((mesh.ncells,), self.kappa, dtype=dtype),
+                    coeff=jnp.asarray(self.kappa_cells, dtype=dtype),
                     D=jnp.asarray(derivative_matrix(Pdeg), dtype=dtype),
                 )
                 spec.update(dofmap=P(), G=P(AXIS), coeff=P(AXIS), D=P())
@@ -411,7 +429,9 @@ class DistPMG:
             elif coarse == "direct":
                 from ..fem.assembly import assemble_stiffness
 
-                A0 = assemble_stiffness(mesh, P0, kappa=self.kappa).toarray()
+                A0 = assemble_stiffness(
+                    mesh, P0, kappa=self.kappa_cells
+                ).toarray()
                 self._coarse_data = (
                     "coarse_chol",
                     jnp.asarray(np.linalg.cholesky(A0), dtype=dtype),

@@ -259,7 +259,15 @@ class GridPMG:
         self.jmesh = Mesh(np.array(devices).reshape(shards), AXES)
         self.mesh = mesh
         self.degrees = tuple(int(p) for p in degrees)
-        self.kappa = float(kappa)
+        from ..fem.assembly import resolve_kappa
+
+        kappa_cells, _kconst = resolve_kappa(mesh, kappa)
+        if not _kconst:
+            raise ValueError(
+                "GridPMG is kron-backend only (constant kappa); use "
+                "DistPMG with operator='lattice' for variable coefficients"
+            )
+        self.kappa = float(kappa_cells[0])
         self.dtype = dtype
         self.coarse = coarse
         self.coarse_cfg = dict(coarse_cfg or {})

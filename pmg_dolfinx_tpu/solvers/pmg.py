@@ -351,10 +351,34 @@ class PMGHierarchy:
         """``operator`` selects the kernel backend: 'dofmap' (general,
         oracle-parity path), 'lattice' (banded-matmul MXU path, general
         hexes) or 'kron' (Kronecker-sum path, axis-aligned meshes — the
-        production TPU choice). ``precision`` applies to the matmuls."""
+        production TPU choice). ``precision`` applies to the matmuls.
+
+        ``kappa`` may be a scalar, a per-cell ``(ncells,)`` DG-0 array, or
+        a callable over points ``x[(3, npts)]`` sampled at cell centroids
+        (reference src/laplacian.hpp:220-241). A non-constant coefficient
+        requires the 'lattice' or 'dofmap' backend (the Kronecker sum
+        cannot express it) and a coarse solver in {'cg', 'smoother',
+        'direct'} (FDM/h-MG coarse data is built constant-coefficient).
+        """
+        from ..fem.assembly import resolve_kappa
+
         self.mesh = mesh
         self.degrees = tuple(int(p) for p in degrees)
-        self.kappa = float(kappa)
+        self.kappa_cells, kappa_const = resolve_kappa(mesh, kappa)
+        self.kappa = float(self.kappa_cells[0]) if kappa_const else None
+        if not kappa_const:
+            if operator == "kron":
+                raise ValueError(
+                    "variable (per-cell) kappa requires operator='lattice' "
+                    "or 'dofmap' — the Kronecker-sum factorization only "
+                    "exists for constant coefficients"
+                )
+            if coarse in ("fdm", "hmg"):
+                raise ValueError(
+                    f"coarse='{coarse}' is constant-coefficient only; use "
+                    "'cg', 'smoother' or 'direct' with variable kappa "
+                    "(or FDM as an outer FCG preconditioner, solvers/fdm.py)"
+                )
         self.dtype = dtype
         self.coarse = coarse
         self.coarse_cfg = dict(coarse_cfg or {})
@@ -409,7 +433,10 @@ class PMGHierarchy:
                     lv["E" + name] = jnp.asarray(E, dtype=dtype)
                     lv["D" + name] = jnp.asarray(Dg, dtype=dtype)
                 lv["G"] = jnp.asarray(
-                    geometry_to_qlattice(G_cells * self.kappa, mesh.nc, P),
+                    geometry_to_qlattice(
+                        G_cells * self.kappa_cells[:, None, None],
+                        mesh.nc, P,
+                    ),
                     dtype=dtype,
                 )
                 lv["bc_marker"] = bc
@@ -419,7 +446,7 @@ class PMGHierarchy:
                 lv = dict(
                     dofmap=jnp.asarray(mesh.dofmap(P)),
                     G=jnp.asarray(G_cells, dtype=dtype),
-                    coeff=jnp.full((mesh.ncells,), self.kappa, dtype=dtype),
+                    coeff=jnp.asarray(self.kappa_cells, dtype=dtype),
                     D=jnp.asarray(derivative_matrix(P), dtype=dtype),
                     bc_marker=bc,
                 )
@@ -438,7 +465,7 @@ class PMGHierarchy:
                 diag = jax.jit(laplacian_diagonal, static_argnums=(5,))(
                     jnp.asarray(mesh.dofmap(P)),
                     jnp.asarray(G_cells, dtype=dtype),
-                    jnp.full((mesh.ncells,), self.kappa, dtype=dtype),
+                    jnp.asarray(self.kappa_cells, dtype=dtype),
                     jnp.asarray(derivative_matrix(P), dtype=dtype),
                     bc,
                     ndofs,
@@ -497,7 +524,9 @@ class PMGHierarchy:
         if coarse == "direct":
             from ..fem.assembly import assemble_stiffness
 
-            A0 = assemble_stiffness(mesh, self.degrees[0], kappa=self.kappa).toarray()
+            A0 = assemble_stiffness(
+                mesh, self.degrees[0], kappa=self.kappa_cells
+            ).toarray()
             chol = np.linalg.cholesky(A0)
             self.data["coarse_chol"] = jnp.asarray(chol, dtype=dtype)
         elif coarse == "fdm":

@@ -1,0 +1,134 @@
+"""Variable-coefficient (DG-0 kappa) end-to-end tests.
+
+The reference threads a per-cell coefficient through the whole PMG stack
+(src/laplacian.hpp:220-241, examples/pmg/main.cpp:253-257). Here: the
+lattice and dofmap backends carry per-cell kappa through operators,
+diagonals, smoother calibration, V-cycle and FCG; verified against the
+independently assembled scipy matrix (operator + solve oracle) and the
+manufactured solution for kappa(x) = 1 + x.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+from pmg_dolfinx_tpu.fem.assembly import (
+    assemble_rhs,
+    assemble_stiffness,
+    resolve_kappa,
+)
+from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+from pmg_dolfinx_tpu.models.poisson import (
+    PoissonProblem,
+    f_rhs_variable,
+    kappa_linear,
+)
+from pmg_dolfinx_tpu.parallel.dist import DistPMG
+
+
+def test_resolve_kappa_specs():
+    mesh = BoxMesh((3, 2, 2))
+    vals, const = resolve_kappa(mesh, 2.0)
+    assert const and vals.shape == (mesh.ncells,) and vals[0] == 2.0
+    vals, const = resolve_kappa(mesh, kappa_linear)
+    assert not const
+    # centroid order matches the dofmap cell order (x slowest)
+    cents = mesh.cell_centroids()
+    assert np.allclose(vals, 1.0 + cents[:, 0])
+    arr = np.arange(mesh.ncells, dtype=float) + 1.0
+    vals, const = resolve_kappa(mesh, arr)
+    assert not const and np.array_equal(vals, arr)
+    with pytest.raises(ValueError):
+        resolve_kappa(mesh, np.ones(5))
+
+
+def test_cell_centroids_match_dof_coords():
+    mesh = BoxMesh((3, 2, 4))
+    P = 2
+    cents = mesh.cell_centroids()
+    per_cell = mesh.dof_coords(P)[mesh.dofmap(P)]  # (ncells, nld, 3)
+    mids = 0.5 * (per_cell.min(axis=1) + per_cell.max(axis=1))
+    assert np.allclose(cents, mids)
+
+
+@pytest.mark.parametrize("operator", ["lattice", "dofmap"])
+def test_variable_kappa_operator_matches_assembled(operator):
+    """Fine-level operator with per-cell kappa == scipy assembled matrix."""
+    mesh = BoxMesh((4, 3, 3))
+    P = 3
+    prob = PoissonProblem(nc=mesh.nc, degrees=(1, P), kappa=kappa_linear,
+                          coarse="cg", operator=operator, f=f_rhs_variable())
+    kc, _ = resolve_kappa(mesh, kappa_linear)
+    A = assemble_stiffness(mesh, P, kappa=kc)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(mesh.num_dofs(P))
+    y = np.asarray(prob.hierarchy.operator()(jnp.asarray(x)))
+    assert np.allclose(y, A @ x, atol=1e-11)
+
+
+def test_variable_kappa_pcg_matches_direct_solve():
+    """Full stack (V-cycle-preconditioned FCG, per-cell kappa) reproduces
+    the scipy sparse direct solve, and the manufactured-solution L2 error
+    converges at second order (DG-0 midpoint sampling of the smooth
+    kappa dominates at O(h^2))."""
+    P = 3
+    errs = []
+    for n in (4, 8):
+        prob = PoissonProblem(nc=(n, n, n), degrees=(1, P),
+                              kappa=kappa_linear, coarse="cg",
+                              operator="lattice", f=f_rhs_variable())
+        u, niter = prob.hierarchy.solve_pcg(prob.b, rtol=1e-11, maxiter=60)
+        assert niter < 30
+        kc, _ = resolve_kappa(prob.mesh, kappa_linear)
+        A = assemble_stiffness(prob.mesh, P, kappa=kc)
+        u_ref = spla.spsolve(A.tocsc(), np.asarray(prob.b))
+        assert np.allclose(np.asarray(u), u_ref, atol=1e-8)
+        errs.append(prob.error_l2(np.asarray(u)))
+    # measured: 3.0e-3 (n=4) -> 8.2e-4 (n=8) -> 2.1e-4 (n=16), ratio ~3.8
+    assert errs[0] / errs[1] > 3.0, errs
+    assert errs[1] < 1e-3, errs
+
+
+def test_variable_kappa_vcycle_converges():
+    """Stationary V-cycle with per-cell kappa contracts the residual."""
+    prob = PoissonProblem(nc=(6, 6, 6), degrees=(1, 3), kappa=kappa_linear,
+                          coarse="cg", operator="lattice",
+                          f=f_rhs_variable())
+    u, rn = prob.solve(num_cycles=6)
+    r0 = float(np.linalg.norm(np.asarray(prob.b)))
+    # Contraction is ~0.5/cycle for the 1+x coefficient (Jacobi-Chebyshev
+    # smoothing degrades with coefficient variation, as in the reference;
+    # the FCG wrapper restores fast convergence — tested above).
+    assert rn[-1] / r0 < 1e-3, np.array(rn) / r0
+    assert rn[-1] < rn[0] * 0.05
+    assert all(b < a for a, b in zip(rn, rn[1:]))
+
+
+def test_variable_kappa_dist_matches_single():
+    """Sharded lattice backend with per-cell kappa == single device."""
+    nc = (8, 4, 4)
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa_linear,
+                            coarse="cg", operator="lattice",
+                            f=f_rhs_variable())
+    u_s, rn_s = single.solve(num_cycles=5)
+    dist = DistPMG(single.mesh, n_devices=4, degrees=(1, 3),
+                   kappa=kappa_linear, coarse="cg", operator="lattice")
+    b = assemble_rhs(single.mesh, 3, f_rhs_variable())
+    u_d, rn_d = dist.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_variable_kappa_rejected_where_unsupported():
+    mesh = BoxMesh((4, 4, 4))
+    with pytest.raises(ValueError, match="Kronecker"):
+        PoissonProblem(nc=mesh.nc, degrees=(1, 2), kappa=kappa_linear,
+                       operator="kron", f=f_rhs_variable())
+    with pytest.raises(ValueError, match="constant-coefficient"):
+        PoissonProblem(nc=mesh.nc, degrees=(1, 2), kappa=kappa_linear,
+                       operator="lattice", coarse="fdm", f=f_rhs_variable())
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    with pytest.raises(ValueError, match="constant"):
+        GridPMG(mesh, shards=(2, 2), kappa=kappa_linear)
