@@ -1,0 +1,51 @@
+"""Comm/compute overlap evidence for the sharded Kronecker apply.
+
+AOT-compiles the shard_map'd kron apply for an 8-chip v5e topology (no
+hardware needed), reads the scheduled HLO, and verifies that each async
+`collective-permute-start`/`-done` window contains at least one of the
+independent contraction fusions — the compiler-scheduled analogue of the
+reference's lcells/bcells overlap (src/laplacian.hpp:378-455).
+
+Measured schedule (v5e:2x4, p=6, 16x21x21 cells, jax 0.9):
+
+    %fusion.15  ax,xyz->ayz   (K_x term -> halo partial sums)
+    %collective-permute-start   (forward halo)
+    %fusion.3   cz,xyz->xyc   (K_z term, overlapped)
+    %collective-permute-done
+    %collective-permute-start.1 (backward halo)
+    %fusion.1   by,xyz->xbz   (K_y term, overlapped)
+    %collective-permute-done.1
+
+Run: python examples/overlap_check.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pmg_dolfinx_tpu.utils.overlap import (
+    analyze_overlap,
+    scheduled_hlo_kron_apply,
+)
+
+
+def main():
+    hlo = scheduled_hlo_kron_apply()
+    events, n_overlapped = analyze_overlap(hlo)
+    print("schedule order (line, event):")
+    for i, tag in events:
+        print(f"  {i:5d}  {tag}")
+    print(f"\npermute windows with >=1 overlapped contraction: "
+          f"{n_overlapped}")
+    if n_overlapped >= 1:
+        print("OVERLAP CONFIRMED: the halo ppermute is scheduled "
+              "concurrently with independent contraction fusions "
+              "(compiler-scheduled lcells/bcells analogue).")
+    else:
+        print("NO OVERLAP in this schedule — the explicit "
+              "interior/boundary split would be needed.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Comm/compute overlap verification: scheduled-HLO analysis.
+
+The reference hand-schedules halo-exchange/compute overlap with its
+lcells/bcells split (src/laplacian.hpp:378-455); here XLA's
+latency-hiding scheduler provides it. These helpers compile the sharded
+kron apply AOT for a real TPU topology (no chips needed) and check the
+instruction schedule: each async collective-permute window must contain
+at least one independent contraction fusion. See
+examples/overlap_check.py for the CLI and README for the measured
+schedule.
+"""
+
+import re
+
+import numpy as np
+
+
+def scheduled_hlo_kron_apply(n_sh=8, nc=(16, 21, 21), P=6,
+                             topology="v5e:2x4"):
+    """Compile the sharded kron apply for a TPU topology; return the
+    scheduled HLO text (raises if the TPU compiler is unavailable)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as Pspec
+
+    from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+    from pmg_dolfinx_tpu.ops.kron import axis_stiffness_mass
+    from pmg_dolfinx_tpu.parallel.dist import AXIS, dist_kron_cycle_ops
+    from pmg_dolfinx_tpu.parallel.partition import SlabPartition
+    from pmg_dolfinx_tpu.solvers.pmg import Level
+
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name=topology)
+    mesh = Mesh(np.array(topo.devices), (AXIS,))
+    bm = BoxMesh(nc)
+    part = SlabPartition(bm, n_sh)
+    ops = dist_kron_cycle_ops(n_sh)
+    lvl = Level(P=P, ndofs=part.local_ndofs(P), shape=part.local_shape(P))
+
+    Kx, _ = axis_stiffness_mass(part.cells_per_shard_x, P, bm.h[0])
+    Ky, my = axis_stiffness_mass(bm.nc[1], P, bm.h[1])
+    Kz, mz = axis_stiffness_mass(bm.nc[2], P, bm.h[2])
+    _, mx_g = axis_stiffness_mass(bm.nc[0], P, bm.h[0])
+    npl = part.local_planes(P)
+    mx_dup = np.concatenate(
+        [mx_g[s * (npl - 1): s * (npl - 1) + npl] for s in range(n_sh)]
+    )
+    f32 = jnp.float32
+    lv = dict(
+        Kx=jnp.asarray(2.0 * Kx, f32), Ky=jnp.asarray(2.0 * Ky, f32),
+        Kz=jnp.asarray(2.0 * Kz, f32), mx=jnp.asarray(mx_dup, f32),
+        my=jnp.asarray(my, f32), mz=jnp.asarray(mz, f32),
+        bc_marker=jnp.asarray(part.to_dist(P, bm.boundary_dof_marker(P))
+                              > 0.5),
+    )
+    spec = dict(Kx=Pspec(), Ky=Pspec(), Kz=Pspec(), mx=Pspec(AXIS),
+                my=Pspec(), mz=Pspec(), bc_marker=Pspec(AXIS))
+    fn = jax.jit(
+        jax.shard_map(
+            lambda l, x: ops["apply"](l, x, lvl), mesh=mesh,
+            in_specs=(spec, Pspec(AXIS)), out_specs=Pspec(AXIS),
+        )
+    )
+    lv_s = {
+        k: jax.ShapeDtypeStruct(v.shape, v.dtype,
+                                sharding=NamedSharding(mesh, spec[k]))
+        for k, v in lv.items()
+    }
+    gshape = (n_sh * npl,) + part.local_shape(P)[1:]
+    x_s = jax.ShapeDtypeStruct(gshape, f32,
+                               sharding=NamedSharding(mesh, Pspec(AXIS)))
+    return fn.lower(lv_s, x_s).compile().as_text()
+
+
+def analyze_overlap(hlo_text):
+    """Return (events, n_overlapped): the schedule-order list of
+    collective-permute start/done markers and contraction fusions, and
+    how many permute windows (start..matching done, matched by the HLO
+    instruction suffix) contain at least one contraction."""
+    events = []
+    starts, dones = {}, {}
+    pos = 0
+    for i, line in enumerate(hlo_text.splitlines()):
+        lhs = line.split("=")[0]
+        m = re.search(r"%collective-permute-(start|done)((?:\.\d+)?) ", lhs)
+        if m:
+            kind, suffix = m.group(1), m.group(2)
+            events.append((i, f"cp-{kind}{suffix}"))
+            (starts if kind == "start" else dones)[suffix] = pos
+            pos += 1
+        elif re.search(r"dot_general", line) and "fusion" in line:
+            m2 = re.search(r'op_name="[^"]*?/([a-z]+,[a-z]+->[a-z]+)/', line)
+            events.append((i, f"contraction {m2.group(1) if m2 else '?'}"))
+            pos += 1
+    n_overlapped = 0
+    for suffix, s_pos in starts.items():
+        d_pos = dones.get(suffix)
+        if d_pos is None:
+            continue
+        inside = [
+            tag for p, (_, tag) in enumerate(events)
+            if s_pos < p < d_pos and tag.startswith("contraction")
+        ]
+        if inside:
+            n_overlapped += 1
+    return events, n_overlapped
+
+

@@ -21,3 +21,23 @@ def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_halo_exchange_overlaps_compute_in_tpu_schedule():
+    """The sharded kron apply's scheduled HLO (AOT-compiled for a real
+    v5e topology) must overlap each halo ppermute with an independent
+    contraction — the compiler-scheduled lcells/bcells analogue
+    (reference src/laplacian.hpp:378-455)."""
+    import pytest
+
+    from pmg_dolfinx_tpu.utils.overlap import (
+        analyze_overlap,
+        scheduled_hlo_kron_apply,
+    )
+
+    try:
+        hlo = scheduled_hlo_kron_apply()
+    except Exception as e:  # no TPU compiler in this environment
+        pytest.skip(f"TPU AOT topology unavailable: {e}")
+    events, n_overlapped = analyze_overlap(hlo)
+    assert n_overlapped >= 1, events
