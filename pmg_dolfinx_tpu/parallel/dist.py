@@ -47,6 +47,7 @@ from ..solvers.pmg import (
     v_cycle,
 )
 from ..solvers.tridiag import lanczos_eigenvalue_estimates
+from .multihost import fetch_global, put_global
 from .partition import SlabPartition
 
 AXIS = "x"
@@ -462,7 +463,7 @@ class DistPMG:
         with self.jmesh:
             for lv, spec, level in zip(level_data, level_specs, levels):
                 for k in lv:
-                    lv[k] = jax.device_put(
+                    lv[k] = put_global(
                         lv[k], NamedSharding(self.jmesh, spec[k])
                     )
 
@@ -493,16 +494,17 @@ class DistPMG:
                     vshape = (level.shape[0] * self.n_shards,) + level.shape[1:]
                 else:
                     vshape = (level.ndofs * self.n_shards,)
+                vsh = NamedSharding(self.jmesh, P(AXIS))
                 _, info = calib_fn(
                     lv,
-                    jnp.ones(vshape, dtype=dtype),
-                    jnp.zeros(vshape, dtype=dtype),
+                    put_global(np.ones(vshape, dtype=dtype), vsh),
+                    put_global(np.zeros(vshape, dtype=dtype), vsh),
                 )
                 eigs = lanczos_eigenvalue_estimates(
                     info["alphas"], info["betas"], info["stored"]
                 )
                 self.eigs.append(eigs)
-                lv["lmax"] = jax.device_put(
+                lv["lmax"] = put_global(
                     jnp.asarray(EIG_RANGE_FACTORS[1] * eigs[-1], dtype=dtype),
                     NamedSharding(self.jmesh, P()),
                 )
@@ -543,7 +545,7 @@ class DistPMG:
                 spec = dict(M1=P(), dofmap_c=P(), dofmap_f=P(), mult_f=P(AXIS))
             with self.jmesh:
                 for k in tr:
-                    tr[k] = jax.device_put(tr[k], NamedSharding(self.jmesh, spec[k]))
+                    tr[k] = put_global(tr[k], NamedSharding(self.jmesh, spec[k]))
             transfer.append(tr)
             transfer_specs.append(spec)
 
@@ -553,10 +555,8 @@ class DistPMG:
         )
         if self._coarse_data is not None:
             key, cdata = self._coarse_data
-            with self.jmesh:
-                cdata = jax.device_put(
-                    cdata, NamedSharding(self.jmesh, P())
-                )
+            csh = NamedSharding(self.jmesh, P())
+            cdata = jax.tree.map(lambda a: put_global(a, csh), cdata)
             self.data[key] = cdata
             self.data_specs[key] = jax.tree.map(lambda _: P(), cdata)
 
@@ -607,13 +607,13 @@ class DistPMG:
         ud = self.part.to_dist(Pdeg, np.asarray(u))
         if self.operator_kind != "kron":
             ud = ud.reshape(-1)  # general backends keep the flat contract
-        return jax.device_put(
-            jnp.asarray(ud, dtype=self.dtype),
+        return put_global(
+            np.asarray(ud, dtype=self.dtype),
             NamedSharding(self.jmesh, P(AXIS)),
         )
 
     def from_dist(self, ud, level=-1):
-        return self.part.from_dist(self.degrees[level], np.asarray(ud))
+        return self.part.from_dist(self.degrees[level], fetch_global(ud))
 
     # -- solver API ----------------------------------------------------
 
@@ -713,7 +713,7 @@ class DistPMG:
                              mz=P(), bc_marker=P(AXIS), weights=P(AXIS))
             with self.jmesh:
                 for k in lv64:
-                    lv64[k] = jax.device_put(
+                    lv64[k] = put_global(
                         lv64[k], NamedSharding(self.jmesh, lv64_spec[k])
                     )
             self._lv64 = lv64
@@ -760,11 +760,10 @@ class DistPMG:
         bd = self.part.to_dist(Pdeg, np.asarray(b, dtype=np.float64))
         if self.operator_kind != "kron":
             bd = bd.reshape(-1)
-        with self.jmesh:
-            b64 = jax.device_put(
-                jnp.asarray(bd, dtype=jnp.float64),
-                NamedSharding(self.jmesh, P(AXIS)),
-            )
+        b64 = put_global(
+            np.asarray(bd, dtype=np.float64),
+            NamedSharding(self.jmesh, P(AXIS)),
+        )
         u64 = jnp.zeros_like(b64)
         r0 = float(np.linalg.norm(np.asarray(b, dtype=np.float64)))
         rnorms = []

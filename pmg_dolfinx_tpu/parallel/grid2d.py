@@ -38,6 +38,7 @@ from ..solvers.pmg import (
     v_cycle,
 )
 from ..solvers.tridiag import lanczos_eigenvalue_estimates
+from .multihost import fetch_global, put_global
 
 AXES = ("x", "y", "z")
 
@@ -384,7 +385,7 @@ class GridPMG:
             self.levels = tuple(levels)
             for lv, spec, level in zip(level_data, level_specs, levels):
                 for k in lv:
-                    lv[k] = jax.device_put(lv[k], NamedSharding(self.jmesh, spec[k]))
+                    lv[k] = put_global(lv[k], NamedSharding(self.jmesh, spec[k]))
 
                 def _calib(lv_, b_, x0_, _level=level):
                     A = lambda x: ops["apply"](lv_, x, _level)
@@ -407,16 +408,17 @@ class GridPMG:
                     )
                 )
                 shape3 = tuple(s * n for s, n in zip(shards, level.shape))
+                vsh = NamedSharding(self.jmesh, PSHARD)
                 info = calib_fn(
                     lv,
-                    jnp.ones(shape3, dtype=dtype),
-                    jnp.zeros(shape3, dtype=dtype),
+                    put_global(np.ones(shape3, dtype=dtype), vsh),
+                    put_global(np.zeros(shape3, dtype=dtype), vsh),
                 )
                 eigs = lanczos_eigenvalue_estimates(
                     info["alphas"], info["betas"], info["stored"]
                 )
                 self.eigs.append(eigs)
-                lv["lmax"] = jax.device_put(
+                lv["lmax"] = put_global(
                     jnp.asarray(EIG_RANGE_FACTORS[1] * eigs[-1], dtype=dtype),
                     NamedSharding(self.jmesh, P()),
                 )
@@ -444,7 +446,7 @@ class GridPMG:
                 )
                 spec = dict(Ix=P(), Iy=P(), Iz=P(), weights_f=PSHARD)
                 for k in tr:
-                    tr[k] = jax.device_put(tr[k], NamedSharding(self.jmesh, spec[k]))
+                    tr[k] = put_global(tr[k], NamedSharding(self.jmesh, spec[k]))
                 transfer.append(tr)
                 transfer_specs.append(spec)
 
@@ -453,7 +455,8 @@ class GridPMG:
                                transfer=tuple(transfer_specs))
         if self._coarse_data is not None:
             key, cdata = self._coarse_data
-            cdata = jax.device_put(cdata, NamedSharding(self.jmesh, P()))
+            csh = NamedSharding(self.jmesh, P())
+            cdata = jax.tree.map(lambda a: put_global(a, csh), cdata)
             self.data[key] = cdata
             self.data_specs[key] = jax.tree.map(lambda _: P(), cdata)
 
@@ -492,15 +495,14 @@ class GridPMG:
 
     def to_dist(self, u, level=-1):
         Pdeg = self.degrees[level]
-        with self.jmesh:
-            return jax.device_put(
-                jnp.asarray(self.part.to_dist(Pdeg, np.asarray(u)),
-                            dtype=self.dtype),
-                NamedSharding(self.jmesh, P(*AXES)),
-            )
+        return put_global(
+            np.asarray(self.part.to_dist(Pdeg, np.asarray(u)),
+                       dtype=self.dtype),
+            NamedSharding(self.jmesh, P(*AXES)),
+        )
 
     def from_dist(self, ud, level=-1):
-        return self.part.from_dist(self.degrees[level], np.asarray(ud))
+        return self.part.from_dist(self.degrees[level], fetch_global(ud))
 
     def solve(self, b, num_cycles=10, residuals=True):
         """Stationary V-cycle iteration as one jitted sharded `lax.scan`
@@ -619,7 +621,7 @@ class GridPMG:
                 bc_marker=P(*AXES), weights=P(*AXES),
             )
             for k in lv64:
-                lv64[k] = jax.device_put(
+                lv64[k] = put_global(
                     lv64[k], NamedSharding(self.jmesh, lv64_spec[k])
                 )
             self._lv64 = lv64
@@ -654,8 +656,8 @@ class GridPMG:
             )
 
         bd = part.to_dist(Pdeg, np.asarray(b, dtype=np.float64))
-        b64 = jax.device_put(
-            jnp.asarray(bd, dtype=jnp.float64),
+        b64 = put_global(
+            np.asarray(bd, dtype=np.float64),
             NamedSharding(self.jmesh, P(*AXES)),
         )
         u64 = jnp.zeros_like(b64)

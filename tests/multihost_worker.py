@@ -1,0 +1,60 @@
+"""Worker for the 2-process multi-host smoke test (not a test module).
+
+Launched twice by tests/test_multihost.py:
+
+    python multihost_worker.py <coordinator> <nprocs> <pid>
+
+Each process brings up 4 virtual CPU devices (8 global), builds the SAME
+DistPMG / GridPMG solves as the single-process tests, and prints one
+JSON line of residual norms for the parent to compare — rank-count AND
+process-count invariance (the reference's multi-node `srun` contract,
+SURVEY.md §4, validated without a cluster).
+"""
+
+import json
+import sys
+
+sys.path.insert(0, sys.path[0] + "/..")
+
+from pmg_dolfinx_tpu.parallel.multihost import initialize  # noqa: E402
+
+coordinator, nprocs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+initialize(coordinator_address=coordinator, num_processes=nprocs,
+           process_id=pid, local_device_count=4)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/pmg_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+from pmg_dolfinx_tpu.fem.assembly import assemble_rhs  # noqa: E402
+from pmg_dolfinx_tpu.fem.mesh import BoxMesh  # noqa: E402
+from pmg_dolfinx_tpu.models.poisson import f_rhs  # noqa: E402
+from pmg_dolfinx_tpu.parallel.dist import DistPMG  # noqa: E402
+from pmg_dolfinx_tpu.parallel.grid2d import GridPMG  # noqa: E402
+
+assert jax.device_count() == 8, jax.devices()
+assert jax.process_count() == nprocs
+
+kappa = 2.0
+mesh = BoxMesh((8, 4, 4))
+b = assemble_rhs(mesh, 3, f_rhs(kappa))
+
+dist = DistPMG(mesh, n_devices=8, degrees=(1, 3), kappa=kappa,
+               coarse="fdm", operator="kron")
+u_d, rn_dist = dist.solve(b, num_cycles=5)
+
+mesh_g = BoxMesh((4, 4, 4))
+b_g = assemble_rhs(mesh_g, 3, f_rhs(kappa))
+grid = GridPMG(mesh_g, shards=(2, 2, 2), degrees=(1, 3), kappa=kappa,
+               coarse="cg")
+u_g, rn_grid = grid.solve(b_g, num_cycles=5)
+
+print("RESULT " + json.dumps({
+    "pid": pid,
+    "rn_dist": rn_dist,
+    "rn_grid": rn_grid,
+    "u_d_norm": float((u_d ** 2).sum() ** 0.5),
+    "u_g_norm": float((u_g ** 2).sum() ** 0.5),
+}), flush=True)

@@ -1,0 +1,93 @@
+"""Multi-host (2-process) smoke test: the reference's multi-node MPI runs
+(LUMI.md: 2 nodes x 8 GCDs under srun) mapped to JAX multi-controller
+SPMD, validated on one machine with 2 processes x 4 virtual CPU devices
+(Gloo collectives). The residual trajectories must match the
+single-process 8-device runs exactly — process-count invariance on top
+of the rank-count invariance the other parallel tests pin down.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pmg_dolfinx_tpu.fem.assembly import assemble_rhs
+from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+from pmg_dolfinx_tpu.models.poisson import f_rhs
+from pmg_dolfinx_tpu.parallel.dist import DistPMG
+from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+_WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def two_process_results():
+    coord = f"localhost:{_free_port()}"
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, coord, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=os.path.dirname(_WORKER),
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        if p.returncode != 0:
+            pytest.fail(f"worker rc={p.returncode}:\n{out[-2000:]}"
+                        f"\n{err[-4000:]}")
+        outs.append(out)
+    results = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert line, out
+        results.append(json.loads(line[-1][len("RESULT "):]))
+    return results
+
+
+def test_two_processes_match_each_other(two_process_results):
+    r0, r1 = sorted(two_process_results, key=lambda r: r["pid"])
+    assert np.allclose(r0["rn_dist"], r1["rn_dist"], rtol=1e-12)
+    assert np.allclose(r0["rn_grid"], r1["rn_grid"], rtol=1e-12)
+    assert np.isclose(r0["u_d_norm"], r1["u_d_norm"], rtol=1e-12)
+
+
+def test_two_processes_match_single_process(two_process_results):
+    """Process-count invariance: 2 procs x 4 devices == 1 proc x 8."""
+    r0 = two_process_results[0]
+    kappa = 2.0
+    mesh = BoxMesh((8, 4, 4))
+    b = assemble_rhs(mesh, 3, f_rhs(kappa))
+    dist = DistPMG(mesh, n_devices=8, degrees=(1, 3), kappa=kappa,
+                   coarse="fdm", operator="kron")
+    u_d, rn_dist = dist.solve(b, num_cycles=5)
+    assert np.allclose(r0["rn_dist"], rn_dist, rtol=1e-10), (
+        r0["rn_dist"], rn_dist)
+    assert np.isclose(r0["u_d_norm"],
+                      float(np.linalg.norm(np.asarray(u_d))), rtol=1e-10)
+
+    mesh_g = BoxMesh((4, 4, 4))
+    b_g = assemble_rhs(mesh_g, 3, f_rhs(kappa))
+    grid = GridPMG(mesh_g, shards=(2, 2, 2), degrees=(1, 3), kappa=kappa,
+                   coarse="cg")
+    u_g, rn_grid = grid.solve(b_g, num_cycles=5)
+    assert np.allclose(r0["rn_grid"], rn_grid, rtol=1e-10), (
+        r0["rn_grid"], rn_grid)
