@@ -18,16 +18,18 @@ import jax.numpy as jnp
 # -- single device ------------------------------------------------------
 
 def inner_product(u, v):
-    return jnp.vdot(u, v)
+    """Real dot product; shape-agnostic (lattice-shaped vectors reduce
+    without a relayout, unlike vdot's ravel on some layouts)."""
+    return jnp.sum(u * v)
 
 
 def squared_norm(u):
-    return jnp.vdot(u, u)
+    return inner_product(u, u)
 
 
 def norm(u, kind="l2"):
     if kind == "l2":
-        return jnp.sqrt(jnp.vdot(u, u))
+        return jnp.sqrt(squared_norm(u))
     if kind == "linf":
         return jnp.max(jnp.abs(u))
     raise ValueError(kind)

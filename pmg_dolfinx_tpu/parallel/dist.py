@@ -34,6 +34,7 @@ from ..fem.geometry import (
     tabulate_geometry_dphi,
 )
 from ..fem.gll import derivative_matrix, interpolation_matrix_1d
+from ..ops.blas import dist_inner_product
 from ..ops.interpolate import prolongate, restrict
 from ..ops.laplacian import laplacian_scatter_raw
 from ..solvers.cg import cg_solve
@@ -104,7 +105,7 @@ def dist_cycle_ops(n_shards):
         )
 
     def dot(u, v, lv):
-        return jax.lax.psum(jnp.sum(u * v * lv["weights"]), AXIS)
+        return dist_inner_product(u, v, lv["weights"], AXIS)
 
     def pvary(v):
         return pcast_varying(v, (AXIS,))
@@ -155,7 +156,7 @@ def dist_kron_cycle_ops(n_shards, precision="highest"):
         )
 
     def dot(u, v, lv):
-        return jax.lax.psum(jnp.sum(u * v * lv["weights"]), AXIS)
+        return dist_inner_product(u, v, lv["weights"], AXIS)
 
     def pvary(v):
         return pcast_varying(v, (AXIS,))
@@ -206,7 +207,7 @@ def dist_lattice_cycle_ops(n_shards, precision="highest"):
         )
 
     def dot(u, v, lv):
-        return jax.lax.psum(jnp.sum(u * v * lv["weights"]), AXIS)
+        return dist_inner_product(u, v, lv["weights"], AXIS)
 
     def pvary(v):
         return pcast_varying(v, (AXIS,))

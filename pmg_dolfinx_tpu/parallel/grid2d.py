@@ -27,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..fem.mesh import BoxMesh
+from ..ops.blas import dist_inner_product
 from ..solvers.cg import cg_solve
 from ..solvers.pmg import (
     DEFAULT_CALIBRATION_ITERS,
@@ -225,7 +226,7 @@ def grid_kron_cycle_ops(shards, precision="highest"):
     def dot(u, v, lv):
         # psum over ALL mesh axes (size-1 axes are free) so results are
         # replicated w.r.t. every axis — keeps vma tracking consistent.
-        return jax.lax.psum(jnp.sum(u * v * lv["weights"]), AXES)
+        return dist_inner_product(u, v, lv["weights"], AXES)
 
     def pvary(v):
         return pcast_varying(v, AXES)

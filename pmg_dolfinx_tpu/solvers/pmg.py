@@ -43,6 +43,7 @@ from ..fem.geometry import (
     tabulate_geometry_dphi,
 )
 from ..fem.gll import derivative_matrix, interpolation_matrix_1d
+from ..ops.blas import inner_product
 from ..ops.interpolate import prolongate, restrict
 from ..ops.laplacian import laplacian_apply, laplacian_diagonal
 from .cg import cg_solve
@@ -116,7 +117,7 @@ def default_cycle_ops():
         prolong=lambda tr, u, level_c, level_f: prolongate(
             u, tr["dofmap_c"], tr["dofmap_f"], tr["M1"], level_f.ndofs
         ),
-        dot=lambda u, v, lv: jnp.vdot(u, v),
+        dot=lambda u, v, lv: inner_product(u, v),
         # Marks freshly created arrays as device-varying under shard_map
         # (vma tracking); identity on a single device.
         pvary=lambda v: v,
@@ -151,7 +152,7 @@ def kron_cycle_ops(precision="highest"):
         prolong=lambda tr, u, level_c, level_f: lattice_prolongate(
             u, (tr["Ix"], tr["Iy"], tr["Iz"]), level_c.shape, precision
         ),
-        dot=lambda u, v, lv: jnp.sum(u * v),
+        dot=lambda u, v, lv: inner_product(u, v),
         pvary=lambda v: v,
         zeros=lambda level, dtype: jnp.zeros(level.shape, dtype=dtype),
     )
@@ -181,7 +182,7 @@ def lattice_cycle_ops(precision="highest"):
         prolong=lambda tr, u, level_c, level_f: lattice_prolongate(
             u, (tr["Ix"], tr["Iy"], tr["Iz"]), level_c.shape, precision
         ),
-        dot=lambda u, v, lv: jnp.vdot(u, v),
+        dot=lambda u, v, lv: inner_product(u, v),
         pvary=lambda v: v,
     )
 
