@@ -65,20 +65,25 @@ def _measure(run, lo, hi, min_samples=7):
 
 
 def _bench_size(nc, lo, hi):
+    """Benchmark BOTH production kernels (XLA symmetrized kron and the
+    blocked fused Pallas kernels) at this size; return the best plus the
+    per-kernel detail."""
     from pmg_dolfinx_tpu.fem.mesh import BoxMesh
     from pmg_dolfinx_tpu.ops.kron import KronLaplacian, kron_laplacian_apply
+    from pmg_dolfinx_tpu.ops.pallas_kron_blocked import PallasKronBlocked
 
     P = 6
     mesh = BoxMesh((nc, nc, nc))
     nd = mesh.num_dofs(P)
     op = KronLaplacian(mesh, P, kappa=2.0, dtype=jnp.float32,
                        precision="highest")
+    blk = PallasKronBlocked(mesh, P, kappa=2.0)
     shape = mesh.lattice_shape(P)
     x3 = jnp.ones(shape, dtype=jnp.float32)
     bc3 = op.bc_marker.reshape(shape)
 
     @partial(jax.jit, static_argnums=(4,))
-    def chain(x, Ks, ms, bc, reps):
+    def chain_xla(x, Ks, ms, bc, reps):
         def body(i, v):
             # Data-dependent perturbation prevents loop-invariant hoisting;
             # 1e-30 underflows against O(1) values so the input stays x.
@@ -87,18 +92,28 @@ def _bench_size(nc, lo, hi):
             )
         return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
 
-    def run(reps):
-        return float(chain(x3, op.Ks, op.ms, bc3, reps))
+    @partial(jax.jit, static_argnums=(1,))
+    def chain_blk(x, reps):
+        def body(i, v):
+            return blk._apply_impl(x + 1e-30 * v)
+        return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
 
-    per_apply, spread = _measure(run, lo, hi)
-    return nd, nd / per_apply / 1e9, spread
+    detail = {}
+    for name, run in (
+        ("xla", lambda r: float(chain_xla(x3, op.Ks, op.ms, bc3, r))),
+        ("pallas_blocked", lambda r: float(chain_blk(x3, r))),
+    ):
+        per_apply, spread = _measure(run, lo, hi)
+        detail[name] = (nd / per_apply / 1e9, spread)
+    best = max(detail, key=lambda k: detail[k][0])
+    return nd, detail[best][0], detail[best][1], best, detail
 
 
 def main():
     # 2.05M dofs: enough reps that the slope dwarfs tunnel jitter.
-    nd_s, gdofs_s, spread_s = _bench_size(21, 200, 1000)
-    # 16.2M dofs: ~1.5 ms/apply, fewer reps needed.
-    nd_l, gdofs_l, spread_l = _bench_size(42, 20, 100)
+    nd_s, gdofs_s, spread_s, kern_s, det_s = _bench_size(21, 200, 1000)
+    # 16.2M dofs: ~1.2 ms/apply, fewer reps needed.
+    nd_l, gdofs_l, spread_l, kern_l, det_l = _bench_size(42, 20, 100)
     print(
         json.dumps(
             {
@@ -109,9 +124,15 @@ def main():
                 "spread": round(spread_s, 3),
                 "extra": {
                     "ndofs": nd_s,
+                    "kernel": kern_s,
                     "gdofs_16M": round(gdofs_l, 3),
                     "ndofs_16M": nd_l,
                     "spread_16M": round(spread_l, 3),
+                    "kernel_16M": kern_l,
+                    "per_kernel_2M": {k: round(v[0], 2)
+                                      for k, v in det_s.items()},
+                    "per_kernel_16M": {k: round(v[0], 2)
+                                       for k, v in det_l.items()},
                 },
             }
         )

@@ -13,7 +13,9 @@ def base_parser(description):
                    help="target number of dofs (global)")
     p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
-    p.add_argument("--operator", choices=["kron", "lattice", "dofmap"],
+    p.add_argument("--operator",
+                   choices=["kron", "lattice", "dofmap",
+                            "pallas_blocked"],
                    default="kron", help="kernel backend")
     p.add_argument("--kappa", type=float, default=2.0)
     return p

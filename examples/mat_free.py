@@ -47,6 +47,9 @@ def main():
 
         op = KronLaplacian(mesh, args.degree, kappa=args.kappa, dtype=dtype,
                            precision=args.precision)
+        # Lattice-shaped carrier: the TPU-native layout (see ops/kron.py).
+        x3 = x.reshape(mesh.lattice_shape(args.degree))
+        bc3 = op.bc_marker.reshape(x3.shape)
 
         @partial(jax.jit, static_argnums=(4,))
         def chain(x, Ks, ms, bc, reps):
@@ -57,7 +60,21 @@ def main():
             return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
 
         def run(reps):
-            return float(chain(x, op.Ks, op.ms, op.bc_marker, reps))
+            return float(chain(x3, op.Ks, op.ms, bc3, reps))
+    elif args.operator == "pallas_blocked":
+        from pmg_dolfinx_tpu.ops.pallas_kron_blocked import PallasKronBlocked
+
+        op = PallasKronBlocked(mesh, args.degree, kappa=args.kappa)
+        x3 = x.reshape(mesh.lattice_shape(args.degree))
+
+        @partial(jax.jit, static_argnums=(1,))
+        def chain(x, reps):
+            def body(i, v):
+                return op._apply_impl(x + 1e-30 * v)
+            return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
+
+        def run(reps):
+            return float(chain(x3, reps))
     elif args.operator == "lattice":
         op = LatticeLaplacian(mesh, args.degree, kappa=args.kappa, dtype=dtype,
                               precision=args.precision)
