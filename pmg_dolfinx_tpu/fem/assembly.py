@@ -181,6 +181,21 @@ def stiffness_diagonal_np(mesh: BoxMesh, P: int, kappa=1.0) -> np.ndarray:
     return out
 
 
+def l2_error_collocated(mesh: BoxMesh, P: int, u_h: np.ndarray,
+                        u_exact) -> float:
+    """L2 error with the collocated GLL rule — valid on ANY mesh
+    (general hexes included): err^2 = sum_cq w_q detJ_cq (u_h - u_e)^2
+    at the physical dof points. Less accurate than `l2_error`'s
+    Gauss-Legendre rule but geometry-general."""
+    _, detJ = geometry_factors_np(mesh, P)
+    w = quadrature_weights_3d(P)
+    dofmap = mesh.dofmap(P)
+    coords = mesh.dof_coords(P)[dofmap]  # (ncells, nld, 3)
+    ue = u_exact(coords.reshape(-1, 3).T).reshape(dofmap.shape)
+    diff = np.asarray(u_h)[dofmap] - ue
+    return float(np.sqrt(np.sum(w[None, :] * detJ * diff**2)))
+
+
 def l2_error(mesh: BoxMesh, P: int, u_h: np.ndarray, u_exact, nq: int | None = None) -> float:
     """Accurate L2 norm of ``u_h - u_exact`` via Gauss-Legendre quadrature.
 

@@ -172,13 +172,98 @@ class BoxMesh:
         (x slowest, z fastest). DG-0 coefficient fields are sampled here —
         the analogue of the reference interpolating a coefficient into a
         degree-0 DG space (examples/pmg/main.cpp:253-257)."""
-        nx, ny, nz = self.nc
-        hx, hy, hz = self.h
-        X = (np.arange(nx) + 0.5) * hx
-        Y = (np.arange(ny) + 0.5) * hy
-        Z = (np.arange(nz) + 0.5) * hz
-        pts = np.stack(np.meshgrid(X, Y, Z, indexing="ij"), axis=-1)
-        return pts.reshape(-1, 3)
+        # Q1-map midpoint = mean of the 8 cell corners (exact for the
+        # trilinear geometry; reduces to (i+1/2)h on the axis-aligned box).
+        return self.geometry_x[self.geometry_dofmap].mean(axis=1)
+
+    # True when every cell Jacobian is diagonal-constant (the Kronecker /
+    # FDM fast paths require this; general hexes use the lattice/dofmap
+    # backends).
+    is_axis_aligned = True
 
     def __repr__(self):
         return f"BoxMesh(nc={self.nc}, extent={self.extent})"
+
+
+def require_axis_aligned(mesh, what: str):
+    """Guard for the Kronecker/FDM fast paths (diagonal-Jacobian only)."""
+    if not getattr(mesh, "is_axis_aligned", True):
+        raise ValueError(
+            f"{what} requires an axis-aligned BoxMesh (diagonal Jacobians);"
+            " use the 'lattice' or 'dofmap' backend for general hexes"
+        )
+
+
+def default_warp(amplitude=0.08):
+    """Smooth interior-bubble displacement field vanishing on the unit
+    cube's boundary — deforms every interior cell into a genuine
+    (non-affine) hexahedron while the domain stays EXACTLY the unit cube
+    (boundary faces keep all four corners on the face, and trilinear
+    interpolation keeps them planar)."""
+
+    def warp(x):
+        bx = np.sin(np.pi * x[0])
+        by = np.sin(np.pi * x[1])
+        bz = np.sin(np.pi * x[2])
+        b = bx * by * bz
+        return amplitude * np.stack([
+            b * np.cos(np.pi * x[1]),
+            b * np.cos(np.pi * x[2]),
+            b * np.cos(np.pi * x[0]),
+        ])
+
+    return warp
+
+
+class PerturbedBoxMesh(BoxMesh):
+    """Structured-topology mesh with smoothly displaced vertices:
+    trilinear (Q1) GENERAL hexahedral cells.
+
+    Exercises the full geometry pipeline (non-diagonal Jacobians, all 6
+    G entries) and the general operator backends ('lattice', 'dofmap') —
+    the mesh class the reference cannot distinguish from `create_box`
+    output since DOLFINx always stores general Q1 coordinates. The
+    Kronecker/FDM fast paths reject it (``is_axis_aligned = False``).
+
+    ``warp(x[(3, npts)]) -> displacement[(3, npts)]`` is applied to the
+    corner vertices only; higher-order dof coordinates follow the Q1
+    geometry map (isoparametric-Q1, like the reference's coordinate
+    element, src/mesh.hpp:76-84).
+    """
+
+    is_axis_aligned = False
+
+    def __init__(self, nc, extent=(1.0, 1.0, 1.0), warp=None):
+        super().__init__(nc, extent)
+        self._warp = warp if warp is not None else default_warp()
+
+    @lru_cache(maxsize=1)
+    def _geometry_x(self):
+        base = super()._geometry_x()
+        disp = np.asarray(self._warp(base.T), dtype=np.float64).T
+        out = base + disp
+        out.setflags(write=False)
+        return out
+
+    @lru_cache(maxsize=None)
+    def dof_coords(self, P: int) -> np.ndarray:
+        """Dof coordinates through the Q1 geometry map (per-cell trilinear
+        interpolation of the displaced corners at reference GLL points;
+        consistent across shared faces)."""
+        xg, _ = gauss_lobatto(P + 1)
+        n = P + 1
+        # Q1 shape functions at the (P+1)^3 reference points, tensor form:
+        # corners ordered (i*2+j)*2+k to match geometry_dofmap.
+        phi1 = np.stack([1.0 - xg, xg], axis=1)  # (n, 2)
+        N = np.einsum("qa,rb,sc->qrsabc", phi1, phi1, phi1).reshape(
+            n**3, 8
+        )
+        corners = self.geometry_x[self.geometry_dofmap]  # (ncells, 8, 3)
+        coords_cells = np.einsum("qa,caD->cqD", N, corners)
+        out = np.zeros((self.num_dofs(P), 3))
+        out[self.dofmap(P).ravel()] = coords_cells.reshape(-1, 3)
+        out.setflags(write=False)
+        return out
+
+    def __repr__(self):
+        return f"PerturbedBoxMesh(nc={self.nc}, extent={self.extent})"

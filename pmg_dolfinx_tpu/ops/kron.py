@@ -121,6 +121,9 @@ class KronLaplacian:
     """
 
     def __init__(self, mesh, P, kappa=2.0, dtype=jnp.float32, precision="highest"):
+        from ..fem.mesh import require_axis_aligned
+
+        require_axis_aligned(mesh, "KronLaplacian")
         self.P = int(P)
         self.mesh = mesh
         self.dtype = dtype

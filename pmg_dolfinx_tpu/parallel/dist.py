@@ -246,7 +246,12 @@ class DistPMG:
         self.mesh = mesh
         self.degrees = tuple(int(p) for p in degrees)
         from ..fem.assembly import resolve_kappa
+        from ..fem.mesh import require_axis_aligned
 
+        if operator == "kron":
+            require_axis_aligned(mesh, "DistPMG operator='kron'")
+        if coarse in ("fdm", "hmg"):
+            require_axis_aligned(mesh, f"coarse='{coarse}'")
         self.kappa_cells, _kconst = resolve_kappa(mesh, kappa)
         self.kappa = float(self.kappa_cells[0]) if _kconst else None
         if not _kconst:

@@ -262,7 +262,9 @@ class GridPMG:
         self.mesh = mesh
         self.degrees = tuple(int(p) for p in degrees)
         from ..fem.assembly import resolve_kappa
+        from ..fem.mesh import require_axis_aligned
 
+        require_axis_aligned(mesh, "GridPMG (kron backend)")
         kappa_cells, _kconst = resolve_kappa(mesh, kappa)
         if not _kconst:
             raise ValueError(

@@ -84,6 +84,9 @@ class FastDiagonalizationSolver:
     """
 
     def __init__(self, mesh, P, kappa=2.0, dtype=jnp.float32, precision="highest"):
+        from ..fem.mesh import require_axis_aligned
+
+        require_axis_aligned(mesh, "FastDiagonalizationSolver")
         self.mesh = mesh
         self.P = int(P)
         self.dtype = dtype

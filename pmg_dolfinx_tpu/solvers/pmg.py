@@ -362,7 +362,12 @@ class PMGHierarchy:
         'direct'} (FDM/h-MG coarse data is built constant-coefficient).
         """
         from ..fem.assembly import resolve_kappa
+        from ..fem.mesh import require_axis_aligned
 
+        if operator == "kron":
+            require_axis_aligned(mesh, "operator='kron'")
+        if coarse in ("fdm", "hmg"):
+            require_axis_aligned(mesh, f"coarse='{coarse}'")
         self.mesh = mesh
         self.degrees = tuple(int(p) for p in degrees)
         self.kappa_cells, kappa_const = resolve_kappa(mesh, kappa)
