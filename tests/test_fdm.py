@@ -94,3 +94,32 @@ def test_fdm_preconditions_variable_coefficient():
     dinv = jnp.asarray(1.0 / stiffness_diagonal_np(mesh, P, float(kappa_c.mean())))
     _, info_j = cg_solve(A, b, jnp.zeros_like(b), dinv, rtol=1e-10, maxiter=200)
     assert int(info_j["niter"]) > 2 * niter
+
+
+def test_fdm_preconditions_deformed_mesh():
+    """FDM on the underlying axis-aligned box as FCG preconditioner for
+    the DEFORMED-hex operator (the mildly-deformed use advertised in
+    solvers/fdm.py): converges in O(10) iterations to the scipy direct
+    solution."""
+    import scipy.sparse.linalg as spla
+
+    from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh, default_warp
+    from pmg_dolfinx_tpu.ops.lattice import LatticeLaplacian
+    from pmg_dolfinx_tpu.solvers.cg import fcg_solve
+
+    nc, P, kappa = (6, 6, 6), 3, 2.0
+    mesh = PerturbedBoxMesh(nc, warp=default_warp(0.05))
+    box = BoxMesh(nc)
+    A = LatticeLaplacian(mesh, P, kappa=kappa, dtype=jnp.float64,
+                         precision="highest")
+    fdm = FastDiagonalizationSolver(box, P, kappa=kappa, dtype=jnp.float64)
+    b = assemble_rhs(mesh, P, f_rhs(kappa))
+    u, info = fcg_solve(
+        A, jnp.asarray(b), jnp.zeros_like(jnp.asarray(b)), fdm.solve,
+        rtol=1e-12, maxiter=60,
+    )
+    niter = int(info["niter"])
+    assert niter < 25, niter
+    A_sp = assemble_stiffness(mesh, P, kappa=kappa)
+    u_ref = spla.spsolve(A_sp.tocsc(), b)
+    assert np.allclose(np.asarray(u), u_ref, atol=1e-8)
