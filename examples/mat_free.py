@@ -22,7 +22,8 @@ def main():
     p.add_argument("--mat_comp", action="store_true",
                    help="verify against the assembled CSR oracle (hosts a "
                         "dense-per-cell assembly; use moderate --ndofs)")
-    p.add_argument("--precision", choices=["highest", "default"],
+    p.add_argument("--precision",
+                   choices=["highest", "high", "default"],
                    default="highest")
     args = p.parse_args()
     dtype = setup_jax(args)
