@@ -2,13 +2,14 @@
 
 Launched twice by tests/test_multihost.py:
 
-    python multihost_worker.py <coordinator> <nprocs> <pid>
+    python multihost_worker.py <coordinator> <nprocs> <pid> <out_json>
 
 Each process brings up 4 virtual CPU devices (8 global), builds the SAME
-DistPMG / GridPMG solves as the single-process tests, and prints one
-JSON line of residual norms for the parent to compare — rank-count AND
+DistPMG / GridPMG solves as the single-process tests, and writes one
+JSON file of residual norms for the parent to compare — rank-count AND
 process-count invariance (the reference's multi-node `srun` contract,
-SURVEY.md §4, validated without a cluster).
+SURVEY.md §4, validated without a cluster). Results go to a file (not
+stdout) so interleaved runtime log output cannot corrupt them.
 """
 
 import json
@@ -19,6 +20,7 @@ sys.path.insert(0, sys.path[0] + "/..")
 from pmg_dolfinx_tpu.parallel.multihost import initialize  # noqa: E402
 
 coordinator, nprocs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+out_path = sys.argv[4]
 initialize(coordinator_address=coordinator, num_processes=nprocs,
            process_id=pid, local_device_count=4)
 
@@ -51,10 +53,11 @@ grid = GridPMG(mesh_g, shards=(2, 2, 2), degrees=(1, 3), kappa=kappa,
                coarse="cg")
 u_g, rn_grid = grid.solve(b_g, num_cycles=5)
 
-print("RESULT " + json.dumps({
-    "pid": pid,
-    "rn_dist": rn_dist,
-    "rn_grid": rn_grid,
-    "u_d_norm": float((u_d ** 2).sum() ** 0.5),
-    "u_g_norm": float((u_g ** 2).sum() ** 0.5),
-}), flush=True)
+with open(out_path, "w") as f:
+    json.dump({
+        "pid": pid,
+        "rn_dist": rn_dist,
+        "rn_grid": rn_grid,
+        "u_d_norm": float((u_d ** 2).sum() ** 0.5),
+        "u_g_norm": float((u_g ** 2).sum() ** 0.5),
+    }, f)

@@ -31,19 +31,20 @@ def _free_port():
 
 
 @pytest.fixture(scope="module")
-def two_process_results():
+def two_process_results(tmp_path_factory):
     coord = f"localhost:{_free_port()}"
     env = {k: v for k, v in os.environ.items()
            if not k.startswith(("JAX_", "XLA_"))}
+    outdir = tmp_path_factory.mktemp("multihost")
+    out_paths = [str(outdir / f"result_{pid}.json") for pid in range(2)]
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, coord, "2", str(pid)],
+            [sys.executable, _WORKER, coord, "2", str(pid), out_paths[pid]],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env, cwd=os.path.dirname(_WORKER),
         )
         for pid in range(2)
     ]
-    outs = []
     for p in procs:
         try:
             out, err = p.communicate(timeout=900)
@@ -54,12 +55,10 @@ def two_process_results():
         if p.returncode != 0:
             pytest.fail(f"worker rc={p.returncode}:\n{out[-2000:]}"
                         f"\n{err[-4000:]}")
-        outs.append(out)
     results = []
-    for out in outs:
-        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
-        assert line, out
-        results.append(json.loads(line[-1][len("RESULT "):]))
+    for path in out_paths:
+        with open(path) as f:
+            results.append(json.load(f))
     return results
 
 
