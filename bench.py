@@ -78,6 +78,7 @@ def _bench_size(nc, lo, hi):
     op = KronLaplacian(mesh, P, kappa=2.0, dtype=jnp.float32,
                        precision="highest")
     blk = PallasKronBlocked(mesh, P, kappa=2.0)
+    blk_hi = PallasKronBlocked(mesh, P, kappa=2.0, precision="high")
     shape = mesh.lattice_shape(P)
     x3 = jnp.ones(shape, dtype=jnp.float32)
     bc3 = op.bc_marker.reshape(shape)
@@ -98,14 +99,25 @@ def _bench_size(nc, lo, hi):
             return blk._apply_impl(x + 1e-30 * v)
         return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
 
+    @partial(jax.jit, static_argnums=(1,))
+    def chain_blk_hi(x, reps):
+        def body(i, v):
+            return blk_hi._apply_impl(x + 1e-30 * v)
+        return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
+
     detail = {}
     for name, run in (
         ("xla", lambda r: float(chain_xla(x3, op.Ks, op.ms, bc3, r))),
         ("pallas_blocked", lambda r: float(chain_blk(x3, r))),
+        # bf16x3 matmuls (~1e-5 error): the preconditioner-apply mode,
+        # reported for visibility but NOT eligible for the headline
+        # (the headline stays true-f32, ~1e-7 vs the f64 oracle).
+        ("pallas_blocked_bf16x3", lambda r: float(chain_blk_hi(x3, r))),
     ):
         per_apply, spread = _measure(run, lo, hi)
         detail[name] = (nd / per_apply / 1e9, spread)
-    best = max(detail, key=lambda k: detail[k][0])
+    exact = [k for k in detail if k != "pallas_blocked_bf16x3"]
+    best = max(exact, key=lambda k: detail[k][0])
     return nd, detail[best][0], detail[best][1], best, detail
 
 

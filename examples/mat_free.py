@@ -62,10 +62,11 @@ def main():
 
         def run(reps):
             return float(chain(x3, op.Ks, op.ms, bc3, reps))
-    elif args.operator == "pallas_blocked":
+    elif args.operator in ("pallas_blocked", "kron_blocked"):
         from pmg_dolfinx_tpu.ops.pallas_kron_blocked import PallasKronBlocked
 
-        op = PallasKronBlocked(mesh, args.degree, kappa=args.kappa)
+        op = PallasKronBlocked(mesh, args.degree, kappa=args.kappa,
+                               precision=args.precision)
         x3 = x.reshape(mesh.lattice_shape(args.degree))
 
         @partial(jax.jit, static_argnums=(1,))

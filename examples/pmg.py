@@ -38,6 +38,11 @@ def main():
                         "matvec cost; combine with --refined for f64")
     p.add_argument("--output", type=str, default=None,
                    help="write solution to this file (.npz or .vtk)")
+    p.add_argument("--precision", choices=["highest", "high"],
+                   default="highest",
+                   help="'high' = bf16x3 matmuls inside the V-cycle "
+                        "(~1e-5 operator error, faster; convergence of the "
+                        "refined/pcg outer loops is unaffected)")
     p.add_argument("--kappa-field", choices=["const", "linear"],
                    default="const",
                    help="'linear': variable coefficient kappa(x)=1+x "
@@ -66,7 +71,7 @@ def main():
     kappa, f = args.kappa, None
     if args.kappa_field == "linear":
         kappa, f = kappa_linear, f_rhs_variable()
-        if args.operator == "kron":
+        if args.operator in ("kron", "kron_blocked"):
             args.operator = "lattice"
             print("variable kappa: switching operator backend to 'lattice'")
 
@@ -74,6 +79,7 @@ def main():
         prob = PoissonProblem(
             nc=nc, degrees=tuple(args.degrees), kappa=kappa, dtype=dtype,
             coarse=args.coarse, operator=args.operator, f=f,
+            precision=args.precision,
         )
     ndofs = [prob.mesh.num_dofs(P) for P in args.degrees]
     print("hierarchy:", " -> ".join(f"p={P}: {n}" for P, n in zip(args.degrees, ndofs)))

@@ -13,9 +13,14 @@ matmul pipelines (in the XLA path they are separate HBM passes):
   to an x-slab; blocks are ``(Bx, NY, NZ)``.
 
 ``w = bc_mask(x) * s3`` is recomputed per kernel from x (cheaper than a
-round-trip). All matmuls run at HIGHEST precision. Per-apply HBM
-traffic: 2 reads of x/bc + 1 write/read of out1 + 1 write of out
-(~360 MB at 16M dofs) vs ~6-8 lattice passes for the unfused XLA path.
+round-trip). Matmul precision is selectable: 'highest' (default,
+true-f32 via 6-pass bf16 decomposition, ~1e-7 error vs the f64 oracle)
+or 'high' (3-pass bf16x3, ~1e-5 error — the right trade for
+*preconditioner* applies inside V-cycles, where the outer residual is
+recomputed exactly anyway; see PMGHierarchy(precision='high')).
+Per-apply HBM traffic: 2 reads of x/bc + 1 write/read of out1 + 1 write
+of out (~360 MB at 16M dofs) vs ~6-8 lattice passes for the unfused XLA
+path.
 
 Block shapes use full array extents on the minor dims (Mosaic handles
 the physical 128-lane padding), so NO host-side pad/unpad copies are
@@ -32,7 +37,7 @@ Reference analogue: the tiled shared-memory stiffness kernel
 (src/laplacian.hpp:143-278), restructured for the MXU + VMEM hierarchy.
 """
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -40,10 +45,30 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HI = jax.lax.Precision.HIGHEST
+def _split_bf16(a):
+    """Split f32 into (hi, lo) bf16 parts with a + err == hi + lo."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
-def _kernel_t1(x_ref, bc_ref, Ktx_ref, sxz_ref, out_ref):
+_DOT = partial(jnp.dot, preferred_element_type=jnp.float32)
+
+
+def _dot3(a_split, b_split):
+    """bf16x3 matmul: 3 single-pass MXU dots with f32 accumulation.
+
+    Drops only the lo*lo term (the XLA `Precision.HIGH` decomposition,
+    ~1e-5 relative error on O(1) data). Mosaic does not lower
+    `precision=HIGH` itself, so the split is done explicitly; operands
+    arrive pre-split so loop-invariant matrices split once per block.
+    """
+    a_hi, a_lo = a_split
+    b_hi, b_lo = b_split
+    return _DOT(a_hi, b_hi) + (_DOT(a_hi, b_lo) + _DOT(a_lo, b_hi))
+
+
+def _kernel_t1(x_ref, bc_ref, Ktx_ref, sxz_ref, out_ref, *, high):
     # block (NX, By, NZ): full x extent, y-slab. The sy factor commutes
     # with the x-contraction (pointwise in y), so this kernel computes
     # t1' = Ktx @ (mask(x) * sx (x) sz) and kernel 2 applies sy. The
@@ -51,16 +76,20 @@ def _kernel_t1(x_ref, bc_ref, Ktx_ref, sxz_ref, out_ref):
     # broadcast 1-D vectors along major dims).
     Ktx = Ktx_ref[:]
     sxz = sxz_ref[:]
+    if high:
+        Ktx_split = _split_bf16(Ktx)  # loop-invariant: split once
     By = x_ref.shape[1]
     for j in range(By):  # By small; per-plane (NX,NX)@(NX,NZ) MXU dots
         w1j = jnp.where(bc_ref[:, j, :], 0.0, x_ref[:, j, :]) * sxz
-        out_ref[:, j, :] = jnp.dot(Ktx, w1j,
-                                   preferred_element_type=jnp.float32,
-                                   precision=HI)
+        if high:
+            out_ref[:, j, :] = _dot3(Ktx_split, _split_bf16(w1j))
+        else:
+            out_ref[:, j, :] = _DOT(Ktx, w1j,
+                                    precision=jax.lax.Precision.HIGHEST)
 
 
 def _kernel_t23(x_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
-                sycol_ref, s23_ref, out_ref):
+                sycol_ref, s23_ref, out_ref, *, high):
     # block (Bx, NY, NZ): x-slab, full y/z extents. Per x-slice i with
     # scalar sx_i (delivered as a (Bx, 1) block):
     #   what = mask(x_i) * s23            (s23 = outer(sy, sz), 2-D input)
@@ -69,18 +98,131 @@ def _kernel_t23(x_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
     KtzT = KtzT_ref[:]
     sycol = sycol_ref[:]  # (NY, 1): lane-broadcasts over z
     s23 = s23_ref[:]
+    if high:
+        Kty_split = _split_bf16(Kty)
+        KtzT_split = _split_bf16(KtzT)
     Bx = x_ref.shape[0]
     for i in range(Bx):
         xi = x_ref[i]
         bci = bc_ref[i]
         sxi = sx2_ref[i, 0]
         what = jnp.where(bci, 0.0, xi) * s23
-        t2 = jnp.dot(Kty, what, preferred_element_type=jnp.float32,
-                     precision=HI)
-        t3 = jnp.dot(what, KtzT, preferred_element_type=jnp.float32,
-                     precision=HI)
+        if high:
+            what_split = _split_bf16(what)  # shared by t2 and t3
+            t2 = _dot3(Kty_split, what_split)
+            t3 = _dot3(what_split, KtzT_split)
+        else:
+            t2 = _DOT(Kty, what, precision=jax.lax.Precision.HIGHEST)
+            t3 = _DOT(what, KtzT, precision=jax.lax.Precision.HIGHEST)
         yi = (sycol * t1_ref[i] + sxi * (t2 + t3)) * (sxi * s23)
         out_ref[i] = jnp.where(bci, xi, yi)
+
+
+def symmetrized_mats(Ks, ms, dtype=jnp.float32):
+    """Build the symmetrized-scaling arrays the blocked kernels consume.
+
+    Given per-axis stiffness ``Ks`` and (diagonal, GLL-lumped) mass ``ms``
+    the Kronecker-sum apply factorizes as ``S (Kt-contractions) S`` with
+    ``S = diag(sx (x) sy (x) sz)``, ``Kt_a = K_a / (s_a s_a^T)`` — the
+    symmetric form needs one scale plane per kernel instead of three 1-D
+    broadcasts (which Mosaic cannot do along major dims). Computed in
+    float64 and cast once.
+    """
+    Ks64 = [np.asarray(K, np.float64) for K in Ks]
+    ms64 = [np.asarray(m, np.float64) for m in ms]
+    ss = [np.sqrt(m) for m in ms64]
+    Kts = [K / s[:, None] / s[None, :] for K, s in zip(Ks64, ss)]
+    return dict(
+        Ktx=jnp.asarray(Kts[0], dtype),
+        Kty=jnp.asarray(Kts[1], dtype),
+        KtzT=jnp.asarray(Kts[2].T.copy(), dtype),
+        sx2d=jnp.asarray(ss[0][:, None], dtype),            # (NX, 1)
+        sxz=jnp.asarray(np.outer(ss[0], ss[2]), dtype),
+        sycol=jnp.asarray(ss[1][:, None], dtype),            # (NY, 1)
+        s23=jnp.asarray(np.outer(ss[1], ss[2]), dtype),
+    )
+
+
+def _clamp_blocks(shape, by, bx):
+    """Clamp slab sizes to the lattice extents. Mosaic requires the
+    2nd-to-last block dim to be a multiple of 8 or the full extent, so
+    ``by`` snaps down to a multiple of 8 when it isn't the whole of NY."""
+    NX, NY, NZ = shape
+    by = min(by, NY)
+    if by != NY and by % 8:
+        by = max(8 * (by // 8), 8) if NY >= 8 else NY
+    bx = min(bx or 8, NX)
+    return by, bx
+
+
+@lru_cache(maxsize=None)
+def _build_calls(shape, by, bx, high, interpret):
+    """The two pallas_calls for a given lattice shape + block config.
+
+    Cached so cycle-ops can call `blocked_kron_apply` freely: rebuilding
+    the pallas_call objects at every trace would re-trace the kernels.
+    """
+    NX, NY, NZ = shape
+    vmem = 64 * 1024 * 1024
+    # Fixed slab sizes with cdiv grids: edge blocks are partial, which
+    # is safe here because every y-slice (kernel 1) / x-slice (kernel 2)
+    # is computed independently and out-of-bounds rows are masked on the
+    # (blocked) output write.
+    t1 = pl.pallas_call(
+        partial(_kernel_t1, high=high),
+        grid=(pl.cdiv(NY, by),),
+        in_specs=[
+            pl.BlockSpec((NX, by, NZ), lambda j: (0, j, 0)),
+            pl.BlockSpec((NX, by, NZ), lambda j: (0, j, 0)),
+            pl.BlockSpec((NX, NX), lambda j: (0, 0)),
+            pl.BlockSpec((NX, NZ), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((NX, by, NZ), lambda j: (0, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
+        interpret=interpret,
+    )
+    t23 = pl.pallas_call(
+        partial(_kernel_t23, high=high),
+        grid=(pl.cdiv(NX, bx),),
+        in_specs=[
+            pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0)),
+            pl.BlockSpec((NY, NY), lambda i: (0, 0)),
+            pl.BlockSpec((NZ, NZ), lambda i: (0, 0)),
+            pl.BlockSpec((bx, 1), lambda i: (i, 0)),
+            pl.BlockSpec((NY, 1), lambda i: (0, 0)),
+            pl.BlockSpec((NY, NZ), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
+        interpret=interpret,
+    )
+    return t1, t23
+
+
+def blocked_kron_apply(x3, bc3, mats, *, by=8, bx=8, precision="highest",
+                       interpret=None):
+    """Functional blocked Kronecker apply on a lattice-shaped f32 vector.
+
+    ``mats`` is the dict from `symmetrized_mats`. ``interpret=None``
+    auto-selects interpret mode off-TPU (the Mosaic kernels only compile
+    for TPU; tests run them interpreted on CPU).
+    """
+    if precision not in ("highest", "high"):
+        raise ValueError(
+            f"precision must be 'highest' or 'high', got {precision!r}"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    by, bx = _clamp_blocks(x3.shape, by, bx)
+    t1c, t23c = _build_calls(tuple(x3.shape), by, bx,
+                             precision == "high", interpret)
+    t1 = t1c(x3, bc3, mats["Ktx"], mats["sxz"])
+    return t23c(x3, bc3, t1, mats["Kty"], mats["KtzT"],
+                mats["sx2d"], mats["sycol"], mats["s23"])
 
 
 class PallasKronBlocked:
@@ -91,78 +233,30 @@ class PallasKronBlocked:
     XLA path up to matmul rounding.
     """
 
-    def __init__(self, mesh, P, kappa=2.0, by=8, bx=None, interpret=False):
-        from .kron import KronLaplacian, kron_diagonal
+    def __init__(self, mesh, P, kappa=2.0, by=8, bx=None, interpret=False,
+                 precision="highest"):
+        from .kron import KronLaplacian
 
         base = KronLaplacian(mesh, P, kappa=kappa, dtype=jnp.float32)
         self.P = int(P)
         self.mesh = mesh
         self.ndofs = mesh.num_dofs(P)
         self.shape = mesh.lattice_shape(P)
-        NX, NY, NZ = self.shape
+        self.precision = precision
         self.diag = base.diag
         self.diag_inv = base.diag_inv
         self.bc3 = base.bc_marker.reshape(self.shape)
-
-        Ks64 = [np.asarray(K, np.float64) for K in base.Ks]
-        ms64 = [np.asarray(m, np.float64) for m in base.ms]
-        ss = [np.sqrt(m) for m in ms64]
-        Kts = [K / s[:, None] / s[None, :] for K, s in zip(Ks64, ss)]
-        self.Ktx = jnp.asarray(Kts[0], jnp.float32)
-        self.Kty = jnp.asarray(Kts[1], jnp.float32)
-        self.KtzT = jnp.asarray(Kts[2].T.copy(), jnp.float32)
-        self.sx2d = jnp.asarray(ss[0][:, None], jnp.float32)   # (NX, 1)
-        self.sxz = jnp.asarray(np.outer(ss[0], ss[2]), jnp.float32)
-        self.sycol = jnp.asarray(ss[1][:, None], jnp.float32)   # (NY, 1)
-        self.s23 = jnp.asarray(np.outer(ss[1], ss[2]), jnp.float32)
-
-        # Fixed slab sizes with cdiv grids: edge blocks are partial, which
-        # is safe here because every y-slice (kernel 1) / x-slice
-        # (kernel 2) is computed independently and out-of-bounds rows are
-        # masked on the (blocked) output write.
-        by = min(by, NY)
-        bx = min(bx or 8, NX)
-        self.by, self.bx = by, bx
-
-        vmem = 64 * 1024 * 1024
-        self._t1 = pl.pallas_call(
-            _kernel_t1,
-            grid=(pl.cdiv(NY, by),),
-            in_specs=[
-                pl.BlockSpec((NX, by, NZ), lambda j: (0, j, 0)),
-                pl.BlockSpec((NX, by, NZ), lambda j: (0, j, 0)),
-                pl.BlockSpec((NX, NX), lambda j: (0, 0)),
-                pl.BlockSpec((NX, NZ), lambda j: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((NX, by, NZ), lambda j: (0, j, 0)),
-            out_shape=jax.ShapeDtypeStruct(self.shape, jnp.float32),
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
-            interpret=interpret,
-        )
-        self._t23 = pl.pallas_call(
-            _kernel_t23,
-            grid=(pl.cdiv(NX, bx),),
-            in_specs=[
-                pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0)),
-                pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0)),
-                pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0)),
-                pl.BlockSpec((NY, NY), lambda i: (0, 0)),
-                pl.BlockSpec((NZ, NZ), lambda i: (0, 0)),
-                pl.BlockSpec((bx, 1), lambda i: (i, 0)),
-                pl.BlockSpec((NY, 1), lambda i: (0, 0)),
-                pl.BlockSpec((NY, NZ), lambda i: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct(self.shape, jnp.float32),
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
-            interpret=interpret,
-        )
+        self.mats = symmetrized_mats(base.Ks, base.ms)
+        self.by, self.bx = _clamp_blocks(self.shape, by, bx or 8)
+        self._interpret = interpret
         self._apply = jax.jit(self._apply_impl)
 
     def _apply_impl(self, x3):
-        t1 = self._t1(x3, self.bc3, self.Ktx, self.sxz)
-        return self._t23(x3, self.bc3, t1, self.Kty, self.KtzT,
-                         self.sx2d, self.sycol, self.s23)
+        return blocked_kron_apply(
+            x3, self.bc3, self.mats, by=self.by, bx=self.bx,
+            precision=self.precision,
+            interpret=True if self._interpret else None,
+        )
 
     def __call__(self, x):
         """Apply on a lattice-shaped (3D) or flat vector."""

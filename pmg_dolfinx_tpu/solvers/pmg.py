@@ -158,6 +158,42 @@ def kron_cycle_ops(precision="highest"):
     )
 
 
+def kron_blocked_cycle_ops(precision="highest", by=8, bx=8):
+    """V-cycle primitives whose operator applies run the blocked fused
+    Pallas kernel pair (`ops.pallas_kron_blocked`) instead of the XLA
+    einsum chain — the production choice at large N (>~8M dofs), where
+    fusing the bc-mask / symmetric scaling / term sum into the matmul
+    pipelines saves whole-lattice HBM passes (+28% apply throughput at
+    16.2M dofs, f32 'highest'; +40% with 'high' bf16x3 matmuls).
+
+    f32 only (the Mosaic kernels are f32/bf16). Transfers and dots are
+    the same XLA primitives as `kron_cycle_ops` — they are a small
+    fraction of cycle time. Off-TPU the kernels run interpreted.
+    """
+    from ..ops.lattice import lattice_prolongate, lattice_restrict
+    from ..ops.pallas_kron_blocked import blocked_kron_apply
+
+    def apply_op(lv, x, level):
+        return blocked_kron_apply(
+            x, lv["bc_marker"], lv["kb_mats"], by=by, bx=bx,
+            precision=precision,
+        )
+
+    tprec = "highest"  # transfers are cheap; keep them exact
+    return dict(
+        apply=apply_op,
+        restrict=lambda tr, r, level_c, level_f: lattice_restrict(
+            r, (tr["Ix"], tr["Iy"], tr["Iz"]), level_f.shape, tprec
+        ),
+        prolong=lambda tr, u, level_c, level_f: lattice_prolongate(
+            u, (tr["Ix"], tr["Iy"], tr["Iz"]), level_c.shape, tprec
+        ),
+        dot=lambda u, v, lv: inner_product(u, v),
+        pvary=lambda v: v,
+        zeros=lambda level, dtype: jnp.zeros(level.shape, dtype=dtype),
+    )
+
+
 def lattice_cycle_ops(precision="highest"):
     """V-cycle primitives backed by the lattice/MXU fast path
     (`ops.lattice`): banded per-axis matmuls for the operator AND the
@@ -364,8 +400,14 @@ class PMGHierarchy:
         from ..fem.assembly import resolve_kappa
         from ..fem.mesh import require_axis_aligned
 
-        if operator == "kron":
-            require_axis_aligned(mesh, "operator='kron'")
+        kron_family = operator in ("kron", "kron_blocked")
+        if kron_family:
+            require_axis_aligned(mesh, f"operator='{operator}'")
+        if operator == "kron_blocked" and dtype != jnp.float32:
+            raise ValueError(
+                "operator='kron_blocked' is f32-only (Mosaic kernels); "
+                f"got dtype={dtype}"
+            )
         if coarse in ("fdm", "hmg"):
             require_axis_aligned(mesh, f"coarse='{coarse}'")
         self.mesh = mesh
@@ -373,7 +415,7 @@ class PMGHierarchy:
         self.kappa_cells, kappa_const = resolve_kappa(mesh, kappa)
         self.kappa = float(self.kappa_cells[0]) if kappa_const else None
         if not kappa_const:
-            if operator == "kron":
+            if kron_family:
                 raise ValueError(
                     "variable (per-cell) kappa requires operator='lattice' "
                     "or 'dofmap' — the Kronecker-sum factorization only "
@@ -394,8 +436,15 @@ class PMGHierarchy:
             self._ops = lattice_cycle_ops(precision)
         elif operator == "kron":
             self._ops = kron_cycle_ops(precision)
-        else:
+        elif operator == "kron_blocked":
+            self._ops = kron_blocked_cycle_ops(precision)
+        elif operator == "dofmap":
             self._ops = default_cycle_ops()
+        else:
+            raise ValueError(
+                f"unknown operator backend {operator!r}; expected 'kron', "
+                "'kron_blocked', 'lattice' or 'dofmap'"
+            )
         ops = self._ops
 
         from ..ops.lattice import (
@@ -408,8 +457,8 @@ class PMGHierarchy:
         levels = []
         for P in self.degrees:
             # Geometry factors in float64 on host, cast to working dtype
-            # (not needed by the kron backend, which is fully 1D-factored).
-            if operator != "kron":
+            # (not needed by the kron backends, which are fully 1D-factored).
+            if not kron_family:
                 G_cells, _ = geometry_factors(
                     mesh.geometry_x,
                     mesh.geometry_dofmap,
@@ -419,7 +468,7 @@ class PMGHierarchy:
                 )
             bc = jnp.asarray(mesh.boundary_dof_marker(P))
             ndofs = mesh.num_dofs(P)
-            if operator == "kron":
+            if kron_family:
                 from ..ops.kron import axis_stiffness_mass
 
                 lv = {}
@@ -457,7 +506,7 @@ class PMGHierarchy:
                     bc_marker=bc,
                 )
                 level = Level(P=P, ndofs=ndofs, smoother_iters=smoother_iters)
-            if operator == "kron":
+            if kron_family:
                 # Closed-form Kronecker diagonal (exact, no scatter).
                 from ..ops.kron import kron_diagonal
 
@@ -466,6 +515,17 @@ class PMGHierarchy:
                     (lv["mx"], lv["my"], lv["mz"]),
                     bc,
                 )
+                if operator == "kron_blocked":
+                    # The blocked kernels consume the symmetrized form;
+                    # the raw 1D factors are not needed at runtime.
+                    from ..ops.pallas_kron_blocked import symmetrized_mats
+
+                    lv["kb_mats"] = symmetrized_mats(
+                        (lv["Kx"], lv["Ky"], lv["Kz"]),
+                        (lv["mx"], lv["my"], lv["mz"]),
+                    )
+                    for name in "xyz":
+                        del lv["K" + name], lv["m" + name]
             else:
                 # Diagonal via the (exact) dofmap formulation.
                 diag = jax.jit(laplacian_diagonal, static_argnums=(5,))(
@@ -477,9 +537,9 @@ class PMGHierarchy:
                     ndofs,
                 )
             lv["diag_inv"] = 1.0 / diag
-            if operator == "kron":
+            if kron_family:
                 lv["diag_inv"] = lv["diag_inv"].reshape(level.shape)
-            vshape = level.shape if operator == "kron" else (ndofs,)
+            vshape = level.shape if kron_family else (ndofs,)
             # Smoother calibration: 20 recorded CG iterations on A x = 1,
             # Lanczos estimate, lmax inflated by 1.1 (main.cpp:303-330).
             # Jitted with the level pytree as an argument (never closed
@@ -508,7 +568,7 @@ class PMGHierarchy:
         transfer = []
         for i in range(len(self.degrees) - 1):
             Pc, Pf = self.degrees[i], self.degrees[i + 1]
-            if operator in ("lattice", "kron"):
+            if operator in ("lattice", "kron", "kron_blocked"):
                 tr = {
                     "I" + name: jnp.asarray(
                         axis_interpolation_matrix(nc_a, Pc, Pf), dtype=dtype
@@ -591,12 +651,14 @@ class PMGHierarchy:
     # boundary methods reshape once per call — never inside hot loops.
 
     def _to_work(self, v, level=-1):
-        if self.operator_kind == "kron":
+        if self.operator_kind in ("kron", "kron_blocked"):
             return v.reshape(self.levels[level].shape)
         return v
 
     def _from_work(self, v):
-        return v.reshape(-1) if self.operator_kind == "kron" else v
+        if self.operator_kind in ("kron", "kron_blocked"):
+            return v.reshape(-1)
+        return v
 
     def apply(self, b, u, diagnostics=False):
         """One V-cycle from iterate ``u`` (the reference pmg.apply)."""
@@ -687,7 +749,9 @@ class PMGHierarchy:
             wz = (self._ops.get("zeros")
                   or (lambda level, dtype: jnp.zeros(level.ndofs, dtype)))
 
-            wshape = fine.shape if self.operator_kind == "kron" else (-1,)
+            wshape = (fine.shape
+                      if self.operator_kind in ("kron", "kron_blocked")
+                      else (-1,))
 
             def _step(u64, b64, Ks, ms, bc, data):
                 from ..ops.kron import kron_laplacian_apply

@@ -37,6 +37,43 @@ def test_pallas_blocked_matches_kron(nc, P):
     assert np.allclose(np.asarray(blk.diag), np.asarray(op.diag))
 
 
+def test_pallas_blocked_high_precision_matches():
+    """bf16x3 ('high') kernels: same math, looser rounding (~1e-5)."""
+    from pmg_dolfinx_tpu.ops.pallas_kron_blocked import PallasKronBlocked
+
+    mesh = BoxMesh((5, 4, 3))
+    P = 4
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal(mesh.num_dofs(P)), jnp.float32)
+    _, y_ref = _ref(mesh, P, x)
+    blk = PallasKronBlocked(mesh, P, kappa=2.0, interpret=True,
+                            precision="high")
+    err = float(jnp.linalg.norm(blk(x) - y_ref) / jnp.linalg.norm(y_ref))
+    assert err < 1e-4, err
+
+    with pytest.raises(ValueError, match="precision"):
+        PallasKronBlocked(mesh, P, interpret=True, precision="default")(x)
+
+
+def test_kron_blocked_hierarchy_matches_kron():
+    """operator='kron_blocked' V-cycles track the XLA kron backend."""
+    from pmg_dolfinx_tpu.models.poisson import PoissonProblem
+
+    kwargs = dict(nc=(4, 4, 4), degrees=(1, 3), kappa=2.0,
+                  dtype=jnp.float32, coarse="cg")
+    ref = PoissonProblem(operator="kron", **kwargs)
+    blk = PoissonProblem(operator="kron_blocked", **kwargs)
+    _, rn_ref = ref.solve(num_cycles=4)
+    _, rn_blk = blk.solve(num_cycles=4)
+    assert np.allclose(rn_ref, rn_blk, rtol=1e-4), (rn_ref, rn_blk)
+
+    import jax
+
+    with pytest.raises(ValueError, match="f32-only"):
+        PoissonProblem(operator="kron_blocked", nc=(3, 3, 3),
+                       degrees=(1, 2), dtype=jax.numpy.float64)
+
+
 def test_pallas_whole_lattice_matches_kron():
     from pmg_dolfinx_tpu.ops.pallas_kron import PallasKronLaplacian
 
