@@ -228,7 +228,9 @@ def lattice_laplacian_apply(x, mats, G, bc_marker, precision="highest",
 
     Parameters
     ----------
-    x : (NX*NY*NZ,) flat dof vector.
+    x : ``(NX*NY*NZ,)`` flat or ``(NX, NY, NZ)`` lattice-shaped dof
+        vector; the output matches (shape-preserving, like the kron
+        apply — the multi-axis grid decomposition carries 3D vectors).
     mats : dict with per-axis matrices ``Ex, Dx, Ey, Dy, Ez, Dz``
         (shapes ``(Q_a, N_a)``) — from `LatticeLaplacian` setup.
     G : (Qx, Qy, Qz, 6) weighted geometry factors on the quadrature
@@ -268,7 +270,7 @@ def lattice_laplacian_apply(x, mats, G, bc_marker, precision="highest",
     cz = _along_y(Ey.T, bz, prec)
     y = _along_z(Ez.T, cxy, prec) + _along_z(Dz.T, cz, prec)   # (NX, NY, NZ)
 
-    y = y.reshape(-1)
+    y = y.reshape(jnp.shape(x))
     if not apply_bc:
         # Raw accumulation (bc zeroed on input only) — the distributed
         # layer exchanges interface-plane partials before the epilogue.

@@ -1,4 +1,4 @@
-"""2D/3D device-mesh domain decomposition for the kron backend.
+"""2D/3D device-mesh domain decomposition (kron + lattice backends).
 
 The 1D slab partition (`parallel/dist.py`) caps the shard count at the
 number of x-cells; production pods want 2D/3D meshes. The Kronecker-sum
@@ -17,8 +17,10 @@ operator makes the multi-axis extension clean:
   transposed matmuls, then one exchange per sharded axis (linear and
   axiswise-independent — edges/corners receive all and end complete).
 
-Kron backend only (the production path); the general backends remain on
-the 1D partition.
+The 'lattice' backend rides the same per-axis exchange machinery
+(`grid_lattice_cycle_ops`): general non-affine hexes and variable DG-0
+coefficients on multi-axis device grids. Only the fully general 'dofmap'
+oracle remains 1D-partition-only.
 """
 
 import jax
@@ -171,6 +173,39 @@ def grid_coarse_hooks(part, P0):
     return coarse_gather, coarse_slice
 
 
+def _grid_common_ops(shards, precision):
+    """The backend-independent V-cycle primitives on the box partition:
+    transfers (ownership-weighted restriction with one exchange per
+    sharded axis; comm-free prolongation), ownership-weighted psum dots,
+    and vma bookkeeping. Operator backends add their own ``apply``."""
+    from ..ops.lattice import lattice_prolongate, lattice_restrict
+
+    def restrict_op(tr, r, level_c, level_f):
+        lat = lattice_restrict(
+            r * tr["weights_f"], (tr["Ix"], tr["Iy"], tr["Iz"]),
+            level_f.shape, precision,
+        )
+        for a in range(3):
+            lat = _exchange_axis(lat, shards[a], AXES[a], a)
+        return lat
+
+    def prolong_op(tr, u, level_c, level_f):
+        return lattice_prolongate(
+            u, (tr["Ix"], tr["Iy"], tr["Iz"]), level_c.shape, precision
+        )
+
+    def dot(u, v, lv):
+        # psum over ALL mesh axes (size-1 axes are free) so results are
+        # replicated w.r.t. every axis — keeps vma tracking consistent.
+        return dist_inner_product(u, v, lv["weights"], AXES)
+
+    return dict(
+        restrict=restrict_op, prolong=prolong_op, dot=dot,
+        pvary=lambda v: pcast_varying(v, AXES),
+        zeros=lambda level, dtype: jnp.zeros(level.shape, dtype=dtype),
+    )
+
+
 def grid_kron_cycle_ops(shards, precision="highest"):
     """V-cycle primitives on the multi-axis box partition (kron backend).
 
@@ -182,8 +217,6 @@ def grid_kron_cycle_ops(shards, precision="highest"):
     exchange per sharded axis reconciles everything, exactly as for the
     mass-weighted form (the s3 scaling is pointwise and consistent on
     duplicated planes)."""
-    from ..ops.lattice import lattice_prolongate, lattice_restrict
-
     shards = _norm_shards(shards)
 
     def apply_op(lv, x, level):
@@ -209,49 +242,58 @@ def grid_kron_cycle_ops(shards, precision="highest"):
         y = (t1 + t2 + t3) * s3
         return jnp.where(lv["bc_marker"], x, y)
 
-    def restrict_op(tr, r, level_c, level_f):
-        lat = lattice_restrict(
-            r * tr["weights_f"], (tr["Ix"], tr["Iy"], tr["Iz"]),
-            level_f.shape, precision,
+    return dict(_grid_common_ops(shards, precision), apply=apply_op)
+
+
+def grid_lattice_cycle_ops(shards, precision="highest"):
+    """V-cycle primitives on the multi-axis box partition — lattice/MXU
+    backend: general (non-affine) hexes and variable DG-0 coefficients on
+    2D/3D device grids.
+
+    The lattice apply's cell-local contractions produce partial sums only
+    on the duplicated interface planes, and — even though a general G
+    couples the axes at each quadrature point — every cell's contribution
+    lands on exactly one shard per axis, so sequential per-axis exchanges
+    reconcile edges/corners completely (after the x-exchange both x-copies
+    agree; the y-exchange then adds y-neighbors that are already x-summed,
+    etc. — same argument as the transfers). The multi-axis generalization
+    of `parallel.dist.dist_lattice_cycle_ops`; reference analogue: the
+    MatFreeLaplacian running under any MPI rank layout
+    (src/laplacian.hpp:378-455)."""
+    from ..ops.lattice import lattice_laplacian_apply
+
+    shards = _norm_shards(shards)
+
+    def apply_op(lv, x, level):
+        mats = {k: lv[k] for k in ("Ex", "Dx", "Ey", "Dy", "Ez", "Dz")}
+        y = lattice_laplacian_apply(
+            x, mats, lv["G"], lv["bc_marker"], precision=precision,
+            apply_bc=False,
         )
         for a in range(3):
-            lat = _exchange_axis(lat, shards[a], AXES[a], a)
-        return lat
+            y = _exchange_axis(y, shards[a], AXES[a], a)
+        return jnp.where(lv["bc_marker"], x, y)
 
-    def prolong_op(tr, u, level_c, level_f):
-        return lattice_prolongate(
-            u, (tr["Ix"], tr["Iy"], tr["Iz"]), level_c.shape, precision
-        )
-
-    def dot(u, v, lv):
-        # psum over ALL mesh axes (size-1 axes are free) so results are
-        # replicated w.r.t. every axis — keeps vma tracking consistent.
-        return dist_inner_product(u, v, lv["weights"], AXES)
-
-    def pvary(v):
-        return pcast_varying(v, AXES)
-
-    return dict(apply=apply_op, restrict=restrict_op, prolong=prolong_op,
-                dot=dot, pvary=pvary,
-                zeros=lambda level, dtype: jnp.zeros(level.shape, dtype=dtype))
+    return dict(_grid_common_ops(shards, precision), apply=apply_op)
 
 
 class GridPMG:
-    """p-multigrid over a 2D/3D device mesh — kron backend.
+    """p-multigrid over a 2D/3D device mesh.
 
     The multi-axis generalization of `DistPMG`: per-axis duplicated-plane
     invariants, axis-separable exchanges, everything inside one shard_map.
+    Operator backends: 'kron' (axis-aligned boxes, constant kappa — the
+    production path) and 'lattice' (general hexes + variable DG-0 kappa).
     Coarse solvers: 'cg' (default), 'smoother', or the global gathered
-    modes 'fdm' / 'direct' / 'hmg' (gather -> redundant solve -> slice).
+    modes 'fdm' / 'direct' / 'hmg' (gather -> redundant solve -> slice;
+    fdm/hmg are constant-coefficient box-only, 'direct' is general).
     """
 
     def __init__(self, mesh, shards=(2, 2), degrees=(1, 3), kappa=2.0,
                  dtype=jnp.float64, smoother_iters=DEFAULT_SMOOTHER_ITERS,
                  coarse="cg", coarse_cfg=None, devices=None,
                  calibration_iters=DEFAULT_CALIBRATION_ITERS,
-                 precision="highest"):
-        from ..fem.assembly import stiffness_diagonal_np
-        from ..ops.kron import axis_stiffness_mass
+                 operator="kron", precision="highest"):
         from ..ops.lattice import axis_interpolation_matrix
 
         self.part = GridPartition(mesh, shards)
@@ -264,20 +306,37 @@ class GridPMG:
         from ..fem.assembly import resolve_kappa
         from ..fem.mesh import require_axis_aligned
 
-        require_axis_aligned(mesh, "GridPMG (kron backend)")
-        kappa_cells, _kconst = resolve_kappa(mesh, kappa)
-        if not _kconst:
+        if operator not in ("kron", "lattice"):
             raise ValueError(
-                "GridPMG is kron-backend only (constant kappa); use "
-                "DistPMG with operator='lattice' for variable coefficients"
+                f"GridPMG: unknown operator backend {operator!r} "
+                "(choose 'kron' or 'lattice')"
             )
-        self.kappa = float(kappa_cells[0])
+        if operator == "kron":
+            require_axis_aligned(mesh, "GridPMG operator='kron'")
+        self.kappa_cells, _kconst = resolve_kappa(mesh, kappa)
+        self.kappa = float(self.kappa_cells[0]) if _kconst else None
+        if not _kconst and operator == "kron":
+            raise ValueError(
+                "GridPMG: variable kappa requires operator='lattice' "
+                "(the Kronecker sum is constant-only)"
+            )
+        if coarse in ("fdm", "hmg"):
+            require_axis_aligned(mesh, f"GridPMG coarse='{coarse}'")
+            if not _kconst:
+                raise ValueError(
+                    f"GridPMG: coarse='{coarse}' is constant-coefficient "
+                    "only; use 'cg', 'smoother' or 'direct'"
+                )
         self.dtype = dtype
         self.coarse = coarse
         self.coarse_cfg = dict(coarse_cfg or {})
+        self.operator_kind = operator
         self.eigs = []
         part = self.part
-        ops = grid_kron_cycle_ops(shards, precision)
+        if operator == "lattice":
+            ops = grid_lattice_cycle_ops(shards, precision)
+        else:
+            ops = grid_kron_cycle_ops(shards, precision)
 
         if coarse not in ("cg", "smoother", "fdm", "direct", "hmg"):
             raise ValueError(
@@ -306,7 +365,9 @@ class GridPMG:
             elif coarse == "direct":
                 from ..fem.assembly import assemble_stiffness
 
-                A0 = assemble_stiffness(mesh, P0, kappa=self.kappa).toarray()
+                A0 = assemble_stiffness(
+                    mesh, P0, kappa=self.kappa_cells
+                ).toarray()
                 self._coarse_data = (
                     "coarse_chol",
                     jnp.asarray(np.linalg.cholesky(A0), dtype=dtype),
@@ -335,49 +396,10 @@ class GridPMG:
         self._ops = ops
         PSHARD = P(*AXES)
 
-        def dup_axis(vec, n_sh, npl):
-            return np.concatenate(
-                [vec[s * (npl - 1): s * (npl - 1) + npl] for s in range(n_sh)]
-            )
-
         level_data, level_specs, levels = [], [], []
         with self.jmesh:
             for Pdeg in self.degrees:
-                npls = part.local_shape(Pdeg)
-                Ks_local, ms_dup = [], []
-                for a in range(3):
-                    Kl, _ = axis_stiffness_mass(
-                        part.cells_per_shard[a], Pdeg, mesh.h[a]
-                    )
-                    _, mg = axis_stiffness_mass(mesh.nc[a], Pdeg, mesh.h[a])
-                    Ks_local.append(Kl)
-                    ms_dup.append(dup_axis(mg, shards[a], npls[a]))
-                lv = dict(
-                    Kx=jnp.asarray(self.kappa * Ks_local[0], dtype=dtype),
-                    Ky=jnp.asarray(self.kappa * Ks_local[1], dtype=dtype),
-                    Kz=jnp.asarray(self.kappa * Ks_local[2], dtype=dtype),
-                    mx=jnp.asarray(ms_dup[0], dtype=dtype),
-                    my=jnp.asarray(ms_dup[1], dtype=dtype),
-                    mz=jnp.asarray(ms_dup[2], dtype=dtype),
-                    bc_marker=jnp.asarray(
-                        part.to_dist(Pdeg, mesh.boundary_dof_marker(Pdeg)) > 0.5
-                    ),
-                    weights=jnp.asarray(
-                        part.ownership_weights(Pdeg), dtype=dtype
-                    ),
-                    diag_inv=jnp.asarray(
-                        part.to_dist(
-                            Pdeg,
-                            1.0 / stiffness_diagonal_np(mesh, Pdeg, self.kappa),
-                        ),
-                        dtype=dtype,
-                    ),
-                )
-                spec = dict(
-                    Kx=P(), Ky=P(), Kz=P(),
-                    mx=P(AXES[0]), my=P(AXES[1]), mz=P(AXES[2]),
-                    bc_marker=PSHARD, weights=PSHARD, diag_inv=PSHARD,
-                )
+                lv, spec = self._build_level(Pdeg, dtype)
                 level = Level(P=Pdeg, ndofs=part.local_ndofs(Pdeg),
                               smoother_iters=smoother_iters,
                               shape=part.local_shape(Pdeg))
@@ -494,6 +516,85 @@ class GridPMG:
             )
         )
 
+    def _build_level(self, Pdeg, dtype, include_diag=True):
+        """Host-built per-level operator arrays + shard_map specs for the
+        configured backend (sharded afterwards via `put_global`). Also
+        used by `solve_refined` to build the float64 fine-level operator.
+        """
+        from ..fem.assembly import stiffness_diagonal_np
+        from ..ops.kron import axis_stiffness_mass
+
+        part, mesh = self.part, self.mesh
+        shards = part.shards
+        PSHARD = P(*AXES)
+        lv = dict(
+            bc_marker=jnp.asarray(
+                part.to_dist(Pdeg, mesh.boundary_dof_marker(Pdeg)) > 0.5
+            ),
+            weights=jnp.asarray(part.ownership_weights(Pdeg), dtype=dtype),
+        )
+        spec = dict(bc_marker=PSHARD, weights=PSHARD)
+        if include_diag:
+            lv["diag_inv"] = jnp.asarray(
+                part.to_dist(
+                    Pdeg,
+                    1.0 / stiffness_diagonal_np(mesh, Pdeg, self.kappa_cells),
+                ),
+                dtype=dtype,
+            )
+            spec["diag_inv"] = PSHARD
+        if self.operator_kind == "kron":
+            npls = part.local_shape(Pdeg)
+            for a, name in enumerate("xyz"):
+                # Local per-shard stiffness (interface partials reconciled
+                # by the exchange); global mass in the duplicated layout.
+                Kl, _ = axis_stiffness_mass(
+                    part.cells_per_shard[a], Pdeg, mesh.h[a]
+                )
+                _, mg = axis_stiffness_mass(mesh.nc[a], Pdeg, mesh.h[a])
+                npl = npls[a]
+                m_dup = np.concatenate(
+                    [mg[s * (npl - 1): s * (npl - 1) + npl]
+                     for s in range(shards[a])]
+                )
+                lv["K" + name] = jnp.asarray(self.kappa * Kl, dtype=dtype)
+                lv["m" + name] = jnp.asarray(m_dup, dtype=dtype)
+                spec["K" + name] = P()
+                spec["m" + name] = P(AXES[a])
+        else:  # lattice
+            from ..fem.geometry import (
+                geometry_factors,
+                quadrature_weights_3d,
+                tabulate_geometry_dphi,
+            )
+            from ..ops.lattice import axis_matrices, geometry_to_qlattice
+
+            # Quadrature-lattice geometry: cell-local points, so the
+            # global (Qx, Qy, Qz, 6) array partitions exactly along the
+            # device grid (Q_a = nc_a*(P+1) divides by shards[a]).
+            G_cells, _ = geometry_factors(
+                mesh.geometry_x,
+                mesh.geometry_dofmap,
+                tabulate_geometry_dphi(Pdeg),
+                quadrature_weights_3d(Pdeg),
+                xp=np,
+            )
+            lv["G"] = jnp.asarray(
+                geometry_to_qlattice(
+                    G_cells * self.kappa_cells[:, None, None],
+                    mesh.nc, Pdeg,
+                ),
+                dtype=dtype,
+            )
+            spec["G"] = PSHARD
+            for a, name in enumerate("xyz"):
+                E, Dg = axis_matrices(part.cells_per_shard[a], Pdeg)
+                lv["E" + name] = jnp.asarray(E, dtype=dtype)
+                lv["D" + name] = jnp.asarray(Dg, dtype=dtype)
+                spec["E" + name] = P()
+                spec["D" + name] = P()
+        return lv, spec
+
     # -- API -------------------------------------------------------------
 
     def to_dist(self, u, level=-1):
@@ -585,43 +686,18 @@ class GridPMG:
 
     def solve_refined(self, b, num_cycles=15, rtol=0.0, residuals=True):
         """Sharded mixed-precision iterative refinement over the device
-        grid: f64 residual via the sharded Kronecker apply, working-dtype
+        grid: f64 residual via the sharded fine-level apply, working-dtype
         V-cycle as error smoother (see `PMGHierarchy.solve_refined`).
-        Requires jax_enable_x64."""
-        from ..ops.kron import axis_stiffness_mass
-
+        Requires jax_enable_x64. Works for both operator backends."""
         if not jax.config.read("jax_enable_x64"):
             raise RuntimeError("solve_refined requires jax_enable_x64")
-        part, mesh = self.part, self.mesh
+        part = self.part
         shards = part.shards
         fine = self.levels[-1]
         Pdeg = self.degrees[-1]
         if getattr(self, "_refine_step", None) is None:
-            npls = part.local_shape(Pdeg)
-            lv64 = {}
-            for a, name in enumerate("xyz"):
-                Kl, _ = axis_stiffness_mass(
-                    part.cells_per_shard[a], Pdeg, mesh.h[a]
-                )
-                _, mg = axis_stiffness_mass(mesh.nc[a], Pdeg, mesh.h[a])
-                npl = npls[a]
-                m_dup = np.concatenate(
-                    [mg[s * (npl - 1): s * (npl - 1) + npl]
-                     for s in range(shards[a])]
-                )
-                lv64["K" + name] = jnp.asarray(self.kappa * Kl,
-                                               dtype=jnp.float64)
-                lv64["m" + name] = jnp.asarray(m_dup, dtype=jnp.float64)
-            lv64["bc_marker"] = jnp.asarray(
-                part.to_dist(Pdeg, mesh.boundary_dof_marker(Pdeg)) > 0.5
-            )
-            lv64["weights"] = jnp.asarray(
-                part.ownership_weights(Pdeg), dtype=jnp.float64
-            )
-            lv64_spec = dict(
-                Kx=P(), Ky=P(), Kz=P(),
-                mx=P(AXES[0]), my=P(AXES[1]), mz=P(AXES[2]),
-                bc_marker=P(*AXES), weights=P(*AXES),
+            lv64, lv64_spec = self._build_level(
+                Pdeg, jnp.float64, include_diag=False
             )
             for k in lv64:
                 lv64[k] = put_global(
@@ -629,7 +705,10 @@ class GridPMG:
                 )
             self._lv64 = lv64
             ops = self._ops
-            apply64 = grid_kron_cycle_ops(shards, "highest")["apply"]
+            ops64 = (grid_lattice_cycle_ops
+                     if self.operator_kind == "lattice"
+                     else grid_kron_cycle_ops)(shards, "highest")
+            apply64 = ops64["apply"]
             work_dtype = self.dtype
             levels, coarse, coarse_cfg = (self.levels, self.coarse,
                                           self.coarse_cfg)

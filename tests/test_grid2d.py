@@ -137,3 +137,72 @@ def test_grid_refined_solve_matches_single():
 def test_grid_rejects_unknown_coarse():
     with pytest.raises(ValueError, match="unsupported coarse"):
         GridPMG(BoxMesh((4, 4, 4)), shards=(2, 2), coarse="nope")
+    with pytest.raises(ValueError, match="operator"):
+        GridPMG(BoxMesh((4, 4, 4)), shards=(2, 2), operator="nope")
+
+
+def test_grid_lattice_backend_matches_single():
+    """Lattice backend on a (2,2,2) grid == single-device lattice."""
+    nc = (4, 4, 4)
+    kappa = 2.0
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa, coarse="cg",
+                            operator="lattice")
+    u_s, rn_s = single.solve(num_cycles=5)
+    grid = GridPMG(single.mesh, shards=(2, 2, 2), degrees=(1, 3),
+                   kappa=kappa, coarse="cg", operator="lattice")
+    for es, ed in zip(single.hierarchy.eigs, grid.eigs):
+        assert np.allclose(es[-1], ed[-1], rtol=1e-8)
+    b = assemble_rhs(single.mesh, 3, f_rhs(kappa))
+    u_d, rn_d = grid.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_grid_lattice_variable_kappa_matches_single():
+    """Variable DG-0 kappa on a multi-axis (2,2,2) grid (previously
+    slab-only; VERDICT r1 items 3+4)."""
+    from pmg_dolfinx_tpu.models.poisson import f_rhs_variable, kappa_linear
+
+    nc = (4, 4, 4)
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa_linear,
+                            coarse="cg", operator="lattice",
+                            f=f_rhs_variable())
+    u_s, rn_s = single.solve(num_cycles=5)
+    grid = GridPMG(single.mesh, shards=(2, 2, 2), degrees=(1, 3),
+                   kappa=kappa_linear, coarse="cg", operator="lattice")
+    b = assemble_rhs(single.mesh, 3, f_rhs_variable())
+    u_d, rn_d = grid.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_grid_lattice_perturbed_hexes_matches_single():
+    """General (non-affine) hexes distributed over a 2D device grid:
+    trajectories and solutions match the single-device lattice path."""
+    from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+    from pmg_dolfinx_tpu.solvers.pmg import PMGHierarchy
+
+    mesh = PerturbedBoxMesh((4, 4, 2))
+    kappa = 2.0
+    single = PMGHierarchy(mesh, degrees=(1, 3), kappa=kappa, coarse="cg",
+                          operator="lattice")
+    b = assemble_rhs(mesh, 3, f_rhs(kappa))
+    u_s, rn_s = single.solve(b, num_cycles=5)
+    grid = GridPMG(mesh, shards=(2, 2), degrees=(1, 3), kappa=kappa,
+                   coarse="cg", operator="lattice")
+    u_d, rn_d = grid.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_grid_lattice_refined_solve():
+    """Mixed-precision refinement through the grid lattice backend."""
+    nc = (4, 4, 4)
+    kappa = 2.0
+    grid = GridPMG(BoxMesh(nc), shards=(2, 2, 2), degrees=(1, 3),
+                   kappa=kappa, coarse="cg", dtype=jnp.float32,
+                   operator="lattice")
+    b = assemble_rhs(BoxMesh(nc), 3, f_rhs(kappa))
+    u_d, rn_d = grid.solve_refined(b, num_cycles=12)
+    r0 = np.linalg.norm(b)
+    assert rn_d[-1] / r0 < 1e-6, np.array(rn_d) / r0
