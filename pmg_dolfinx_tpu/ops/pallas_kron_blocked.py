@@ -118,6 +118,76 @@ def _kernel_t23(x_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
         out_ref[i] = jnp.where(bci, xi, yi)
 
 
+def _kernel_t23_cheb(v_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
+                     sycol_ref, s23_ref, x_ref, r_ref, dinv_ref, coef_ref,
+                     xo_ref, ro_ref, zo_ref, *, high):
+    # Kernel 2 with the fourth-kind-Chebyshev update fused in. Per x-slice
+    # i: Av = bc-epilogued operator apply on v, then
+    #     x' = x + gamma*v ;  r' = r - Av ;  z' = a*v + b*dinv*r'
+    # (gamma, a, b) arrive as a (1, 3) block; with (0, 0, 4/(3 lmax)) this
+    # is the smoother's init step (v = x), with (1, a_k, b_k) a loop step
+    # (v = z). Fusing removes ~8 whole-lattice HBM passes per smoothing
+    # iteration vs apply + XLA elementwise chain (the pallas_call is
+    # opaque to XLA fusion, so they cannot fuse from outside).
+    Kty = Kty_ref[:]
+    KtzT = KtzT_ref[:]
+    sycol = sycol_ref[:]
+    s23 = s23_ref[:]
+    gamma = coef_ref[0, 0]
+    a = coef_ref[0, 1]
+    bco = coef_ref[0, 2]
+    if high:
+        Kty_split = _split_bf16(Kty)
+        KtzT_split = _split_bf16(KtzT)
+    Bx = v_ref.shape[0]
+    for i in range(Bx):
+        vi = v_ref[i]
+        bci = bc_ref[i]
+        sxi = sx2_ref[i, 0]
+        what = jnp.where(bci, 0.0, vi) * s23
+        if high:
+            what_split = _split_bf16(what)
+            t2 = _dot3(Kty_split, what_split)
+            t3 = _dot3(what_split, KtzT_split)
+        else:
+            t2 = _DOT(Kty, what, precision=jax.lax.Precision.HIGHEST)
+            t3 = _DOT(what, KtzT, precision=jax.lax.Precision.HIGHEST)
+        yi = (sycol * t1_ref[i] + sxi * (t2 + t3)) * (sxi * s23)
+        Av = jnp.where(bci, vi, yi)
+        ri = r_ref[i] - Av
+        xo_ref[i] = x_ref[i] + gamma * vi
+        ro_ref[i] = ri
+        zo_ref[i] = a * vi + bco * dinv_ref[i] * ri
+
+
+def _kernel_t23_res(v_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
+                    sycol_ref, s23_ref, r_ref, ro_ref, *, high):
+    # Kernel 2 with the residual fused: ro = r_in - Av (the down-sweep's
+    # r = b - A u without a separate whole-lattice subtract pass).
+    Kty = Kty_ref[:]
+    KtzT = KtzT_ref[:]
+    sycol = sycol_ref[:]
+    s23 = s23_ref[:]
+    if high:
+        Kty_split = _split_bf16(Kty)
+        KtzT_split = _split_bf16(KtzT)
+    Bx = v_ref.shape[0]
+    for i in range(Bx):
+        vi = v_ref[i]
+        bci = bc_ref[i]
+        sxi = sx2_ref[i, 0]
+        what = jnp.where(bci, 0.0, vi) * s23
+        if high:
+            what_split = _split_bf16(what)
+            t2 = _dot3(Kty_split, what_split)
+            t3 = _dot3(what_split, KtzT_split)
+        else:
+            t2 = _DOT(Kty, what, precision=jax.lax.Precision.HIGHEST)
+            t3 = _DOT(what, KtzT, precision=jax.lax.Precision.HIGHEST)
+        yi = (sycol * t1_ref[i] + sxi * (t2 + t3)) * (sxi * s23)
+        ro_ref[i] = r_ref[i] - jnp.where(bci, vi, yi)
+
+
 def symmetrized_mats(Ks, ms, dtype=jnp.float32):
     """Build the symmetrized-scaling arrays the blocked kernels consume.
 
@@ -201,6 +271,117 @@ def _build_calls(shape, by, bx, high, interpret):
         interpret=interpret,
     )
     return t1, t23
+
+
+@lru_cache(maxsize=None)
+def _build_cheb_call(shape, bx, high, interpret):
+    """The fused Chebyshev-step kernel for a lattice shape (see
+    `_kernel_t23_cheb`); pairs with kernel 1 from `_build_calls`."""
+    NX, NY, NZ = shape
+    vmem = 100 * 1024 * 1024
+    lat = lambda: pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0))
+    out = jax.ShapeDtypeStruct(shape, jnp.float32)
+    return pl.pallas_call(
+        partial(_kernel_t23_cheb, high=high),
+        grid=(pl.cdiv(NX, bx),),
+        in_specs=[
+            lat(),                                      # v
+            lat(),                                      # bc
+            lat(),                                      # t1'
+            pl.BlockSpec((NY, NY), lambda i: (0, 0)),   # Kty
+            pl.BlockSpec((NZ, NZ), lambda i: (0, 0)),   # KtzT
+            pl.BlockSpec((bx, 1), lambda i: (i, 0)),    # sx slab
+            pl.BlockSpec((NY, 1), lambda i: (0, 0)),    # sy column
+            pl.BlockSpec((NY, NZ), lambda i: (0, 0)),   # s23 plane
+            lat(),                                      # x
+            lat(),                                      # r
+            lat(),                                      # diag_inv
+            pl.BlockSpec((1, 3), lambda i: (0, 0)),     # (gamma, a, b)
+        ],
+        out_specs=(lat(), lat(), lat()),
+        out_shape=(out, out, out),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
+        interpret=interpret,
+    )
+
+
+@lru_cache(maxsize=None)
+def _build_res_call(shape, bx, high, interpret):
+    """The fused residual kernel (see `_kernel_t23_res`)."""
+    NX, NY, NZ = shape
+    lat = lambda: pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        partial(_kernel_t23_res, high=high),
+        grid=(pl.cdiv(NX, bx),),
+        in_specs=[
+            lat(), lat(), lat(),                        # v, bc, t1'
+            pl.BlockSpec((NY, NY), lambda i: (0, 0)),   # Kty
+            pl.BlockSpec((NZ, NZ), lambda i: (0, 0)),   # KtzT
+            pl.BlockSpec((bx, 1), lambda i: (i, 0)),    # sx slab
+            pl.BlockSpec((NY, 1), lambda i: (0, 0)),    # sy column
+            pl.BlockSpec((NY, NZ), lambda i: (0, 0)),   # s23 plane
+            lat(),                                      # r_in
+        ],
+        out_specs=lat(),
+        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+
+def blocked_kron_residual(b3, u3, bc3, mats, *, by=8, bx=8,
+                          precision="highest", interpret=None):
+    """Fused ``r = b - A u`` through the blocked kernel pair."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    by, bx = _clamp_blocks(u3.shape, by, bx)
+    high = precision == "high"
+    t1c, _ = _build_calls(tuple(u3.shape), by, bx, high, interpret)
+    resc = _build_res_call(tuple(u3.shape), bx, high, interpret)
+    t1 = t1c(u3, bc3, mats["Ktx"], mats["sxz"])
+    return resc(u3, bc3, t1, mats["Kty"], mats["KtzT"], mats["sx2d"],
+                mats["sycol"], mats["s23"], b3)
+
+
+def blocked_kron_cheb4(b3, x3, bc3, mats, dinv3, lmax, num_iters, *,
+                       by=8, bx=8, precision="highest", interpret=None):
+    """Fourth-kind Chebyshev smoothing with the update fused into the
+    blocked operator kernels (numerically identical to
+    `solvers.chebyshev.chebyshev4_solve` over the same operator; tested).
+
+    Same recurrence and operator count (1 + num_iters applies); each apply
+    is kernel 1 + the fused kernel `_kernel_t23_cheb`, so the smoother
+    touches HBM only through the two Mosaic pipelines.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    by, bx = _clamp_blocks(x3.shape, by, bx)
+    high = precision == "high"
+    t1c, _ = _build_calls(tuple(x3.shape), by, bx, high, interpret)
+    chebc = _build_cheb_call(tuple(x3.shape), bx, high, interpret)
+
+    def halfstep(v, x, r_in, coef):
+        t1 = t1c(v, bc3, mats["Ktx"], mats["sxz"])
+        return chebc(v, bc3, t1, mats["Kty"], mats["KtzT"], mats["sx2d"],
+                     mats["sycol"], mats["s23"], x, r_in, dinv3, coef)
+
+    dt = x3.dtype
+    zero = jnp.zeros((), dt)
+    c0 = (4.0 / (3.0 * lmax)).astype(dt)
+    x, r, z = halfstep(x3, x3, b3, jnp.stack([zero, zero, c0]).reshape(1, 3))
+
+    def body(i, state):
+        x, r, z = state
+        kf = jnp.asarray(i + 1, dt)
+        a = (2.0 * kf - 1.0) / (2.0 * kf + 3.0)
+        bco = (8.0 * kf + 4.0) / ((2.0 * kf + 3.0) * lmax)
+        coef = jnp.stack([jnp.ones((), dt), a, bco.astype(dt)]).reshape(1, 3)
+        return halfstep(z, x, r, coef)
+
+    x, r, z = jax.lax.fori_loop(0, num_iters, body, (x, r, z))
+    return x
 
 
 def blocked_kron_apply(x3, bc3, mats, *, by=8, bx=8, precision="highest",

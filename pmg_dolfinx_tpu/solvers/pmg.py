@@ -158,20 +158,35 @@ def kron_cycle_ops(precision="highest"):
     )
 
 
-def kron_blocked_cycle_ops(precision="highest", by=8, bx=8):
+def kron_blocked_cycle_ops(precision="highest", by=8, bx=8,
+                           fuse_smoother=False):
     """V-cycle primitives whose operator applies run the blocked fused
     Pallas kernel pair (`ops.pallas_kron_blocked`) instead of the XLA
     einsum chain — the production choice at large N (>~8M dofs), where
     fusing the bc-mask / symmetric scaling / term sum into the matmul
     pipelines saves whole-lattice HBM passes (+28% apply throughput at
-    16.2M dofs, f32 'highest'; +40% with 'high' bf16x3 matmuls).
+    16.2M dofs, f32 'highest'; +18% more with 'high' bf16x3 matmuls).
+    Measured 16.2M-dof p=(1,3,6) V-cycle (v5e, fdm coarse): 13.4 ms vs
+    14.4 ms for the XLA kron path, identical residual trajectories.
+
+    ``fuse_smoother=True`` additionally folds the Chebyshev-4 update and
+    the down-sweep residual into the kernels' epilogues
+    (`blocked_kron_cheb4` / `blocked_kron_residual`). Numerically
+    verified equivalent, but measured SLOWER on v5e at 16.2M dofs
+    (+1.1 ms/cycle at both precisions): the 9-lattice-buffer fused kernel
+    goes DMA-bound and loses pipelining, costing more than the ~8 saved
+    XLA elementwise passes. Kept opt-in for future Mosaic tuning.
 
     f32 only (the Mosaic kernels are f32/bf16). Transfers and dots are
     the same XLA primitives as `kron_cycle_ops` — they are a small
     fraction of cycle time. Off-TPU the kernels run interpreted.
     """
     from ..ops.lattice import lattice_prolongate, lattice_restrict
-    from ..ops.pallas_kron_blocked import blocked_kron_apply
+    from ..ops.pallas_kron_blocked import (
+        blocked_kron_apply,
+        blocked_kron_cheb4,
+        blocked_kron_residual,
+    )
 
     def apply_op(lv, x, level):
         return blocked_kron_apply(
@@ -179,9 +194,26 @@ def kron_blocked_cycle_ops(precision="highest", by=8, bx=8):
             precision=precision,
         )
 
+    def smooth_op(lv, b, x, level):
+        # Chebyshev-4 with the update fused into the operator kernels —
+        # the smoother's only HBM traffic is the two Mosaic pipelines.
+        return blocked_kron_cheb4(
+            b, x, lv["bc_marker"], lv["kb_mats"], lv["diag_inv"],
+            lv["lmax"], level.smoother_iters, by=by, bx=bx,
+            precision=precision,
+        )
+
+    def residual_op(lv, b, u, level):
+        return blocked_kron_residual(
+            b, u, lv["bc_marker"], lv["kb_mats"], by=by, bx=bx,
+            precision=precision,
+        )
+
     tprec = "highest"  # transfers are cheap; keep them exact
+    fused = dict(smooth=smooth_op, residual=residual_op) if fuse_smoother else {}
     return dict(
         apply=apply_op,
+        **fused,
         restrict=lambda tr, r, level_c, level_f: lattice_restrict(
             r, (tr["Ix"], tr["Iy"], tr["Iz"]), level_f.shape, tprec
         ),
@@ -246,17 +278,27 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
     fresh = ops.get("pvary", lambda v: v)
     zeros = ops.get("zeros",
                     lambda level, dtype: jnp.zeros(level.ndofs, dtype=dtype))
+    # Smoother hook: backends may fuse the Chebyshev update into their
+    # operator kernels (ops['smooth']); the default composes the generic
+    # fourth-kind recurrence over ops['apply'].
+    smooth = ops.get(
+        "smooth",
+        lambda lv, b, x, level: chebyshev4_solve(
+            lambda t: ops["apply"](lv, t, level), b, x,
+            lv["diag_inv"], lv["lmax"], level.smoother_iters,
+        ),
+    )
+    residual = ops.get(
+        "residual",
+        lambda lv, b, u, level: b - ops["apply"](lv, u, level),
+    )
 
     # Down sweep: pre-smooth and restrict.
     for i in range(L - 1, 0, -1):
-        A = lambda x, _i=i: ops["apply"](lvs[_i], x, levels[_i])
         if i < L - 1:
             us[i] = fresh(zeros(levels[i], b_in.dtype))
-        us[i] = chebyshev4_solve(
-            A, bs[i], us[i], lvs[i]["diag_inv"], lvs[i]["lmax"],
-            levels[i].smoother_iters,
-        )
-        r = bs[i] - A(us[i])
+        us[i] = smooth(lvs[i], bs[i], us[i], levels[i])
+        r = residual(lvs[i], bs[i], us[i], levels[i])
         if diagnostics:
             diag["pre"].append(jnp.sqrt(dot(r, r, lvs[i])))
         bs[i - 1] = ops["restrict"](
@@ -277,10 +319,7 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
     gather = ops.get("coarse_gather", lambda v: v)
     unslice = ops.get("coarse_slice", lambda v: v)
     if coarse == "smoother":
-        u0 = chebyshev4_solve(
-            A0, b0, u0, lvs[0]["diag_inv"], lvs[0]["lmax"],
-            levels[0].smoother_iters,
-        )
+        u0 = smooth(lvs[0], b0, u0, levels[0])
     elif coarse == "cg":
         u0, _ = cg_solve(
             A0, b0, u0, lvs[0]["diag_inv"],
@@ -350,12 +389,9 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
     for i in range(L - 1):
         du = ops["prolong"](data["transfer"][i], us[i], levels[i], levels[i + 1])
         us[i + 1] = us[i + 1] + du
-        A = lambda x, _i=i + 1: ops["apply"](lvs[_i], x, levels[_i])
-        us[i + 1] = chebyshev4_solve(
-            A, bs[i + 1], us[i + 1], lvs[i + 1]["diag_inv"], lvs[i + 1]["lmax"],
-            levels[i + 1].smoother_iters,
-        )
+        us[i + 1] = smooth(lvs[i + 1], bs[i + 1], us[i + 1], levels[i + 1])
         if diagnostics:
+            A = lambda x, _i=i + 1: ops["apply"](lvs[_i], x, levels[_i])
             r = bs[i + 1] - A(us[i + 1])
             diag["post"].append(jnp.sqrt(dot(r, r, lvs[i + 1])))
 

@@ -55,6 +55,37 @@ def test_pallas_blocked_high_precision_matches():
         PallasKronBlocked(mesh, P, interpret=True, precision="default")(x)
 
 
+def test_fused_chebyshev_matches_generic():
+    """The fused blocked Chebyshev-4 kernel reproduces the generic
+    recurrence (`solvers.chebyshev.chebyshev4_solve`) exactly."""
+    from pmg_dolfinx_tpu.ops.kron import kron_laplacian_apply
+    from pmg_dolfinx_tpu.ops.pallas_kron_blocked import (
+        blocked_kron_cheb4,
+        symmetrized_mats,
+    )
+    from pmg_dolfinx_tpu.solvers.chebyshev import chebyshev4_solve
+
+    mesh = BoxMesh((5, 4, 3))
+    P = 4
+    shape = mesh.lattice_shape(P)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    op = KronLaplacian(mesh, P, kappa=2.0, dtype=jnp.float32)
+    bc3 = op.bc_marker.reshape(shape)
+    dinv3 = op.diag_inv.reshape(shape)
+    lmax = jnp.asarray(3.1, jnp.float32)
+    A = lambda v: kron_laplacian_apply(v, op.Ks, op.ms, bc3)
+    x_ref = chebyshev4_solve(A, b, x0, dinv3, lmax, 2)
+    mats = symmetrized_mats(op.Ks, op.ms)
+    for prec, tol in (("highest", 1e-6), ("high", 1e-4)):
+        x_fused = blocked_kron_cheb4(b, x0, bc3, mats, dinv3, lmax, 2,
+                                     precision=prec, interpret=True)
+        err = float(jnp.linalg.norm(x_fused - x_ref)
+                    / jnp.linalg.norm(x_ref))
+        assert err < tol, (prec, err)
+
+
 def test_kron_blocked_hierarchy_matches_kron():
     """operator='kron_blocked' V-cycles track the XLA kron backend."""
     from pmg_dolfinx_tpu.models.poisson import PoissonProblem
