@@ -23,6 +23,9 @@ def main():
     p.add_argument("--degrees", type=int, nargs="+", default=[1, 3])
     p.add_argument("--cycles", type=int, default=5)
     p.add_argument("--max-devices", type=int, default=0)
+    p.add_argument("--grid", action="store_true",
+                   help="sweep multi-axis (x,y,z) GridPMG box "
+                        "decompositions instead of the 1D slab")
     args = p.parse_args()
     dtype = setup_jax(args, n_cpu_devices=args.max_devices or 8)
 
@@ -32,6 +35,9 @@ def main():
     from pmg_dolfinx_tpu.fem.mesh import BoxMesh
     from pmg_dolfinx_tpu.models.poisson import f_rhs, fit_box_cells
     from pmg_dolfinx_tpu.parallel.dist import DistPMG
+
+    if args.grid:
+        return _grid_sweep(args, dtype)
 
     n_avail = args.max_devices or len(jax.devices())
     counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_avail]
@@ -74,6 +80,55 @@ def main():
                 invariant = np.allclose(rnorms, ref_trajectory, rtol=rtol)
                 print(f"{'':>8} residual trajectory invariant vs 1 device: "
                       f"{invariant}")
+
+
+def _grid_sweep(args, dtype):
+    """Strong-scaling sweep over multi-axis GridPMG shard layouts on one
+    fixed mesh: 1x1x1, 2x1x1, 2x2x1, 2x2x2, ... up to the device count —
+    residual trajectories must be layout-invariant."""
+    import time
+
+    import jax
+
+    from pmg_dolfinx_tpu.fem.assembly import assemble_rhs
+    from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+    from pmg_dolfinx_tpu.models.poisson import f_rhs, fit_box_cells
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    n_avail = args.max_devices or len(jax.devices())
+    layouts = [(1, 1, 1), (2, 1, 1), (2, 2, 1), (2, 2, 2),
+               (4, 2, 2), (4, 4, 2)]
+    layouts = [s for s in layouts if s[0] * s[1] * s[2] <= n_avail]
+    pmax = max(args.degrees)
+    nc = fit_box_cells(args.ndofs, pmax)
+    div = max(max(s) for s in layouts)
+    nc = tuple((c + div - 1) // div * div for c in nc)
+    mesh = BoxMesh(nc)
+    b = assemble_rhs(mesh, pmax, f_rhs(args.kappa))
+    rtol = 1e-9 if args.dtype == "f64" else 1e-3
+    ref = None
+    print(f"mesh {nc}, {mesh.num_dofs(pmax)} dofs, operator "
+          f"{'lattice' if args.operator == 'lattice' else 'kron'}")
+    print(f"{'layout':>10} {'setup[s]':>9} {'s/cycle':>10} {'rel resid':>11}")
+    for shards in layouts:
+        op = "lattice" if args.operator == "lattice" else "kron"
+        t0 = time.time()
+        grid = GridPMG(mesh, shards=shards, degrees=tuple(args.degrees),
+                       kappa=args.kappa, dtype=dtype, coarse="cg",
+                       operator=op)
+        setup = time.time() - t0
+        grid.solve(b, num_cycles=1)  # compile
+        t0 = time.time()
+        _, rnorms = grid.solve(b, num_cycles=args.cycles)
+        per = (time.time() - t0) / args.cycles
+        rel = rnorms[-1] / float(np.linalg.norm(b))
+        tag = "x".join(map(str, shards))
+        print(f"{tag:>10} {setup:>9.1f} {per:>10.4f} {rel:>11.3e}")
+        if ref is None:
+            ref = rnorms
+        else:
+            invariant = np.allclose(rnorms, ref, rtol=rtol)
+            print(f"{'':>10} trajectory invariant vs 1x1x1: {invariant}")
 
 
 if __name__ == "__main__":
