@@ -213,6 +213,71 @@ def symmetrized_mats(Ks, ms, dtype=jnp.float32):
     )
 
 
+def _join_vma(*arrays):
+    """Union of the arrays' varying-mesh-axes sets (vma tracking under
+    shard_map; empty outside). Pallas outputs must declare their vma."""
+    vma = set()
+    for a in arrays:
+        try:
+            vma |= set(jax.typeof(a).vma)
+        except Exception:
+            pass
+    return tuple(sorted(vma))
+
+
+def _out_struct(shape, vma):
+    if vma:
+        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=frozenset(vma))
+    return jax.ShapeDtypeStruct(shape, jnp.float32)
+
+
+def _pvary_all(vma, *arrays):
+    """Promote every array to vary over ``vma`` (vma tracking requires
+    uniform varying axes across pallas_call inputs under shard_map;
+    identity outside shard_map)."""
+    if not vma:
+        return arrays
+    out = []
+    for a in arrays:
+        try:
+            cur = jax.typeof(a).vma
+        except Exception:
+            cur = ()
+        missing = tuple(ax for ax in vma if ax not in cur)
+        out.append(jax.lax.pcast(a, missing, to="varying") if missing else a)
+    return tuple(out)
+
+
+# --- jnp twins of the kernels -------------------------------------------
+#
+# Off-TPU the wrappers default to these exact emulations instead of
+# Pallas interpret mode: the HLO interpreter cannot evaluate in-kernel
+# slicing under shard_map vma tracking (upstream limitation), and the
+# emulation keeps the distributed CPU tests exercising the real wiring
+# (exchange placement, bc semantics) with identical math. Explicit
+# ``interpret=True`` still runs the actual kernels through the
+# interpreter (covered by the single-device tests).
+
+def _emu_t1(x3, bc3, m):
+    w = jnp.where(bc3, 0.0, x3) * m["sxz"][:, None, :]
+    return jnp.einsum("ax,xyz->ayz", m["Ktx"], w,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _emu_t23_core(x3, bc3, t1, m):
+    HI = jax.lax.Precision.HIGHEST
+    what = jnp.where(bc3, 0.0, x3) * m["s23"][None]
+    t2 = jnp.einsum("by,xyz->xbz", m["Kty"], what, precision=HI)
+    t3 = jnp.einsum("xyz,zc->xyc", what, m["KtzT"], precision=HI)
+    sx = m["sx2d"][:, 0][:, None, None]
+    sy = m["sycol"][:, 0][None, :, None]
+    return (sy * t1 + sx * (t2 + t3)) * (sx * m["s23"][None])
+
+
+def _emu_apply(x3, bc3, t1, m):
+    return jnp.where(bc3, x3, _emu_t23_core(x3, bc3, t1, m))
+
+
 def _clamp_blocks(shape, by, bx):
     """Clamp slab sizes to the lattice extents. Mosaic requires the
     2nd-to-last block dim to be a multiple of 8 or the full extent, so
@@ -226,7 +291,7 @@ def _clamp_blocks(shape, by, bx):
 
 
 @lru_cache(maxsize=None)
-def _build_calls(shape, by, bx, high, interpret):
+def _build_calls(shape, by, bx, high, interpret, vma=()):
     """The two pallas_calls for a given lattice shape + block config.
 
     Cached so cycle-ops can call `blocked_kron_apply` freely: rebuilding
@@ -248,7 +313,7 @@ def _build_calls(shape, by, bx, high, interpret):
             pl.BlockSpec((NX, NZ), lambda j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((NX, by, NZ), lambda j: (0, j, 0)),
-        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        out_shape=_out_struct(shape, vma),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
         interpret=interpret,
     )
@@ -266,7 +331,7 @@ def _build_calls(shape, by, bx, high, interpret):
             pl.BlockSpec((NY, NZ), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        out_shape=_out_struct(shape, vma),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
         interpret=interpret,
     )
@@ -274,13 +339,13 @@ def _build_calls(shape, by, bx, high, interpret):
 
 
 @lru_cache(maxsize=None)
-def _build_cheb_call(shape, bx, high, interpret):
+def _build_cheb_call(shape, bx, high, interpret, vma=()):
     """The fused Chebyshev-step kernel for a lattice shape (see
     `_kernel_t23_cheb`); pairs with kernel 1 from `_build_calls`."""
     NX, NY, NZ = shape
     vmem = 100 * 1024 * 1024
     lat = lambda: pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0))
-    out = jax.ShapeDtypeStruct(shape, jnp.float32)
+    out = _out_struct(shape, vma)
     return pl.pallas_call(
         partial(_kernel_t23_cheb, high=high),
         grid=(pl.cdiv(NX, bx),),
@@ -306,7 +371,7 @@ def _build_cheb_call(shape, bx, high, interpret):
 
 
 @lru_cache(maxsize=None)
-def _build_res_call(shape, bx, high, interpret):
+def _build_res_call(shape, bx, high, interpret, vma=()):
     """The fused residual kernel (see `_kernel_t23_res`)."""
     NX, NY, NZ = shape
     lat = lambda: pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0))
@@ -323,7 +388,7 @@ def _build_res_call(shape, bx, high, interpret):
             lat(),                                      # r_in
         ],
         out_specs=lat(),
-        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        out_shape=_out_struct(shape, vma),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -332,21 +397,37 @@ def _build_res_call(shape, bx, high, interpret):
 
 
 def blocked_kron_residual(b3, u3, bc3, mats, *, by=8, bx=8,
-                          precision="highest", interpret=None):
+                          precision="highest", interpret=None,
+                          exchange=None):
     """Fused ``r = b - A u`` through the blocked kernel pair."""
+    emulate = False
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        emulate = jax.default_backend() != "tpu"
+        interpret = False
+    if emulate:
+        t1 = _emu_t1(u3, bc3, mats)
+        if exchange is not None:
+            t1 = exchange(t1)
+        return b3 - _emu_apply(u3, bc3, t1, mats)
     by, bx = _clamp_blocks(u3.shape, by, bx)
     high = precision == "high"
-    t1c, _ = _build_calls(tuple(u3.shape), by, bx, high, interpret)
-    resc = _build_res_call(tuple(u3.shape), bx, high, interpret)
-    t1 = t1c(u3, bc3, mats["Ktx"], mats["sxz"])
-    return resc(u3, bc3, t1, mats["Kty"], mats["KtzT"], mats["sx2d"],
-                mats["sycol"], mats["s23"], b3)
+    vma = _join_vma(b3, u3, bc3, *mats.values())
+    t1c, _ = _build_calls(tuple(u3.shape), by, bx, high, interpret, vma)
+    resc = _build_res_call(tuple(u3.shape), bx, high, interpret, vma)
+    names = ("Ktx", "sxz", "Kty", "KtzT", "sx2d", "sycol", "s23")
+    b3, u3, bc3, *mvals = _pvary_all(vma, b3, u3, bc3,
+                                     *(mats[k] for k in names))
+    m = dict(zip(names, mvals))
+    t1 = t1c(u3, bc3, m["Ktx"], m["sxz"])
+    if exchange is not None:
+        t1 = exchange(t1)
+    return resc(u3, bc3, t1, m["Kty"], m["KtzT"], m["sx2d"],
+                m["sycol"], m["s23"], b3)
 
 
 def blocked_kron_cheb4(b3, x3, bc3, mats, dinv3, lmax, num_iters, *,
-                       by=8, bx=8, precision="highest", interpret=None):
+                       by=8, bx=8, precision="highest", interpret=None,
+                       exchange=None):
     """Fourth-kind Chebyshev smoothing with the update fused into the
     blocked operator kernels (numerically identical to
     `solvers.chebyshev.chebyshev4_solve` over the same operator; tested).
@@ -355,17 +436,37 @@ def blocked_kron_cheb4(b3, x3, bc3, mats, dinv3, lmax, num_iters, *,
     is kernel 1 + the fused kernel `_kernel_t23_cheb`, so the smoother
     touches HBM only through the two Mosaic pipelines.
     """
+    emulate = False
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        emulate = jax.default_backend() != "tpu"
+        interpret = False
     by, bx = _clamp_blocks(x3.shape, by, bx)
     high = precision == "high"
-    t1c, _ = _build_calls(tuple(x3.shape), by, bx, high, interpret)
-    chebc = _build_cheb_call(tuple(x3.shape), bx, high, interpret)
+    vma = _join_vma(b3, x3, bc3, dinv3, *mats.values())
+    if not emulate:
+        t1c, _ = _build_calls(tuple(x3.shape), by, bx, high, interpret, vma)
+        chebc = _build_cheb_call(tuple(x3.shape), bx, high, interpret, vma)
+        names = ("Ktx", "sxz", "Kty", "KtzT", "sx2d", "sycol", "s23")
+        b3, x3, bc3, dinv3, *mvals = _pvary_all(vma, b3, x3, bc3, dinv3,
+                                                *(mats[k] for k in names))
+        m = dict(zip(names, mvals))
 
     def halfstep(v, x, r_in, coef):
-        t1 = t1c(v, bc3, mats["Ktx"], mats["sxz"])
-        return chebc(v, bc3, t1, mats["Kty"], mats["KtzT"], mats["sx2d"],
-                     mats["sycol"], mats["s23"], x, r_in, dinv3, coef)
+        if emulate:
+            t1 = _emu_t1(v, bc3, mats)
+            if exchange is not None:
+                t1 = exchange(t1)
+            Av = _emu_apply(v, bc3, t1, mats)
+            gamma, a, bco = coef[0, 0], coef[0, 1], coef[0, 2]
+            r_new = r_in - Av
+            return (x + gamma * v, r_new,
+                    a * v + bco * dinv3 * r_new)
+        t1 = t1c(v, bc3, m["Ktx"], m["sxz"])
+        if exchange is not None:
+            t1 = exchange(t1)
+        (coef,) = _pvary_all(vma, coef)
+        return chebc(v, bc3, t1, m["Kty"], m["KtzT"], m["sx2d"],
+                     m["sycol"], m["s23"], x, r_in, dinv3, coef)
 
     dt = x3.dtype
     zero = jnp.zeros((), dt)
@@ -385,25 +486,44 @@ def blocked_kron_cheb4(b3, x3, bc3, mats, dinv3, lmax, num_iters, *,
 
 
 def blocked_kron_apply(x3, bc3, mats, *, by=8, bx=8, precision="highest",
-                       interpret=None):
+                       interpret=None, exchange=None):
     """Functional blocked Kronecker apply on a lattice-shaped f32 vector.
 
     ``mats`` is the dict from `symmetrized_mats`. ``interpret=None``
     auto-selects interpret mode off-TPU (the Mosaic kernels only compile
     for TPU; tests run them interpreted on CPU).
+
+    ``exchange`` (optional) is applied to kernel 1's output — which is
+    exactly the x-stiffness term, the only shard-partial quantity under
+    an x-slab decomposition — before kernel 2 consumes it; the
+    distributed layer passes the interface partial-sum ppermute here
+    (same contract as `ops.kron.kron_laplacian_apply`).
     """
     if precision not in ("highest", "high"):
         raise ValueError(
             f"precision must be 'highest' or 'high', got {precision!r}"
         )
+    emulate = False
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        emulate = jax.default_backend() != "tpu"
+        interpret = False
+    if emulate:
+        t1 = _emu_t1(x3, bc3, mats)
+        if exchange is not None:
+            t1 = exchange(t1)
+        return _emu_apply(x3, bc3, t1, mats)
     by, bx = _clamp_blocks(x3.shape, by, bx)
+    vma = _join_vma(x3, bc3, *mats.values())
     t1c, t23c = _build_calls(tuple(x3.shape), by, bx,
-                             precision == "high", interpret)
-    t1 = t1c(x3, bc3, mats["Ktx"], mats["sxz"])
-    return t23c(x3, bc3, t1, mats["Kty"], mats["KtzT"],
-                mats["sx2d"], mats["sycol"], mats["s23"])
+                             precision == "high", interpret, vma)
+    names = ("Ktx", "sxz", "Kty", "KtzT", "sx2d", "sycol", "s23")
+    x3, bc3, *mvals = _pvary_all(vma, x3, bc3, *(mats[k] for k in names))
+    m = dict(zip(names, mvals))
+    t1 = t1c(x3, bc3, m["Ktx"], m["sxz"])
+    if exchange is not None:
+        t1 = exchange(t1)
+    return t23c(x3, bc3, t1, m["Kty"], m["KtzT"],
+                m["sx2d"], m["sycol"], m["s23"])
 
 
 class PallasKronBlocked:

@@ -168,6 +168,48 @@ def dist_kron_cycle_ops(n_shards, precision="highest"):
     )
 
 
+def dist_kron_blocked_cycle_ops(n_shards, precision="highest"):
+    """Sharded blocked-Pallas Kronecker backend (the large-N production
+    kernels under the x-slab decomposition).
+
+    Kernel 1's output is exactly the x-stiffness term — the only
+    shard-partial quantity — so the interface partial-sum ppermute slots
+    between the two Mosaic kernels via the ``exchange`` hook, and XLA can
+    overlap it with nothing ahead of kernel 2 (the same split point as
+    the XLA kron path). Per-shard symmetrized matrices live in the
+    level's ``kb_mats`` (the sqrt-mass scalings differ between boundary
+    and interior shards, so the x-dependent factors are sharded)."""
+    from ..ops.lattice import lattice_prolongate, lattice_restrict
+    from ..ops.pallas_kron_blocked import blocked_kron_apply
+
+    ex = lambda t1: _exchange_partials(t1, n_shards)
+
+    def apply_op(lv, x, level):
+        return blocked_kron_apply(
+            x, lv["bc_marker"], lv["kb_mats"], precision=precision,
+            exchange=ex,
+        )
+
+    def restrict_op(tr, r, level_c, level_f):
+        raw = lattice_restrict(
+            r * tr["weights_f"], (tr["Ix"], tr["Iy"], tr["Iz"]),
+            level_f.shape, "highest",
+        )
+        return _exchange_partials(raw, n_shards)
+
+    def prolong_op(tr, u, level_c, level_f):
+        return lattice_prolongate(
+            u, (tr["Ix"], tr["Iy"], tr["Iz"]), level_c.shape, "highest"
+        )
+
+    return dict(
+        apply=apply_op, restrict=restrict_op, prolong=prolong_op,
+        dot=lambda u, v, lv: dist_inner_product(u, v, lv["weights"], AXIS),
+        pvary=lambda v: pcast_varying(v, (AXIS,)),
+        zeros=lambda level, dtype: jnp.zeros(level.shape, dtype=dtype),
+    )
+
+
 def dist_lattice_cycle_ops(n_shards, precision="highest"):
     """Sharded V-cycle primitives over the lattice/MXU fast path.
 
@@ -248,14 +290,20 @@ class DistPMG:
         from ..fem.assembly import resolve_kappa
         from ..fem.mesh import require_axis_aligned
 
-        if operator == "kron":
-            require_axis_aligned(mesh, "DistPMG operator='kron'")
+        kron_family = operator in ("kron", "kron_blocked")
+        if kron_family:
+            require_axis_aligned(mesh, f"DistPMG operator='{operator}'")
+        if operator == "kron_blocked" and dtype != jnp.float32:
+            raise ValueError(
+                "operator='kron_blocked' is f32-only (Mosaic kernels); "
+                f"got dtype={dtype}"
+            )
         if coarse in ("fdm", "hmg"):
             require_axis_aligned(mesh, f"coarse='{coarse}'")
         self.kappa_cells, _kconst = resolve_kappa(mesh, kappa)
         self.kappa = float(self.kappa_cells[0]) if _kconst else None
         if not _kconst:
-            if operator == "kron":
+            if kron_family:
                 raise ValueError(
                     "DistPMG: variable kappa requires operator='lattice' "
                     "or 'dofmap' (the Kronecker sum is constant-only)"
@@ -284,9 +332,9 @@ class DistPMG:
                 quadrature_weights_3d(Pdeg),
                 xp=np,
             )
-            # kron carries lattice-shaped (3D) vectors; the general
+            # kron backends carry lattice-shaped (3D) vectors; the general
             # backends keep the flat contract of the dofmap/E-matrix ops.
-            conform = ((lambda a: a) if operator == "kron"
+            conform = ((lambda a: a) if kron_family
                        else (lambda a: a.reshape(-1)))
             common = dict(
                 bc_marker=jnp.asarray(
@@ -306,7 +354,7 @@ class DistPMG:
             )
             common_spec = dict(bc_marker=P(AXIS), weights=P(AXIS),
                                diag_inv=P(AXIS))
-            if operator == "kron":
+            if kron_family:
                 from ..ops.kron import axis_stiffness_mass
 
                 lv = dict(common)
@@ -325,15 +373,41 @@ class DistPMG:
                     [mx_g[s * (npl - 1): s * (npl - 1) + npl]
                      for s in range(part.n_shards)]
                 )
-                lv.update(
-                    Kx=jnp.asarray(self.kappa * Kx, dtype=dtype),
-                    Ky=jnp.asarray(self.kappa * Ky, dtype=dtype),
-                    Kz=jnp.asarray(self.kappa * Kz, dtype=dtype),
-                    mx=jnp.asarray(mx_dup, dtype=dtype),
-                    my=jnp.asarray(my, dtype=dtype),
-                    mz=jnp.asarray(mz, dtype=dtype),
-                )
-                spec.update(Kx=P(), Ky=P(), Kz=P(), mx=P(AXIS), my=P(), mz=P())
+                if operator == "kron_blocked":
+                    from ..ops.pallas_kron_blocked import symmetrized_mats
+
+                    # The sqrt-mass scalings differ between boundary and
+                    # interior shards, so the x-dependent factors are
+                    # built per shard and stacked along axis 0 (sharded);
+                    # the y/z factors are shard-invariant (replicated).
+                    per = [
+                        symmetrized_mats(
+                            (self.kappa * Kx, self.kappa * Ky,
+                             self.kappa * Kz),
+                            (mx_dup[s * npl:(s + 1) * npl], my, mz),
+                        )
+                        for s in range(part.n_shards)
+                    ]
+                    kb = {k: per[0][k] for k in ("Kty", "KtzT", "sycol",
+                                                 "s23")}
+                    for k in ("Ktx", "sx2d", "sxz"):
+                        kb[k] = jnp.concatenate([m[k] for m in per], axis=0)
+                    lv["kb_mats"] = kb
+                    spec["kb_mats"] = dict(
+                        Ktx=P(AXIS), sx2d=P(AXIS), sxz=P(AXIS),
+                        Kty=P(), KtzT=P(), sycol=P(), s23=P(),
+                    )
+                else:
+                    lv.update(
+                        Kx=jnp.asarray(self.kappa * Kx, dtype=dtype),
+                        Ky=jnp.asarray(self.kappa * Ky, dtype=dtype),
+                        Kz=jnp.asarray(self.kappa * Kz, dtype=dtype),
+                        mx=jnp.asarray(mx_dup, dtype=dtype),
+                        my=jnp.asarray(my, dtype=dtype),
+                        mz=jnp.asarray(mz, dtype=dtype),
+                    )
+                    spec.update(Kx=P(), Ky=P(), Kz=P(),
+                                mx=P(AXIS), my=P(), mz=P())
             elif operator == "lattice":
                 lv = dict(common)
                 spec = dict(common_spec)
@@ -378,6 +452,8 @@ class DistPMG:
         self.levels = tuple(levels)
         if operator == "kron":
             ops = dist_kron_cycle_ops(self.n_shards, precision)
+        elif operator == "kron_blocked":
+            ops = dist_kron_blocked_cycle_ops(self.n_shards, precision)
         elif operator == "lattice":
             ops = dist_lattice_cycle_ops(self.n_shards, precision)
         else:
@@ -469,9 +545,17 @@ class DistPMG:
         with self.jmesh:
             for lv, spec, level in zip(level_data, level_specs, levels):
                 for k in lv:
-                    lv[k] = put_global(
-                        lv[k], NamedSharding(self.jmesh, spec[k])
-                    )
+                    if isinstance(lv[k], dict):  # nested (e.g. kb_mats)
+                        lv[k] = {
+                            kk: put_global(
+                                vv, NamedSharding(self.jmesh, spec[k][kk])
+                            )
+                            for kk, vv in lv[k].items()
+                        }
+                    else:
+                        lv[k] = put_global(
+                            lv[k], NamedSharding(self.jmesh, spec[k])
+                        )
 
                 # Distributed smoother calibration: recorded Jacobi-CG on
                 # A x = 1 (the reference per-level calibration,
@@ -496,7 +580,7 @@ class DistPMG:
                         )),
                     )
                 )
-                if operator == "kron":
+                if kron_family:
                     vshape = (level.shape[0] * self.n_shards,) + level.shape[1:]
                 else:
                     vshape = (level.ndofs * self.n_shards,)
@@ -519,7 +603,7 @@ class DistPMG:
         transfer, transfer_specs = [], []
         for i in range(len(self.degrees) - 1):
             Pc, Pf = self.degrees[i], self.degrees[i + 1]
-            if operator in ("lattice", "kron"):
+            if operator in ("lattice", "kron", "kron_blocked"):
                 tr = dict(
                     Ix=jnp.asarray(
                         axis_interpolation_matrix(part.cells_per_shard_x, Pc, Pf),
@@ -532,7 +616,7 @@ class DistPMG:
                         axis_interpolation_matrix(mesh.nc[2], Pc, Pf), dtype=dtype
                     ),
                     weights_f=jnp.asarray(
-                        (part.ownership_weights(Pf) if operator == "kron"
+                        (part.ownership_weights(Pf) if kron_family
                          else part.ownership_weights(Pf).reshape(-1)),
                         dtype=dtype,
                     ),
@@ -611,7 +695,7 @@ class DistPMG:
     def to_dist(self, u, level=-1):
         Pdeg = self.degrees[level]
         ud = self.part.to_dist(Pdeg, np.asarray(u))
-        if self.operator_kind != "kron":
+        if self.operator_kind not in ("kron", "kron_blocked"):
             ud = ud.reshape(-1)  # general backends keep the flat contract
         return put_global(
             np.asarray(ud, dtype=self.dtype),
@@ -697,8 +781,9 @@ class DistPMG:
                  for s in range(part.n_shards)]
             )
             # f64 state shares the work layout of the f32 cycle: 3D for
-            # kron, flat for the general backends.
-            conform = ((lambda a: a) if self.operator_kind == "kron"
+            # the kron backends, flat for the general backends.
+            conform = ((lambda a: a)
+                       if self.operator_kind in ("kron", "kron_blocked")
                        else (lambda a: a.reshape(-1)))
             lv64 = dict(
                 Kx=jnp.asarray(self.kappa * Kx, dtype=jnp.float64),
@@ -764,7 +849,7 @@ class DistPMG:
             )
 
         bd = self.part.to_dist(Pdeg, np.asarray(b, dtype=np.float64))
-        if self.operator_kind != "kron":
+        if self.operator_kind not in ("kron", "kron_blocked"):
             bd = bd.reshape(-1)
         b64 = put_global(
             np.asarray(bd, dtype=np.float64),

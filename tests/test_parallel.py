@@ -134,6 +134,25 @@ def test_dist_kron_operator_matches_single():
     assert np.allclose(yd, ys, atol=1e-11)
 
 
+def test_dist_kron_blocked_matches_single():
+    """Sharded blocked-Pallas kron backend (interpret mode on CPU) ==
+    single-device kron_blocked trajectories: the interface exchange slots
+    between the two Mosaic kernels via the `exchange` hook."""
+    import jax.numpy as jnp
+
+    nc = (8, 4, 4)
+    kappa = 2.0
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa, coarse="cg",
+                            operator="kron_blocked", dtype=jnp.float32)
+    u_s, rn_s = single.solve(num_cycles=5)
+    dist = DistPMG(single.mesh, n_devices=4, degrees=(1, 3), kappa=kappa,
+                   coarse="cg", operator="kron_blocked", dtype=jnp.float32)
+    b = assemble_rhs(single.mesh, 3, f_rhs(kappa))
+    u_d, rn_d = dist.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-4), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-5)
+
+
 def test_dist_refined_solve_matches_single():
     """Sharded mixed-precision refinement == single-device refinement."""
     import jax.numpy as jnp
