@@ -14,10 +14,11 @@ def base_parser(description):
     p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--operator",
-                   choices=["kron", "kron_blocked", "lattice", "dofmap",
-                            "pallas_blocked"],
+                   choices=["kron", "kron_blocked", "lattice",
+                            "lattice_blocked", "dofmap", "pallas_blocked"],
                    default="kron", help="kernel backend ('kron_blocked' = "
-                   "fused blocked Pallas kernels, fastest at >~8M dofs)")
+                   "fused blocked Pallas kernels, fastest at >~8M dofs; "
+                   "'lattice_blocked' = fused general-hex kernel)")
     p.add_argument("--kappa", type=float, default=2.0)
     return p
 

@@ -1,0 +1,310 @@
+"""Blocked Pallas kernel for the general-hex lattice apply.
+
+The XLA lattice path (`ops/lattice.py`) materializes ~12 quadrature-
+lattice intermediates per apply (ux/uy/uz, tx/ty/tz, the partial
+foldbacks) plus the 6-entry geometry stream — each a whole-lattice HBM
+pass. This module fuses the entire per-cell-slab pipeline into ONE
+Mosaic kernel so the only HBM traffic is: the x-expanded input slab, the
+geometry slab, and the output slab.
+
+Structure (cell-slab = one layer of cells along x, ``n = P+1``
+quadrature planes):
+
+- XLA prologue: ``xb = where(bc, 0, x)`` then `expand_axis0` (a
+  reshape/concat copy, NOT a matmul) to the x-expanded lattice
+  ``(Qx, NY, NZ)``. After expansion EVERY x-contraction is local to a
+  cell slab (the slab holds exactly the cell's P+1 dof planes), so slabs
+  are disjoint — no halos, no atomic scatters.
+- kernel, grid over cell slabs: per x-plane, the z- and y-contractions
+  are natural MXU dots (``plane @ EzT``, ``Ey @ plane``, ...); the
+  x-derivative is an n-term VPU plane sum with the 1D matrix ``D1``
+  (n is small — 7 at p=6 — so the MXU would idle on it); the 6-entry
+  symmetric G (streamed as a ``(6, n, Qy, Qz)`` slab) applies pointwise
+  in VMEM; then everything transposes back to an x-expanded output slab.
+- XLA epilogue: `fold_axis0` (the overlap-add along x, again a
+  reshape/concat) + the Dirichlet ``where(bc, x, y)`` rows.
+
+Off-TPU the wrapper falls back to the exact XLA implementation
+(`lattice_laplacian_apply` — same math; the Mosaic kernel itself is
+covered by interpret-mode tests). Reference analogue: the shared-memory
+sum-factorized stiffness kernel, src/laplacian.hpp:143-278, restructured
+for the MXU/VMEM hierarchy with the atomicAdd scatter replaced by the
+overlap-add fold.
+"""
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lattice import expand_axis0, fold_axis0
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def _split_bf16(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+_DOT = partial(jnp.dot, preferred_element_type=jnp.float32)
+
+
+def _mk_dot(high):
+    """dot(a, b) at the requested precision; at 'high' both operands are
+    split per call (the small 1D matrices are cheap to re-split)."""
+    if not high:
+        return lambda a, b: _DOT(a, b, precision=HI)
+
+    def dot3(a, b):
+        a_hi, a_lo = _split_bf16(a)
+        b_hi, b_lo = _split_bf16(b)
+        return _DOT(a_hi, b_hi) + (_DOT(a_hi, b_lo) + _DOT(a_lo, b_hi))
+
+    return dot3
+
+
+def _kernel_lattice(xq_ref, g_ref, Ey_ref, EyT_ref, Dy_ref, DyT_ref,
+                    Ez_ref, EzT_ref, Dz_ref, DzT_ref, D1_ref, out_ref,
+                    *, n, bcells, high):
+    dot = _mk_dot(high)
+    Ey, EyT = Ey_ref[:], EyT_ref[:]
+    Dy, DyT = Dy_ref[:], DyT_ref[:]
+    Ez, EzT = Ez_ref[:], EzT_ref[:]
+    Dz, DzT = Dz_ref[:], DzT_ref[:]
+    # D1 arrives as an (n, n) block; its entries index a traced ref, so
+    # read the full tile once and slice (static indices).
+    D1 = D1_ref[:]
+    for c in range(bcells):
+        o = c * n
+        # Forward: values of grad(u) on the cell slab's quadrature planes.
+        tzy, uy, uz = [], [], []
+        for p in range(n):
+            xp = xq_ref[o + p]                     # (NY, NZ)
+            tz_p = dot(xp, EzT)                    # (NY, Qz)
+            dz_p = dot(xp, DzT)
+            tzy.append(dot(Ey, tz_p))              # (Qy, Qz)
+            uy.append(dot(Dy, tz_p))
+            uz.append(dot(Ey, dz_p))
+        # x-derivative: n-term VPU plane sums (n small; MXU would idle).
+        ux = [
+            sum(D1[q, j] * tzy[j] for j in range(n))
+            for q in range(n)
+        ]
+        # Geometry: 6-entry symmetric G per quadrature point, then the
+        # transposed x-derivative back onto the slab planes.
+        tx, ty, tz = [], [], []
+        for q in range(n):
+            g0 = g_ref[0, o + q]
+            g1 = g_ref[1, o + q]
+            g2 = g_ref[2, o + q]
+            g3 = g_ref[3, o + q]
+            g4 = g_ref[4, o + q]
+            g5 = g_ref[5, o + q]
+            tx.append(g0 * ux[q] + g1 * uy[q] + g2 * uz[q])
+            ty.append(g1 * ux[q] + g3 * uy[q] + g4 * uz[q])
+            tz.append(g2 * ux[q] + g4 * uy[q] + g5 * uz[q])
+        # Backward: D1^T along x (VPU), then transposed y/z contractions.
+        for j in range(n):
+            bx_j = sum(D1[q, j] * tx[q] for q in range(n))  # (Qy, Qz)
+            cxy = dot(EyT, bx_j) + dot(DyT, ty[j])           # (NY, Qz)
+            cz = dot(EyT, tz[j])
+            out_ref[o + j] = dot(cxy, Ez) + dot(cz, Dz)      # (NY, NZ)
+
+
+@lru_cache(maxsize=None)
+def _build_call(qshape, nyz, n, bcells, high, interpret, vma=()):
+    """qshape = (Qx, NY, NZ) of the x-expanded lattice; nyz = (Qy, Qz)."""
+    Qx, NY, NZ = qshape
+    Qy, Qz = nyz
+    bq = bcells * n
+    out = (jax.ShapeDtypeStruct(qshape, jnp.float32, vma=frozenset(vma))
+           if vma else jax.ShapeDtypeStruct(qshape, jnp.float32))
+    return pl.pallas_call(
+        partial(_kernel_lattice, n=n, bcells=bcells, high=high),
+        grid=(pl.cdiv(Qx, bq),),
+        in_specs=[
+            pl.BlockSpec((bq, NY, NZ), lambda i: (i, 0, 0)),       # xq
+            pl.BlockSpec((6, bq, Qy, Qz), lambda i: (0, i, 0, 0)),  # G
+            pl.BlockSpec((Qy, NY), lambda i: (0, 0)),   # Ey
+            pl.BlockSpec((NY, Qy), lambda i: (0, 0)),   # EyT
+            pl.BlockSpec((Qy, NY), lambda i: (0, 0)),   # Dy
+            pl.BlockSpec((NY, Qy), lambda i: (0, 0)),   # DyT
+            pl.BlockSpec((Qz, NZ), lambda i: (0, 0)),   # Ez
+            pl.BlockSpec((NZ, Qz), lambda i: (0, 0)),   # EzT
+            pl.BlockSpec((Qz, NZ), lambda i: (0, 0)),   # Dz
+            pl.BlockSpec((NZ, Qz), lambda i: (0, 0)),   # DzT
+            pl.BlockSpec((n, n), lambda i: (0, 0)),     # D1
+        ],
+        out_specs=pl.BlockSpec((bq, NY, NZ), lambda i: (i, 0, 0)),
+        out_shape=out,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+
+def lattice_blocked_mats(mesh, P, dtype=jnp.float32):
+    """The small per-axis matrices the kernel consumes (replicated).
+
+    ``Ex``/``Dx`` are only used by the exact-XLA fallback on non-TPU
+    backends (the kernel handles the x direction with ``D1`` plane sums).
+    """
+    from ..fem.gll import derivative_matrix
+    from .lattice import axis_matrices
+
+    ncx, ncy, ncz = mesh.nc
+    Ex, Dx = axis_matrices(ncx, P)
+    Ey, Dy = axis_matrices(ncy, P)
+    Ez, Dz = axis_matrices(ncz, P)
+    f = lambda a: jnp.asarray(a, dtype)
+    return dict(
+        Ex=f(Ex), Dx=f(Dx),
+        Ey=f(Ey), EyT=f(Ey.T.copy()), Dy=f(Dy), DyT=f(Dy.T.copy()),
+        Ez=f(Ez), EzT=f(Ez.T.copy()), Dz=f(Dz), DzT=f(Dz.T.copy()),
+        D1=f(derivative_matrix(P)),
+    )
+
+
+def geometry_to_gfirst(Gq):
+    """Reorder the quadrature-lattice geometry ``(Qx, Qy, Qz, 6)`` to
+    ``(6, Qx, Qy, Qz)`` (the 6 G-entries must not sit on the 128-lane
+    minor dim)."""
+    return np.ascontiguousarray(np.moveaxis(np.asarray(Gq), -1, 0))
+
+
+def blocked_lattice_apply(x, mats, Gt, bc_marker, nc, P, *, bcells=1,
+                          precision="highest", interpret=None,
+                          apply_bc=True):
+    """Fused ``y = A x`` on general hexes (shape-preserving like
+    `lattice_laplacian_apply`). ``Gt`` is the ``(6, Qx, Qy, Qz)`` array
+    from `geometry_to_gfirst`; ``mats`` from `lattice_blocked_mats`.
+    """
+    if precision not in ("highest", "high"):
+        raise ValueError(
+            f"precision must be 'highest' or 'high', got {precision!r}"
+        )
+    emulate = False
+    if interpret is None:
+        emulate = jax.default_backend() != "tpu"
+        interpret = False
+    ncx, ncy, ncz = nc
+    n = P + 1
+    NX, NY, NZ = ncx * P + 1, ncy * P + 1, ncz * P + 1
+    if emulate:
+        # Exact XLA fallback (same math) for non-TPU backends; the kernel
+        # itself is covered by interpret-mode tests.
+        from .lattice import lattice_laplacian_apply
+
+        G = jnp.moveaxis(Gt, 0, -1)
+        xl_mats = {k: mats[k] for k in ("Ex", "Dx", "Ey", "Dy", "Ez", "Dz")}
+        return lattice_laplacian_apply(
+            x, xl_mats, G, bc_marker, precision="highest",
+            apply_bc=apply_bc,
+        )
+
+    xb = jnp.where(bc_marker, jnp.zeros_like(x), x).reshape(NX, NY, NZ)
+    xq = expand_axis0(xb, ncx, P)                      # (Qx, NY, NZ) copy
+    vma = _join_vma(x, bc_marker, Gt, *mats.values())
+    call = _build_call((ncx * n, NY, NZ), (ncy * n, ncz * n), n,
+                       min(bcells, ncx), precision == "high", interpret,
+                       vma)
+    names = ("Ey", "EyT", "Dy", "DyT", "Ez", "EzT", "Dz", "DzT", "D1")
+    xq, Gt, *mvals = _pvary_all(vma, xq, Gt, *(mats[k] for k in names))
+    yq = call(xq, Gt, *mvals)
+    y = fold_axis0(yq, ncx, P).reshape(jnp.shape(x))
+    if not apply_bc:
+        return y
+    return jnp.where(bc_marker, x, y)
+
+
+def _join_vma(*arrays):
+    vma = set()
+    for a in arrays:
+        try:
+            vma |= set(jax.typeof(a).vma)
+        except Exception:
+            pass
+    return tuple(sorted(vma))
+
+
+def _pvary_all(vma, *arrays):
+    if not vma:
+        return arrays
+    out = []
+    for a in arrays:
+        try:
+            cur = jax.typeof(a).vma
+        except Exception:
+            cur = ()
+        missing = tuple(ax for ax in vma if ax not in cur)
+        out.append(jax.lax.pcast(a, missing, to="varying") if missing else a)
+    return tuple(out)
+
+
+class PallasLatticeBlocked:
+    """Drop-in general-hex operator over the fused lattice kernel.
+
+    Same contract as `LatticeLaplacian` (apply + diag), f32 only.
+    ``kappa`` may be scalar or per-cell DG-0.
+    """
+
+    def __init__(self, mesh, P, kappa=2.0, bcells=1, interpret=False,
+                 precision="highest"):
+        from ..fem.assembly import resolve_kappa
+        from ..fem.geometry import (
+            geometry_factors,
+            quadrature_weights_3d,
+            tabulate_geometry_dphi,
+        )
+        from ..fem.gll import derivative_matrix
+        from .laplacian import laplacian_diagonal
+        from .lattice import geometry_to_qlattice
+
+        self.P = int(P)
+        self.mesh = mesh
+        self.ndofs = mesh.num_dofs(P)
+        self.precision = precision
+        self.bcells = int(bcells)
+        self._interpret = interpret
+        kappa_cells, _ = resolve_kappa(mesh, kappa)
+        G_cells, _ = geometry_factors(
+            mesh.geometry_x,
+            mesh.geometry_dofmap,
+            tabulate_geometry_dphi(self.P),
+            quadrature_weights_3d(self.P),
+            xp=np,
+        )
+        Gq = geometry_to_qlattice(
+            G_cells * kappa_cells[:, None, None], mesh.nc, self.P
+        )
+        self.Gt = jnp.asarray(geometry_to_gfirst(Gq), jnp.float32)
+        self.mats = lattice_blocked_mats(mesh, self.P)
+        self.bc_marker = jnp.asarray(mesh.boundary_dof_marker(self.P))
+        # Exact diagonal via the (setup-time) dofmap formulation.
+        diag = jax.jit(laplacian_diagonal, static_argnums=(5,))(
+            jnp.asarray(mesh.dofmap(self.P)),
+            jnp.asarray(G_cells, jnp.float32),
+            jnp.asarray(kappa_cells, jnp.float32),
+            jnp.asarray(derivative_matrix(self.P), jnp.float32),
+            self.bc_marker,
+            self.ndofs,
+        )
+        self.diag = jnp.asarray(diag, jnp.float32)
+        self.diag_inv = 1.0 / self.diag
+        self._apply = jax.jit(self._apply_impl)
+
+    def _apply_impl(self, x):
+        return blocked_lattice_apply(
+            x, self.mats, self.Gt, self.bc_marker, self.mesh.nc, self.P,
+            bcells=self.bcells, precision=self.precision,
+            interpret=True if self._interpret else None,
+        )
+
+    def __call__(self, x):
+        return self._apply(jnp.asarray(x, jnp.float32))

@@ -255,6 +255,37 @@ def lattice_cycle_ops(precision="highest"):
     )
 
 
+def lattice_blocked_cycle_ops(precision="highest", bcells=1):
+    """V-cycle primitives whose general-hex operator applies run the
+    fused Mosaic lattice kernel (`ops.pallas_lattice_blocked`) — the
+    whole per-cell-slab pipeline (z/y contractions, VPU x-derivative,
+    6-entry G application, transposes) in one kernel instead of ~12
+    XLA quadrature-lattice passes. f32 only; flat vector carriers like
+    `lattice_cycle_ops`; falls back to the exact XLA path off-TPU."""
+    from ..ops.lattice import lattice_prolongate, lattice_restrict
+    from ..ops.pallas_lattice_blocked import blocked_lattice_apply
+
+    def apply_op(lv, x, level):
+        nc = tuple((N - 1) // level.P for N in level.shape)
+        return blocked_lattice_apply(
+            x, lv["lb_mats"], lv["Gt"], lv["bc_marker"], nc, level.P,
+            bcells=bcells, precision=precision,
+        )
+
+    tprec = "highest"
+    return dict(
+        apply=apply_op,
+        restrict=lambda tr, r, level_c, level_f: lattice_restrict(
+            r, (tr["Ix"], tr["Iy"], tr["Iz"]), level_f.shape, tprec
+        ),
+        prolong=lambda tr, u, level_c, level_f: lattice_prolongate(
+            u, (tr["Ix"], tr["Iy"], tr["Iz"]), level_c.shape, tprec
+        ),
+        dot=lambda u, v, lv: inner_product(u, v),
+        pvary=lambda v: v,
+    )
+
+
 def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
             ops=None, diagnostics=False):
     """One V-cycle ``u_out = PMG(b_in, u_in)`` (pure, jittable).
@@ -439,9 +470,10 @@ class PMGHierarchy:
         kron_family = operator in ("kron", "kron_blocked")
         if kron_family:
             require_axis_aligned(mesh, f"operator='{operator}'")
-        if operator == "kron_blocked" and dtype != jnp.float32:
+        if (operator in ("kron_blocked", "lattice_blocked")
+                and dtype != jnp.float32):
             raise ValueError(
-                "operator='kron_blocked' is f32-only (Mosaic kernels); "
+                f"operator='{operator}' is f32-only (Mosaic kernels); "
                 f"got dtype={dtype}"
             )
         if coarse in ("fdm", "hmg"):
@@ -470,6 +502,8 @@ class PMGHierarchy:
         self.eigs = []
         if operator == "lattice":
             self._ops = lattice_cycle_ops(precision)
+        elif operator == "lattice_blocked":
+            self._ops = lattice_blocked_cycle_ops(precision)
         elif operator == "kron":
             self._ops = kron_cycle_ops(precision)
         elif operator == "kron_blocked":
@@ -479,7 +513,7 @@ class PMGHierarchy:
         else:
             raise ValueError(
                 f"unknown operator backend {operator!r}; expected 'kron', "
-                "'kron_blocked', 'lattice' or 'dofmap'"
+                "'kron_blocked', 'lattice', 'lattice_blocked' or 'dofmap'"
             )
         ops = self._ops
 
@@ -531,6 +565,22 @@ class PMGHierarchy:
                     dtype=dtype,
                 )
                 lv["bc_marker"] = bc
+                level = Level(P=P, ndofs=ndofs, smoother_iters=smoother_iters,
+                              shape=mesh.lattice_shape(P))
+            elif operator == "lattice_blocked":
+                from ..ops.pallas_lattice_blocked import (
+                    geometry_to_gfirst,
+                    lattice_blocked_mats,
+                )
+
+                Gq = geometry_to_qlattice(
+                    G_cells * self.kappa_cells[:, None, None], mesh.nc, P
+                )
+                lv = dict(
+                    Gt=jnp.asarray(geometry_to_gfirst(Gq), dtype=dtype),
+                    lb_mats=lattice_blocked_mats(mesh, P, dtype=dtype),
+                    bc_marker=bc,
+                )
                 level = Level(P=P, ndofs=ndofs, smoother_iters=smoother_iters,
                               shape=mesh.lattice_shape(P))
             else:
@@ -604,7 +654,8 @@ class PMGHierarchy:
         transfer = []
         for i in range(len(self.degrees) - 1):
             Pc, Pf = self.degrees[i], self.degrees[i + 1]
-            if operator in ("lattice", "kron", "kron_blocked"):
+            if operator in ("lattice", "lattice_blocked", "kron",
+                            "kron_blocked"):
                 tr = {
                     "I" + name: jnp.asarray(
                         axis_interpolation_matrix(nc_a, Pc, Pf), dtype=dtype

@@ -105,6 +105,63 @@ def test_kron_blocked_hierarchy_matches_kron():
                        degrees=(1, 2), dtype=jax.numpy.float64)
 
 
+def test_pallas_lattice_blocked_matches_oracle():
+    """Fused general-hex lattice kernel == XLA lattice path on a
+    perturbed (non-affine) mesh, constant and per-cell DG-0 kappa."""
+    from pmg_dolfinx_tpu.fem.assembly import resolve_kappa
+    from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+    from pmg_dolfinx_tpu.models.poisson import kappa_linear
+    from pmg_dolfinx_tpu.ops.laplacian import MatFreeLaplacian
+    from pmg_dolfinx_tpu.ops.lattice import LatticeLaplacian
+    from pmg_dolfinx_tpu.ops.pallas_lattice_blocked import (
+        PallasLatticeBlocked,
+    )
+
+    mesh = PerturbedBoxMesh((4, 3, 5))
+    P = 3
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(mesh.num_dofs(P)), jnp.float32)
+    y_ref = LatticeLaplacian(mesh, P, kappa=2.0, dtype=jnp.float32)(x)
+    for bcells in (1, 2):
+        blk = PallasLatticeBlocked(mesh, P, kappa=2.0, bcells=bcells,
+                                   interpret=True)
+        err = float(jnp.linalg.norm(blk(x) - y_ref)
+                    / jnp.linalg.norm(y_ref))
+        assert err < 1e-5, (bcells, err)
+    # emulation path (what non-TPU backends run by default)
+    blk_e = PallasLatticeBlocked(mesh, P, kappa=2.0)
+    err = float(jnp.linalg.norm(blk_e(x) - y_ref) / jnp.linalg.norm(y_ref))
+    assert err < 1e-5, err
+    # variable DG-0 kappa vs the dofmap oracle, including the diagonal
+    kc, _ = resolve_kappa(mesh, kappa_linear)
+    mf = MatFreeLaplacian(mesh, P, kappa=kc, dtype=jnp.float32)
+    blk_v = PallasLatticeBlocked(mesh, P, kappa=kappa_linear,
+                                 interpret=True)
+    err = float(jnp.linalg.norm(blk_v(x) - mf(x)) / jnp.linalg.norm(mf(x)))
+    assert err < 1e-4, err
+    assert np.allclose(np.asarray(blk_v.diag), np.asarray(mf.diag),
+                       rtol=1e-5)
+
+
+def test_lattice_blocked_hierarchy_matches_lattice():
+    """operator='lattice_blocked' V-cycles track the XLA lattice backend
+    on a perturbed mesh with variable kappa."""
+    from pmg_dolfinx_tpu.fem.assembly import assemble_rhs
+    from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+    from pmg_dolfinx_tpu.models.poisson import f_rhs_variable, kappa_linear
+    from pmg_dolfinx_tpu.solvers.pmg import PMGHierarchy
+
+    mesh = PerturbedBoxMesh((3, 3, 3))
+    b = assemble_rhs(mesh, 3, f_rhs_variable())
+    kwargs = dict(degrees=(1, 3), kappa=kappa_linear, dtype=jnp.float32,
+                  coarse="cg")
+    ref = PMGHierarchy(mesh, operator="lattice", **kwargs)
+    blk = PMGHierarchy(mesh, operator="lattice_blocked", **kwargs)
+    _, rn_ref = ref.solve(b, num_cycles=4)
+    _, rn_blk = blk.solve(b, num_cycles=4)
+    assert np.allclose(rn_ref, rn_blk, rtol=1e-4), (rn_ref, rn_blk)
+
+
 def test_pallas_whole_lattice_matches_kron():
     from pmg_dolfinx_tpu.ops.pallas_kron import PallasKronLaplacian
 
