@@ -77,6 +77,22 @@ def main():
 
         def run(reps):
             return float(chain(x3, reps))
+    elif args.operator == "lattice_blocked":
+        from pmg_dolfinx_tpu.ops.pallas_lattice_blocked import (
+            PallasLatticeBlocked,
+        )
+
+        op = PallasLatticeBlocked(mesh, args.degree, kappa=args.kappa,
+                                  precision=args.precision)
+
+        @partial(jax.jit, static_argnums=(1,))
+        def chain(x, reps):
+            def body(i, v):
+                return op._apply_impl(x + 1e-30 * v)
+            return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
+
+        def run(reps):
+            return float(chain(x, reps))
     elif args.operator == "lattice":
         op = LatticeLaplacian(mesh, args.degree, kappa=args.kappa, dtype=dtype,
                               precision=args.precision)
