@@ -195,6 +195,23 @@ def test_grid_lattice_perturbed_hexes_matches_single():
     assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
 
 
+def test_grid_lattice_blocked_matches_lattice():
+    """Fused-kernel lattice backend on the grid == XLA lattice grid
+    backend (perturbed hexes, variable kappa, f32)."""
+    from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+    from pmg_dolfinx_tpu.models.poisson import f_rhs_variable, kappa_linear
+
+    mesh = PerturbedBoxMesh((4, 4, 2))
+    b = assemble_rhs(mesh, 3, f_rhs_variable())
+    kwargs = dict(shards=(2, 2), degrees=(1, 3), kappa=kappa_linear,
+                  coarse="cg", dtype=jnp.float32)
+    ref = GridPMG(mesh, operator="lattice", **kwargs)
+    blk = GridPMG(mesh, operator="lattice_blocked", **kwargs)
+    _, rn_ref = ref.solve(b, num_cycles=4)
+    _, rn_blk = blk.solve(b, num_cycles=4)
+    assert np.allclose(rn_ref, rn_blk, rtol=1e-4), (rn_ref, rn_blk)
+
+
 def test_grid_lattice_refined_solve():
     """Mixed-precision refinement through the grid lattice backend."""
     nc = (4, 4, 4)
