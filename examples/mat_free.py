@@ -85,14 +85,14 @@ def main():
         op = PallasLatticeBlocked(mesh, args.degree, kappa=args.kappa,
                                   precision=args.precision)
 
-        @partial(jax.jit, static_argnums=(1,))
-        def chain(x, reps):
+        @partial(jax.jit, static_argnums=(4,))
+        def chain(x, mats, Gt, bc, reps):
             def body(i, v):
-                return op._apply_impl(x + 1e-30 * v)
+                return op._apply_impl(x + 1e-30 * v, mats, Gt, bc)
             return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
 
         def run(reps):
-            return float(chain(x, reps))
+            return float(chain(x, op.mats, op.Gt, op.bc_marker, reps))
     elif args.operator == "lattice":
         op = LatticeLaplacian(mesh, args.degree, kappa=args.kappa, dtype=dtype,
                               precision=args.precision)

@@ -297,14 +297,18 @@ class PallasLatticeBlocked:
         )
         self.diag = jnp.asarray(diag, jnp.float32)
         self.diag_inv = 1.0 / self.diag
+        # All arrays are jit ARGUMENTS — the (6, Qx, Qy, Qz) geometry is
+        # hundreds of MB at large N and must never be closed over (HLO
+        # constants explode compile time / the remote-compile payload).
         self._apply = jax.jit(self._apply_impl)
 
-    def _apply_impl(self, x):
+    def _apply_impl(self, x, mats, Gt, bc_marker):
         return blocked_lattice_apply(
-            x, self.mats, self.Gt, self.bc_marker, self.mesh.nc, self.P,
+            x, mats, Gt, bc_marker, self.mesh.nc, self.P,
             bcells=self.bcells, precision=self.precision,
             interpret=True if self._interpret else None,
         )
 
     def __call__(self, x):
-        return self._apply(jnp.asarray(x, jnp.float32))
+        return self._apply(jnp.asarray(x, jnp.float32), self.mats,
+                           self.Gt, self.bc_marker)
