@@ -53,11 +53,21 @@ grid = GridPMG(mesh_g, shards=(2, 2, 2), degrees=(1, 3), kappa=kappa,
                coarse="cg")
 u_g, rn_grid = grid.solve(b_g, num_cycles=5)
 
+# General-hex lattice backend on the same 3D process-spanning grid.
+from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh  # noqa: E402
+
+mesh_l = PerturbedBoxMesh((4, 4, 4))
+b_l = assemble_rhs(mesh_l, 3, f_rhs(kappa))
+grid_l = GridPMG(mesh_l, shards=(2, 2, 2), degrees=(1, 3), kappa=kappa,
+                 coarse="cg", operator="lattice")
+u_l, rn_lat = grid_l.solve(b_l, num_cycles=5)
+
 with open(out_path, "w") as f:
     json.dump({
         "pid": pid,
         "rn_dist": rn_dist,
         "rn_grid": rn_grid,
+        "rn_lat": rn_lat,
         "u_d_norm": float((u_d ** 2).sum() ** 0.5),
         "u_g_norm": float((u_g ** 2).sum() ** 0.5),
     }, f)

@@ -66,6 +66,7 @@ def test_two_processes_match_each_other(two_process_results):
     r0, r1 = sorted(two_process_results, key=lambda r: r["pid"])
     assert np.allclose(r0["rn_dist"], r1["rn_dist"], rtol=1e-12)
     assert np.allclose(r0["rn_grid"], r1["rn_grid"], rtol=1e-12)
+    assert np.allclose(r0["rn_lat"], r1["rn_lat"], rtol=1e-12)
     assert np.isclose(r0["u_d_norm"], r1["u_d_norm"], rtol=1e-12)
 
 
@@ -90,3 +91,13 @@ def test_two_processes_match_single_process(two_process_results):
     u_g, rn_grid = grid.solve(b_g, num_cycles=5)
     assert np.allclose(r0["rn_grid"], rn_grid, rtol=1e-10), (
         r0["rn_grid"], rn_grid)
+
+    from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+
+    mesh_l = PerturbedBoxMesh((4, 4, 4))
+    b_l = assemble_rhs(mesh_l, 3, f_rhs(kappa))
+    grid_l = GridPMG(mesh_l, shards=(2, 2, 2), degrees=(1, 3), kappa=kappa,
+                     coarse="cg", operator="lattice")
+    _, rn_lat = grid_l.solve(b_l, num_cycles=5)
+    assert np.allclose(r0["rn_lat"], rn_lat, rtol=1e-10), (
+        r0["rn_lat"], rn_lat)
