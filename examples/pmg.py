@@ -48,6 +48,10 @@ def main():
                    help="'linear': variable coefficient kappa(x)=1+x "
                         "(DG-0 per cell; requires --operator lattice or "
                         "dofmap, reference laplacian.hpp:220-241)")
+    p.add_argument("--mesh", choices=["box", "perturbed"], default="box",
+                   help="'perturbed': smoothly deformed GENERAL hexahedra "
+                        "(non-affine cells; the full geometry pipeline + "
+                        "lattice backends)")
     args = p.parse_args()
     dtype = setup_jax(args)
 
@@ -74,12 +78,26 @@ def main():
         if args.operator in ("kron", "kron_blocked"):
             args.operator = "lattice"
             print("variable kappa: switching operator backend to 'lattice'")
+    mesh = None
+    if args.mesh == "perturbed":
+        from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+
+        mesh = PerturbedBoxMesh(nc)
+        if args.operator in ("kron", "kron_blocked"):
+            args.operator = ("lattice_blocked" if args.dtype == "f32"
+                             else "lattice")
+            print("perturbed (general-hex) mesh: switching operator "
+                  f"backend to '{args.operator}'")
+        if args.coarse in ("fdm", "hmg"):
+            args.coarse = "cg"
+            print("perturbed mesh: switching coarse solver to 'cg' "
+                  "(fdm/hmg are axis-aligned only)")
 
     with Timer("setup (operators+calibration+rhs)"):
         prob = PoissonProblem(
             nc=nc, degrees=tuple(args.degrees), kappa=kappa, dtype=dtype,
             coarse=args.coarse, operator=args.operator, f=f,
-            precision=args.precision,
+            precision=args.precision, mesh=mesh,
         )
     ndofs = [prob.mesh.num_dofs(P) for P in args.degrees]
     print("hierarchy:", " -> ".join(f"p={P}: {n}" for P, n in zip(args.degrees, ndofs)))

@@ -104,11 +104,13 @@ class PoissonProblem:
     def __init__(self, nc=(10, 10, 10), degrees=(1, 3), kappa=2.0,
                  dtype=jnp.float64, coarse="smoother", coarse_cfg=None,
                  smoother_iters=2, operator="kron", precision="highest",
-                 f=None):
+                 f=None, mesh=None):
         """``kappa`` may be a scalar, a per-cell DG-0 array, or a callable
         (see `PMGHierarchy`). For non-scalar kappa pass the matching
-        source term ``f`` (e.g. `f_rhs_variable`)."""
-        self.mesh = BoxMesh(nc)
+        source term ``f`` (e.g. `f_rhs_variable`). ``mesh`` (optional)
+        supplies a prebuilt mesh (e.g. `fem.mesh.PerturbedBoxMesh` for
+        the general-hex family) instead of ``BoxMesh(nc)``."""
+        self.mesh = mesh if mesh is not None else BoxMesh(nc)
         self.degrees = tuple(degrees)
         self.kappa = kappa
         self.hierarchy = PMGHierarchy(
