@@ -26,12 +26,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pmg_dolfinx_tpu.utils.overlap import (
     analyze_overlap,
+    scheduled_hlo_grid_kron_apply,
     scheduled_hlo_kron_apply,
 )
 
 
 def main():
-    hlo = scheduled_hlo_kron_apply()
+    if "--grid" in sys.argv:
+        # 3D (2,2,2) box decomposition: three ppermute pairs, one per
+        # sharded axis, each overlappable with the other terms.
+        hlo = scheduled_hlo_grid_kron_apply()
+    else:
+        hlo = scheduled_hlo_kron_apply()
     events, n_overlapped = analyze_overlap(hlo)
     print("schedule order (line, event):")
     for i, tag in events:

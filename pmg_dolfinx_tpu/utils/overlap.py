@@ -73,6 +73,70 @@ def scheduled_hlo_kron_apply(n_sh=8, nc=(16, 21, 21), P=6,
     return fn.lower(lv_s, x_s).compile().as_text()
 
 
+def scheduled_hlo_grid_kron_apply(shards=(2, 2, 2), nc=(8, 8, 8), P=6,
+                                  topology="v5e:2x4"):
+    """Compile the multi-axis (3D grid) sharded kron apply AOT; return
+    the scheduled HLO. Three ppermute pairs (one per sharded axis), each
+    depending only on its own stiffness term — the scheduler can overlap
+    each with the other terms' contractions."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as Pspec
+
+    from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+    from pmg_dolfinx_tpu.ops.kron import axis_stiffness_mass
+    from pmg_dolfinx_tpu.parallel.grid2d import (
+        AXES,
+        GridPartition,
+        grid_kron_cycle_ops,
+    )
+    from pmg_dolfinx_tpu.solvers.pmg import Level
+
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name=topology)
+    mesh = Mesh(np.array(topo.devices).reshape(shards), AXES)
+    bm = BoxMesh(nc)
+    part = GridPartition(bm, shards)
+    ops = grid_kron_cycle_ops(shards)
+    lvl = Level(P=P, ndofs=part.local_ndofs(P), shape=part.local_shape(P))
+
+    f32 = jnp.float32
+    npls = part.local_shape(P)
+    lv, spec = {}, {}
+    for a, name in enumerate("xyz"):
+        Kl, _ = axis_stiffness_mass(part.cells_per_shard[a], P, bm.h[a])
+        _, mg = axis_stiffness_mass(bm.nc[a], P, bm.h[a])
+        npl = npls[a]
+        m_dup = np.concatenate(
+            [mg[s * (npl - 1): s * (npl - 1) + npl]
+             for s in range(part.shards[a])]
+        )
+        lv["K" + name] = jnp.asarray(2.0 * Kl, f32)
+        lv["m" + name] = jnp.asarray(m_dup, f32)
+        spec["K" + name] = Pspec()
+        spec["m" + name] = Pspec(AXES[a])
+    lv["bc_marker"] = jnp.asarray(
+        part.to_dist(P, bm.boundary_dof_marker(P)) > 0.5
+    )
+    spec["bc_marker"] = Pspec(*AXES)
+    fn = jax.jit(
+        jax.shard_map(
+            lambda l, x: ops["apply"](l, x, lvl), mesh=mesh,
+            in_specs=(spec, Pspec(*AXES)), out_specs=Pspec(*AXES),
+        )
+    )
+    lv_s = {
+        k: jax.ShapeDtypeStruct(v.shape, v.dtype,
+                                sharding=NamedSharding(mesh, spec[k]))
+        for k, v in lv.items()
+    }
+    gshape = tuple(s * n for s, n in zip(part.shards, npls))
+    x_s = jax.ShapeDtypeStruct(gshape, f32,
+                               sharding=NamedSharding(mesh, Pspec(*AXES)))
+    return fn.lower(lv_s, x_s).compile().as_text()
+
+
 def analyze_overlap(hlo_text):
     """Return (events, n_overlapped): the schedule-order list of
     collective-permute start/done markers and contraction fusions, and
