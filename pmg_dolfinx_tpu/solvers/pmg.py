@@ -817,22 +817,62 @@ class PMGHierarchy:
             r64 = b64 - A64 u64 ;  e = Vcycle_f32(r, 0) ;  u64 += e
 
         converges to f64-grade accuracy at f32 V-cycle speed — the f64
-        work per cycle is a single Kronecker apply (3 matmuls) + axpys.
-        Requires ``jax_enable_x64``.
+        work per cycle is a single fine-level apply + axpys: the
+        Kronecker form (3 matmuls) on axis-aligned constant-coefficient
+        problems, the f64 lattice apply otherwise (general hexes,
+        variable DG-0 kappa). Requires ``jax_enable_x64``.
         """
-        from ..ops.kron import KronLaplacian
-
         if not jax.config.read("jax_enable_x64"):
             raise RuntimeError("solve_refined requires jax_enable_x64")
-        if getattr(self, "_op64", None) is None:
-            self._op64 = KronLaplacian(
-                self.mesh, self.degrees[-1], kappa=self.kappa,
-                dtype=jnp.float64, precision="highest",
-            )
-        op64 = self._op64
+        fine = self.levels[-1]
+        Pf = self.degrees[-1]
+        use_kron64 = (getattr(self.mesh, "is_axis_aligned", True)
+                      and self.kappa is not None)
+        if getattr(self, "_res64", None) is None:
+            if use_kron64:
+                from ..ops.kron import KronLaplacian
+
+                op64 = KronLaplacian(
+                    self.mesh, Pf, kappa=self.kappa,
+                    dtype=jnp.float64, precision="highest",
+                )
+                self._res64 = dict(
+                    Ks=op64.Ks, ms=op64.ms,
+                    bc=op64.bc_marker.reshape(fine.shape),
+                )
+                self._b64shape = fine.shape
+            else:
+                from ..ops.lattice import (
+                    axis_matrices,
+                    geometry_to_qlattice,
+                )
+
+                G_cells, _ = geometry_factors(
+                    self.mesh.geometry_x,
+                    self.mesh.geometry_dofmap,
+                    tabulate_geometry_dphi(Pf),
+                    quadrature_weights_3d(Pf),
+                    xp=np,
+                )
+                mats64 = {}
+                for name, nc_a in zip("xyz", self.mesh.nc):
+                    E, Dg = axis_matrices(nc_a, Pf)
+                    mats64["E" + name] = jnp.asarray(E, jnp.float64)
+                    mats64["D" + name] = jnp.asarray(Dg, jnp.float64)
+                self._res64 = dict(
+                    mats=mats64,
+                    G=jnp.asarray(
+                        geometry_to_qlattice(
+                            G_cells * self.kappa_cells[:, None, None],
+                            self.mesh.nc, Pf,
+                        ),
+                        jnp.float64,
+                    ),
+                    bc=jnp.asarray(self.mesh.boundary_dof_marker(Pf)),
+                )
+                self._b64shape = (-1,)
         if getattr(self, "_refine_step", None) is None:
             work_dtype = self.dtype
-            fine = self.levels[-1]
             wz = (self._ops.get("zeros")
                   or (lambda level, dtype: jnp.zeros(level.ndofs, dtype)))
 
@@ -840,11 +880,21 @@ class PMGHierarchy:
                       if self.operator_kind in ("kron", "kron_blocked")
                       else (-1,))
 
-            def _step(u64, b64, Ks, ms, bc, data):
-                from ..ops.kron import kron_laplacian_apply
+            def _step(u64, b64, res64, data):
+                if use_kron64:
+                    from ..ops.kron import kron_laplacian_apply
 
-                r64 = b64 - kron_laplacian_apply(u64, Ks, ms, bc,
-                                                 precision="highest")
+                    r64 = b64 - kron_laplacian_apply(
+                        u64, res64["Ks"], res64["ms"], res64["bc"],
+                        precision="highest",
+                    )
+                else:
+                    from ..ops.lattice import lattice_laplacian_apply
+
+                    r64 = b64 - lattice_laplacian_apply(
+                        u64, res64["mats"], res64["G"], res64["bc"],
+                        precision="highest",
+                    )
                 e = v_cycle(
                     data,
                     jnp.asarray(r64, dtype=work_dtype).reshape(wshape),
@@ -857,18 +907,14 @@ class PMGHierarchy:
 
             self._refine_step = jax.jit(_step)
 
-        # f64 state is lattice-shaped too (the f64 kron apply pays the
-        # same relayout costs as the f32 one).
-        shape = self.levels[-1].shape
-        b64 = jnp.asarray(b, dtype=jnp.float64).reshape(shape)
-        bc64 = op64.bc_marker.reshape(shape)
+        # f64 state shares the work layout (lattice-shaped for the kron
+        # backends — the f64 apply pays the same relayout costs as f32).
+        b64 = jnp.asarray(b, dtype=jnp.float64).reshape(self._b64shape)
         u64 = jnp.zeros_like(b64)
         r0 = float(jnp.linalg.norm(b64))
         rnorms = []
         for _ in range(num_cycles):
-            u64, rn = self._refine_step(
-                u64, b64, op64.Ks, op64.ms, bc64, self.data
-            )
+            u64, rn = self._refine_step(u64, b64, self._res64, self.data)
             rn = float(rn)
             if residuals:
                 rnorms.append(rn)
