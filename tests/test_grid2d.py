@@ -223,3 +223,16 @@ def test_grid_lattice_refined_solve():
     u_d, rn_d = grid.solve_refined(b, num_cycles=12)
     r0 = np.linalg.norm(b)
     assert rn_d[-1] / r0 < 1e-6, np.array(rn_d) / r0
+
+
+def test_grid_lattice_blocked_refined_solve():
+    """Refinement with the Mosaic working cycle + XLA lattice f64
+    residual (the kernels are f32-only)."""
+    nc = (4, 4, 4)
+    grid = GridPMG(BoxMesh(nc), shards=(2, 2, 2), degrees=(1, 3),
+                   kappa=2.0, coarse="cg", dtype=jnp.float32,
+                   operator="lattice_blocked")
+    b = assemble_rhs(BoxMesh(nc), 3, f_rhs(2.0))
+    _, rn = grid.solve_refined(b, num_cycles=12)
+    r0 = np.linalg.norm(b)
+    assert rn[-1] / r0 < 1e-6, np.array(rn) / r0

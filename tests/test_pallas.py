@@ -173,3 +173,15 @@ def test_pallas_whole_lattice_matches_kron():
     pk = PallasKronLaplacian(mesh, P, kappa=2.0, interpret=True)
     err = float(jnp.linalg.norm(pk(x) - y_ref) / jnp.linalg.norm(y_ref))
     assert err < 1e-6, err
+
+
+def test_kron_blocked_refined_solve():
+    """Single-device refinement over the blocked working cycle."""
+    from pmg_dolfinx_tpu.models.poisson import PoissonProblem
+
+    prob = PoissonProblem(nc=(4, 4, 4), degrees=(1, 3), kappa=2.0,
+                          dtype=jnp.float32, coarse="cg",
+                          operator="kron_blocked")
+    u, rn = prob.hierarchy.solve_refined(prob.b, num_cycles=12)
+    r0 = float(np.linalg.norm(np.asarray(prob.b)))
+    assert rn[-1] / r0 < 1e-6, np.array(rn) / r0
