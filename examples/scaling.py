@@ -95,6 +95,11 @@ def _grid_sweep(args, dtype):
     from pmg_dolfinx_tpu.models.poisson import f_rhs, fit_box_cells
     from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
 
+    if args.operator not in ("kron", "lattice", "lattice_blocked"):
+        raise SystemExit(
+            f"--grid supports operators kron/lattice/lattice_blocked, "
+            f"got {args.operator!r}"
+        )
     n_avail = args.max_devices or len(jax.devices())
     layouts = [(1, 1, 1), (2, 1, 1), (2, 2, 1), (2, 2, 2),
                (4, 2, 2), (4, 4, 2)]
@@ -108,10 +113,10 @@ def _grid_sweep(args, dtype):
     rtol = 1e-9 if args.dtype == "f64" else 1e-3
     ref = None
     print(f"mesh {nc}, {mesh.num_dofs(pmax)} dofs, operator "
-          f"{'lattice' if args.operator == 'lattice' else 'kron'}")
+          f"{args.operator}")
     print(f"{'layout':>10} {'setup[s]':>9} {'s/cycle':>10} {'rel resid':>11}")
     for shards in layouts:
-        op = "lattice" if args.operator == "lattice" else "kron"
+        op = args.operator
         t0 = time.time()
         grid = GridPMG(mesh, shards=shards, degrees=tuple(args.degrees),
                        kappa=args.kappa, dtype=dtype, coarse="cg",

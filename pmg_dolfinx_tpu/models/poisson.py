@@ -136,8 +136,18 @@ class PoissonProblem:
                                     residuals=residuals, u0=u0)
 
     def error_l2(self, u):
-        """L2 error of the discrete solution vs the manufactured solution."""
-        return l2_error(self.mesh, self.degrees[-1], np.asarray(u), u_exact)
+        """L2 error of the discrete solution vs the manufactured solution.
+
+        The Gauss-Legendre rule in `l2_error` hardcodes affine
+        axis-aligned quadrature geometry; general (perturbed) meshes use
+        the geometry-general collocated GLL rule instead."""
+        if getattr(self.mesh, "is_axis_aligned", True):
+            return l2_error(self.mesh, self.degrees[-1], np.asarray(u),
+                            u_exact)
+        from ..fem.assembly import l2_error_collocated
+
+        return l2_error_collocated(self.mesh, self.degrees[-1],
+                                   np.asarray(u), u_exact)
 
     def interpolate_exact(self):
         """u_e sampled at the fine-space dofs (for initial guesses/tests)."""

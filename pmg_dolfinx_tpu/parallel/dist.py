@@ -290,6 +290,13 @@ class DistPMG:
         from ..fem.assembly import resolve_kappa
         from ..fem.mesh import require_axis_aligned
 
+        if operator not in ("kron", "kron_blocked", "lattice", "dofmap"):
+            raise ValueError(
+                f"DistPMG: unknown operator backend {operator!r} (choose "
+                "'kron', 'kron_blocked', 'lattice' or 'dofmap'; the fused "
+                "general-hex 'lattice_blocked' runs on GridPMG — a 1D "
+                "slab is shards=(S, 1, 1))"
+            )
         kron_family = operator in ("kron", "kron_blocked")
         if kron_family:
             require_axis_aligned(mesh, f"DistPMG operator='{operator}'")
@@ -761,8 +768,10 @@ class DistPMG:
     def solve_refined(self, b, num_cycles=15, rtol=0.0, residuals=True):
         """Sharded mixed-precision iterative refinement (see the
         single-device `PMGHierarchy.solve_refined`): f64 residual via a
-        sharded Kronecker apply, f32 sharded V-cycle as error smoother.
-        Requires jax_enable_x64 and an axis-aligned mesh."""
+        sharded fine-level apply (Kronecker on axis-aligned
+        constant-coefficient problems, lattice otherwise — general hexes
+        and variable DG-0 kappa), f32 sharded V-cycle as error smoother.
+        Requires jax_enable_x64."""
         from ..ops.kron import axis_stiffness_mass, kron_laplacian_apply
 
         if not jax.config.read("jax_enable_x64"):
@@ -770,28 +779,15 @@ class DistPMG:
         part, mesh = self.part, self.mesh
         fine = self.levels[-1]
         Pdeg = self.degrees[-1]
+        use_kron64 = (getattr(mesh, "is_axis_aligned", True)
+                      and self.kappa is not None)
         if getattr(self, "_refine_step", None) is None:
-            Kx, _ = axis_stiffness_mass(part.cells_per_shard_x, Pdeg, mesh.h[0])
-            Ky, my = axis_stiffness_mass(mesh.nc[1], Pdeg, mesh.h[1])
-            Kz, mz = axis_stiffness_mass(mesh.nc[2], Pdeg, mesh.h[2])
-            _, mx_g = axis_stiffness_mass(mesh.nc[0], Pdeg, mesh.h[0])
-            npl = part.local_planes(Pdeg)
-            mx_dup = np.concatenate(
-                [mx_g[s * (npl - 1): s * (npl - 1) + npl]
-                 for s in range(part.n_shards)]
-            )
             # f64 state shares the work layout of the f32 cycle: 3D for
             # the kron backends, flat for the general backends.
             conform = ((lambda a: a)
                        if self.operator_kind in ("kron", "kron_blocked")
                        else (lambda a: a.reshape(-1)))
-            lv64 = dict(
-                Kx=jnp.asarray(self.kappa * Kx, dtype=jnp.float64),
-                Ky=jnp.asarray(self.kappa * Ky, dtype=jnp.float64),
-                Kz=jnp.asarray(self.kappa * Kz, dtype=jnp.float64),
-                mx=jnp.asarray(mx_dup, dtype=jnp.float64),
-                my=jnp.asarray(my, dtype=jnp.float64),
-                mz=jnp.asarray(mz, dtype=jnp.float64),
+            common = dict(
                 bc_marker=jnp.asarray(
                     conform(part.to_dist(Pdeg, mesh.boundary_dof_marker(Pdeg)))
                     > 0.5
@@ -800,8 +796,60 @@ class DistPMG:
                     conform(part.ownership_weights(Pdeg)), dtype=jnp.float64
                 ),
             )
-            lv64_spec = dict(Kx=P(), Ky=P(), Kz=P(), mx=P(AXIS), my=P(),
-                             mz=P(), bc_marker=P(AXIS), weights=P(AXIS))
+            common_spec = dict(bc_marker=P(AXIS), weights=P(AXIS))
+            if use_kron64:
+                Kx, _ = axis_stiffness_mass(part.cells_per_shard_x, Pdeg,
+                                            mesh.h[0])
+                Ky, my = axis_stiffness_mass(mesh.nc[1], Pdeg, mesh.h[1])
+                Kz, mz = axis_stiffness_mass(mesh.nc[2], Pdeg, mesh.h[2])
+                _, mx_g = axis_stiffness_mass(mesh.nc[0], Pdeg, mesh.h[0])
+                npl = part.local_planes(Pdeg)
+                mx_dup = np.concatenate(
+                    [mx_g[s * (npl - 1): s * (npl - 1) + npl]
+                     for s in range(part.n_shards)]
+                )
+                lv64 = dict(
+                    common,
+                    Kx=jnp.asarray(self.kappa * Kx, dtype=jnp.float64),
+                    Ky=jnp.asarray(self.kappa * Ky, dtype=jnp.float64),
+                    Kz=jnp.asarray(self.kappa * Kz, dtype=jnp.float64),
+                    mx=jnp.asarray(mx_dup, dtype=jnp.float64),
+                    my=jnp.asarray(my, dtype=jnp.float64),
+                    mz=jnp.asarray(mz, dtype=jnp.float64),
+                )
+                lv64_spec = dict(common_spec, Kx=P(), Ky=P(), Kz=P(),
+                                 mx=P(AXIS), my=P(), mz=P())
+            else:
+                from ..ops.lattice import (
+                    axis_matrices,
+                    geometry_to_qlattice,
+                )
+
+                G_cells, _ = geometry_factors(
+                    mesh.geometry_x,
+                    mesh.geometry_dofmap,
+                    tabulate_geometry_dphi(Pdeg),
+                    quadrature_weights_3d(Pdeg),
+                    xp=np,
+                )
+                lv64 = dict(
+                    common,
+                    G=jnp.asarray(
+                        geometry_to_qlattice(
+                            G_cells * self.kappa_cells[:, None, None],
+                            mesh.nc, Pdeg,
+                        ),
+                        dtype=jnp.float64,
+                    ),
+                )
+                lv64_spec = dict(common_spec, G=P(AXIS))
+                for name, nc_a in (("x", part.cells_per_shard_x),
+                                   ("y", mesh.nc[1]), ("z", mesh.nc[2])):
+                    E, Dg = axis_matrices(nc_a, Pdeg)
+                    lv64["E" + name] = jnp.asarray(E, jnp.float64)
+                    lv64["D" + name] = jnp.asarray(Dg, jnp.float64)
+                    lv64_spec["E" + name] = P()
+                    lv64_spec["D" + name] = P()
             with self.jmesh:
                 for k in lv64:
                     lv64[k] = put_global(
@@ -815,13 +863,27 @@ class DistPMG:
             coarse, coarse_cfg = self.coarse, self.coarse_cfg
 
             def _step(lv64_, data, b64, u64):
-                raw = kron_laplacian_apply(
-                    u64, (lv64_["Kx"], lv64_["Ky"], lv64_["Kz"]),
-                    (lv64_["mx"], lv64_["my"], lv64_["mz"]),
-                    lv64_["bc_marker"], precision="highest", apply_bc=False,
-                    exchange=lambda t1: _exchange_partials(t1, n_sh),
-                )
-                Au = jnp.where(lv64_["bc_marker"], u64, raw)
+                if use_kron64:
+                    raw = kron_laplacian_apply(
+                        u64, (lv64_["Kx"], lv64_["Ky"], lv64_["Kz"]),
+                        (lv64_["mx"], lv64_["my"], lv64_["mz"]),
+                        lv64_["bc_marker"], precision="highest",
+                        apply_bc=False,
+                        exchange=lambda t1: _exchange_partials(t1, n_sh),
+                    )
+                    Au = jnp.where(lv64_["bc_marker"], u64, raw)
+                else:
+                    from ..ops.lattice import lattice_laplacian_apply
+
+                    mats = {k: lv64_[k]
+                            for k in ("Ex", "Dx", "Ey", "Dy", "Ez", "Dz")}
+                    raw = lattice_laplacian_apply(
+                        u64, mats, lv64_["G"], lv64_["bc_marker"],
+                        precision="highest", apply_bc=False,
+                    )
+                    lat = _exchange_partials(raw.reshape(fine.shape), n_sh)
+                    Au = jnp.where(lv64_["bc_marker"], u64,
+                                   lat.reshape(jnp.shape(u64)))
                 r64 = b64 - Au
                 rn = jnp.sqrt(
                     jax.lax.psum(jnp.sum(r64 * r64 * lv64_["weights"]), AXIS)

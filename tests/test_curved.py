@@ -146,3 +146,22 @@ def test_refined_solve_variable_kappa():
     r0 = np.linalg.norm(b)
     assert rn[-1] / r0 < 1e-5, np.array(rn) / r0
     assert all(b_ < a_ for a_, b_ in zip(rn, rn[1:]))
+
+
+def test_perturbed_dist_refined():
+    """Sharded refinement on deformed hexes uses the f64 LATTICE
+    residual (the kron form would silently solve the wrong operator;
+    code-review r2 finding)."""
+    from pmg_dolfinx_tpu.fem.assembly import assemble_rhs
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+
+    mesh = PerturbedBoxMesh((8, 4, 4), warp=default_warp(0.05))
+    dist = DistPMG(mesh, n_devices=4, degrees=(1, 3), kappa=2.0,
+                   coarse="cg", operator="lattice", dtype=jnp.float32)
+    b = assemble_rhs(mesh, 3, f_rhs(2.0))
+    single = PMGHierarchy(mesh, degrees=(1, 3), kappa=2.0, coarse="cg",
+                          operator="lattice", dtype=jnp.float32)
+    u_s, rn_s = single.solve_refined(jnp.asarray(b), num_cycles=15)
+    u_d, rn_d = dist.solve_refined(b, num_cycles=15)
+    assert np.allclose(rn_d, rn_s, rtol=1e-3), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-6)

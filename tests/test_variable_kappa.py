@@ -132,3 +132,17 @@ def test_variable_kappa_rejected_where_unsupported():
 
     with pytest.raises(ValueError, match="constant"):
         GridPMG(mesh, shards=(2, 2), kappa=kappa_linear)
+
+
+def test_variable_kappa_dist_refined():
+    """Sharded refinement with per-cell kappa (f64 lattice residual —
+    previously crashed on self.kappa=None; code-review r2 finding)."""
+    nc = (8, 4, 4)
+    dist = DistPMG(BoxMesh(nc), n_devices=4, degrees=(1, 3),
+                   kappa=kappa_linear, coarse="cg", operator="lattice",
+                   dtype=jnp.float32)
+    b = assemble_rhs(BoxMesh(nc), 3, f_rhs_variable())
+    _, rn = dist.solve_refined(b, num_cycles=25)
+    r0 = np.linalg.norm(b)
+    assert rn[-1] / r0 < 1e-4, np.array(rn) / r0
+    assert all(y < x for x, y in zip(rn, rn[1:]))
