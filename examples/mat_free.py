@@ -69,14 +69,14 @@ def main():
                                precision=args.precision)
         x3 = x.reshape(mesh.lattice_shape(args.degree))
 
-        @partial(jax.jit, static_argnums=(3,))
-        def chain(x, bc, mats, reps):
+        @partial(jax.jit, static_argnums=(1,))
+        def chain(x, reps):
             def body(i, v):
-                return op._apply_impl(x + 1e-30 * v, bc, mats)
+                return op._apply_impl(x + 1e-30 * v)
             return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
 
         def run(reps):
-            return float(chain(x3, op.bc3, op.mats, reps))
+            return float(chain(x3, reps))
     elif args.operator == "lattice_blocked":
         from pmg_dolfinx_tpu.ops.pallas_lattice_blocked import (
             PallasLatticeBlocked,

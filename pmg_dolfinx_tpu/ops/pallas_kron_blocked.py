@@ -550,20 +550,23 @@ class PallasKronBlocked:
         self.mats = symmetrized_mats(base.Ks, base.ms)
         self.by, self.bx = _clamp_blocks(self.shape, by, bx or 8)
         self._interpret = interpret
-        # All arrays are jit ARGUMENTS — the bc marker is a whole-lattice
-        # array at large N and must never become a closed-over HLO
-        # constant (the CLAUDE.md compile-time-explosion gotcha).
+        # bc3/mats are deliberately CLOSED OVER (HLO constants): measured
+        # +10% at 16.2M vs passing them as jit arguments (14.4 vs 13.1
+        # GDOF/s — XLA pre-lays-out constants for the Pallas operands).
+        # This is safe for Pallas inputs, which are opaque to constant
+        # folding; the CLAUDE.md never-close-over rule targets arrays
+        # feeding XLA elementwise graphs (where folding explodes compile
+        # time) and huge f32 payloads like the lattice geometry.
         self._apply = jax.jit(self._apply_impl)
 
-    def _apply_impl(self, x3, bc3, mats):
+    def _apply_impl(self, x3):
         return blocked_kron_apply(
-            x3, bc3, mats, by=self.by, bx=self.bx,
+            x3, self.bc3, self.mats, by=self.by, bx=self.bx,
             precision=self.precision,
             interpret=True if self._interpret else None,
         )
 
     def __call__(self, x):
         """Apply on a lattice-shaped (3D) or flat vector."""
-        y = self._apply(jnp.asarray(x, jnp.float32).reshape(self.shape),
-                        self.bc3, self.mats)
+        y = self._apply(jnp.asarray(x, jnp.float32).reshape(self.shape))
         return y if jnp.ndim(x) == 3 else y.reshape(-1)
