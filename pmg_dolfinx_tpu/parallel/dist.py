@@ -765,7 +765,8 @@ class DistPMG:
         u, info = self._pcg_cache[key](self.data, bd)
         return self.from_dist(u), int(info["niter"])
 
-    def solve_refined(self, b, num_cycles=15, rtol=0.0, residuals=True):
+    def solve_refined(self, b, num_cycles=15, rtol=0.0, residuals=True,
+                      u0=None):
         """Sharded mixed-precision iterative refinement (see the
         single-device `PMGHierarchy.solve_refined`): f64 residual via a
         sharded fine-level apply (Kronecker on axis-aligned
@@ -917,7 +918,16 @@ class DistPMG:
             np.asarray(bd, dtype=np.float64),
             NamedSharding(self.jmesh, P(AXIS)),
         )
-        u64 = jnp.zeros_like(b64)
+        if u0 is None:
+            u64 = jnp.zeros_like(b64)
+        else:
+            u0d = self.part.to_dist(Pdeg, np.asarray(u0))
+            if self.operator_kind not in ("kron", "kron_blocked"):
+                u0d = u0d.reshape(-1)
+            u64 = put_global(
+                np.asarray(u0d, dtype=np.float64),
+                NamedSharding(self.jmesh, P(AXIS)),
+            )
         r0 = float(np.linalg.norm(np.asarray(b, dtype=np.float64)))
         rnorms = []
         for _ in range(num_cycles):

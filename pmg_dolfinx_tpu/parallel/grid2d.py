@@ -744,7 +744,8 @@ class GridPMG:
         u, info = self._pcg_cache[key](self.data, bd)
         return self.from_dist(u), int(info["niter"])
 
-    def solve_refined(self, b, num_cycles=15, rtol=0.0, residuals=True):
+    def solve_refined(self, b, num_cycles=15, rtol=0.0, residuals=True,
+                      u0=None):
         """Sharded mixed-precision iterative refinement over the device
         grid: f64 residual via the sharded fine-level apply, working-dtype
         V-cycle as error smoother (see `PMGHierarchy.solve_refined`).
@@ -807,7 +808,14 @@ class GridPMG:
             np.asarray(bd, dtype=np.float64),
             NamedSharding(self.jmesh, P(*AXES)),
         )
-        u64 = jnp.zeros_like(b64)
+        if u0 is None:
+            u64 = jnp.zeros_like(b64)
+        else:
+            u64 = put_global(
+                np.asarray(part.to_dist(Pdeg, np.asarray(u0)),
+                           dtype=np.float64),
+                NamedSharding(self.jmesh, P(*AXES)),
+            )
         r0 = float(np.linalg.norm(np.asarray(b, dtype=np.float64)))
         rnorms = []
         for _ in range(num_cycles):

@@ -804,7 +804,8 @@ class PMGHierarchy:
         u, info = self._pcg(self.data, b, float(rtol), int(maxiter))
         return self._from_work(u), int(info["niter"])
 
-    def solve_refined(self, b, num_cycles=15, rtol=0.0, residuals=True):
+    def solve_refined(self, b, num_cycles=15, rtol=0.0, residuals=True,
+                      u0=None):
         """Mixed-precision iterative refinement: float64 outer residual,
         working-dtype (f32) V-cycle as the error smoother.
 
@@ -909,8 +910,11 @@ class PMGHierarchy:
 
         # f64 state shares the work layout (lattice-shaped for the kron
         # backends — the f64 apply pays the same relayout costs as f32).
+        # ``u0`` resumes refinement from a checkpointed iterate
+        # (utils.checkpoint).
         b64 = jnp.asarray(b, dtype=jnp.float64).reshape(self._b64shape)
-        u64 = jnp.zeros_like(b64)
+        u64 = (jnp.zeros_like(b64) if u0 is None
+               else jnp.asarray(u0, dtype=jnp.float64).reshape(b64.shape))
         r0 = float(jnp.linalg.norm(b64))
         rnorms = []
         for _ in range(num_cycles):

@@ -169,3 +169,27 @@ def test_checkpoint_roundtrip(tmp_path):
 
     with pytest.raises(ValueError):
         load_state(path, mesh, (1, 3), 2.0)
+
+
+def test_refined_resume_from_checkpoint(tmp_path):
+    """solve_refined(u0=...) resumes a refinement from a saved iterate
+    and lands at the same accuracy as an uninterrupted run."""
+    import jax.numpy as jnp
+
+    from pmg_dolfinx_tpu.fem.assembly import assemble_rhs
+    from pmg_dolfinx_tpu.models.poisson import PoissonProblem, f_rhs
+    from pmg_dolfinx_tpu.utils.checkpoint import load_state, save_state
+
+    prob = PoissonProblem(nc=(4, 4, 4), degrees=(1, 3), kappa=2.0,
+                          dtype=jnp.float32, coarse="cg", operator="kron")
+    u_full, rn_full = prob.hierarchy.solve_refined(prob.b, num_cycles=12)
+    u_half, rn_half = prob.hierarchy.solve_refined(prob.b, num_cycles=6)
+    path = tmp_path / "refine.npz"
+    save_state(path, prob.mesh, (1, 3), 2.0, u_half, rn_half, cycle=6)
+    u0, _, _ = load_state(path, prob.mesh, (1, 3), 2.0)
+    u_res, rn_res = prob.hierarchy.solve_refined(prob.b, num_cycles=6,
+                                                 u0=u0)
+    r0 = float(np.linalg.norm(np.asarray(prob.b)))
+    assert rn_res[-1] / r0 < 1e-6
+    assert np.isclose(rn_res[-1], rn_full[-1], rtol=0.5), (
+        rn_full[-1], rn_res[-1])
