@@ -56,12 +56,20 @@ def _measure(run, lo, hi, min_samples=7):
             run(hi)
             t_hi = time.time() - t0
             slopes.append((t_hi - t_lo) / (hi - lo))
-        s = sorted(slopes)
+        # Tunnel host-sync jitter can exceed the compute delta and
+        # produce non-positive slopes; they carry no timing signal.
+        s = sorted(x for x in slopes if x > 0)
         n = len(s)
-        med = s[n // 2]
-        spread = (s[(3 * n) // 4] - s[n // 4]) / med
-        if spread <= SPREAD_TARGET or n >= MAX_SAMPLES:
-            return med, spread
+        if n >= 3:
+            med = s[n // 2]
+            spread = (s[(3 * n) // 4] - s[n // 4]) / med
+            if spread <= SPREAD_TARGET or len(slopes) >= MAX_SAMPLES:
+                return med, spread
+        elif len(slopes) >= MAX_SAMPLES:
+            raise RuntimeError(
+                "bench: tunnel jitter swamped the timing signal "
+                f"({len(slopes)} samples, {n} positive slopes)"
+            )
 
 
 def _bench_size(nc, lo, hi):

@@ -15,7 +15,7 @@ def base_parser(description):
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--operator",
                    choices=["kron", "kron_blocked", "lattice",
-                            "lattice_blocked", "dofmap", "pallas_blocked"],
+                            "lattice_blocked", "dofmap"],
                    default="kron", help="kernel backend ('kron_blocked' = "
                    "fused blocked Pallas kernels, fastest at >~8M dofs; "
                    "'lattice_blocked' = fused general-hex kernel)")

@@ -62,7 +62,7 @@ def main():
 
         def run(reps):
             return float(chain(x3, op.Ks, op.ms, bc3, reps))
-    elif args.operator in ("pallas_blocked", "kron_blocked"):
+    elif args.operator == "kron_blocked":
         from pmg_dolfinx_tpu.ops.pallas_kron_blocked import PallasKronBlocked
 
         op = PallasKronBlocked(mesh, args.degree, kappa=args.kappa,

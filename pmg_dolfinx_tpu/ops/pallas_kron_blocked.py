@@ -45,11 +45,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _split_bf16(a):
-    """Split f32 into (hi, lo) bf16 parts with a + err == hi + lo."""
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+from .pallas_util import join_vma as _join_vma
+from .pallas_util import out_struct as _out_struct_util
+from .pallas_util import pvary_all as _pvary_all
+from .pallas_util import split_bf16 as _split_bf16
 
 
 _DOT = partial(jnp.dot, preferred_element_type=jnp.float32)
@@ -213,39 +212,7 @@ def symmetrized_mats(Ks, ms, dtype=jnp.float32):
     )
 
 
-def _join_vma(*arrays):
-    """Union of the arrays' varying-mesh-axes sets (vma tracking under
-    shard_map; empty outside). Pallas outputs must declare their vma."""
-    vma = set()
-    for a in arrays:
-        try:
-            vma |= set(jax.typeof(a).vma)
-        except Exception:
-            pass
-    return tuple(sorted(vma))
-
-
-def _out_struct(shape, vma):
-    if vma:
-        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=frozenset(vma))
-    return jax.ShapeDtypeStruct(shape, jnp.float32)
-
-
-def _pvary_all(vma, *arrays):
-    """Promote every array to vary over ``vma`` (vma tracking requires
-    uniform varying axes across pallas_call inputs under shard_map;
-    identity outside shard_map)."""
-    if not vma:
-        return arrays
-    out = []
-    for a in arrays:
-        try:
-            cur = jax.typeof(a).vma
-        except Exception:
-            cur = ()
-        missing = tuple(ax for ax in vma if ax not in cur)
-        out.append(jax.lax.pcast(a, missing, to="varying") if missing else a)
-    return tuple(out)
+_out_struct = _out_struct_util
 
 
 # --- jnp twins of the kernels -------------------------------------------

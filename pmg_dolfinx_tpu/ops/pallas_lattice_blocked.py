@@ -41,14 +41,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .lattice import expand_axis0, fold_axis0
+from .pallas_util import join_vma as _join_vma
+from .pallas_util import out_struct
+from .pallas_util import pvary_all as _pvary_all
+from .pallas_util import split_bf16 as _split_bf16
 
 HI = jax.lax.Precision.HIGHEST
-
-
-def _split_bf16(a):
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
 
 
 _DOT = partial(jnp.dot, preferred_element_type=jnp.float32)
@@ -122,8 +120,7 @@ def _build_call(qshape, nyz, n, bcells, high, interpret, vma=()):
     Qx, NY, NZ = qshape
     Qy, Qz = nyz
     bq = bcells * n
-    out = (jax.ShapeDtypeStruct(qshape, jnp.float32, vma=frozenset(vma))
-           if vma else jax.ShapeDtypeStruct(qshape, jnp.float32))
+    out = out_struct(qshape, vma)
     return pl.pallas_call(
         partial(_kernel_lattice, n=n, bcells=bcells, high=high),
         grid=(pl.cdiv(Qx, bq),),
@@ -149,16 +146,18 @@ def _build_call(qshape, nyz, n, bcells, high, interpret, vma=()):
     )
 
 
-def lattice_blocked_mats(mesh, P, dtype=jnp.float32):
+def lattice_blocked_mats(nc, P, dtype=jnp.float32):
     """The small per-axis matrices the kernel consumes (replicated).
 
+    ``nc`` is the (shard-local) cell-count triple — `BoxMesh.nc` on a
+    single device, `GridPartition.cells_per_shard` under shard_map.
     ``Ex``/``Dx`` are only used by the exact-XLA fallback on non-TPU
     backends (the kernel handles the x direction with ``D1`` plane sums).
     """
     from ..fem.gll import derivative_matrix
     from .lattice import axis_matrices
 
-    ncx, ncy, ncz = mesh.nc
+    ncx, ncy, ncz = nc
     Ex, Dx = axis_matrices(ncx, P)
     Ey, Dy = axis_matrices(ncy, P)
     Ez, Dz = axis_matrices(ncz, P)
@@ -223,30 +222,6 @@ def blocked_lattice_apply(x, mats, Gt, bc_marker, nc, P, *, bcells=1,
     return jnp.where(bc_marker, x, y)
 
 
-def _join_vma(*arrays):
-    vma = set()
-    for a in arrays:
-        try:
-            vma |= set(jax.typeof(a).vma)
-        except Exception:
-            pass
-    return tuple(sorted(vma))
-
-
-def _pvary_all(vma, *arrays):
-    if not vma:
-        return arrays
-    out = []
-    for a in arrays:
-        try:
-            cur = jax.typeof(a).vma
-        except Exception:
-            cur = ()
-        missing = tuple(ax for ax in vma if ax not in cur)
-        out.append(jax.lax.pcast(a, missing, to="varying") if missing else a)
-    return tuple(out)
-
-
 class PallasLatticeBlocked:
     """Drop-in general-hex operator over the fused lattice kernel.
 
@@ -284,7 +259,7 @@ class PallasLatticeBlocked:
             G_cells * kappa_cells[:, None, None], mesh.nc, self.P
         )
         self.Gt = jnp.asarray(geometry_to_gfirst(Gq), jnp.float32)
-        self.mats = lattice_blocked_mats(mesh, self.P)
+        self.mats = lattice_blocked_mats(mesh.nc, self.P)
         self.bc_marker = jnp.asarray(mesh.boundary_dof_marker(self.P))
         # Exact diagonal via the (setup-time) dofmap formulation.
         diag = jax.jit(laplacian_diagonal, static_argnums=(5,))(

@@ -384,21 +384,28 @@ class DistPMG:
                     from ..ops.pallas_kron_blocked import symmetrized_mats
 
                     # The sqrt-mass scalings differ between boundary and
-                    # interior shards, so the x-dependent factors are
-                    # built per shard and stacked along axis 0 (sharded);
-                    # the y/z factors are shard-invariant (replicated).
-                    per = [
-                        symmetrized_mats(
-                            (self.kappa * Kx, self.kappa * Ky,
-                             self.kappa * Kz),
-                            (mx_dup[s * npl:(s + 1) * npl], my, mz),
-                        )
-                        for s in range(part.n_shards)
-                    ]
-                    kb = {k: per[0][k] for k in ("Kty", "KtzT", "sycol",
-                                                 "s23")}
-                    for k in ("Ktx", "sx2d", "sxz"):
-                        kb[k] = jnp.concatenate([m[k] for m in per], axis=0)
+                    # interior shards, so only the x-dependent factors are
+                    # built per shard (stacked along axis 0, sharded); the
+                    # shard-invariant y/z factors are built once by the
+                    # helper. sx stacking distributes over the outer
+                    # products, so the stacked factors are closed-form.
+                    kb = symmetrized_mats(
+                        (self.kappa * Kx, self.kappa * Ky, self.kappa * Kz),
+                        (mx_dup[:npl], my, mz),
+                    )
+                    sx_all = np.sqrt(np.asarray(mx_dup, np.float64))
+                    sz = np.sqrt(np.asarray(mz, np.float64))
+                    Kx64 = self.kappa * np.asarray(Kx, np.float64)
+                    kb["Ktx"] = jnp.asarray(
+                        np.concatenate([
+                            Kx64 / sx_s[:, None] / sx_s[None, :]
+                            for sx_s in sx_all.reshape(part.n_shards, npl)
+                        ]),
+                        jnp.float32,
+                    )
+                    kb["sx2d"] = jnp.asarray(sx_all[:, None], jnp.float32)
+                    kb["sxz"] = jnp.asarray(np.outer(sx_all, sz),
+                                            jnp.float32)
                     lv["kb_mats"] = kb
                     spec["kb_mats"] = dict(
                         Ktx=P(AXIS), sx2d=P(AXIS), sxz=P(AXIS),

@@ -626,22 +626,15 @@ class GridPMG:
                 G_cells * self.kappa_cells[:, None, None], mesh.nc, Pdeg
             )
             if backend == "lattice_blocked":
-                from ..fem.gll import derivative_matrix
-                from ..ops.pallas_lattice_blocked import geometry_to_gfirst
+                from ..ops.pallas_lattice_blocked import (
+                    geometry_to_gfirst,
+                    lattice_blocked_mats,
+                )
 
                 lv["Gt"] = jnp.asarray(geometry_to_gfirst(Gq), dtype=dtype)
                 spec["Gt"] = P(None, *AXES)  # 6 entries lead, grid after
-                f = lambda a: jnp.asarray(a, dtype)
-                Exs = [axis_matrices(part.cells_per_shard[a], Pdeg)
-                       for a in range(3)]
-                lb = dict(
-                    Ex=f(Exs[0][0]), Dx=f(Exs[0][1]),
-                    Ey=f(Exs[1][0]), EyT=f(Exs[1][0].T.copy()),
-                    Dy=f(Exs[1][1]), DyT=f(Exs[1][1].T.copy()),
-                    Ez=f(Exs[2][0]), EzT=f(Exs[2][0].T.copy()),
-                    Dz=f(Exs[2][1]), DzT=f(Exs[2][1].T.copy()),
-                    D1=f(derivative_matrix(Pdeg)),
-                )
+                lb = lattice_blocked_mats(part.cells_per_shard, Pdeg,
+                                          dtype=dtype)
                 lv["lb_mats"] = lb
                 spec["lb_mats"] = {k: P() for k in lb}
             else:

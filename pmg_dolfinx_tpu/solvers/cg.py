@@ -30,6 +30,13 @@ import jax
 import jax.numpy as jnp
 
 
+def _safe_div(num, den):
+    """Divide guarding against an exact-zero denominator (already-solved
+    systems produce zero residual dots; the quotient is then irrelevant
+    because the convergence flag stops the loop)."""
+    return num / jnp.where(den == 0, jnp.ones_like(den), den)
+
+
 def _default_dot(u, v):
     return jnp.vdot(u, v)
 
@@ -65,13 +72,6 @@ def cg_solve(A, b, x0, diag_inv, *, rtol=1e-8, maxiter=100, record=False,
     p = M(r)
     rnorm0 = dot(p, r)
     rtol2 = rtol * rtol
-
-    def _safe_div(num, den):
-        # When the residual hits EXACTLY zero (deep convergence in a
-        # fused program) alpha/beta become 0/0 = nan and poison the
-        # iterate even though the loop is about to exit. num is zero
-        # whenever den is, so substituting den=1 yields the correct 0.
-        return num / jnp.where(den == 0, jnp.ones_like(den), den)
 
     def iteration(x, r, p, rnorm):
         y = A(p)
@@ -154,10 +154,6 @@ def fcg_solve(A, b, x0, M, *, rtol=1e-8, maxiter=50, dot=_default_dot):
     rz = dot(r, z)
     rz0 = rz
     rtol2 = rtol * rtol
-
-    def _safe_div(num, den):
-        # Guard against exact-zero residuals (see cg_solve._safe_div).
-        return num / jnp.where(den == 0, jnp.ones_like(den), den)
 
     def cond(state):
         k, x, r, z, p, rz, done = state

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fem.gll import gauss_lobatto, lagrange_tabulate
+from ..ops.blas import inner_product
 from ..fem.mesh import BoxMesh
 
 
@@ -121,7 +122,7 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
             return cg_solve(
                 A, b_, x0_, lv_["diag_inv"],
                 rtol=DEFAULT_CALIBRATION_RTOL, maxiter=calibration_iters,
-                record=True, dot=lambda u, v: jnp.sum(u * v),
+                record=True, dot=inner_product,
             )
 
         _, info = jax.jit(_calib)(

@@ -578,7 +578,7 @@ class PMGHierarchy:
                 )
                 lv = dict(
                     Gt=jnp.asarray(geometry_to_gfirst(Gq), dtype=dtype),
-                    lb_mats=lattice_blocked_mats(mesh, P, dtype=dtype),
+                    lb_mats=lattice_blocked_mats(mesh.nc, P, dtype=dtype),
                     bc_marker=bc,
                 )
                 level = Level(P=P, ndofs=ndofs, smoother_iters=smoother_iters,

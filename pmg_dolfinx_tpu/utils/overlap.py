@@ -147,19 +147,28 @@ def analyze_overlap(hlo_text):
     pos = 0
     for i, line in enumerate(hlo_text.splitlines()):
         lhs = line.split("=")[0]
-        m = re.search(r"%collective-permute-(start|done)((?:\.\d+)?) ", lhs)
+        m = re.search(r"%(collective-permute-start(?:\.\d+)?) ", lhs)
+        md = re.search(r"%collective-permute-done((?:\.\d+)?) ", lhs)
         if m:
-            kind, suffix = m.group(1), m.group(2)
-            events.append((i, f"cp-{kind}{suffix}"))
-            (starts if kind == "start" else dones)[suffix] = pos
+            events.append((i, f"cp-start {m.group(1)}"))
+            starts[m.group(1)] = pos
+            pos += 1
+        elif md:
+            # Pair by the done's START OPERAND (HLO name suffixes are
+            # uniquified independently and need not match across a pair).
+            mo = re.search(r"done[^(]*\(.*?%(collective-permute-start"
+                           r"(?:\.\d+)?)", line)
+            key = mo.group(1) if mo else f"?done{md.group(1)}"
+            events.append((i, f"cp-done({key})"))
+            dones[key] = pos
             pos += 1
         elif re.search(r"dot_general", line) and "fusion" in line:
             m2 = re.search(r'op_name="[^"]*?/([a-z]+,[a-z]+->[a-z]+)/', line)
             events.append((i, f"contraction {m2.group(1) if m2 else '?'}"))
             pos += 1
     n_overlapped = 0
-    for suffix, s_pos in starts.items():
-        d_pos = dones.get(suffix)
+    for key, s_pos in starts.items():
+        d_pos = dones.get(key)
         if d_pos is None:
             continue
         inside = [
