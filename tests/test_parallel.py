@@ -223,3 +223,14 @@ def test_dist_solve_pcg_matches_single():
 def test_dist_rejects_unknown_coarse():
     with pytest.raises(ValueError, match="unsupported coarse"):
         DistPMG(BoxMesh((8, 4, 4)), n_devices=4, coarse="nope")
+
+
+def test_dist_rejects_unknown_operator():
+    import pytest
+
+    mesh = BoxMesh((4, 4, 4))
+    with pytest.raises(ValueError, match="unknown operator"):
+        DistPMG(mesh, n_devices=4, degrees=(1, 2), operator="nope")
+    with pytest.raises(ValueError, match="GridPMG"):
+        DistPMG(mesh, n_devices=4, degrees=(1, 2),
+                operator="lattice_blocked")
