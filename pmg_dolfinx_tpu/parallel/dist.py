@@ -946,7 +946,7 @@ class DistPMG:
                 break
         return self.from_dist(u64), rnorms
 
-    def solve(self, b, num_cycles=10, residuals=True):
+    def solve(self, b, num_cycles=10, residuals=True, u0=None):
         """Stationary V-cycle iteration on a *global* rhs; returns the
         global solution vector and the residual-norm history.
 
@@ -980,7 +980,8 @@ class DistPMG:
                 )
             )
         bd = self.to_dist(b)
-        ud = jnp.zeros_like(bd)
+        # ``u0`` resumes from a checkpointed iterate (utils.checkpoint).
+        ud = jnp.zeros_like(bd) if u0 is None else self.to_dist(u0)
         ud, rnorms = self._solve_scans[num_cycles](self.data, bd, ud)
         out = self.from_dist(ud)
         if not residuals:

@@ -661,7 +661,7 @@ class GridPMG:
     def from_dist(self, ud, level=-1):
         return self.part.from_dist(self.degrees[level], fetch_global(ud))
 
-    def solve(self, b, num_cycles=10, residuals=True):
+    def solve(self, b, num_cycles=10, residuals=True, u0=None):
         """Stationary V-cycle iteration as one jitted sharded `lax.scan`
         (device-side residual norms, single host sync at the end)."""
         if not hasattr(self, "_solve_scans"):
@@ -691,7 +691,8 @@ class GridPMG:
                 )
             )
         bd = self.to_dist(b)
-        ud = jnp.zeros_like(bd)
+        # ``u0`` resumes from a checkpointed iterate (utils.checkpoint).
+        ud = jnp.zeros_like(bd) if u0 is None else self.to_dist(u0)
         ud, rnorms = self._solve_scans[num_cycles](self.data, bd, ud)
         out = self.from_dist(ud)
         if not residuals:

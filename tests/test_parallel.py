@@ -234,3 +234,17 @@ def test_dist_rejects_unknown_operator():
     with pytest.raises(ValueError, match="GridPMG"):
         DistPMG(mesh, n_devices=4, degrees=(1, 2),
                 operator="lattice_blocked")
+
+
+def test_dist_solve_resume_matches_uninterrupted():
+    """DistPMG.solve(u0=...): 3+2 cycles == 5 straight cycles."""
+    nc = (8, 4, 4)
+    kappa = 2.0
+    dist = DistPMG(BoxMesh(nc), n_devices=4, degrees=(1, 3), kappa=kappa,
+                   coarse="cg")
+    b = assemble_rhs(BoxMesh(nc), 3, f_rhs(kappa))
+    u5, rn5 = dist.solve(b, num_cycles=5)
+    u3, _ = dist.solve(b, num_cycles=3)
+    u_res, rn_res = dist.solve(b, num_cycles=2, u0=u3)
+    assert np.allclose(u_res, u5, atol=1e-12)
+    assert np.allclose(rn_res, rn5[3:], rtol=1e-10)
