@@ -39,9 +39,35 @@ def main():
     nd = mesh.num_dofs(args.degree)
     print(f"mesh {nc}, p={args.degree}, ndofs={nd}, backend {jax.default_backend()}")
 
-    OpCls = LatticeLaplacian if args.operator == "lattice" else MatFreeLaplacian
     with Timer("create matfree operator"):
-        op = OpCls(mesh, args.degree, kappa=args.kappa, dtype=dtype)
+        if args.operator in ("kron_blocked", "lattice_blocked") \
+                and args.dtype != "f32":
+            raise SystemExit(
+                f"--operator {args.operator} is f32-only (Mosaic kernels)"
+            )
+        if args.operator == "kron":
+            from pmg_dolfinx_tpu.ops.kron import KronLaplacian
+
+            op = KronLaplacian(mesh, args.degree, kappa=args.kappa,
+                               dtype=dtype)
+        elif args.operator == "kron_blocked":
+            from pmg_dolfinx_tpu.ops.pallas_kron_blocked import (
+                PallasKronBlocked,
+            )
+
+            op = PallasKronBlocked(mesh, args.degree, kappa=args.kappa)
+        elif args.operator == "lattice":
+            op = LatticeLaplacian(mesh, args.degree, kappa=args.kappa,
+                                  dtype=dtype)
+        elif args.operator == "lattice_blocked":
+            from pmg_dolfinx_tpu.ops.pallas_lattice_blocked import (
+                PallasLatticeBlocked,
+            )
+
+            op = PallasLatticeBlocked(mesh, args.degree, kappa=args.kappa)
+        else:
+            op = MatFreeLaplacian(mesh, args.degree, kappa=args.kappa,
+                                  dtype=dtype)
     b = jnp.asarray(assemble_rhs(mesh, args.degree, f_rhs(args.kappa)), dtype=dtype)
 
     with Timer("ZZZ CG", sync=True):
