@@ -48,6 +48,10 @@ def main():
                    help="'linear': variable coefficient kappa(x)=1+x "
                         "(DG-0 per cell; requires --operator lattice or "
                         "dofmap, reference laplacian.hpp:220-241)")
+    p.add_argument("--sigma", type=float, default=0.0,
+                   help="lumped-mass shift: solve the reaction-diffusion "
+                        "problem -div(kappa grad u) + sigma u = f "
+                        "(operator=kron; beyond reference parity)")
     p.add_argument("--mesh", choices=["box", "perturbed"], default="box",
                    help="'perturbed': smoothly deformed GENERAL hexahedra "
                         "(non-affine cells; the full geometry pipeline + "
@@ -73,6 +77,9 @@ def main():
           f"backend {jax.default_backend()}, dtype {args.dtype}")
 
     kappa, f = args.kappa, None
+    if args.sigma and args.operator != "kron":
+        args.operator = "kron"
+        print("sigma shift: switching operator backend to 'kron'")
     if args.kappa_field == "linear":
         kappa, f = kappa_linear, f_rhs_variable()
         if args.operator in ("kron", "kron_blocked"):
@@ -97,7 +104,7 @@ def main():
         prob = PoissonProblem(
             nc=nc, degrees=tuple(args.degrees), kappa=kappa, dtype=dtype,
             coarse=args.coarse, operator=args.operator, f=f,
-            precision=args.precision, mesh=mesh,
+            precision=args.precision, mesh=mesh, sigma=args.sigma,
         )
     ndofs = [prob.mesh.num_dofs(P) for P in args.degrees]
     print("hierarchy:", " -> ".join(f"p={P}: {n}" for P, n in zip(args.degrees, ndofs)))
@@ -111,7 +118,8 @@ def main():
         from pmg_dolfinx_tpu.solvers.fdm import FastDiagonalizationSolver
 
         fdm = FastDiagonalizationSolver(prob.mesh, args.degrees[-1],
-                                        kappa=args.kappa, dtype=dtype)
+                                        kappa=args.kappa, dtype=dtype,
+                                        sigma=args.sigma)
         with Timer("fdm solve", sync=True):
             if args.refined:
                 u, rnorms = fdm.refine(prob.b, cycles=min(args.cycles, 4))

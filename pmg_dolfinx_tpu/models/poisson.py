@@ -22,11 +22,12 @@ def u_exact(x):
     return np.sin(np.pi * x[0]) * np.sin(np.pi * x[1]) * np.sin(np.pi * x[2])
 
 
-def f_rhs(kappa):
-    """Source term ``f = -kappa lap(u_e) = 3 pi^2 kappa u_e``."""
+def f_rhs(kappa, sigma=0.0):
+    """Source term ``f = -kappa lap(u_e) + sigma u_e
+    = (3 pi^2 kappa + sigma) u_e``."""
 
     def f(x):
-        return 3.0 * np.pi**2 * kappa * u_exact(x)
+        return (3.0 * np.pi**2 * kappa + sigma) * u_exact(x)
 
     return f
 
@@ -104,7 +105,7 @@ class PoissonProblem:
     def __init__(self, nc=(10, 10, 10), degrees=(1, 3), kappa=2.0,
                  dtype=jnp.float64, coarse="smoother", coarse_cfg=None,
                  smoother_iters=2, operator="kron", precision="highest",
-                 f=None, mesh=None):
+                 f=None, mesh=None, sigma=0.0):
         """``kappa`` may be a scalar, a per-cell DG-0 array, or a callable
         (see `PMGHierarchy`). For non-scalar kappa pass the matching
         source term ``f`` (e.g. `f_rhs_variable`). ``mesh`` (optional)
@@ -116,7 +117,7 @@ class PoissonProblem:
         self.hierarchy = PMGHierarchy(
             self.mesh, degrees=self.degrees, kappa=kappa, dtype=dtype,
             coarse=coarse, coarse_cfg=coarse_cfg, smoother_iters=smoother_iters,
-            operator=operator, precision=precision,
+            operator=operator, precision=precision, sigma=sigma,
         )
         if f is None:
             if self.hierarchy.kappa is None:
@@ -124,7 +125,7 @@ class PoissonProblem:
                     "non-constant kappa: pass the matching source term f "
                     "(e.g. models.poisson.f_rhs_variable(...))"
                 )
-            f = f_rhs(self.hierarchy.kappa)
+            f = f_rhs(self.hierarchy.kappa, sigma=sigma)
         self.b = jnp.asarray(
             assemble_rhs(self.mesh, self.degrees[-1], f), dtype=dtype,
         )

@@ -52,7 +52,7 @@ def axis_stiffness_mass(nc: int, P: int, h) -> tuple[np.ndarray, np.ndarray]:
 
 
 def kron_laplacian_apply(x, Ks, ms, bc_marker, precision="highest",
-                         apply_bc=True, exchange=None):
+                         apply_bc=True, exchange=None, sigma=0.0):
     """``y = A x`` via the Kronecker-sum form (jittable, shape-preserving).
 
     Parameters
@@ -95,21 +95,31 @@ def kron_laplacian_apply(x, Ks, ms, bc_marker, precision="highest",
         t1 = exchange(t1)
     t2 = jnp.einsum("by,xyz->xbz", Kty, w, precision=prec)
     t3 = jnp.einsum("cz,xyz->xyc", Ktz, w, precision=prec)
-    y = ((t1 + t2 + t3) * s3).reshape(jnp.shape(x))
+    t = t1 + t2 + t3
+    if sigma:
+        # Shifted (reaction-diffusion) operator A + sigma*M with the
+        # GLL-lumped mass M = diag(mx (x) my (x) mz): since w already
+        # carries one sqrt-mass factor, sigma*w*s3 == sigma*M*mask(x) —
+        # one fused multiply-add, no extra lattice pass.
+        t = t + sigma * w
+    y = (t * s3).reshape(jnp.shape(x))
     if not apply_bc:
         return y
     return jnp.where(bc_marker, x, y)
 
 
-def kron_diagonal(Ks, ms, bc_marker):
-    """Closed-form operator diagonal (for Jacobi): bc rows get 1."""
+def kron_diagonal(Ks, ms, bc_marker, sigma=0.0):
+    """Closed-form operator diagonal (for Jacobi): bc rows get 1.
+    ``sigma`` adds the lumped-mass shift (see `kron_laplacian_apply`)."""
     Kx, Ky, Kz = Ks
     mx, my, mz = ms
     dx, dy, dz = (jnp.diagonal(K) for K in (Kx, Ky, Kz))
+    m3 = mx[:, None, None] * my[None, :, None] * mz[None, None, :]
     diag = (
         dx[:, None, None] * my[None, :, None] * mz[None, None, :]
         + mx[:, None, None] * dy[None, :, None] * mz[None, None, :]
         + mx[:, None, None] * my[None, :, None] * dz[None, None, :]
+        + sigma * m3
     ).reshape(-1)
     return jnp.where(bc_marker, jnp.ones_like(diag), diag)
 
@@ -120,7 +130,11 @@ class KronLaplacian:
     Same contract as `MatFreeLaplacian` / `LatticeLaplacian`.
     """
 
-    def __init__(self, mesh, P, kappa=2.0, dtype=jnp.float32, precision="highest"):
+    def __init__(self, mesh, P, kappa=2.0, dtype=jnp.float32,
+                 precision="highest", sigma=0.0):
+        """``sigma`` adds the GLL-lumped mass shift: the operator becomes
+        ``A + sigma M`` (the reaction-diffusion / shifted-Poisson family
+        ``-div(kappa grad u) + sigma u = f``; beyond reference parity)."""
         from ..fem.mesh import require_axis_aligned
 
         require_axis_aligned(mesh, "KronLaplacian")
@@ -128,6 +142,7 @@ class KronLaplacian:
         self.mesh = mesh
         self.dtype = dtype
         self.precision = precision
+        self.sigma = float(sigma)
         self.ndofs = mesh.num_dofs(P)
         Ks, ms = [], []
         for nc_a, h_a in zip(mesh.nc, mesh.h):
@@ -138,8 +153,11 @@ class KronLaplacian:
         self.Ks = tuple(Ks)
         self.ms = tuple(ms)
         self.bc_marker = jnp.asarray(mesh.boundary_dof_marker(self.P))
-        self._apply = jax.jit(partial(kron_laplacian_apply, precision=precision))
-        self.diag = kron_diagonal(self.Ks, self.ms, self.bc_marker)
+        self._apply = jax.jit(partial(kron_laplacian_apply,
+                                      precision=precision,
+                                      sigma=self.sigma))
+        self.diag = kron_diagonal(self.Ks, self.ms, self.bc_marker,
+                                  sigma=self.sigma)
         self.diag_inv = 1.0 / self.diag
 
     def __call__(self, x):

@@ -83,7 +83,12 @@ class FastDiagonalizationSolver:
     machine-precision results (requires x64).
     """
 
-    def __init__(self, mesh, P, kappa=2.0, dtype=jnp.float32, precision="highest"):
+    def __init__(self, mesh, P, kappa=2.0, dtype=jnp.float32,
+                 precision="highest", sigma=0.0):
+        """``sigma`` shifts the operator by the lumped mass
+        (``A + sigma M``): in the per-axis generalized eigenbasis the
+        mass is the identity, so the shift just adds to the eigenvalue
+        sums — the direct solve stays six matmuls."""
         from ..fem.mesh import require_axis_aligned
 
         require_axis_aligned(mesh, "FastDiagonalizationSolver")
@@ -101,7 +106,7 @@ class FastDiagonalizationSolver:
         lx, ly, lz = lams
         d = float(kappa) * (
             lx[:, None, None] + ly[None, :, None] + lz[None, None, :]
-        )
+        ) + float(sigma)
         self.dinv = jnp.asarray(1.0 / d, dtype=dtype)
         self.bc_marker = jnp.asarray(mesh.boundary_dof_marker(self.P))
         self._solve = jax.jit(

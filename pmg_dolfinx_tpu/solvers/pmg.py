@@ -124,7 +124,7 @@ def default_cycle_ops():
     )
 
 
-def kron_cycle_ops(precision="highest"):
+def kron_cycle_ops(precision="highest", sigma=0.0):
     """V-cycle primitives backed by the Kronecker-sum operator
     (`ops.kron`) — 3 banded matmuls per apply; the production path for
     axis-aligned box meshes. Transfers use the lattice per-axis matmuls.
@@ -141,7 +141,7 @@ def kron_cycle_ops(precision="highest"):
     def apply_op(lv, x, level):
         return kron_laplacian_apply(
             x, (lv["Kx"], lv["Ky"], lv["Kz"]), (lv["mx"], lv["my"], lv["mz"]),
-            lv["bc_marker"], precision=precision,
+            lv["bc_marker"], precision=precision, sigma=sigma,
         )
 
     return dict(
@@ -451,7 +451,7 @@ class PMGHierarchy:
                  smoother_iters=DEFAULT_SMOOTHER_ITERS, coarse="smoother",
                  coarse_cfg=None,
                  calibration_iters=DEFAULT_CALIBRATION_ITERS,
-                 operator="dofmap", precision="highest"):
+                 operator="dofmap", precision="highest", sigma=0.0):
         """``operator`` selects the kernel backend: 'dofmap' (general,
         oracle-parity path), 'lattice' (banded-matmul MXU path, general
         hexes) or 'kron' (Kronecker-sum path, axis-aligned meshes — the
@@ -467,6 +467,19 @@ class PMGHierarchy:
         from ..fem.assembly import resolve_kappa
         from ..fem.mesh import require_axis_aligned
 
+        self.sigma = float(sigma)
+        if self.sigma:
+            if operator != "kron":
+                raise ValueError(
+                    "sigma (the lumped-mass shift) is currently supported "
+                    "by operator='kron' only"
+                )
+            if coarse == "hmg":
+                raise ValueError(
+                    "coarse='hmg' does not thread the sigma shift through "
+                    "the h-hierarchy; use 'fdm', 'cg', 'direct' or "
+                    "'smoother'"
+                )
         kron_family = operator in ("kron", "kron_blocked")
         if kron_family:
             require_axis_aligned(mesh, f"operator='{operator}'")
@@ -505,7 +518,7 @@ class PMGHierarchy:
         elif operator == "lattice_blocked":
             self._ops = lattice_blocked_cycle_ops(precision)
         elif operator == "kron":
-            self._ops = kron_cycle_ops(precision)
+            self._ops = kron_cycle_ops(precision, sigma=self.sigma)
         elif operator == "kron_blocked":
             self._ops = kron_blocked_cycle_ops(precision)
         elif operator == "dofmap":
@@ -600,6 +613,7 @@ class PMGHierarchy:
                     (lv["Kx"], lv["Ky"], lv["Kz"]),
                     (lv["mx"], lv["my"], lv["mz"]),
                     bc,
+                    sigma=self.sigma,
                 )
                 if operator == "kron_blocked":
                     # The blocked kernels consume the symmetrized form;
@@ -680,6 +694,14 @@ class PMGHierarchy:
             A0 = assemble_stiffness(
                 mesh, self.degrees[0], kappa=self.kappa_cells
             ).toarray()
+            if self.sigma:
+                from ..ops.kron import axis_stiffness_mass
+
+                ms0 = [axis_stiffness_mass(nc_a, self.degrees[0], h_a)[1]
+                       for nc_a, h_a in zip(mesh.nc, mesh.h)]
+                m3 = np.einsum("a,b,c->abc", *ms0).reshape(-1)
+                m3[np.asarray(mesh.boundary_dof_marker(self.degrees[0]))] = 0.0
+                A0[np.diag_indices_from(A0)] += self.sigma * m3
             chol = np.linalg.cholesky(A0)
             self.data["coarse_chol"] = jnp.asarray(chol, dtype=dtype)
         elif coarse == "fdm":
@@ -687,7 +709,7 @@ class PMGHierarchy:
 
             fd = FastDiagonalizationSolver(
                 mesh, self.degrees[0], kappa=self.kappa, dtype=dtype,
-                precision=precision,
+                precision=precision, sigma=self.sigma,
             )
             self.data["fdm"] = dict(
                 Vx=fd.Vs[0], Vy=fd.Vs[1], Vz=fd.Vs[2],
@@ -836,6 +858,7 @@ class PMGHierarchy:
                 op64 = KronLaplacian(
                     self.mesh, Pf, kappa=self.kappa,
                     dtype=jnp.float64, precision="highest",
+                    sigma=self.sigma,
                 )
                 self._res64 = dict(
                     Ks=op64.Ks, ms=op64.ms,
@@ -887,7 +910,7 @@ class PMGHierarchy:
 
                     r64 = b64 - kron_laplacian_apply(
                         u64, res64["Ks"], res64["ms"], res64["bc"],
-                        precision="highest",
+                        precision="highest", sigma=self.sigma,
                     )
                 else:
                     from ..ops.lattice import lattice_laplacian_apply

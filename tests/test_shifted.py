@@ -1,0 +1,96 @@
+"""Shifted / reaction-diffusion family: ``-div(kappa grad u) + sigma u = f``.
+
+Beyond reference parity (the reference has only the pure Poisson form):
+the GLL-lumped mass shift ``A + sigma M`` is a pointwise extension of
+the Kronecker operator, the closed-form diagonal, the FDM direct solve
+(the per-axis generalized eigenbasis turns M into the identity, so the
+shift just adds to the eigenvalue sums) and the full PMG stack.
+Oracles: independently assembled ``A + sigma diag(m3)`` and scipy
+spsolve.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from pmg_dolfinx_tpu.fem.assembly import assemble_rhs, assemble_stiffness
+from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+from pmg_dolfinx_tpu.models.poisson import PoissonProblem, f_rhs
+from pmg_dolfinx_tpu.ops.kron import KronLaplacian, axis_stiffness_mass
+
+SIGMA = 37.0
+
+
+def _shifted_assembled(mesh, P, kappa, sigma):
+    """A + sigma*diag(m3) with bc rows untouched (identity)."""
+    A = assemble_stiffness(mesh, P, kappa=kappa, bc=True).tocsr()
+    ms = [axis_stiffness_mass(nc_a, P, h_a)[1]
+          for nc_a, h_a in zip(mesh.nc, mesh.h)]
+    m3 = np.einsum("a,b,c->abc", *ms).reshape(-1)
+    m3[np.asarray(mesh.boundary_dof_marker(P))] = 0.0
+    return A + sigma * sp.diags(m3)
+
+
+def test_shifted_kron_vs_assembled():
+    mesh = BoxMesh((3, 2, 4), extent=(1.0, 2.0, 0.5))
+    P, kappa = 3, 2.0
+    op = KronLaplacian(mesh, P, kappa=kappa, dtype=jnp.float64, sigma=SIGMA)
+    A = _shifted_assembled(mesh, P, kappa, SIGMA)
+    x = np.random.default_rng(0).standard_normal(mesh.num_dofs(P))
+    y = np.asarray(op(jnp.asarray(x)))
+    err = np.linalg.norm(y - A @ x) / np.linalg.norm(A @ x)
+    assert err < 1e-12, err
+    assert np.allclose(np.asarray(op.diag), A.diagonal(), atol=1e-11)
+
+
+def test_shifted_fdm_exact_direct_solve():
+    from pmg_dolfinx_tpu.solvers.fdm import FastDiagonalizationSolver
+
+    mesh = BoxMesh((4, 3, 5), extent=(1.0, 2.0, 0.7))
+    P, kappa = 3, 2.0
+    fdm = FastDiagonalizationSolver(mesh, P, kappa=kappa,
+                                    dtype=jnp.float64, sigma=SIGMA)
+    A = _shifted_assembled(mesh, P, kappa, SIGMA)
+    b = np.random.default_rng(1).standard_normal(mesh.num_dofs(P))
+    b[np.asarray(mesh.boundary_dof_marker(P))] = 0.0
+    u = np.asarray(fdm.solve(jnp.asarray(b)))
+    u_ref = spla.spsolve(A.tocsc(), b)
+    assert np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref) < 1e-11
+
+
+@pytest.mark.parametrize("coarse", ["fdm", "cg", "direct"])
+def test_shifted_pmg_end_to_end(coarse):
+    """Full PMG on the shifted problem: manufactured-solution accuracy
+    and monotone residual convergence (the shift only helps MG)."""
+    prob = PoissonProblem(nc=(6, 6, 6), degrees=(1, 3), kappa=2.0,
+                          coarse=coarse, operator="kron", sigma=SIGMA)
+    u, rn = prob.solve(num_cycles=12)
+    r0 = float(np.linalg.norm(np.asarray(prob.b)))
+    assert rn[-1] / r0 < 1e-8, np.array(rn) / r0
+    assert all(b_ < a_ for a_, b_ in zip(rn, rn[1:]))
+    # Solution oracle: scipy direct solve of the assembled shifted system.
+    A = _shifted_assembled(prob.mesh, 3, 2.0, SIGMA)
+    u_ref = spla.spsolve(A.tocsc(), np.asarray(prob.b))
+    assert np.allclose(np.asarray(u), u_ref, atol=1e-8)
+    err = prob.error_l2(u)
+    assert err < 2e-4, err
+
+
+def test_shifted_refined_solve():
+    prob = PoissonProblem(nc=(6, 6, 6), degrees=(1, 3), kappa=2.0,
+                          coarse="fdm", operator="kron", sigma=SIGMA,
+                          dtype=jnp.float32)
+    u, rn = prob.hierarchy.solve_refined(prob.b, num_cycles=15)
+    r0 = float(np.linalg.norm(np.asarray(prob.b)))
+    assert rn[-1] / r0 < 1e-8, np.array(rn) / r0
+
+
+def test_sigma_rejected_where_unsupported():
+    with pytest.raises(ValueError, match="sigma"):
+        PoissonProblem(nc=(3, 3, 3), degrees=(1, 2), operator="lattice",
+                       sigma=1.0, f=f_rhs(2.0, sigma=1.0))
+    with pytest.raises(ValueError, match="hmg"):
+        PoissonProblem(nc=(4, 4, 4), degrees=(1, 2), operator="kron",
+                       coarse="hmg", sigma=1.0)
