@@ -54,6 +54,22 @@ from .partition import SlabPartition
 AXIS = "x"
 
 
+def _shifted_diag_np(mesh, Pdeg, kappa_cells, sigma):
+    """Global operator diagonal incl. the optional lumped-mass shift."""
+    from ..fem.assembly import stiffness_diagonal_np
+
+    d = stiffness_diagonal_np(mesh, Pdeg, kappa_cells)
+    if sigma:
+        from ..ops.kron import axis_stiffness_mass
+
+        ms = [axis_stiffness_mass(nc_a, Pdeg, h_a)[1]
+              for nc_a, h_a in zip(mesh.nc, mesh.h)]
+        m3 = np.einsum("a,b,c->abc", *ms).reshape(-1)
+        m3[np.asarray(mesh.boundary_dof_marker(Pdeg))] = 0.0
+        d = d + sigma * m3
+    return d
+
+
 def make_mesh(n_devices: int, devices=None) -> Mesh:
     """1D device mesh over the first ``n_devices`` available devices."""
     devices = devices if devices is not None else jax.devices()[:n_devices]
@@ -116,7 +132,7 @@ def dist_cycle_ops(n_shards):
     )
 
 
-def dist_kron_cycle_ops(n_shards, precision="highest"):
+def dist_kron_cycle_ops(n_shards, precision="highest", sigma=0.0):
     """Sharded Kronecker-sum backend: 3 banded matmuls per apply, with the
     interface partial-sum exchange applied to the (only shard-partial)
     x-stiffness term via the `exchange` hook.
@@ -140,6 +156,7 @@ def dist_kron_cycle_ops(n_shards, precision="highest"):
             x, (lv["Kx"], lv["Ky"], lv["Kz"]), (lv["mx"], lv["my"], lv["mz"]),
             lv["bc_marker"], precision=precision, apply_bc=False,
             exchange=lambda t1: _exchange_partials(t1, n_shards),
+            sigma=sigma,
         )
         return jnp.where(lv["bc_marker"], x, y)
 
@@ -273,7 +290,7 @@ class DistPMG:
                  dtype=jnp.float64, smoother_iters=DEFAULT_SMOOTHER_ITERS,
                  coarse="cg", coarse_cfg=None, devices=None,
                  calibration_iters=DEFAULT_CALIBRATION_ITERS,
-                 operator="dofmap", precision="highest"):
+                 operator="dofmap", precision="highest", sigma=0.0):
         from ..fem.assembly import stiffness_diagonal_np
         from ..ops.lattice import (
             axis_interpolation_matrix,
@@ -290,6 +307,18 @@ class DistPMG:
         from ..fem.assembly import resolve_kappa
         from ..fem.mesh import require_axis_aligned
 
+        self.sigma = float(sigma)
+        if self.sigma:
+            if operator != "kron":
+                raise ValueError(
+                    "DistPMG: sigma (the lumped-mass shift) is currently "
+                    "supported by operator='kron' only"
+                )
+            if coarse == "hmg":
+                raise ValueError(
+                    "DistPMG: coarse='hmg' does not thread the sigma "
+                    "shift; use 'fdm', 'cg', 'direct' or 'smoother'"
+                )
         if operator not in ("kron", "kron_blocked", "lattice", "dofmap"):
             raise ValueError(
                 f"DistPMG: unknown operator backend {operator!r} (choose "
@@ -354,7 +383,8 @@ class DistPMG:
                 diag_inv=jnp.asarray(
                     conform(part.to_dist(
                         Pdeg,
-                        1.0 / stiffness_diagonal_np(mesh, Pdeg, self.kappa_cells),
+                        1.0 / _shifted_diag_np(mesh, Pdeg, self.kappa_cells,
+                                               self.sigma),
                     )),
                     dtype=dtype,
                 ),
@@ -465,7 +495,8 @@ class DistPMG:
 
         self.levels = tuple(levels)
         if operator == "kron":
-            ops = dist_kron_cycle_ops(self.n_shards, precision)
+            ops = dist_kron_cycle_ops(self.n_shards, precision,
+                                      sigma=self.sigma)
         elif operator == "kron_blocked":
             ops = dist_kron_blocked_cycle_ops(self.n_shards, precision)
         elif operator == "lattice":
@@ -515,7 +546,7 @@ class DistPMG:
 
                 fd = FastDiagonalizationSolver(
                     mesh, P0, kappa=self.kappa, dtype=dtype,
-                    precision=precision,
+                    precision=precision, sigma=self.sigma,
                 )
                 self._coarse_data = ("fdm", dict(
                     Vx=fd.Vs[0], Vy=fd.Vs[1], Vz=fd.Vs[2],
@@ -878,6 +909,7 @@ class DistPMG:
                         lv64_["bc_marker"], precision="highest",
                         apply_bc=False,
                         exchange=lambda t1: _exchange_partials(t1, n_sh),
+                        sigma=self.sigma,
                     )
                     Au = jnp.where(lv64_["bc_marker"], u64, raw)
                 else:

@@ -206,7 +206,7 @@ def _grid_common_ops(shards, precision):
     )
 
 
-def grid_kron_cycle_ops(shards, precision="highest"):
+def grid_kron_cycle_ops(shards, precision="highest", sigma=0.0):
     """V-cycle primitives on the multi-axis box partition (kron backend).
 
     LATTICE-SHAPED local vectors end-to-end (see
@@ -239,7 +239,13 @@ def grid_kron_cycle_ops(shards, precision="highest"):
             jnp.einsum("cz,xyz->xyc", Ktz, w, precision=precision),
             shards[2], AXES[2], 2,
         )
-        y = (t1 + t2 + t3) * s3
+        t = t1 + t2 + t3
+        if sigma:
+            # Lumped-mass shift (see ops.kron.kron_laplacian_apply):
+            # sigma*w*s3 == sigma*M*mask(x), consistent on duplicated
+            # planes (pointwise), so no extra exchange is needed.
+            t = t + sigma * w
+        y = t * s3
         return jnp.where(lv["bc_marker"], x, y)
 
     return dict(_grid_common_ops(shards, precision), apply=apply_op)
@@ -316,7 +322,7 @@ class GridPMG:
                  dtype=jnp.float64, smoother_iters=DEFAULT_SMOOTHER_ITERS,
                  coarse="cg", coarse_cfg=None, devices=None,
                  calibration_iters=DEFAULT_CALIBRATION_ITERS,
-                 operator="kron", precision="highest"):
+                 operator="kron", precision="highest", sigma=0.0):
         from ..ops.lattice import axis_interpolation_matrix
 
         self.part = GridPartition(mesh, shards)
@@ -329,6 +335,18 @@ class GridPMG:
         from ..fem.assembly import resolve_kappa
         from ..fem.mesh import require_axis_aligned
 
+        self.sigma = float(sigma)
+        if self.sigma:
+            if operator != "kron":
+                raise ValueError(
+                    "GridPMG: sigma (the lumped-mass shift) is currently "
+                    "supported by operator='kron' only"
+                )
+            if coarse == "hmg":
+                raise ValueError(
+                    "GridPMG: coarse='hmg' does not thread the sigma "
+                    "shift; use 'fdm', 'cg', 'direct' or 'smoother'"
+                )
         if operator not in ("kron", "lattice", "lattice_blocked"):
             raise ValueError(
                 f"GridPMG: unknown operator backend {operator!r} "
@@ -366,7 +384,7 @@ class GridPMG:
         elif operator == "lattice_blocked":
             ops = grid_lattice_blocked_cycle_ops(shards, precision)
         else:
-            ops = grid_kron_cycle_ops(shards, precision)
+            ops = grid_kron_cycle_ops(shards, precision, sigma=self.sigma)
 
         if coarse not in ("cg", "smoother", "fdm", "direct", "hmg"):
             raise ValueError(
@@ -384,7 +402,7 @@ class GridPMG:
 
                 fd = FastDiagonalizationSolver(
                     mesh, P0, kappa=self.kappa, dtype=dtype,
-                    precision=precision,
+                    precision=precision, sigma=self.sigma,
                 )
                 self._coarse_data = ("fdm", dict(
                     Vx=fd.Vs[0], Vy=fd.Vs[1], Vz=fd.Vs[2],
@@ -398,6 +416,14 @@ class GridPMG:
                 A0 = assemble_stiffness(
                     mesh, P0, kappa=self.kappa_cells
                 ).toarray()
+                if self.sigma:
+                    from ..ops.kron import axis_stiffness_mass
+
+                    ms0 = [axis_stiffness_mass(nc_a, P0, h_a)[1]
+                           for nc_a, h_a in zip(mesh.nc, mesh.h)]
+                    m3 = np.einsum("a,b,c->abc", *ms0).reshape(-1)
+                    m3[np.asarray(mesh.boundary_dof_marker(P0))] = 0.0
+                    A0[np.diag_indices_from(A0)] += self.sigma * m3
                 self._coarse_data = (
                     "coarse_chol",
                     jnp.asarray(np.linalg.cholesky(A0), dtype=dtype),
@@ -578,10 +604,13 @@ class GridPMG:
         )
         spec = dict(bc_marker=PSHARD, weights=PSHARD)
         if include_diag:
+            from .dist import _shifted_diag_np
+
             lv["diag_inv"] = jnp.asarray(
                 part.to_dist(
                     Pdeg,
-                    1.0 / stiffness_diagonal_np(mesh, Pdeg, self.kappa_cells),
+                    1.0 / _shifted_diag_np(mesh, Pdeg, self.kappa_cells,
+                                           self.sigma),
                 ),
                 dtype=dtype,
             )
@@ -765,9 +794,11 @@ class GridPMG:
             # f64 residual: the Mosaic kernels are f32-only, so the
             # lattice_blocked working backend pairs with the XLA lattice
             # form for the f64 apply (same discrete operator).
-            ops64 = (grid_kron_cycle_ops
-                     if self.operator_kind == "kron"
-                     else grid_lattice_cycle_ops)(shards, "highest")
+            if self.operator_kind == "kron":
+                ops64 = grid_kron_cycle_ops(shards, "highest",
+                                            sigma=self.sigma)
+            else:
+                ops64 = grid_lattice_cycle_ops(shards, "highest")
             apply64 = ops64["apply"]
             work_dtype = self.dtype
             levels, coarse, coarse_cfg = (self.levels, self.coarse,

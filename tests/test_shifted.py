@@ -94,3 +94,32 @@ def test_sigma_rejected_where_unsupported():
     with pytest.raises(ValueError, match="hmg"):
         PoissonProblem(nc=(4, 4, 4), degrees=(1, 2), operator="kron",
                        coarse="hmg", sigma=1.0)
+
+
+def test_shifted_dist_and_grid_match_single():
+    """The shifted family under both decompositions: 4-shard slab and
+    (2,2,2) grid trajectories match the single-device shifted solve."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    nc = (8, 4, 4)
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=2.0,
+                            coarse="fdm", operator="kron", sigma=SIGMA)
+    u_s, rn_s = single.solve(num_cycles=5)
+    b = assemble_rhs(single.mesh, 3, f_rhs(2.0, sigma=SIGMA))
+    dist = DistPMG(single.mesh, n_devices=4, degrees=(1, 3), kappa=2.0,
+                   coarse="fdm", operator="kron", sigma=SIGMA)
+    u_d, rn_d = dist.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-9), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-10)
+
+    mesh_g = BoxMesh((4, 4, 4))
+    single_g = PoissonProblem(nc=(4, 4, 4), degrees=(1, 3), kappa=2.0,
+                              coarse="cg", operator="kron", sigma=SIGMA)
+    u_sg, rn_sg = single_g.solve(num_cycles=5)
+    b_g = assemble_rhs(mesh_g, 3, f_rhs(2.0, sigma=SIGMA))
+    grid = GridPMG(mesh_g, shards=(2, 2, 2), degrees=(1, 3), kappa=2.0,
+                   coarse="cg", sigma=SIGMA)
+    u_g, rn_g = grid.solve(b_g, num_cycles=5)
+    assert np.allclose(rn_g, rn_sg, rtol=1e-9), (rn_sg, rn_g)
+    assert np.allclose(u_g, np.asarray(u_sg), atol=1e-10)
