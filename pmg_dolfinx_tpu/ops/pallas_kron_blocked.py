@@ -88,7 +88,7 @@ def _kernel_t1(x_ref, bc_ref, Ktx_ref, sxz_ref, out_ref, *, high):
 
 
 def _kernel_t23(x_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
-                sycol_ref, s23_ref, out_ref, *, high):
+                sycol_ref, s23_ref, out_ref, *, high, sigma=0.0):
     # block (Bx, NY, NZ): x-slab, full y/z extents. Per x-slice i with
     # scalar sx_i (delivered as a (Bx, 1) block):
     #   what = mask(x_i) * s23            (s23 = outer(sy, sz), 2-D input)
@@ -113,13 +113,18 @@ def _kernel_t23(x_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
         else:
             t2 = _DOT(Kty, what, precision=jax.lax.Precision.HIGHEST)
             t3 = _DOT(what, KtzT, precision=jax.lax.Precision.HIGHEST)
-        yi = (sycol * t1_ref[i] + sxi * (t2 + t3)) * (sxi * s23)
+        acc = sycol * t1_ref[i] + sxi * (t2 + t3)
+        if sigma:
+            # Lumped-mass shift: sigma*sx_i*what*(sx_i*s23) ==
+            # sigma*M*mask(x) (see ops.kron.kron_laplacian_apply).
+            acc = acc + (sigma * sxi) * what
+        yi = acc * (sxi * s23)
         out_ref[i] = jnp.where(bci, xi, yi)
 
 
 def _kernel_t23_cheb(v_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
                      sycol_ref, s23_ref, x_ref, r_ref, dinv_ref, coef_ref,
-                     xo_ref, ro_ref, zo_ref, *, high):
+                     xo_ref, ro_ref, zo_ref, *, high, sigma=0.0):
     # Kernel 2 with the fourth-kind-Chebyshev update fused in. Per x-slice
     # i: Av = bc-epilogued operator apply on v, then
     #     x' = x + gamma*v ;  r' = r - Av ;  z' = a*v + b*dinv*r'
@@ -151,7 +156,10 @@ def _kernel_t23_cheb(v_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
         else:
             t2 = _DOT(Kty, what, precision=jax.lax.Precision.HIGHEST)
             t3 = _DOT(what, KtzT, precision=jax.lax.Precision.HIGHEST)
-        yi = (sycol * t1_ref[i] + sxi * (t2 + t3)) * (sxi * s23)
+        acc = sycol * t1_ref[i] + sxi * (t2 + t3)
+        if sigma:
+            acc = acc + (sigma * sxi) * what
+        yi = acc * (sxi * s23)
         Av = jnp.where(bci, vi, yi)
         ri = r_ref[i] - Av
         xo_ref[i] = x_ref[i] + gamma * vi
@@ -160,7 +168,7 @@ def _kernel_t23_cheb(v_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
 
 
 def _kernel_t23_res(v_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
-                    sycol_ref, s23_ref, r_ref, ro_ref, *, high):
+                    sycol_ref, s23_ref, r_ref, ro_ref, *, high, sigma=0.0):
     # Kernel 2 with the residual fused: ro = r_in - Av (the down-sweep's
     # r = b - A u without a separate whole-lattice subtract pass).
     Kty = Kty_ref[:]
@@ -183,7 +191,10 @@ def _kernel_t23_res(v_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
         else:
             t2 = _DOT(Kty, what, precision=jax.lax.Precision.HIGHEST)
             t3 = _DOT(what, KtzT, precision=jax.lax.Precision.HIGHEST)
-        yi = (sycol * t1_ref[i] + sxi * (t2 + t3)) * (sxi * s23)
+        acc = sycol * t1_ref[i] + sxi * (t2 + t3)
+        if sigma:
+            acc = acc + (sigma * sxi) * what
+        yi = acc * (sxi * s23)
         ro_ref[i] = r_ref[i] - jnp.where(bci, vi, yi)
 
 
@@ -231,18 +242,21 @@ def _emu_t1(x3, bc3, m):
                       precision=jax.lax.Precision.HIGHEST)
 
 
-def _emu_t23_core(x3, bc3, t1, m):
+def _emu_t23_core(x3, bc3, t1, m, sigma=0.0):
     HI = jax.lax.Precision.HIGHEST
     what = jnp.where(bc3, 0.0, x3) * m["s23"][None]
     t2 = jnp.einsum("by,xyz->xbz", m["Kty"], what, precision=HI)
     t3 = jnp.einsum("xyz,zc->xyc", what, m["KtzT"], precision=HI)
     sx = m["sx2d"][:, 0][:, None, None]
     sy = m["sycol"][:, 0][None, :, None]
-    return (sy * t1 + sx * (t2 + t3)) * (sx * m["s23"][None])
+    acc = sy * t1 + sx * (t2 + t3)
+    if sigma:
+        acc = acc + (sigma * sx) * what
+    return acc * (sx * m["s23"][None])
 
 
-def _emu_apply(x3, bc3, t1, m):
-    return jnp.where(bc3, x3, _emu_t23_core(x3, bc3, t1, m))
+def _emu_apply(x3, bc3, t1, m, sigma=0.0):
+    return jnp.where(bc3, x3, _emu_t23_core(x3, bc3, t1, m, sigma=sigma))
 
 
 def _clamp_blocks(shape, by, bx):
@@ -258,7 +272,7 @@ def _clamp_blocks(shape, by, bx):
 
 
 @lru_cache(maxsize=None)
-def _build_calls(shape, by, bx, high, interpret, vma=()):
+def _build_calls(shape, by, bx, high, interpret, vma=(), sigma=0.0):
     """The two pallas_calls for a given lattice shape + block config.
 
     Cached so cycle-ops can call `blocked_kron_apply` freely: rebuilding
@@ -285,7 +299,7 @@ def _build_calls(shape, by, bx, high, interpret, vma=()):
         interpret=interpret,
     )
     t23 = pl.pallas_call(
-        partial(_kernel_t23, high=high),
+        partial(_kernel_t23, high=high, sigma=sigma),
         grid=(pl.cdiv(NX, bx),),
         in_specs=[
             pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0)),
@@ -306,7 +320,7 @@ def _build_calls(shape, by, bx, high, interpret, vma=()):
 
 
 @lru_cache(maxsize=None)
-def _build_cheb_call(shape, bx, high, interpret, vma=()):
+def _build_cheb_call(shape, bx, high, interpret, vma=(), sigma=0.0):
     """The fused Chebyshev-step kernel for a lattice shape (see
     `_kernel_t23_cheb`); pairs with kernel 1 from `_build_calls`."""
     NX, NY, NZ = shape
@@ -314,7 +328,7 @@ def _build_cheb_call(shape, bx, high, interpret, vma=()):
     lat = lambda: pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0))
     out = _out_struct(shape, vma)
     return pl.pallas_call(
-        partial(_kernel_t23_cheb, high=high),
+        partial(_kernel_t23_cheb, high=high, sigma=sigma),
         grid=(pl.cdiv(NX, bx),),
         in_specs=[
             lat(),                                      # v
@@ -338,12 +352,12 @@ def _build_cheb_call(shape, bx, high, interpret, vma=()):
 
 
 @lru_cache(maxsize=None)
-def _build_res_call(shape, bx, high, interpret, vma=()):
+def _build_res_call(shape, bx, high, interpret, vma=(), sigma=0.0):
     """The fused residual kernel (see `_kernel_t23_res`)."""
     NX, NY, NZ = shape
     lat = lambda: pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0))
     return pl.pallas_call(
-        partial(_kernel_t23_res, high=high),
+        partial(_kernel_t23_res, high=high, sigma=sigma),
         grid=(pl.cdiv(NX, bx),),
         in_specs=[
             lat(), lat(), lat(),                        # v, bc, t1'
@@ -365,7 +379,7 @@ def _build_res_call(shape, bx, high, interpret, vma=()):
 
 def blocked_kron_residual(b3, u3, bc3, mats, *, by=8, bx=8,
                           precision="highest", interpret=None,
-                          exchange=None):
+                          exchange=None, sigma=0.0):
     """Fused ``r = b - A u`` through the blocked kernel pair."""
     emulate = False
     if interpret is None:
@@ -375,12 +389,14 @@ def blocked_kron_residual(b3, u3, bc3, mats, *, by=8, bx=8,
         t1 = _emu_t1(u3, bc3, mats)
         if exchange is not None:
             t1 = exchange(t1)
-        return b3 - _emu_apply(u3, bc3, t1, mats)
+        return b3 - _emu_apply(u3, bc3, t1, mats, sigma=sigma)
     by, bx = _clamp_blocks(u3.shape, by, bx)
     high = precision == "high"
     vma = _join_vma(b3, u3, bc3, *mats.values())
-    t1c, _ = _build_calls(tuple(u3.shape), by, bx, high, interpret, vma)
-    resc = _build_res_call(tuple(u3.shape), bx, high, interpret, vma)
+    t1c, _ = _build_calls(tuple(u3.shape), by, bx, high, interpret, vma,
+                          sigma)
+    resc = _build_res_call(tuple(u3.shape), bx, high, interpret, vma,
+                           sigma)
     names = ("Ktx", "sxz", "Kty", "KtzT", "sx2d", "sycol", "s23")
     b3, u3, bc3, *mvals = _pvary_all(vma, b3, u3, bc3,
                                      *(mats[k] for k in names))
@@ -394,7 +410,7 @@ def blocked_kron_residual(b3, u3, bc3, mats, *, by=8, bx=8,
 
 def blocked_kron_cheb4(b3, x3, bc3, mats, dinv3, lmax, num_iters, *,
                        by=8, bx=8, precision="highest", interpret=None,
-                       exchange=None):
+                       exchange=None, sigma=0.0):
     """Fourth-kind Chebyshev smoothing with the update fused into the
     blocked operator kernels (numerically identical to
     `solvers.chebyshev.chebyshev4_solve` over the same operator; tested).
@@ -411,8 +427,10 @@ def blocked_kron_cheb4(b3, x3, bc3, mats, dinv3, lmax, num_iters, *,
     high = precision == "high"
     vma = _join_vma(b3, x3, bc3, dinv3, *mats.values())
     if not emulate:
-        t1c, _ = _build_calls(tuple(x3.shape), by, bx, high, interpret, vma)
-        chebc = _build_cheb_call(tuple(x3.shape), bx, high, interpret, vma)
+        t1c, _ = _build_calls(tuple(x3.shape), by, bx, high, interpret,
+                              vma, sigma)
+        chebc = _build_cheb_call(tuple(x3.shape), bx, high, interpret,
+                                 vma, sigma)
         names = ("Ktx", "sxz", "Kty", "KtzT", "sx2d", "sycol", "s23")
         b3, x3, bc3, dinv3, *mvals = _pvary_all(vma, b3, x3, bc3, dinv3,
                                                 *(mats[k] for k in names))
@@ -423,7 +441,7 @@ def blocked_kron_cheb4(b3, x3, bc3, mats, dinv3, lmax, num_iters, *,
             t1 = _emu_t1(v, bc3, mats)
             if exchange is not None:
                 t1 = exchange(t1)
-            Av = _emu_apply(v, bc3, t1, mats)
+            Av = _emu_apply(v, bc3, t1, mats, sigma=sigma)
             gamma, a, bco = coef[0, 0], coef[0, 1], coef[0, 2]
             r_new = r_in - Av
             return (x + gamma * v, r_new,
@@ -453,7 +471,7 @@ def blocked_kron_cheb4(b3, x3, bc3, mats, dinv3, lmax, num_iters, *,
 
 
 def blocked_kron_apply(x3, bc3, mats, *, by=8, bx=8, precision="highest",
-                       interpret=None, exchange=None):
+                       interpret=None, exchange=None, sigma=0.0):
     """Functional blocked Kronecker apply on a lattice-shaped f32 vector.
 
     ``mats`` is the dict from `symmetrized_mats`. ``interpret=None``
@@ -478,11 +496,11 @@ def blocked_kron_apply(x3, bc3, mats, *, by=8, bx=8, precision="highest",
         t1 = _emu_t1(x3, bc3, mats)
         if exchange is not None:
             t1 = exchange(t1)
-        return _emu_apply(x3, bc3, t1, mats)
+        return _emu_apply(x3, bc3, t1, mats, sigma=sigma)
     by, bx = _clamp_blocks(x3.shape, by, bx)
     vma = _join_vma(x3, bc3, *mats.values())
     t1c, t23c = _build_calls(tuple(x3.shape), by, bx,
-                             precision == "high", interpret, vma)
+                             precision == "high", interpret, vma, sigma)
     names = ("Ktx", "sxz", "Kty", "KtzT", "sx2d", "sycol", "s23")
     x3, bc3, *mvals = _pvary_all(vma, x3, bc3, *(mats[k] for k in names))
     m = dict(zip(names, mvals))
@@ -502,15 +520,17 @@ class PallasKronBlocked:
     """
 
     def __init__(self, mesh, P, kappa=2.0, by=8, bx=None, interpret=False,
-                 precision="highest"):
+                 precision="highest", sigma=0.0):
         from .kron import KronLaplacian
 
-        base = KronLaplacian(mesh, P, kappa=kappa, dtype=jnp.float32)
+        base = KronLaplacian(mesh, P, kappa=kappa, dtype=jnp.float32,
+                             sigma=sigma)
         self.P = int(P)
         self.mesh = mesh
         self.ndofs = mesh.num_dofs(P)
         self.shape = mesh.lattice_shape(P)
         self.precision = precision
+        self.sigma = float(sigma)
         self.diag = base.diag
         self.diag_inv = base.diag_inv
         self.bc3 = base.bc_marker.reshape(self.shape)
@@ -529,7 +549,7 @@ class PallasKronBlocked:
     def _apply_impl(self, x3):
         return blocked_kron_apply(
             x3, self.bc3, self.mats, by=self.by, bx=self.bx,
-            precision=self.precision,
+            precision=self.precision, sigma=self.sigma,
             interpret=True if self._interpret else None,
         )
 

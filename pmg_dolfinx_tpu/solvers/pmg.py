@@ -159,7 +159,7 @@ def kron_cycle_ops(precision="highest", sigma=0.0):
 
 
 def kron_blocked_cycle_ops(precision="highest", by=8, bx=8,
-                           fuse_smoother=False):
+                           fuse_smoother=False, sigma=0.0):
     """V-cycle primitives whose operator applies run the blocked fused
     Pallas kernel pair (`ops.pallas_kron_blocked`) instead of the XLA
     einsum chain — the production choice at large N (>~8M dofs), where
@@ -191,7 +191,7 @@ def kron_blocked_cycle_ops(precision="highest", by=8, bx=8,
     def apply_op(lv, x, level):
         return blocked_kron_apply(
             x, lv["bc_marker"], lv["kb_mats"], by=by, bx=bx,
-            precision=precision,
+            precision=precision, sigma=sigma,
         )
 
     def smooth_op(lv, b, x, level):
@@ -200,13 +200,13 @@ def kron_blocked_cycle_ops(precision="highest", by=8, bx=8,
         return blocked_kron_cheb4(
             b, x, lv["bc_marker"], lv["kb_mats"], lv["diag_inv"],
             lv["lmax"], level.smoother_iters, by=by, bx=bx,
-            precision=precision,
+            precision=precision, sigma=sigma,
         )
 
     def residual_op(lv, b, u, level):
         return blocked_kron_residual(
             b, u, lv["bc_marker"], lv["kb_mats"], by=by, bx=bx,
-            precision=precision,
+            precision=precision, sigma=sigma,
         )
 
     tprec = "highest"  # transfers are cheap; keep them exact
@@ -469,10 +469,10 @@ class PMGHierarchy:
 
         self.sigma = float(sigma)
         if self.sigma:
-            if operator != "kron":
+            if operator not in ("kron", "kron_blocked"):
                 raise ValueError(
                     "sigma (the lumped-mass shift) is currently supported "
-                    "by operator='kron' only"
+                    "by the kron-family backends only"
                 )
             if coarse == "hmg":
                 raise ValueError(
@@ -520,7 +520,7 @@ class PMGHierarchy:
         elif operator == "kron":
             self._ops = kron_cycle_ops(precision, sigma=self.sigma)
         elif operator == "kron_blocked":
-            self._ops = kron_blocked_cycle_ops(precision)
+            self._ops = kron_blocked_cycle_ops(precision, sigma=self.sigma)
         elif operator == "dofmap":
             self._ops = default_cycle_ops()
         else:
