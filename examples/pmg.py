@@ -77,7 +77,10 @@ def main():
           f"backend {jax.default_backend()}, dtype {args.dtype}")
 
     kappa, f = args.kappa, None
-    if args.sigma and args.operator != "kron":
+    if args.sigma and args.operator not in ("kron", "kron_blocked") \
+            and args.mesh == "box" and args.kappa_field == "const":
+        # Only override backends that cannot carry the shift; an explicit
+        # --operator kron_blocked is honored (it supports sigma).
         args.operator = "kron"
         print("sigma shift: switching operator backend to 'kron'")
     if args.kappa_field == "linear":

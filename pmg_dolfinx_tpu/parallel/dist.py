@@ -560,6 +560,17 @@ class DistPMG:
                 A0 = assemble_stiffness(
                     mesh, P0, kappa=self.kappa_cells
                 ).toarray()
+                if self.sigma:
+                    # Shifted coarse operator A0 + sigma*M (lumped mass,
+                    # bc rows zeroed) — must match the sharded kron apply
+                    # or the coarse correction solves the wrong operator.
+                    from ..ops.kron import axis_stiffness_mass
+
+                    ms0 = [axis_stiffness_mass(nc_a, P0, h_a)[1]
+                           for nc_a, h_a in zip(mesh.nc, mesh.h)]
+                    m3 = np.einsum("a,b,c->abc", *ms0).reshape(-1)
+                    m3[np.asarray(mesh.boundary_dof_marker(P0))] = 0.0
+                    A0[np.diag_indices_from(A0)] += self.sigma * m3
                 self._coarse_data = (
                     "coarse_chol",
                     jnp.asarray(np.linalg.cholesky(A0), dtype=dtype),

@@ -86,6 +86,54 @@ def test_fused_chebyshev_matches_generic():
         assert err < tol, (prec, err)
 
 
+def test_fused_residual_matches_generic():
+    """The fused down-sweep residual kernel (`blocked_kron_residual`)
+    reproduces ``b - A u`` of the XLA Kronecker apply (interpret mode;
+    advisor r2 finding: this kernel previously had no test)."""
+    from pmg_dolfinx_tpu.ops.pallas_kron_blocked import (
+        blocked_kron_residual,
+        symmetrized_mats,
+    )
+
+    mesh = BoxMesh((5, 4, 3))
+    P = 4
+    shape = mesh.lattice_shape(P)
+    rng = np.random.default_rng(4)
+    b = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    u = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    op = KronLaplacian(mesh, P, kappa=2.0, dtype=jnp.float32)
+    bc3 = op.bc_marker.reshape(shape)
+    r_ref = b - kron_laplacian_apply(u, op.Ks, op.ms, bc3)
+    mats = symmetrized_mats(op.Ks, op.ms)
+    for prec, tol in (("highest", 1e-6), ("high", 1e-4)):
+        r = blocked_kron_residual(b, u, bc3, mats, precision=prec,
+                                  interpret=True)
+        err = float(jnp.linalg.norm(r - r_ref) / jnp.linalg.norm(r_ref))
+        assert err < tol, (prec, err)
+
+
+def test_fuse_smoother_hierarchy_matches_unfused():
+    """PMGHierarchy(fuse_smoother=True) — the fused Chebyshev/residual
+    cycle ops — tracks the unfused kron_blocked trajectories."""
+    from pmg_dolfinx_tpu.fem.assembly import assemble_rhs
+    from pmg_dolfinx_tpu.models.poisson import PoissonProblem, f_rhs
+    from pmg_dolfinx_tpu.solvers.pmg import PMGHierarchy
+
+    mesh = BoxMesh((4, 4, 4))
+    kwargs = dict(degrees=(1, 3), kappa=2.0, dtype=jnp.float32,
+                  coarse="cg", operator="kron_blocked")
+    ref = PMGHierarchy(mesh, **kwargs)
+    fused = PMGHierarchy(mesh, fuse_smoother=True, **kwargs)
+    b = assemble_rhs(mesh, 3, f_rhs(2.0))
+    _, rn_ref = ref.solve(b, num_cycles=4)
+    _, rn_fused = fused.solve(b, num_cycles=4)
+    assert np.allclose(rn_ref, rn_fused, rtol=1e-4), (rn_ref, rn_fused)
+
+    with pytest.raises(ValueError, match="fuse_smoother"):
+        PMGHierarchy(mesh, degrees=(1, 2), operator="kron",
+                     fuse_smoother=True)
+
+
 def test_kron_blocked_hierarchy_matches_kron():
     """operator='kron_blocked' V-cycles track the XLA kron backend."""
     from pmg_dolfinx_tpu.models.poisson import PoissonProblem

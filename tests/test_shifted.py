@@ -125,6 +125,24 @@ def test_shifted_dist_and_grid_match_single():
     assert np.allclose(u_g, np.asarray(u_sg), atol=1e-10)
 
 
+def test_shifted_dist_direct_coarse_matches_single():
+    """DistPMG sigma + coarse='direct': the coarse Cholesky must factor
+    the SHIFTED operator A0 + sigma*M (advisor r2 medium finding — the
+    unshifted factor silently degraded the 4-shard trajectory)."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+
+    nc = (8, 4, 4)
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=2.0,
+                            coarse="direct", operator="kron", sigma=SIGMA)
+    u_s, rn_s = single.solve(num_cycles=6)
+    b = assemble_rhs(single.mesh, 3, f_rhs(2.0, sigma=SIGMA))
+    dist = DistPMG(single.mesh, n_devices=4, degrees=(1, 3), kappa=2.0,
+                   coarse="direct", operator="kron", sigma=SIGMA)
+    u_d, rn_d = dist.solve(b, num_cycles=6)
+    assert np.allclose(rn_d, rn_s, rtol=1e-9), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-10)
+
+
 def test_shifted_kron_blocked_matches_kron():
     """Sigma through the blocked Pallas kernels (interpret/emulation on
     CPU): trajectories match the XLA kron shifted backend."""
