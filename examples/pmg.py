@@ -50,8 +50,9 @@ def main():
                         "dofmap, reference laplacian.hpp:220-241)")
     p.add_argument("--sigma", type=float, default=0.0,
                    help="lumped-mass shift: solve the reaction-diffusion "
-                        "problem -div(kappa grad u) + sigma u = f "
-                        "(operator=kron; beyond reference parity)")
+                        "problem -div(kappa grad u) + sigma u = f (all "
+                        "operator backends incl. curved hexes / variable "
+                        "kappa; beyond reference parity)")
     p.add_argument("--mesh", choices=["box", "perturbed"], default="box",
                    help="'perturbed': smoothly deformed GENERAL hexahedra "
                         "(non-affine cells; the full geometry pipeline + "
@@ -84,7 +85,7 @@ def main():
         args.operator = "kron"
         print("sigma shift: switching operator backend to 'kron'")
     if args.kappa_field == "linear":
-        kappa, f = kappa_linear, f_rhs_variable()
+        kappa, f = kappa_linear, f_rhs_variable(sigma=args.sigma)
         if args.operator in ("kron", "kron_blocked"):
             args.operator = "lattice"
             print("variable kappa: switching operator backend to 'lattice'")

@@ -115,6 +115,28 @@ def assemble_rhs(mesh: BoxMesh, P: int, f, bc: bool = True) -> np.ndarray:
     return b
 
 
+def lumped_mass_np(mesh: BoxMesh, P: int, bc_zero: bool = False) -> np.ndarray:
+    """GLL-lumped mass vector ``m[(ndofs,)]`` on ANY hex mesh (float64).
+
+    With collocated GLL quadrature the consistent mass matrix is exactly
+    diagonal: ``m_i = sum_{cells ∋ i} w_q detJ(c, q)`` at the node's
+    collocation point. On an axis-aligned `BoxMesh` this reduces to the
+    tensor product of the 1D lumped masses (``ops.kron.axis_stiffness_mass``
+    — verified in tests); on curved / perturbed meshes it is the general
+    lumped mass the shifted (reaction-diffusion) family needs. With
+    ``bc_zero=True`` Dirichlet entries are zeroed (the shift never touches
+    identity bc rows).
+    """
+    _, detJ = geometry_factors_np(mesh, P)
+    w = quadrature_weights_3d(P)
+    vals = w[None, :] * detJ
+    m = np.zeros(mesh.num_dofs(P))
+    np.add.at(m, mesh.dofmap(P).ravel(), vals.ravel())
+    if bc_zero:
+        m[mesh.boundary_dof_marker(P)] = 0.0
+    return m
+
+
 def resolve_kappa(mesh: BoxMesh, kappa):
     """Resolve a coefficient spec to ``(kappa_cells, is_constant)``.
 

@@ -50,19 +50,22 @@ def grad_kappa_linear(x):
                      np.zeros_like(x[0])])
 
 
-def f_rhs_variable(kappa_fn=kappa_linear, grad_kappa_fn=grad_kappa_linear):
+def f_rhs_variable(kappa_fn=kappa_linear, grad_kappa_fn=grad_kappa_linear,
+                   sigma=0.0):
     """Source for the manufactured ``u_e`` under a smooth coefficient:
-    ``f = -div(kappa grad u_e) = kappa 3 pi^2 u_e - grad(kappa).grad(u_e)``.
+    ``f = -div(kappa grad u_e) + sigma u_e``
+    ``  = kappa 3 pi^2 u_e - grad(kappa).grad(u_e) + sigma u_e``.
 
     Counterpart of the reference threading a (DG-0-interpolated)
     coefficient through the whole PMG stack
-    (src/laplacian.hpp:220-241, examples/pmg/main.cpp:253-257).
+    (src/laplacian.hpp:220-241, examples/pmg/main.cpp:253-257);
+    ``sigma`` extends it to the shifted reaction-diffusion family.
     """
 
     def f(x):
         gk = grad_kappa_fn(x)
         gu = grad_u_exact(x)
-        return (3.0 * np.pi**2 * kappa_fn(x) * u_exact(x)
+        return ((3.0 * np.pi**2 * kappa_fn(x) + sigma) * u_exact(x)
                 - (gk * gu).sum(axis=0))
 
     return f

@@ -55,18 +55,14 @@ AXIS = "x"
 
 
 def _shifted_diag_np(mesh, Pdeg, kappa_cells, sigma):
-    """Global operator diagonal incl. the optional lumped-mass shift."""
-    from ..fem.assembly import stiffness_diagonal_np
+    """Global operator diagonal incl. the optional lumped-mass shift
+    (general meshes: the GLL-lumped mass, `fem.assembly.lumped_mass_np`;
+    reduces to the tensor-product axis masses on axis-aligned boxes)."""
+    from ..fem.assembly import lumped_mass_np, stiffness_diagonal_np
 
     d = stiffness_diagonal_np(mesh, Pdeg, kappa_cells)
     if sigma:
-        from ..ops.kron import axis_stiffness_mass
-
-        ms = [axis_stiffness_mass(nc_a, Pdeg, h_a)[1]
-              for nc_a, h_a in zip(mesh.nc, mesh.h)]
-        m3 = np.einsum("a,b,c->abc", *ms).reshape(-1)
-        m3[np.asarray(mesh.boundary_dof_marker(Pdeg))] = 0.0
-        d = d + sigma * m3
+        d = d + sigma * lumped_mass_np(mesh, Pdeg, bc_zero=True)
     return d
 
 
@@ -94,16 +90,22 @@ def _exchange_partials(lat, n_shards):
     return lat.at[0].add(from_left).at[-1].add(from_right)
 
 
-def dist_cycle_ops(n_shards):
+def dist_cycle_ops(n_shards, sigma=0.0):
     """Pluggable V-cycle primitives for the sharded world (see
-    `solvers.pmg.default_cycle_ops` for the single-device originals)."""
+    `solvers.pmg.default_cycle_ops` for the single-device originals).
+    ``sigma`` adds the lumped-mass shift AFTER the partial-sum exchange
+    (``m3`` holds the full global mass in the duplicated layout, so the
+    pointwise term is already consistent on interface planes)."""
 
     def apply_op(lv, x, level):
         raw = laplacian_scatter_raw(
             x, lv["dofmap"], lv["G"], lv["coeff"], lv["D"], lv["bc_marker"]
         )
         lat = _exchange_partials(raw.reshape(level.shape), n_shards)
-        return jnp.where(lv["bc_marker"], x, lat.reshape(-1))
+        y = lat.reshape(-1)
+        if sigma:
+            y = y + sigma * lv["m3"] * x
+        return jnp.where(lv["bc_marker"], x, y)
 
     def restrict_op(tr, r, level_c, level_f):
         raw = restrict(
@@ -185,7 +187,7 @@ def dist_kron_cycle_ops(n_shards, precision="highest", sigma=0.0):
     )
 
 
-def dist_kron_blocked_cycle_ops(n_shards, precision="highest"):
+def dist_kron_blocked_cycle_ops(n_shards, precision="highest", sigma=0.0):
     """Sharded blocked-Pallas Kronecker backend (the large-N production
     kernels under the x-slab decomposition).
 
@@ -202,9 +204,12 @@ def dist_kron_blocked_cycle_ops(n_shards, precision="highest"):
     ex = lambda t1: _exchange_partials(t1, n_shards)
 
     def apply_op(lv, x, level):
+        # In-kernel sigma: sigma*sx_i*what == sigma*M*mask(x) with the
+        # duplicated-layout sqrt-mass factors — pointwise-consistent on
+        # interface planes, no extra exchange.
         return blocked_kron_apply(
             x, lv["bc_marker"], lv["kb_mats"], precision=precision,
-            exchange=ex,
+            exchange=ex, sigma=sigma,
         )
 
     def restrict_op(tr, r, level_c, level_f):
@@ -227,7 +232,7 @@ def dist_kron_blocked_cycle_ops(n_shards, precision="highest"):
     )
 
 
-def dist_lattice_cycle_ops(n_shards, precision="highest"):
+def dist_lattice_cycle_ops(n_shards, precision="highest", sigma=0.0):
     """Sharded V-cycle primitives over the lattice/MXU fast path.
 
     Shard-local banded matmuls (local x-axis matrices over the slab's
@@ -249,7 +254,12 @@ def dist_lattice_cycle_ops(n_shards, precision="highest"):
             apply_bc=False,
         )
         lat = _exchange_partials(raw.reshape(level.shape), n_shards)
-        return jnp.where(lv["bc_marker"], x, lat.reshape(-1))
+        y = lat.reshape(-1)
+        if sigma:
+            # Global duplicated-layout lumped mass: pointwise-consistent
+            # on interface planes, added after the exchange.
+            y = y + sigma * lv["m3"] * x
+        return jnp.where(lv["bc_marker"], x, y)
 
     def restrict_op(tr, r, level_c, level_f):
         raw = lattice_restrict(
@@ -308,17 +318,6 @@ class DistPMG:
         from ..fem.mesh import require_axis_aligned
 
         self.sigma = float(sigma)
-        if self.sigma:
-            if operator != "kron":
-                raise ValueError(
-                    "DistPMG: sigma (the lumped-mass shift) is currently "
-                    "supported by operator='kron' only"
-                )
-            if coarse == "hmg":
-                raise ValueError(
-                    "DistPMG: coarse='hmg' does not thread the sigma "
-                    "shift; use 'fdm', 'cg', 'direct' or 'smoother'"
-                )
         if operator not in ("kron", "kron_blocked", "lattice", "dofmap"):
             raise ValueError(
                 f"DistPMG: unknown operator backend {operator!r} (choose "
@@ -391,6 +390,16 @@ class DistPMG:
             )
             common_spec = dict(bc_marker=P(AXIS), weights=P(AXIS),
                                diag_inv=P(AXIS))
+            if self.sigma and not kron_family:
+                from ..fem.assembly import lumped_mass_np
+
+                common["m3"] = jnp.asarray(
+                    conform(part.to_dist(
+                        Pdeg, lumped_mass_np(mesh, Pdeg, bc_zero=True)
+                    )),
+                    dtype=dtype,
+                )
+                common_spec["m3"] = P(AXIS)
             if kron_family:
                 from ..ops.kron import axis_stiffness_mass
 
@@ -498,11 +507,13 @@ class DistPMG:
             ops = dist_kron_cycle_ops(self.n_shards, precision,
                                       sigma=self.sigma)
         elif operator == "kron_blocked":
-            ops = dist_kron_blocked_cycle_ops(self.n_shards, precision)
+            ops = dist_kron_blocked_cycle_ops(self.n_shards, precision,
+                                              sigma=self.sigma)
         elif operator == "lattice":
-            ops = dist_lattice_cycle_ops(self.n_shards, precision)
+            ops = dist_lattice_cycle_ops(self.n_shards, precision,
+                                         sigma=self.sigma)
         else:
-            ops = dist_cycle_ops(self.n_shards)
+            ops = dist_cycle_ops(self.n_shards, sigma=self.sigma)
 
         if coarse not in ("cg", "smoother", "fdm", "direct", "hmg"):
             raise ValueError(
@@ -562,15 +573,13 @@ class DistPMG:
                 ).toarray()
                 if self.sigma:
                     # Shifted coarse operator A0 + sigma*M (lumped mass,
-                    # bc rows zeroed) — must match the sharded kron apply
-                    # or the coarse correction solves the wrong operator.
-                    from ..ops.kron import axis_stiffness_mass
+                    # bc rows zeroed) — must match the sharded apply or
+                    # the coarse correction solves the wrong operator.
+                    from ..fem.assembly import lumped_mass_np
 
-                    ms0 = [axis_stiffness_mass(nc_a, P0, h_a)[1]
-                           for nc_a, h_a in zip(mesh.nc, mesh.h)]
-                    m3 = np.einsum("a,b,c->abc", *ms0).reshape(-1)
-                    m3[np.asarray(mesh.boundary_dof_marker(P0))] = 0.0
-                    A0[np.diag_indices_from(A0)] += self.sigma * m3
+                    A0[np.diag_indices_from(A0)] += (
+                        self.sigma * lumped_mass_np(mesh, P0, bc_zero=True)
+                    )
                 self._coarse_data = (
                     "coarse_chol",
                     jnp.asarray(np.linalg.cholesky(A0), dtype=dtype),
@@ -584,9 +593,10 @@ class DistPMG:
                     smoother_iters=smoother_iters, precision=precision,
                     bottom=self.coarse_cfg.get("bottom", "direct"),
                     min_cells=self.coarse_cfg.get("min_cells", 2),
+                    sigma=self.sigma,
                 )
                 hmg_ops = dict(
-                    kron_cycle_ops(precision),
+                    kron_cycle_ops(precision, sigma=self.sigma),
                     pvary=lambda v: pcast_varying(v, (AXIS,)),
                 )
                 self.coarse_cfg.update(
@@ -893,6 +903,16 @@ class DistPMG:
                     ),
                 )
                 lv64_spec = dict(common_spec, G=P(AXIS))
+                if self.sigma:
+                    from ..fem.assembly import lumped_mass_np
+
+                    m3d = part.to_dist(
+                        Pdeg, lumped_mass_np(mesh, Pdeg, bc_zero=True)
+                    )
+                    if self.operator_kind not in ("kron", "kron_blocked"):
+                        m3d = m3d.reshape(-1)
+                    lv64["m3"] = jnp.asarray(m3d, dtype=jnp.float64)
+                    lv64_spec["m3"] = P(AXIS)
                 for name, nc_a in (("x", part.cells_per_shard_x),
                                    ("y", mesh.nc[1]), ("z", mesh.nc[2])):
                     E, Dg = axis_matrices(nc_a, Pdeg)
@@ -933,8 +953,10 @@ class DistPMG:
                         precision="highest", apply_bc=False,
                     )
                     lat = _exchange_partials(raw.reshape(fine.shape), n_sh)
-                    Au = jnp.where(lv64_["bc_marker"], u64,
-                                   lat.reshape(jnp.shape(u64)))
+                    y64 = lat.reshape(jnp.shape(u64))
+                    if self.sigma:
+                        y64 = y64 + self.sigma * lv64_["m3"] * u64
+                    Au = jnp.where(lv64_["bc_marker"], u64, y64)
                 r64 = b64 - Au
                 rn = jnp.sqrt(
                     jax.lax.psum(jnp.sum(r64 * r64 * lv64_["weights"]), AXIS)

@@ -251,7 +251,7 @@ def grid_kron_cycle_ops(shards, precision="highest", sigma=0.0):
     return dict(_grid_common_ops(shards, precision), apply=apply_op)
 
 
-def grid_lattice_cycle_ops(shards, precision="highest"):
+def grid_lattice_cycle_ops(shards, precision="highest", sigma=0.0):
     """V-cycle primitives on the multi-axis box partition — lattice/MXU
     backend: general (non-affine) hexes and variable DG-0 coefficients on
     2D/3D device grids.
@@ -278,12 +278,16 @@ def grid_lattice_cycle_ops(shards, precision="highest"):
         )
         for a in range(3):
             y = _exchange_axis(y, shards[a], AXES[a], a)
+        if sigma:
+            # Lumped-mass shift (duplicated-layout global mass m3,
+            # bc-zeroed): pointwise-consistent, added after the exchanges.
+            y = y + sigma * lv["m3"] * x
         return jnp.where(lv["bc_marker"], x, y)
 
     return dict(_grid_common_ops(shards, precision), apply=apply_op)
 
 
-def grid_lattice_blocked_cycle_ops(shards, precision="highest"):
+def grid_lattice_blocked_cycle_ops(shards, precision="highest", sigma=0.0):
     """Grid lattice backend over the fused Mosaic kernel
     (`ops.pallas_lattice_blocked`): same exchange structure as
     `grid_lattice_cycle_ops`, the local apply fused into one kernel per
@@ -301,6 +305,8 @@ def grid_lattice_blocked_cycle_ops(shards, precision="highest"):
         )
         for a in range(3):
             y = _exchange_axis(y, shards[a], AXES[a], a)
+        if sigma:
+            y = y + sigma * lv["m3"] * x
         return jnp.where(lv["bc_marker"], x, y)
 
     return dict(_grid_common_ops(shards, precision), apply=apply_op)
@@ -336,17 +342,6 @@ class GridPMG:
         from ..fem.mesh import require_axis_aligned
 
         self.sigma = float(sigma)
-        if self.sigma:
-            if operator != "kron":
-                raise ValueError(
-                    "GridPMG: sigma (the lumped-mass shift) is currently "
-                    "supported by operator='kron' only"
-                )
-            if coarse == "hmg":
-                raise ValueError(
-                    "GridPMG: coarse='hmg' does not thread the sigma "
-                    "shift; use 'fdm', 'cg', 'direct' or 'smoother'"
-                )
         if operator not in ("kron", "lattice", "lattice_blocked"):
             raise ValueError(
                 f"GridPMG: unknown operator backend {operator!r} "
@@ -380,9 +375,10 @@ class GridPMG:
         self.eigs = []
         part = self.part
         if operator == "lattice":
-            ops = grid_lattice_cycle_ops(shards, precision)
+            ops = grid_lattice_cycle_ops(shards, precision, sigma=self.sigma)
         elif operator == "lattice_blocked":
-            ops = grid_lattice_blocked_cycle_ops(shards, precision)
+            ops = grid_lattice_blocked_cycle_ops(shards, precision,
+                                                 sigma=self.sigma)
         else:
             ops = grid_kron_cycle_ops(shards, precision, sigma=self.sigma)
 
@@ -417,13 +413,11 @@ class GridPMG:
                     mesh, P0, kappa=self.kappa_cells
                 ).toarray()
                 if self.sigma:
-                    from ..ops.kron import axis_stiffness_mass
+                    from ..fem.assembly import lumped_mass_np
 
-                    ms0 = [axis_stiffness_mass(nc_a, P0, h_a)[1]
-                           for nc_a, h_a in zip(mesh.nc, mesh.h)]
-                    m3 = np.einsum("a,b,c->abc", *ms0).reshape(-1)
-                    m3[np.asarray(mesh.boundary_dof_marker(P0))] = 0.0
-                    A0[np.diag_indices_from(A0)] += self.sigma * m3
+                    A0[np.diag_indices_from(A0)] += (
+                        self.sigma * lumped_mass_np(mesh, P0, bc_zero=True)
+                    )
                 self._coarse_data = (
                     "coarse_chol",
                     jnp.asarray(np.linalg.cholesky(A0), dtype=dtype),
@@ -437,9 +431,10 @@ class GridPMG:
                     smoother_iters=smoother_iters, precision=precision,
                     bottom=self.coarse_cfg.get("bottom", "direct"),
                     min_cells=self.coarse_cfg.get("min_cells", 2),
+                    sigma=self.sigma,
                 )
                 hmg_ops = dict(
-                    kron_cycle_ops(precision),
+                    kron_cycle_ops(precision, sigma=self.sigma),
                     pvary=lambda v: pcast_varying(v, AXES),
                 )
                 self.coarse_cfg.update(
@@ -615,6 +610,14 @@ class GridPMG:
                 dtype=dtype,
             )
             spec["diag_inv"] = PSHARD
+        if self.sigma and backend != "kron":
+            from ..fem.assembly import lumped_mass_np
+
+            lv["m3"] = jnp.asarray(
+                part.to_dist(Pdeg, lumped_mass_np(mesh, Pdeg, bc_zero=True)),
+                dtype=dtype,
+            )
+            spec["m3"] = PSHARD
         if backend == "kron":
             npls = part.local_shape(Pdeg)
             for a, name in enumerate("xyz"):
@@ -798,7 +801,8 @@ class GridPMG:
                 ops64 = grid_kron_cycle_ops(shards, "highest",
                                             sigma=self.sigma)
             else:
-                ops64 = grid_lattice_cycle_ops(shards, "highest")
+                ops64 = grid_lattice_cycle_ops(shards, "highest",
+                                               sigma=self.sigma)
             apply64 = ops64["apply"]
             work_dtype = self.dtype
             levels, coarse, coarse_cfg = (self.levels, self.coarse,

@@ -75,13 +75,16 @@ def coarsenable_levels(nc, min_cells=2, max_levels=10):
 
 def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
               max_levels=10, precision="highest",
-              calibration_iters=20, bottom="direct"):
+              calibration_iters=20, bottom="direct", sigma=0.0):
     """Construct (levels, data, bottom) for the generic `v_cycle`.
 
     Levels are ordered coarse->fine like the p-hierarchy. Smoother
     calibration reuses the recorded-CG/Lanczos machinery per level.
     Returns the static Level tuple, the array pytree (levels/transfer and
     optionally the dense bottom factor), and the bottom-solve mode.
+    ``sigma`` rediscretizes the shifted operator ``A + sigma M`` on every
+    h-level (the shift uses each level's OWN lumped mass — the natural
+    geometric-MG hierarchy for the reaction-diffusion family).
     """
     import jax
 
@@ -98,7 +101,7 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
                                max_levels=max_levels)[::-1]  # coarse->fine
     meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes]
-    ops = kron_cycle_ops(precision)
+    ops = kron_cycle_ops(precision, sigma=sigma)
 
     levels, level_data = [], []
     for m in meshes:
@@ -109,7 +112,8 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
             lv["m" + name] = jnp.asarray(mass, dtype=dtype)
         bc = jnp.asarray(m.boundary_dof_marker(P))
         diag = kron_diagonal(
-            (lv["Kx"], lv["Ky"], lv["Kz"]), (lv["mx"], lv["my"], lv["mz"]), bc
+            (lv["Kx"], lv["Ky"], lv["Kz"]), (lv["mx"], lv["my"], lv["mz"]),
+            bc, sigma=sigma,
         )
         # Lattice-shaped markers/diagonal: kron cycle vectors are 3D.
         lv["bc_marker"] = bc.reshape(m.lattice_shape(P))
@@ -162,8 +166,12 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         # hierarchy plays in the reference).
         bottom = "cg"
     if bottom == "direct":
-        from ..fem.assembly import assemble_stiffness
+        from ..fem.assembly import assemble_stiffness, lumped_mass_np
 
         A0 = assemble_stiffness(meshes[0], P, kappa=float(kappa)).toarray()
+        if sigma:
+            A0[np.diag_indices_from(A0)] += sigma * lumped_mass_np(
+                meshes[0], P, bc_zero=True
+            )
         data["coarse_chol"] = jnp.asarray(np.linalg.cholesky(A0), dtype=dtype)
     return tuple(levels), data, bottom

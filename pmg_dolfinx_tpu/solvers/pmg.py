@@ -83,11 +83,27 @@ class Level:
     shape: tuple | None = None
 
 
-def _level_operator(lv):
-    """Bind a level's arrays into an ``x -> A x`` callable (trace-safe)."""
-    return lambda x: laplacian_apply(
-        x, lv["dofmap"], lv["G"], lv["coeff"], lv["D"], lv["bc_marker"]
-    )
+def _level_operator(lv, sigma=0.0):
+    """Bind a level's arrays into an ``x -> A x`` callable (trace-safe).
+
+    ``sigma`` adds the GLL-lumped mass shift ``sigma * m3 * x`` (``m3``
+    is the bc-zeroed lumped mass in the level data — pointwise, so bc
+    identity rows are untouched)."""
+    if not sigma:
+        return lambda x: laplacian_apply(
+            x, lv["dofmap"], lv["G"], lv["coeff"], lv["D"], lv["bc_marker"]
+        )
+
+    def apply(x):
+        from ..ops.laplacian import laplacian_scatter_raw
+
+        y = laplacian_scatter_raw(
+            x, lv["dofmap"], lv["G"], lv["coeff"], lv["D"], lv["bc_marker"]
+        )
+        y = y + sigma * lv["m3"] * x
+        return jnp.where(lv["bc_marker"], x, y)
+
+    return apply
 
 
 def _generic_calibration(lv, b, x0, *, ops, level, maxiter):
@@ -99,7 +115,7 @@ def _generic_calibration(lv, b, x0, *, ops, level, maxiter):
     )
 
 
-def default_cycle_ops():
+def default_cycle_ops(sigma=0.0):
     """Single-device implementations of the pluggable V-cycle primitives.
 
     The distributed layer (`parallel.dist`) swaps these for shard-local
@@ -109,7 +125,7 @@ def default_cycle_ops():
     pmg.hpp:14-15).
     """
     return dict(
-        apply=lambda lv, x, level: _level_operator(lv)(x),
+        apply=lambda lv, x, level: _level_operator(lv, sigma=sigma)(x),
         restrict=lambda tr, r, level_c, level_f: restrict(
             r, tr["dofmap_c"], tr["dofmap_f"], tr["M1"], tr["mult_f"],
             level_c.ndofs,
@@ -226,10 +242,13 @@ def kron_blocked_cycle_ops(precision="highest", by=8, bx=8,
     )
 
 
-def lattice_cycle_ops(precision="highest"):
+def lattice_cycle_ops(precision="highest", sigma=0.0):
     """V-cycle primitives backed by the lattice/MXU fast path
     (`ops.lattice`): banded per-axis matmuls for the operator AND the
-    inter-degree transfers — no indexed gathers anywhere in the cycle."""
+    inter-degree transfers — no indexed gathers anywhere in the cycle.
+    ``sigma`` adds the GLL-lumped mass shift (general meshes: the lumped
+    mass is the scatter-added ``w detJ``, `fem.assembly.lumped_mass_np`,
+    carried bc-zeroed as ``m3`` in the level data)."""
     from ..ops.lattice import (
         lattice_laplacian_apply,
         lattice_prolongate,
@@ -238,9 +257,13 @@ def lattice_cycle_ops(precision="highest"):
 
     def apply_op(lv, x, level):
         mats = {k: lv[k] for k in ("Ex", "Dx", "Ey", "Dy", "Ez", "Dz")}
-        return lattice_laplacian_apply(
-            x, mats, lv["G"], lv["bc_marker"], precision=precision
+        y = lattice_laplacian_apply(
+            x, mats, lv["G"], lv["bc_marker"], precision=precision,
+            apply_bc=False,
         )
+        if sigma:
+            y = y + sigma * lv["m3"] * x
+        return jnp.where(lv["bc_marker"], x, y)
 
     return dict(
         apply=apply_op,
@@ -255,7 +278,7 @@ def lattice_cycle_ops(precision="highest"):
     )
 
 
-def lattice_blocked_cycle_ops(precision="highest", bcells=1):
+def lattice_blocked_cycle_ops(precision="highest", bcells=1, sigma=0.0):
     """V-cycle primitives whose general-hex operator applies run the
     fused Mosaic lattice kernel (`ops.pallas_lattice_blocked`) — the
     whole per-cell-slab pipeline (z/y contractions, VPU x-derivative,
@@ -267,10 +290,19 @@ def lattice_blocked_cycle_ops(precision="highest", bcells=1):
 
     def apply_op(lv, x, level):
         nc = tuple((N - 1) // level.P for N in level.shape)
-        return blocked_lattice_apply(
+        if not sigma:
+            return blocked_lattice_apply(
+                x, lv["lb_mats"], lv["Gt"], lv["bc_marker"], nc, level.P,
+                bcells=bcells, precision=precision,
+            )
+        # Lumped-mass shift as an XLA epilogue on the raw kernel output
+        # (m3 is bc-zeroed; identity rows applied after).
+        y = blocked_lattice_apply(
             x, lv["lb_mats"], lv["Gt"], lv["bc_marker"], nc, level.P,
-            bcells=bcells, precision=precision,
+            bcells=bcells, precision=precision, apply_bc=False,
         )
+        y = y + sigma * lv["m3"] * x
+        return jnp.where(lv["bc_marker"], x, y)
 
     tprec = "highest"
     return dict(
@@ -474,18 +506,6 @@ class PMGHierarchy:
                 "fused Chebyshev/residual epilogues are Mosaic kernels)"
             )
         self.sigma = float(sigma)
-        if self.sigma:
-            if operator not in ("kron", "kron_blocked"):
-                raise ValueError(
-                    "sigma (the lumped-mass shift) is currently supported "
-                    "by the kron-family backends only"
-                )
-            if coarse == "hmg":
-                raise ValueError(
-                    "coarse='hmg' does not thread the sigma shift through "
-                    "the h-hierarchy; use 'fdm', 'cg', 'direct' or "
-                    "'smoother'"
-                )
         kron_family = operator in ("kron", "kron_blocked")
         if kron_family:
             require_axis_aligned(mesh, f"operator='{operator}'")
@@ -521,9 +541,9 @@ class PMGHierarchy:
         self.precision = precision
         self.eigs = []
         if operator == "lattice":
-            self._ops = lattice_cycle_ops(precision)
+            self._ops = lattice_cycle_ops(precision, sigma=self.sigma)
         elif operator == "lattice_blocked":
-            self._ops = lattice_blocked_cycle_ops(precision)
+            self._ops = lattice_blocked_cycle_ops(precision, sigma=self.sigma)
         elif operator == "kron":
             self._ops = kron_cycle_ops(precision, sigma=self.sigma)
         elif operator == "kron_blocked":
@@ -534,7 +554,7 @@ class PMGHierarchy:
                 precision, sigma=self.sigma, fuse_smoother=fuse_smoother
             )
         elif operator == "dofmap":
-            self._ops = default_cycle_ops()
+            self._ops = default_cycle_ops(sigma=self.sigma)
         else:
             raise ValueError(
                 f"unknown operator backend {operator!r}; expected 'kron', "
@@ -648,6 +668,15 @@ class PMGHierarchy:
                     bc,
                     ndofs,
                 )
+                if self.sigma:
+                    # General lumped-mass shift (curved hexes / DG-0
+                    # kappa): bc-zeroed mass vector added pointwise in the
+                    # apply (cycle-ops sigma) and to the Jacobi diagonal.
+                    from ..fem.assembly import lumped_mass_np
+
+                    m3 = lumped_mass_np(mesh, P, bc_zero=True)
+                    lv["m3"] = jnp.asarray(m3, dtype=dtype)
+                    diag = diag + self.sigma * lv["m3"]
             lv["diag_inv"] = 1.0 / diag
             if kron_family:
                 lv["diag_inv"] = lv["diag_inv"].reshape(level.shape)
@@ -707,13 +736,11 @@ class PMGHierarchy:
                 mesh, self.degrees[0], kappa=self.kappa_cells
             ).toarray()
             if self.sigma:
-                from ..ops.kron import axis_stiffness_mass
+                from ..fem.assembly import lumped_mass_np
 
-                ms0 = [axis_stiffness_mass(nc_a, self.degrees[0], h_a)[1]
-                       for nc_a, h_a in zip(mesh.nc, mesh.h)]
-                m3 = np.einsum("a,b,c->abc", *ms0).reshape(-1)
-                m3[np.asarray(mesh.boundary_dof_marker(self.degrees[0]))] = 0.0
-                A0[np.diag_indices_from(A0)] += self.sigma * m3
+                A0[np.diag_indices_from(A0)] += self.sigma * lumped_mass_np(
+                    mesh, self.degrees[0], bc_zero=True
+                )
             chol = np.linalg.cholesky(A0)
             self.data["coarse_chol"] = jnp.asarray(chol, dtype=dtype)
         elif coarse == "fdm":
@@ -737,11 +764,12 @@ class PMGHierarchy:
                 smoother_iters=smoother_iters, precision=precision,
                 bottom=self.coarse_cfg.get("bottom", "direct"),
                 min_cells=self.coarse_cfg.get("min_cells", 2),
+                sigma=self.sigma,
             )
             self.data["hmg"] = hmg_data
             self.coarse_cfg.update(
                 hmg_levels=hmg_levels,
-                hmg_ops=kron_cycle_ops(precision),
+                hmg_ops=kron_cycle_ops(precision, sigma=self.sigma),
                 hmg_bottom=hmg_bottom,
                 cycles=self.coarse_cfg.get("cycles", 3),
             )
@@ -906,6 +934,13 @@ class PMGHierarchy:
                     ),
                     bc=jnp.asarray(self.mesh.boundary_dof_marker(Pf)),
                 )
+                if self.sigma:
+                    from ..fem.assembly import lumped_mass_np
+
+                    self._res64["m3"] = jnp.asarray(
+                        lumped_mass_np(self.mesh, Pf, bc_zero=True),
+                        jnp.float64,
+                    )
                 self._b64shape = (-1,)
         if getattr(self, "_refine_step", None) is None:
             work_dtype = self.dtype
@@ -927,10 +962,15 @@ class PMGHierarchy:
                 else:
                     from ..ops.lattice import lattice_laplacian_apply
 
-                    r64 = b64 - lattice_laplacian_apply(
+                    Au = lattice_laplacian_apply(
                         u64, res64["mats"], res64["G"], res64["bc"],
                         precision="highest",
+                        apply_bc=not self.sigma,
                     )
+                    if self.sigma:
+                        Au = Au + self.sigma * res64["m3"] * u64
+                        Au = jnp.where(res64["bc"], u64, Au)
+                    r64 = b64 - Au
                 e = v_cycle(
                     data,
                     jnp.asarray(r64, dtype=work_dtype).reshape(wshape),
