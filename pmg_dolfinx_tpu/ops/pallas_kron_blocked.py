@@ -198,6 +198,66 @@ def _kernel_t23_res(v_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
         ro_ref[i] = r_ref[i] - jnp.where(bci, vi, yi)
 
 
+def _kernel_t23_edges(*refs, high, sigma=0.0, need_y, need_z):
+    # Kernel 2 for multi-axis device grids: identical to `_kernel_t23`
+    # plus narrow edge matmuls producing the *pre-scaling* partial sums
+    # of the t2 / t3 contractions on the block's boundary planes:
+    #   t2b[i] = Kty[[0, -1], :] @ what_i      (2, NZ)  — y-interface rows
+    #   t3b[i] = what_i @ KtzT[:, [0, -1]]     (NY, 2)  — z-interface cols
+    # The grid layer ppermutes these tiny planes to the axis neighbours
+    # and adds the correctly scaled correction to the fused output —
+    # the per-axis partial-sum exchange of the XLA grid-kron path
+    # (parallel/grid2d.py) without giving up the fused kernel.
+    it = iter(refs)
+    x_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref, sycol_ref, s23_ref = (
+        next(it) for _ in range(8)
+    )
+    Ktye_ref = next(it) if need_y else None
+    KtzTe_ref = next(it) if need_z else None
+    out_ref = next(it)
+    t2b_ref = next(it) if need_y else None
+    t3b_ref = next(it) if need_z else None
+
+    Kty = Kty_ref[:]
+    KtzT = KtzT_ref[:]
+    sycol = sycol_ref[:]
+    s23 = s23_ref[:]
+    if high:
+        Kty_split = _split_bf16(Kty)
+        KtzT_split = _split_bf16(KtzT)
+        if need_y:
+            Ktye_split = _split_bf16(Ktye_ref[:])
+        if need_z:
+            KtzTe_split = _split_bf16(KtzTe_ref[:])
+    Bx = x_ref.shape[0]
+    for i in range(Bx):
+        xi = x_ref[i]
+        bci = bc_ref[i]
+        sxi = sx2_ref[i, 0]
+        what = jnp.where(bci, 0.0, xi) * s23
+        if high:
+            what_split = _split_bf16(what)
+            t2 = _dot3(Kty_split, what_split)
+            t3 = _dot3(what_split, KtzT_split)
+            if need_y:
+                t2b_ref[i] = _dot3(Ktye_split, what_split)
+            if need_z:
+                t3b_ref[i] = _dot3(what_split, KtzTe_split)
+        else:
+            HI = jax.lax.Precision.HIGHEST
+            t2 = _DOT(Kty, what, precision=HI)
+            t3 = _DOT(what, KtzT, precision=HI)
+            if need_y:
+                t2b_ref[i] = _DOT(Ktye_ref[:], what, precision=HI)
+            if need_z:
+                t3b_ref[i] = _DOT(what, KtzTe_ref[:], precision=HI)
+        acc = sycol * t1_ref[i] + sxi * (t2 + t3)
+        if sigma:
+            acc = acc + (sigma * sxi) * what
+        yi = acc * (sxi * s23)
+        out_ref[i] = jnp.where(bci, xi, yi)
+
+
 def symmetrized_mats(Ks, ms, dtype=jnp.float32):
     """Build the symmetrized-scaling arrays the blocked kernels consume.
 
@@ -221,6 +281,61 @@ def symmetrized_mats(Ks, ms, dtype=jnp.float32):
         sycol=jnp.asarray(ss[1][:, None], dtype),            # (NY, 1)
         s23=jnp.asarray(np.outer(ss[1], ss[2]), dtype),
     )
+
+
+def grid_symmetrized_mats(Ks_local, ms_dup, shards, dtype=jnp.float32):
+    """Per-shard symmetrized arrays for the multi-axis grid decomposition,
+    stacked along each sharded device axis.
+
+    ``Ks_local``: per-axis LOCAL 1D stiffness ``(npl_a, npl_a)`` (kappa
+    folded in) — identical for every shard along an axis on a uniform
+    mesh. ``ms_dup``: per-axis GLOBAL lumped mass in the duplicated-plane
+    layout ``(S_a * npl_a,)`` — the sqrt-mass scalings differ between
+    boundary and interior shards, so every mass-scaled factor is built
+    per shard and stacked for sharding.
+
+    Returns ``(mats, axes)``: the array dict plus a parallel dict naming
+    the device-mesh axis (or axis pair) each array shards over — the
+    caller turns these into PartitionSpecs.
+    """
+    Kx, Ky, Kz = (np.asarray(K, np.float64) for K in Ks_local)
+    mx, my, mz = (np.asarray(m, np.float64) for m in ms_dup)
+    sx, sy, sz = np.sqrt(mx), np.sqrt(my), np.sqrt(mz)
+    Sx, Sy, Sz = shards
+    nplx, nply, nplz = Kx.shape[0], Ky.shape[0], Kz.shape[0]
+
+    def stacked(K, s_all, S, npl, pick=None, transpose=False):
+        out = []
+        for sl in s_all.reshape(S, npl):
+            Kt = K / sl[:, None] / sl[None, :]
+            if transpose:
+                Kt = Kt.T.copy()
+            out.append(Kt[:, pick] if transpose and pick is not None
+                       else (Kt[pick] if pick is not None else Kt))
+        return np.concatenate(out, axis=0)
+
+    mats = dict(
+        Ktx=stacked(Kx, sx, Sx, nplx),
+        Kty=stacked(Ky, sy, Sy, nply),
+        KtzT=stacked(Kz, sz, Sz, nplz, transpose=True),
+        # Edge operators: interface rows of Kty / interface cols of KtzT
+        # (the narrow matmuls producing the exchange partial planes).
+        Ktye=stacked(Ky, sy, Sy, nply, pick=np.array([0, nply - 1])),
+        KtzTe=stacked(Kz, sz, Sz, nplz, transpose=True,
+                      pick=np.array([0, nplz - 1])),
+        sx2d=sx[:, None],
+        sycol=sy[:, None],
+        szrow=sz[None, :],
+        sxz=np.outer(sx, sz),
+        s23=np.outer(sy, sz),
+    )
+    axes = dict(
+        Ktx=("x", None), Kty=("y", None), KtzT=("z", None),
+        Ktye=("y", None), KtzTe=("z", None),
+        sx2d=("x", None), sycol=("y", None), szrow=(None, "z"),
+        sxz=("x", "z"), s23=("y", "z"),
+    )
+    return {k: jnp.asarray(v, dtype) for k, v in mats.items()}, axes
 
 
 _out_struct = _out_struct_util
@@ -375,6 +490,168 @@ def _build_res_call(shape, bx, high, interpret, vma=(), sigma=0.0):
         ),
         interpret=interpret,
     )
+
+
+@lru_cache(maxsize=None)
+def _build_t23_grid_call(shape, bx, high, interpret, vma=(), sigma=0.0,
+                         need_y=False, need_z=False):
+    """Kernel-2 pallas_call with edge-partial outputs (see
+    `_kernel_t23_edges`); pairs with kernel 1 from `_build_calls`."""
+    NX, NY, NZ = shape
+    lat = lambda: pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0))
+    in_specs = [
+        lat(), lat(), lat(),                        # x, bc, t1'
+        pl.BlockSpec((NY, NY), lambda i: (0, 0)),   # Kty
+        pl.BlockSpec((NZ, NZ), lambda i: (0, 0)),   # KtzT
+        pl.BlockSpec((bx, 1), lambda i: (i, 0)),    # sx slab
+        pl.BlockSpec((NY, 1), lambda i: (0, 0)),    # sy column
+        pl.BlockSpec((NY, NZ), lambda i: (0, 0)),   # s23 plane
+    ]
+    out_specs = [lat()]
+    out_shape = [_out_struct(shape, vma)]
+    if need_y:
+        in_specs.append(pl.BlockSpec((2, NY), lambda i: (0, 0)))   # Ktye
+        out_specs.append(pl.BlockSpec((bx, 2, NZ), lambda i: (i, 0, 0)))
+        out_shape.append(_out_struct((NX, 2, NZ), vma))
+    if need_z:
+        in_specs.append(pl.BlockSpec((NZ, 2), lambda i: (0, 0)))   # KtzTe
+        out_specs.append(pl.BlockSpec((bx, NY, 2), lambda i: (i, 0, 0)))
+        out_shape.append(_out_struct((NX, NY, 2), vma))
+    return pl.pallas_call(
+        partial(_kernel_t23_edges, high=high, sigma=sigma,
+                need_y=need_y, need_z=need_z),
+        grid=(pl.cdiv(NX, bx),),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=80 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+
+def _emu_t23_edges(x3, bc3, t1, m, sigma, need_y, need_z):
+    """jnp twin of `_kernel_t23_edges` (identical math: the kernel's edge
+    matmuls compute exactly the boundary rows/cols of the full t2/t3)."""
+    HI = jax.lax.Precision.HIGHEST
+    what = jnp.where(bc3, 0.0, x3) * m["s23"][None]
+    t2 = jnp.einsum("by,xyz->xbz", m["Kty"], what, precision=HI)
+    t3 = jnp.einsum("xyz,zc->xyc", what, m["KtzT"], precision=HI)
+    sx = m["sx2d"][:, 0][:, None, None]
+    sy = m["sycol"][:, 0][None, :, None]
+    acc = sy * t1 + sx * (t2 + t3)
+    if sigma:
+        acc = acc + (sigma * sx) * what
+    y = jnp.where(bc3, x3, acc * (sx * m["s23"][None]))
+    t2b = (jnp.stack([t2[:, 0, :], t2[:, -1, :]], axis=1)
+           if need_y else None)
+    t3b = (jnp.stack([t3[..., 0], t3[..., -1]], axis=-1)
+           if need_z else None)
+    return y, t2b, t3b
+
+
+def blocked_kron_apply_grid(x3, bc3, mats, *, by=8, bx=8,
+                            precision="highest", interpret=None,
+                            exchange_x=None, ex_y=None, ex_z=None,
+                            sigma=0.0):
+    """Blocked Kronecker apply under a multi-axis (x, y, z) device grid.
+
+    ``mats`` is the dict from `grid_symmetrized_mats` (per-shard local
+    arrays). Three independent per-axis reconciliations:
+
+    - ``exchange_x``: applied to kernel 1's output (the x-stiffness term,
+      shard-partial across x-interfaces) — same hook as the 1D slab path;
+    - ``ex_y(first, last) -> (add_first, add_last)``: ppermutes the t2
+      edge-partial planes to the y-neighbours; the returned neighbour
+      partials are added to the fused output on the duplicated y-planes,
+      scaled by ``sx^2 * sy_edge * sz`` (the factors the fused kernel
+      applied to its own t2 term);
+    - ``ex_z``: same for the t3 term across z-interfaces.
+
+    Corrections touch only O(N^2) interface planes; the kernels and their
+    HBM traffic are identical to the single-device pair (plus two narrow
+    edge matmuls per x-slice). bc rows are never corrected (both copies
+    already hold ``y = x``). Reference bar: the hot kernel running under
+    ANY rank decomposition (src/laplacian.hpp:378-455).
+    """
+    if precision not in ("highest", "high"):
+        raise ValueError(
+            f"precision must be 'highest' or 'high', got {precision!r}"
+        )
+    need_y = ex_y is not None
+    need_z = ex_z is not None
+    if not (need_y or need_z):
+        return blocked_kron_apply(
+            x3, bc3, mats, by=by, bx=bx, precision=precision,
+            interpret=interpret, exchange=exchange_x, sigma=sigma,
+        )
+    emulate = False
+    if interpret is None:
+        emulate = jax.default_backend() != "tpu"
+        interpret = False
+    if emulate:
+        t1 = _emu_t1(x3, bc3, mats)
+        if exchange_x is not None:
+            t1 = exchange_x(t1)
+        y, t2b, t3b = _emu_t23_edges(x3, bc3, t1, mats, sigma,
+                                     need_y, need_z)
+    else:
+        by, bx = _clamp_blocks(x3.shape, by, bx)
+        high = precision == "high"
+        vma = _join_vma(x3, bc3, *mats.values())
+        t1c, _ = _build_calls(tuple(x3.shape), by, bx, high, interpret,
+                              vma, sigma)
+        t23g = _build_t23_grid_call(tuple(x3.shape), bx, high, interpret,
+                                    vma, sigma, need_y, need_z)
+        names = ["Ktx", "sxz", "Kty", "KtzT", "sx2d", "sycol", "s23"]
+        if need_y:
+            names.append("Ktye")
+        if need_z:
+            names.append("KtzTe")
+        x3, bc3, *mvals = _pvary_all(vma, x3, bc3,
+                                     *(mats[k] for k in names))
+        m = dict(zip(names, mvals))
+        t1 = t1c(x3, bc3, m["Ktx"], m["sxz"])
+        if exchange_x is not None:
+            t1 = exchange_x(t1)
+        args = [x3, bc3, t1, m["Kty"], m["KtzT"], m["sx2d"], m["sycol"],
+                m["s23"]]
+        if need_y:
+            args.append(m["Ktye"])
+        if need_z:
+            args.append(m["KtzTe"])
+        outs = t23g(*args)
+        it = iter(outs)
+        y = next(it)
+        t2b = next(it) if need_y else None
+        t3b = next(it) if need_z else None
+
+    # Per-axis neighbour corrections on the duplicated interface planes.
+    sx2 = mats["sx2d"][:, 0] ** 2                       # (nplx,)
+    if need_y:
+        add0, add1 = ex_y(t2b[:, 0, :], t2b[:, 1, :])
+        base = sx2[:, None] * mats["szrow"][0][None, :]  # (nplx, nplz)
+        sy0 = mats["sycol"][0, 0]
+        syN = mats["sycol"][-1, 0]
+        y = y.at[:, 0, :].add(
+            jnp.where(bc3[:, 0, :], 0.0, add0 * (sy0 * base))
+        )
+        y = y.at[:, -1, :].add(
+            jnp.where(bc3[:, -1, :], 0.0, add1 * (syN * base))
+        )
+    if need_z:
+        add0, add1 = ex_z(t3b[:, :, 0], t3b[:, :, 1])
+        base = sx2[:, None] * mats["sycol"][:, 0][None, :]  # (nplx, nply)
+        sz0 = mats["szrow"][0, 0]
+        szN = mats["szrow"][0, -1]
+        y = y.at[:, :, 0].add(
+            jnp.where(bc3[:, :, 0], 0.0, add0 * (sz0 * base))
+        )
+        y = y.at[:, :, -1].add(
+            jnp.where(bc3[:, :, -1], 0.0, add1 * (szN * base))
+        )
+    return y
 
 
 def blocked_kron_residual(b3, u3, bc3, mats, *, by=8, bx=8,

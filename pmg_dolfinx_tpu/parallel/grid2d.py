@@ -129,6 +129,52 @@ def _exchange_axis(lat, n_shards, axis_name, dim):
     return lat.at[idx_first].add(from_left).at[idx_last].add(from_right)
 
 
+def _plane_exchange_pair(axis_name, n_shards):
+    """Neighbour exchange of interface-plane PARTIALS along one device
+    axis: given (my first-plane partial, my last-plane partial), returns
+    (neighbour partial to add to my first plane, ... to my last plane).
+    Non-wrapping ppermute delivers zeros at the chain ends."""
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+
+    def ex(first, last):
+        from_left = jax.lax.ppermute(last, axis_name, fwd)
+        from_right = jax.lax.ppermute(first, axis_name, bwd)
+        return from_left, from_right
+
+    return ex
+
+
+def grid_kron_blocked_cycle_ops(shards, precision="highest", sigma=0.0):
+    """Grid V-cycle primitives over the blocked fused Pallas kernel pair
+    (the production large-N kernels, now under ANY axis decomposition —
+    r2 VERDICT missing #1).
+
+    Exchange structure: kernel 1's output (the x-stiffness term) rides
+    the usual full-plane partial-sum ppermute between the two kernels;
+    the y/z terms are reconciled from the kernel's tiny edge-partial
+    outputs, ppermuted per axis and added as scaled corrections to the
+    fused output (`ops.pallas_kron_blocked.blocked_kron_apply_grid`).
+    Transfers/dots are the shared XLA grid primitives at 'highest'."""
+    from ..ops.pallas_kron_blocked import blocked_kron_apply_grid
+
+    shards = _norm_shards(shards)
+    ex_x = ((lambda t1: _exchange_axis(t1, shards[0], AXES[0], 0))
+            if shards[0] > 1 else None)
+    ex_y = (_plane_exchange_pair(AXES[1], shards[1])
+            if shards[1] > 1 else None)
+    ex_z = (_plane_exchange_pair(AXES[2], shards[2])
+            if shards[2] > 1 else None)
+
+    def apply_op(lv, x, level):
+        return blocked_kron_apply_grid(
+            x, lv["bc_marker"], lv["kb_mats"], precision=precision,
+            exchange_x=ex_x, ex_y=ex_y, ex_z=ex_z, sigma=sigma,
+        )
+
+    return dict(_grid_common_ops(shards, "highest"), apply=apply_op)
+
+
 def grid_coarse_hooks(part, P0):
     """Gather/slice hooks for global coarse solvers on the box partition.
 
@@ -342,21 +388,24 @@ class GridPMG:
         from ..fem.mesh import require_axis_aligned
 
         self.sigma = float(sigma)
-        if operator not in ("kron", "lattice", "lattice_blocked"):
+        if operator not in ("kron", "kron_blocked", "lattice",
+                            "lattice_blocked"):
             raise ValueError(
                 f"GridPMG: unknown operator backend {operator!r} "
-                "(choose 'kron', 'lattice' or 'lattice_blocked')"
+                "(choose 'kron', 'kron_blocked', 'lattice' or "
+                "'lattice_blocked')"
             )
-        if operator == "kron":
-            require_axis_aligned(mesh, "GridPMG operator='kron'")
-        if operator == "lattice_blocked" and dtype != jnp.float32:
+        if operator in ("kron", "kron_blocked"):
+            require_axis_aligned(mesh, f"GridPMG operator='{operator}'")
+        if (operator in ("kron_blocked", "lattice_blocked")
+                and dtype != jnp.float32):
             raise ValueError(
-                "operator='lattice_blocked' is f32-only (Mosaic kernels); "
+                f"operator='{operator}' is f32-only (Mosaic kernels); "
                 f"got dtype={dtype}"
             )
         self.kappa_cells, _kconst = resolve_kappa(mesh, kappa)
         self.kappa = float(self.kappa_cells[0]) if _kconst else None
-        if not _kconst and operator == "kron":
+        if not _kconst and operator in ("kron", "kron_blocked"):
             raise ValueError(
                 "GridPMG: variable kappa requires operator='lattice' "
                 "(the Kronecker sum is constant-only)"
@@ -379,6 +428,9 @@ class GridPMG:
         elif operator == "lattice_blocked":
             ops = grid_lattice_blocked_cycle_ops(shards, precision,
                                                  sigma=self.sigma)
+        elif operator == "kron_blocked":
+            ops = grid_kron_blocked_cycle_ops(shards, precision,
+                                              sigma=self.sigma)
         else:
             ops = grid_kron_cycle_ops(shards, precision, sigma=self.sigma)
 
@@ -610,7 +662,7 @@ class GridPMG:
                 dtype=dtype,
             )
             spec["diag_inv"] = PSHARD
-        if self.sigma and backend != "kron":
+        if self.sigma and backend not in ("kron", "kron_blocked"):
             from ..fem.assembly import lumped_mass_np
 
             lv["m3"] = jnp.asarray(
@@ -618,7 +670,27 @@ class GridPMG:
                 dtype=dtype,
             )
             spec["m3"] = PSHARD
-        if backend == "kron":
+        if backend == "kron_blocked":
+            from ..ops.pallas_kron_blocked import grid_symmetrized_mats
+
+            npls = part.local_shape(Pdeg)
+            Ks_local, ms_dup = [], []
+            for a in range(3):
+                Kl, _ = axis_stiffness_mass(
+                    part.cells_per_shard[a], Pdeg, mesh.h[a]
+                )
+                _, mg = axis_stiffness_mass(mesh.nc[a], Pdeg, mesh.h[a])
+                npl = npls[a]
+                ms_dup.append(np.concatenate(
+                    [mg[s * (npl - 1): s * (npl - 1) + npl]
+                     for s in range(shards[a])]
+                ))
+                Ks_local.append(self.kappa * Kl)
+            kb, kb_axes = grid_symmetrized_mats(Ks_local, ms_dup, shards)
+            lv["kb_mats"] = kb
+            spec["kb_mats"] = {k: P(*axes_pair)
+                               for k, axes_pair in kb_axes.items()}
+        elif backend == "kron":
             npls = part.local_shape(Pdeg)
             for a, name in enumerate("xyz"):
                 # Local per-shard stiffness (interface partials reconciled
@@ -783,10 +855,12 @@ class GridPMG:
         fine = self.levels[-1]
         Pdeg = self.degrees[-1]
         if getattr(self, "_refine_step", None) is None:
+            # The Mosaic kernels are f32-only: each blocked backend pairs
+            # with its XLA twin for the f64 residual (same discrete op).
+            backend64 = {"lattice_blocked": "lattice",
+                         "kron_blocked": "kron"}.get(self.operator_kind)
             lv64, lv64_spec = self._build_level(
-                Pdeg, jnp.float64, include_diag=False,
-                backend=("lattice" if self.operator_kind == "lattice_blocked"
-                         else None),
+                Pdeg, jnp.float64, include_diag=False, backend=backend64,
             )
             for k in lv64:
                 lv64[k] = put_global(
@@ -797,7 +871,7 @@ class GridPMG:
             # f64 residual: the Mosaic kernels are f32-only, so the
             # lattice_blocked working backend pairs with the XLA lattice
             # form for the f64 apply (same discrete operator).
-            if self.operator_kind == "kron":
+            if self.operator_kind in ("kron", "kron_blocked"):
                 ops64 = grid_kron_cycle_ops(shards, "highest",
                                             sigma=self.sigma)
             else:

@@ -86,6 +86,54 @@ def test_fused_chebyshev_matches_generic():
         assert err < tol, (prec, err)
 
 
+def test_grid_edge_kernel_matches_emulation():
+    """The grid kernel-2 variant (`_kernel_t23_edges`, interpret mode)
+    reproduces the jnp twin exactly: fused output AND the t2/t3
+    edge-partial planes the multi-axis exchange consumes. Composed with
+    the shard_map'd emulation trajectory tests (tests/test_grid2d.py)
+    this covers the full real-kernel grid path: kernel == twin here,
+    twin == single-device there."""
+    from pmg_dolfinx_tpu.ops.kron import axis_stiffness_mass
+    from pmg_dolfinx_tpu.ops.pallas_kron_blocked import (
+        _build_calls,
+        _build_t23_grid_call,
+        _emu_t1,
+        _emu_t23_edges,
+        grid_symmetrized_mats,
+    )
+
+    mesh = BoxMesh((3, 4, 2))
+    P = 3
+    shape = mesh.lattice_shape(P)
+    rng = np.random.default_rng(5)
+    x3 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    bc3 = jnp.asarray(
+        np.asarray(BoxMesh((3, 4, 2)).boundary_dof_marker(P)).reshape(shape)
+    )
+    Ks, ms = [], []
+    for nc_a, h_a in zip(mesh.nc, mesh.h):
+        K, m = axis_stiffness_mass(nc_a, P, h_a)
+        Ks.append(2.0 * K)
+        ms.append(m)
+    mats, _ = grid_symmetrized_mats(Ks, ms, (1, 1, 1))
+    for sigma in (0.0, 37.0):
+        t1c, _ = _build_calls(shape, 8, 8, False, True, (), sigma)
+        t1 = t1c(x3, bc3, mats["Ktx"], mats["sxz"])
+        y_ref, t2b_ref, t3b_ref = _emu_t23_edges(
+            x3, bc3, t1, mats, sigma, True, True
+        )
+        for high, tol in ((False, 1e-6), (True, 1e-4)):
+            t23g = _build_t23_grid_call(shape, 8, high, True, (), sigma,
+                                        True, True)
+            y, t2b, t3b = t23g(x3, bc3, t1, mats["Kty"], mats["KtzT"],
+                               mats["sx2d"], mats["sycol"], mats["s23"],
+                               mats["Ktye"], mats["KtzTe"])
+            for got, ref in ((y, y_ref), (t2b, t2b_ref), (t3b, t3b_ref)):
+                err = float(jnp.linalg.norm(got - ref)
+                            / (1e-30 + jnp.linalg.norm(ref)))
+                assert err < tol, (sigma, high, err)
+
+
 def test_fused_residual_matches_generic():
     """The fused down-sweep residual kernel (`blocked_kron_residual`)
     reproduces ``b - A u`` of the XLA Kronecker apply (interpret mode;
