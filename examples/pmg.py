@@ -99,10 +99,11 @@ def main():
                              else "lattice")
             print("perturbed (general-hex) mesh: switching operator "
                   f"backend to '{args.operator}'")
-        if args.coarse in ("fdm", "hmg"):
-            args.coarse = "cg"
-            print("perturbed mesh: switching coarse solver to 'cg' "
-                  "(fdm/hmg are axis-aligned only)")
+        if args.coarse == "fdm":
+            args.coarse = "hmg"
+            print("perturbed mesh: switching coarse solver to 'hmg' "
+                  "(fdm is axis-aligned only; hmg rediscretizes the "
+                  "curved operator per h-level)")
 
     with Timer("setup (operators+calibration+rhs)"):
         prob = PoissonProblem(

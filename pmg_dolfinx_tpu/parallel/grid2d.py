@@ -403,6 +403,7 @@ class GridPMG:
                 f"operator='{operator}' is f32-only (Mosaic kernels); "
                 f"got dtype={dtype}"
             )
+        self._kappa_raw = kappa
         self.kappa_cells, _kconst = resolve_kappa(mesh, kappa)
         self.kappa = float(self.kappa_cells[0]) if _kconst else None
         if not _kconst and operator in ("kron", "kron_blocked"):
@@ -410,12 +411,12 @@ class GridPMG:
                 "GridPMG: variable kappa requires operator='lattice' "
                 "(the Kronecker sum is constant-only)"
             )
-        if coarse in ("fdm", "hmg"):
-            require_axis_aligned(mesh, f"GridPMG coarse='{coarse}'")
+        if coarse == "fdm":
+            require_axis_aligned(mesh, "GridPMG coarse='fdm'")
             if not _kconst:
                 raise ValueError(
-                    f"GridPMG: coarse='{coarse}' is constant-coefficient "
-                    "only; use 'cg', 'smoother' or 'direct'"
+                    "GridPMG: coarse='fdm' is constant-coefficient only; "
+                    "use 'hmg', 'cg', 'smoother' or 'direct'"
                 )
         self.dtype = dtype
         self.coarse = coarse
@@ -475,18 +476,38 @@ class GridPMG:
                     jnp.asarray(np.linalg.cholesky(A0), dtype=dtype),
                 )
             else:  # hmg
-                from ..solvers.hmg import build_hmg
-                from ..solvers.pmg import kron_cycle_ops
+                # Gathered redundant h-MG coarse solve: kron h-hierarchy
+                # on constant-kappa boxes, rediscretized lattice
+                # h-hierarchy for the general family (curved hexes /
+                # DG-0 kappa) — the scalable BoomerAMG replacement.
+                if (getattr(mesh, "is_axis_aligned", True)
+                        and self.kappa is not None):
+                    from ..solvers.hmg import build_hmg
+                    from ..solvers.pmg import kron_cycle_ops
 
-                hmg_levels, hmg_data, hmg_bottom = build_hmg(
-                    mesh, P0, self.kappa, dtype,
-                    smoother_iters=smoother_iters, precision=precision,
-                    bottom=self.coarse_cfg.get("bottom", "direct"),
-                    min_cells=self.coarse_cfg.get("min_cells", 2),
-                    sigma=self.sigma,
-                )
+                    hmg_levels, hmg_data, hmg_bottom = build_hmg(
+                        mesh, P0, self.kappa, dtype,
+                        smoother_iters=smoother_iters, precision=precision,
+                        bottom=self.coarse_cfg.get("bottom", "direct"),
+                        min_cells=self.coarse_cfg.get("min_cells", 2),
+                        sigma=self.sigma,
+                    )
+                    hmg_core = kron_cycle_ops(precision, sigma=self.sigma)
+                else:
+                    from ..solvers.hmg import build_hmg_general
+
+                    hmg_levels, hmg_data, hmg_bottom, hmg_core = (
+                        build_hmg_general(
+                            mesh, P0, self._kappa_raw, dtype,
+                            smoother_iters=smoother_iters,
+                            precision=precision,
+                            bottom=self.coarse_cfg.get("bottom", "direct"),
+                            min_cells=self.coarse_cfg.get("min_cells", 2),
+                            sigma=self.sigma,
+                        )
+                    )
                 hmg_ops = dict(
-                    kron_cycle_ops(precision, sigma=self.sigma),
+                    hmg_core,
                     pvary=lambda v: pcast_varying(v, AXES),
                 )
                 self.coarse_cfg.update(

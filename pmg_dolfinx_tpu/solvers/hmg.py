@@ -175,3 +175,151 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
             )
         data["coarse_chol"] = jnp.asarray(np.linalg.cholesky(A0), dtype=dtype)
     return tuple(levels), data, bottom
+
+
+def coarsen_cell_field(vals, nc_fine, nc_coarse):
+    """Volume-average a per-cell DG-0 field onto a coarser cell grid
+    (each coarse cell averages its ``f^3`` children; cells are uniform in
+    reference space, so the plain mean is the volume average)."""
+    fx, fy, fz = (nf // nc for nf, nc in zip(nc_fine, nc_coarse))
+    v = np.asarray(vals).reshape(nc_fine)
+    v = v.reshape(nc_coarse[0], fx, nc_coarse[1], fy, nc_coarse[2], fz)
+    return v.mean(axis=(1, 3, 5)).reshape(-1)
+
+
+def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
+                      max_levels=10, precision="highest",
+                      calibration_iters=20, bottom="direct", sigma=0.0):
+    """Geometric h-multigrid for the GENERAL model family: curved
+    (perturbed) hexes and variable DG-0 coefficients — the scalable
+    coarse solver the reference gets from hypre BoomerAMG
+    (src/amg.hpp:11-119) on meshes where the constant-coefficient
+    box-only `build_hmg` refuses.
+
+    Levels rediscretize the lattice-backend operator on factor-2(3)
+    coarsened meshes of the SAME class: `PerturbedBoxMesh` evaluates its
+    smooth warp at the coarse corner lattice, which is an exact subset of
+    the fine corners — geometry factors are recomputed per level, so
+    every level solves the true curved operator on its own mesh.
+    Variable DG-0 kappa is volume-averaged onto each level's cells; the
+    lumped-mass sigma shift rediscretizes per level. Transfers are the
+    per-axis nodal h-interpolation matrices in REFERENCE coordinates
+    (`axis_h_interpolation`) — on curved cells this is the standard
+    reference-space transfer of geometric MG (inexact interpolation of
+    the physical map, asymptotically harmless and tested against the
+    direct coarse solve).
+    """
+    import jax
+
+    from ..fem.assembly import lumped_mass_np, resolve_kappa, stiffness_diagonal_np
+    from ..fem.geometry import (
+        geometry_factors,
+        quadrature_weights_3d,
+        tabulate_geometry_dphi,
+    )
+    from ..fem.mesh import BoxMesh, PerturbedBoxMesh
+    from ..ops.lattice import axis_matrices, geometry_to_qlattice
+    from .cg import cg_solve
+    from .pmg import (
+        DEFAULT_CALIBRATION_RTOL,
+        EIG_RANGE_FACTORS,
+        Level,
+        lattice_cycle_ops,
+    )
+    from .tridiag import lanczos_eigenvalue_estimates
+
+    sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
+                               max_levels=max_levels)[::-1]  # coarse->fine
+    if isinstance(mesh, PerturbedBoxMesh):
+        meshes = [PerturbedBoxMesh(nc, extent=mesh.extent, warp=mesh._warp)
+                  for nc in sizes]
+    else:
+        meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes]
+    kappa_fine, _ = resolve_kappa(mesh, kappa)
+    ops = lattice_cycle_ops(precision, sigma=sigma)
+
+    levels, level_data = [], []
+    for m in meshes:
+        if callable(kappa):
+            kc, _ = resolve_kappa(m, kappa)
+        else:
+            kc = coarsen_cell_field(kappa_fine, mesh.nc, m.nc)
+        G_cells, _ = geometry_factors(
+            m.geometry_x, m.geometry_dofmap,
+            tabulate_geometry_dphi(P), quadrature_weights_3d(P), xp=np,
+        )
+        lv = dict(
+            G=jnp.asarray(
+                geometry_to_qlattice(G_cells * kc[:, None, None], m.nc, P),
+                dtype=dtype,
+            ),
+            bc_marker=jnp.asarray(m.boundary_dof_marker(P)),
+        )
+        for name, nc_a in zip("xyz", m.nc):
+            E, Dg = axis_matrices(nc_a, P)
+            lv["E" + name] = jnp.asarray(E, dtype=dtype)
+            lv["D" + name] = jnp.asarray(Dg, dtype=dtype)
+        diag = stiffness_diagonal_np(m, P, kc)
+        if sigma:
+            m3 = lumped_mass_np(m, P, bc_zero=True)
+            lv["m3"] = jnp.asarray(m3, dtype=dtype)
+            diag = diag + sigma * m3
+        lv["diag_inv"] = jnp.asarray(1.0 / diag, dtype=dtype)
+        level = Level(P=P, ndofs=m.num_dofs(P),
+                      smoother_iters=smoother_iters,
+                      shape=m.lattice_shape(P))
+
+        def _calib(lv_, b_, x0_, _level=level):
+            A = lambda x: ops["apply"](lv_, x, _level)
+            return cg_solve(
+                A, b_, x0_, lv_["diag_inv"],
+                rtol=DEFAULT_CALIBRATION_RTOL, maxiter=calibration_iters,
+                record=True, dot=inner_product,
+            )
+
+        _, info = jax.jit(_calib)(
+            lv,
+            jnp.ones(level.ndofs, dtype=dtype),
+            jnp.zeros(level.ndofs, dtype=dtype),
+        )
+        try:
+            eigs = lanczos_eigenvalue_estimates(
+                info["alphas"], info["betas"], info["stored"]
+            )
+            lmax = float(eigs[-1])
+        except ValueError:
+            lmax = 2.0  # near-trivial level (see build_hmg)
+        lv["lmax"] = jnp.asarray(EIG_RANGE_FACTORS[1] * lmax, dtype=dtype)
+        levels.append(level)
+        level_data.append(lv)
+
+    transfer = []
+    for i in range(len(meshes) - 1):
+        mc, mf = meshes[i], meshes[i + 1]
+        tr = {
+            "I" + name: jnp.asarray(
+                axis_h_interpolation(nc_c, P, factor=nc_f // nc_c),
+                dtype=dtype,
+            )
+            for name, nc_c, nc_f in zip("xyz", mc.nc, mf.nc)
+        }
+        transfer.append(tr)
+
+    data = dict(levels=tuple(level_data), transfer=tuple(transfer))
+    if bottom == "direct" and meshes[0].num_dofs(P) > 4096:
+        bottom = "cg"
+    if bottom == "direct":
+        from ..fem.assembly import assemble_stiffness
+
+        if callable(kappa):
+            kc0, _ = resolve_kappa(meshes[0], kappa)
+        else:
+            kc0 = coarsen_cell_field(kappa_fine, mesh.nc, meshes[0].nc)
+        A0 = assemble_stiffness(meshes[0], P, kappa=kc0).toarray()
+        if sigma:
+            A0[np.diag_indices_from(A0)] += sigma * lumped_mass_np(
+                meshes[0], P, bc_zero=True
+            )
+        data["coarse_chol"] = jnp.asarray(np.linalg.cholesky(A0),
+                                          dtype=dtype)
+    return tuple(levels), data, bottom, ops

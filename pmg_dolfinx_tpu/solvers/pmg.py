@@ -515,10 +515,11 @@ class PMGHierarchy:
                 f"operator='{operator}' is f32-only (Mosaic kernels); "
                 f"got dtype={dtype}"
             )
-        if coarse in ("fdm", "hmg"):
-            require_axis_aligned(mesh, f"coarse='{coarse}'")
+        if coarse == "fdm":
+            require_axis_aligned(mesh, "coarse='fdm'")
         self.mesh = mesh
         self.degrees = tuple(int(p) for p in degrees)
+        self._kappa_raw = kappa
         self.kappa_cells, kappa_const = resolve_kappa(mesh, kappa)
         self.kappa = float(self.kappa_cells[0]) if kappa_const else None
         if not kappa_const:
@@ -528,11 +529,12 @@ class PMGHierarchy:
                     "or 'dofmap' — the Kronecker-sum factorization only "
                     "exists for constant coefficients"
                 )
-            if coarse in ("fdm", "hmg"):
+            if coarse == "fdm":
                 raise ValueError(
-                    f"coarse='{coarse}' is constant-coefficient only; use "
-                    "'cg', 'smoother' or 'direct' with variable kappa "
-                    "(or FDM as an outer FCG preconditioner, solvers/fdm.py)"
+                    "coarse='fdm' is constant-coefficient only; use "
+                    "'hmg', 'cg', 'smoother' or 'direct' with variable "
+                    "kappa (or FDM as an outer FCG preconditioner, "
+                    "solvers/fdm.py)"
                 )
         self.dtype = dtype
         self.coarse = coarse
@@ -757,19 +759,38 @@ class PMGHierarchy:
             )
             self.coarse_cfg["fdm_shape"] = mesh.lattice_shape(self.degrees[0])
         elif coarse == "hmg":
-            from .hmg import build_hmg
+            if (getattr(mesh, "is_axis_aligned", True)
+                    and self.kappa is not None):
+                from .hmg import build_hmg
 
-            hmg_levels, hmg_data, hmg_bottom = build_hmg(
-                mesh, self.degrees[0], self.kappa, dtype,
-                smoother_iters=smoother_iters, precision=precision,
-                bottom=self.coarse_cfg.get("bottom", "direct"),
-                min_cells=self.coarse_cfg.get("min_cells", 2),
-                sigma=self.sigma,
-            )
+                hmg_levels, hmg_data, hmg_bottom = build_hmg(
+                    mesh, self.degrees[0], self.kappa, dtype,
+                    smoother_iters=smoother_iters, precision=precision,
+                    bottom=self.coarse_cfg.get("bottom", "direct"),
+                    min_cells=self.coarse_cfg.get("min_cells", 2),
+                    sigma=self.sigma,
+                )
+                hmg_ops = kron_cycle_ops(precision, sigma=self.sigma)
+            else:
+                # General family (curved hexes / variable DG-0 kappa):
+                # rediscretized lattice h-hierarchy — the scalable
+                # replacement for the reference's BoomerAMG coarse solve
+                # on meshes where the kron h-MG refuses.
+                from .hmg import build_hmg_general
+
+                hmg_levels, hmg_data, hmg_bottom, hmg_ops = (
+                    build_hmg_general(
+                        mesh, self.degrees[0], self._kappa_raw, dtype,
+                        smoother_iters=smoother_iters, precision=precision,
+                        bottom=self.coarse_cfg.get("bottom", "direct"),
+                        min_cells=self.coarse_cfg.get("min_cells", 2),
+                        sigma=self.sigma,
+                    )
+                )
             self.data["hmg"] = hmg_data
             self.coarse_cfg.update(
                 hmg_levels=hmg_levels,
-                hmg_ops=kron_cycle_ops(precision, sigma=self.sigma),
+                hmg_ops=hmg_ops,
                 hmg_bottom=hmg_bottom,
                 cycles=self.coarse_cfg.get("cycles", 3),
             )
