@@ -132,11 +132,100 @@ def _bench_size(nc, lo, hi):
     return nd, detail[best][0], detail[best][1], best, detail
 
 
+def _bench_vcycle_16m():
+    """16.2M-dof p=(1,3,6) V-cycle wall time (fdm coarse, f32 'highest'):
+    kron vs kron_blocked — the production solve-path numbers the README
+    advertises. Timed as the slope of the jitted cycle scan."""
+    import jax.numpy as jnp
+
+    from pmg_dolfinx_tpu.models.poisson import PoissonProblem
+
+    out = {}
+    for op in ("kron", "kron_blocked"):
+        prob = PoissonProblem(nc=(42, 42, 42), degrees=(1, 3, 6), kappa=2.0,
+                              dtype=jnp.float32, coarse="fdm", operator=op)
+        run = lambda n: prob.solve(num_cycles=n, residuals=False)
+        per_cycle, spread = _measure(run, 4, 16, min_samples=5)
+        out[op] = (per_cycle * 1e3, spread)
+        del prob
+    return out
+
+
+def _bench_lattice_blocked_2m():
+    """General-hex fused Mosaic lattice kernel at 2.05M dofs (box
+    geometry carries the same cost as curved — identical kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+    from pmg_dolfinx_tpu.solvers.pmg import PMGHierarchy
+
+    P = 6
+    mesh = BoxMesh((21, 21, 21))
+    nd = mesh.num_dofs(P)
+    out = {}
+    for prec in ("highest", "high"):
+        hier = PMGHierarchy(mesh, degrees=(P,), kappa=2.0,
+                            dtype=jnp.float32, coarse="smoother",
+                            operator="lattice_blocked", precision=prec)
+        lv = hier.data["levels"][-1]
+        level = hier.levels[-1]
+        apply_op = hier.ops["apply"]
+
+        @partial(jax.jit, static_argnums=(2,))
+        def chain(lv_, x, reps):
+            def body(i, v):
+                return apply_op(lv_, x + 1e-30 * v, level)
+            return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
+
+        x = jnp.ones((nd,), dtype=jnp.float32)
+        run = lambda r: float(chain(lv, x, r))
+        per_apply, spread = _measure(run, 20, 100, min_samples=5)
+        out[prec] = (nd / per_apply / 1e9, spread)
+        del hier
+    return nd, out
+
+
+def _bench_fdm_solve_2m():
+    """Whole-system FDM direct solve at 2.05M dofs (constant kappa):
+    the 6-matmul fast-diagonalization SOLVE wall time in ms."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+    from pmg_dolfinx_tpu.solvers.fdm import FastDiagonalizationSolver
+
+    P = 6
+    mesh = BoxMesh((21, 21, 21))
+    from pmg_dolfinx_tpu.solvers.fdm import fdm_solve
+
+    fdm = FastDiagonalizationSolver(mesh, P, kappa=2.0, dtype=jnp.float32)
+    shape = mesh.lattice_shape(P)
+    b3 = jnp.ones(shape, dtype=jnp.float32)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def chain(b, reps):
+        def body(i, v):
+            return fdm_solve(b + 1e-30 * v, fdm.Vs, fdm.Vts, fdm.dinv,
+                             fdm.bc_marker, shape)
+        return jnp.sum(jax.lax.fori_loop(0, reps, body, b))
+
+    run = lambda r: float(chain(b3, r))
+    per_solve, spread = _measure(run, 50, 250, min_samples=5)
+    return per_solve * 1e3, spread
+
+
 def main():
     # 2.05M dofs: enough reps that the slope dwarfs tunnel jitter.
     nd_s, gdofs_s, spread_s, kern_s, det_s = _bench_size(21, 200, 1000)
     # 16.2M dofs: ~1.2 ms/apply, fewer reps needed.
     nd_l, gdofs_l, spread_l, kern_l, det_l = _bench_size(42, 20, 100)
+    # 30.4M dofs (N=313): the reference's rocprof profile size
+    # (examples/cg/submit_rocprof.sh --ndofs 30000000).
+    nd_x, gdofs_x, spread_x, kern_x, det_x = _bench_size(52, 10, 50)
+    vcycle = _bench_vcycle_16m()
+    nd_lb, lat_blk = _bench_lattice_blocked_2m()
+    fdm_ms, fdm_spread = _bench_fdm_solve_2m()
     print(
         json.dumps(
             {
@@ -152,10 +241,23 @@ def main():
                     "ndofs_16M": nd_l,
                     "spread_16M": round(spread_l, 3),
                     "kernel_16M": kern_l,
+                    "gdofs_30M": round(gdofs_x, 3),
+                    "ndofs_30M": nd_x,
+                    "spread_30M": round(spread_x, 3),
+                    "kernel_30M": kern_x,
                     "per_kernel_2M": {k: round(v[0], 2)
                                       for k, v in det_s.items()},
                     "per_kernel_16M": {k: round(v[0], 2)
                                        for k, v in det_l.items()},
+                    "per_kernel_30M": {k: round(v[0], 2)
+                                       for k, v in det_x.items()},
+                    "vcycle_16M_p136_fdm_ms": {
+                        k: round(v[0], 2) for k, v in vcycle.items()
+                    },
+                    "lattice_blocked_2M_gdofs": {
+                        k: round(v[0], 2) for k, v in lat_blk.items()
+                    },
+                    "fdm_solve_2M_ms": round(fdm_ms, 3),
                 },
             }
         )

@@ -198,37 +198,38 @@ def _kernel_t23_res(v_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
         ro_ref[i] = r_ref[i] - jnp.where(bci, vi, yi)
 
 
-def _kernel_t23_edges(*refs, high, sigma=0.0, need_y, need_z):
-    # Kernel 2 for multi-axis device grids: identical to `_kernel_t23`
-    # plus narrow edge matmuls producing the *pre-scaling* partial sums
-    # of the t2 / t3 contractions on the block's boundary planes:
-    #   t2b[i] = Kty[[0, -1], :] @ what_i      (2, NZ)  — y-interface rows
-    #   t3b[i] = what_i @ KtzT[:, [0, -1]]     (NY, 2)  — z-interface cols
-    # The grid layer ppermutes these tiny planes to the axis neighbours
-    # and adds the correctly scaled correction to the fused output —
-    # the per-axis partial-sum exchange of the XLA grid-kron path
-    # (parallel/grid2d.py) without giving up the fused kernel.
+def _kernel_t23_grid(*refs, high, sigma=0.0, need_y, need_z):
+    # Kernel 2 for multi-axis device grids: `_kernel_t23` plus tiny
+    # neighbour-correction INPUTS applied to the accumulator's boundary
+    # planes BEFORE the final scaling:
+    #   cy[i] (2, NZ): exchanged t2 partials for my first/last y-plane,
+    #   cz[i] (NY, 2): exchanged t3 partials for my first/last z-plane.
+    # Corrections enter as sxi * c (the same factor the local t2/t3 terms
+    # get), and the shared (sxi * s23) output scaling then completes
+    # sx^2 * sy_edge * sz. The bc epilogue overwrites bc rows afterwards,
+    # so corrections need no masking. Design history (measured, 16.2M v5e,
+    # plain pair = 1.13 ms): edge-partial OUTPUTS + post-kernel XLA plane
+    # adds cost +0.9 ms (narrow-matmul variant +1.1) -- the 4 full-lattice
+    # dynamic-update-slices dominate; computing the edge partials from x
+    # in XLA (~0.3 ms), exchanging, and folding the correction into this
+    # kernel is the cheapest structure.
     it = iter(refs)
     x_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref, sycol_ref, s23_ref = (
         next(it) for _ in range(8)
     )
-    Ktye_ref = next(it) if need_y else None
-    KtzTe_ref = next(it) if need_z else None
+    cy_ref = next(it) if need_y else None
+    cz_ref = next(it) if need_z else None
     out_ref = next(it)
-    t2b_ref = next(it) if need_y else None
-    t3b_ref = next(it) if need_z else None
 
     Kty = Kty_ref[:]
     KtzT = KtzT_ref[:]
     sycol = sycol_ref[:]
     s23 = s23_ref[:]
+    NY = Kty.shape[0]
+    NZ = KtzT.shape[1]
     if high:
         Kty_split = _split_bf16(Kty)
         KtzT_split = _split_bf16(KtzT)
-        if need_y:
-            Ktye_split = _split_bf16(Ktye_ref[:])
-        if need_z:
-            KtzTe_split = _split_bf16(KtzTe_ref[:])
     Bx = x_ref.shape[0]
     for i in range(Bx):
         xi = x_ref[i]
@@ -239,21 +240,27 @@ def _kernel_t23_edges(*refs, high, sigma=0.0, need_y, need_z):
             what_split = _split_bf16(what)
             t2 = _dot3(Kty_split, what_split)
             t3 = _dot3(what_split, KtzT_split)
-            if need_y:
-                t2b_ref[i] = _dot3(Ktye_split, what_split)
-            if need_z:
-                t3b_ref[i] = _dot3(what_split, KtzTe_split)
         else:
             HI = jax.lax.Precision.HIGHEST
             t2 = _DOT(Kty, what, precision=HI)
             t3 = _DOT(what, KtzT, precision=HI)
-            if need_y:
-                t2b_ref[i] = _DOT(Ktye_ref[:], what, precision=HI)
-            if need_z:
-                t3b_ref[i] = _DOT(what, KtzTe_ref[:], precision=HI)
         acc = sycol * t1_ref[i] + sxi * (t2 + t3)
         if sigma:
             acc = acc + (sigma * sxi) * what
+        # Corrections as iota-masked broadcasts (Mosaic has no
+        # scatter-add/DUS on values; these are plain VPU selects).
+        if need_y:
+            iy = jax.lax.broadcasted_iota(jnp.int32, (NY, NZ), 0)
+            acc = acc + sxi * (
+                jnp.where(iy == 0, cy_ref[i, 0:1, :], 0.0)
+                + jnp.where(iy == NY - 1, cy_ref[i, 1:2, :], 0.0)
+            )
+        if need_z:
+            iz = jax.lax.broadcasted_iota(jnp.int32, (NY, NZ), 1)
+            acc = acc + sxi * (
+                jnp.where(iz == 0, cz_ref[i, :, 0:1], 0.0)
+                + jnp.where(iz == NZ - 1, cz_ref[i, :, 1:2], 0.0)
+            )
         yi = acc * (sxi * s23)
         out_ref[i] = jnp.where(bci, xi, yi)
 
@@ -310,19 +317,23 @@ def grid_symmetrized_mats(Ks_local, ms_dup, shards, dtype=jnp.float32):
             Kt = K / sl[:, None] / sl[None, :]
             if transpose:
                 Kt = Kt.T.copy()
-            out.append(Kt[:, pick] if transpose and pick is not None
-                       else (Kt[pick] if pick is not None else Kt))
+                if pick is not None:
+                    Kt = Kt[:, pick]
+            elif pick is not None:
+                Kt = Kt[pick]
+            out.append(Kt)
         return np.concatenate(out, axis=0)
 
+    edge = np.array([0, -1])
     mats = dict(
         Ktx=stacked(Kx, sx, Sx, nplx),
         Kty=stacked(Ky, sy, Sy, nply),
         KtzT=stacked(Kz, sz, Sz, nplz, transpose=True),
-        # Edge operators: interface rows of Kty / interface cols of KtzT
-        # (the narrow matmuls producing the exchange partial planes).
-        Ktye=stacked(Ky, sy, Sy, nply, pick=np.array([0, nply - 1])),
-        KtzTe=stacked(Kz, sz, Sz, nplz, transpose=True,
-                      pick=np.array([0, nplz - 1])),
+        # Interface rows of Kty / cols of KtzT: the XLA edge-partial
+        # operands (`_edge_partials`); identical values to the kernel's
+        # own contraction rows/cols.
+        Ktye=stacked(Ky, sy, Sy, nply, pick=edge),
+        KtzTe=stacked(Kz, sz, Sz, nplz, transpose=True, pick=edge),
         sx2d=sx[:, None],
         sycol=sy[:, None],
         szrow=sz[None, :],
@@ -495,8 +506,8 @@ def _build_res_call(shape, bx, high, interpret, vma=(), sigma=0.0):
 @lru_cache(maxsize=None)
 def _build_t23_grid_call(shape, bx, high, interpret, vma=(), sigma=0.0,
                          need_y=False, need_z=False):
-    """Kernel-2 pallas_call with edge-partial outputs (see
-    `_kernel_t23_edges`); pairs with kernel 1 from `_build_calls`."""
+    """Kernel-2 pallas_call with neighbour-correction inputs (see
+    `_kernel_t23_grid`); pairs with kernel 1 from `_build_calls`."""
     NX, NY, NZ = shape
     lat = lambda: pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0))
     in_specs = [
@@ -507,23 +518,17 @@ def _build_t23_grid_call(shape, bx, high, interpret, vma=(), sigma=0.0,
         pl.BlockSpec((NY, 1), lambda i: (0, 0)),    # sy column
         pl.BlockSpec((NY, NZ), lambda i: (0, 0)),   # s23 plane
     ]
-    out_specs = [lat()]
-    out_shape = [_out_struct(shape, vma)]
     if need_y:
-        in_specs.append(pl.BlockSpec((2, NY), lambda i: (0, 0)))   # Ktye
-        out_specs.append(pl.BlockSpec((bx, 2, NZ), lambda i: (i, 0, 0)))
-        out_shape.append(_out_struct((NX, 2, NZ), vma))
+        in_specs.append(pl.BlockSpec((bx, 2, NZ), lambda i: (i, 0, 0)))
     if need_z:
-        in_specs.append(pl.BlockSpec((NZ, 2), lambda i: (0, 0)))   # KtzTe
-        out_specs.append(pl.BlockSpec((bx, NY, 2), lambda i: (i, 0, 0)))
-        out_shape.append(_out_struct((NX, NY, 2), vma))
+        in_specs.append(pl.BlockSpec((bx, NY, 2), lambda i: (i, 0, 0)))
     return pl.pallas_call(
-        partial(_kernel_t23_edges, high=high, sigma=sigma,
+        partial(_kernel_t23_grid, high=high, sigma=sigma,
                 need_y=need_y, need_z=need_z),
         grid=(pl.cdiv(NX, bx),),
         in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
+        out_specs=lat(),
+        out_shape=_out_struct(shape, vma),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=80 * 1024 * 1024
         ),
@@ -531,9 +536,26 @@ def _build_t23_grid_call(shape, bx, high, interpret, vma=(), sigma=0.0,
     )
 
 
-def _emu_t23_edges(x3, bc3, t1, m, sigma, need_y, need_z):
-    """jnp twin of `_kernel_t23_edges` (identical math: the kernel's edge
-    matmuls compute exactly the boundary rows/cols of the full t2/t3)."""
+def _edge_partials(x3, bc3, m, need_y, need_z):
+    """Pre-scaling partial sums of the t2 / t3 contractions on the local
+    boundary planes, computed from x in XLA (one masked-scale pass + two
+    narrow contractions; ~0.3 ms at 16.2M on v5e):
+    ``t2b[x, e, z] = (Kty[[0, -1], :] @ what)`` and
+    ``t3b[x, y, e] = (what @ KtzT[:, [0, -1]])`` with
+    ``what = mask(x) * s23`` -- exactly the boundary rows/cols of the
+    contractions kernel 2 computes (same scaled operands)."""
+    HI = jax.lax.Precision.HIGHEST
+    w = jnp.where(bc3, 0.0, x3) * m["s23"][None]
+    t2b = (jnp.einsum("eb,xbz->xez", m["Ktye"], w, precision=HI)
+           if need_y else None)
+    t3b = (jnp.einsum("xyz,ze->xye", w, m["KtzTe"], precision=HI)
+           if need_z else None)
+    return t2b, t3b
+
+
+def _emu_t23_grid(x3, bc3, t1, m, sigma, cy, cz):
+    """jnp twin of `_kernel_t23_grid` (corrections added to the
+    accumulator's boundary planes before the final scaling)."""
     HI = jax.lax.Precision.HIGHEST
     what = jnp.where(bc3, 0.0, x3) * m["s23"][None]
     t2 = jnp.einsum("by,xyz->xbz", m["Kty"], what, precision=HI)
@@ -543,12 +565,14 @@ def _emu_t23_edges(x3, bc3, t1, m, sigma, need_y, need_z):
     acc = sy * t1 + sx * (t2 + t3)
     if sigma:
         acc = acc + (sigma * sx) * what
-    y = jnp.where(bc3, x3, acc * (sx * m["s23"][None]))
-    t2b = (jnp.stack([t2[:, 0, :], t2[:, -1, :]], axis=1)
-           if need_y else None)
-    t3b = (jnp.stack([t3[..., 0], t3[..., -1]], axis=-1)
-           if need_z else None)
-    return y, t2b, t3b
+    sx2 = m["sx2d"][:, 0][:, None]
+    if cy is not None:
+        acc = acc.at[:, 0, :].add(sx2 * cy[:, 0, :])
+        acc = acc.at[:, -1, :].add(sx2 * cy[:, 1, :])
+    if cz is not None:
+        acc = acc.at[:, :, 0].add(sx2 * cz[:, :, 0])
+        acc = acc.at[:, :, -1].add(sx2 * cz[:, :, 1])
+    return jnp.where(bc3, x3, acc * (sx * m["s23"][None]))
 
 
 def blocked_kron_apply_grid(x3, bc3, mats, *, by=8, bx=8,
@@ -561,19 +585,18 @@ def blocked_kron_apply_grid(x3, bc3, mats, *, by=8, bx=8,
     arrays). Three independent per-axis reconciliations:
 
     - ``exchange_x``: applied to kernel 1's output (the x-stiffness term,
-      shard-partial across x-interfaces) — same hook as the 1D slab path;
+      shard-partial across x-interfaces) -- same hook as the 1D slab path;
     - ``ex_y(first, last) -> (add_first, add_last)``: ppermutes the t2
-      edge-partial planes to the y-neighbours; the returned neighbour
-      partials are added to the fused output on the duplicated y-planes,
-      scaled by ``sx^2 * sy_edge * sz`` (the factors the fused kernel
-      applied to its own t2 term);
+      edge-partial planes (`_edge_partials`) to the y-neighbours; the
+      received neighbour partials feed kernel 2 as tiny inputs folded
+      into the accumulator's duplicated y-planes;
     - ``ex_z``: same for the t3 term across z-interfaces.
 
-    Corrections touch only O(N^2) interface planes; the kernels and their
-    HBM traffic are identical to the single-device pair (plus two narrow
-    edge matmuls per x-slice). bc rows are never corrected (both copies
-    already hold ``y = x``). Reference bar: the hot kernel running under
-    ANY rank decomposition (src/laplacian.hpp:378-455).
+    The exchanges depend only on x (not on kernel 2's output), so the
+    ppermutes overlap with kernel 1/2 under XLA's latency-hiding
+    scheduler. bc rows need no correction masking (the kernel's bc
+    epilogue overwrites them). Reference bar: the hot kernel running
+    under ANY rank decomposition (src/laplacian.hpp:378-455).
     """
     if precision not in ("highest", "high"):
         raise ValueError(
@@ -590,68 +613,47 @@ def blocked_kron_apply_grid(x3, bc3, mats, *, by=8, bx=8,
     if interpret is None:
         emulate = jax.default_backend() != "tpu"
         interpret = False
+
+    # Edge partials from x (XLA), exchanged to the neighbours; the
+    # RECEIVED planes become kernel-2 correction inputs.
+    t2b, t3b = _edge_partials(x3, bc3, mats, need_y, need_z)
+    cy = cz = None
+    if need_y:
+        add0, add1 = ex_y(t2b[:, 0, :], t2b[:, 1, :])
+        cy = jnp.stack([add0, add1], axis=1)            # (nplx, 2, nplz)
+    if need_z:
+        add0, add1 = ex_z(t3b[:, :, 0], t3b[:, :, 1])
+        cz = jnp.stack([add0, add1], axis=-1)           # (nplx, nply, 2)
+
     if emulate:
         t1 = _emu_t1(x3, bc3, mats)
         if exchange_x is not None:
             t1 = exchange_x(t1)
-        y, t2b, t3b = _emu_t23_edges(x3, bc3, t1, mats, sigma,
-                                     need_y, need_z)
-    else:
-        by, bx = _clamp_blocks(x3.shape, by, bx)
-        high = precision == "high"
-        vma = _join_vma(x3, bc3, *mats.values())
-        t1c, _ = _build_calls(tuple(x3.shape), by, bx, high, interpret,
-                              vma, sigma)
-        t23g = _build_t23_grid_call(tuple(x3.shape), bx, high, interpret,
-                                    vma, sigma, need_y, need_z)
-        names = ["Ktx", "sxz", "Kty", "KtzT", "sx2d", "sycol", "s23"]
-        if need_y:
-            names.append("Ktye")
-        if need_z:
-            names.append("KtzTe")
-        x3, bc3, *mvals = _pvary_all(vma, x3, bc3,
-                                     *(mats[k] for k in names))
-        m = dict(zip(names, mvals))
-        t1 = t1c(x3, bc3, m["Ktx"], m["sxz"])
-        if exchange_x is not None:
-            t1 = exchange_x(t1)
-        args = [x3, bc3, t1, m["Kty"], m["KtzT"], m["sx2d"], m["sycol"],
-                m["s23"]]
-        if need_y:
-            args.append(m["Ktye"])
-        if need_z:
-            args.append(m["KtzTe"])
-        outs = t23g(*args)
-        it = iter(outs)
-        y = next(it)
-        t2b = next(it) if need_y else None
-        t3b = next(it) if need_z else None
+        return _emu_t23_grid(x3, bc3, t1, mats, sigma, cy, cz)
 
-    # Per-axis neighbour corrections on the duplicated interface planes.
-    sx2 = mats["sx2d"][:, 0] ** 2                       # (nplx,)
+    by, bx = _clamp_blocks(x3.shape, by, bx)
+    high = precision == "high"
+    vma = _join_vma(x3, bc3, cy, cz, *mats.values())
+    t1c, _ = _build_calls(tuple(x3.shape), by, bx, high, interpret,
+                          vma, sigma)
+    t23g = _build_t23_grid_call(tuple(x3.shape), bx, high, interpret,
+                                vma, sigma, need_y, need_z)
+    names = ["Ktx", "sxz", "Kty", "KtzT", "sx2d", "sycol", "s23"]
+    x3, bc3, *mvals = _pvary_all(vma, x3, bc3,
+                                 *(mats[k] for k in names))
+    m = dict(zip(names, mvals))
+    t1 = t1c(x3, bc3, m["Ktx"], m["sxz"])
+    if exchange_x is not None:
+        t1 = exchange_x(t1)
+    args = [x3, bc3, t1, m["Kty"], m["KtzT"], m["sx2d"], m["sycol"],
+            m["s23"]]
     if need_y:
-        add0, add1 = ex_y(t2b[:, 0, :], t2b[:, 1, :])
-        base = sx2[:, None] * mats["szrow"][0][None, :]  # (nplx, nplz)
-        sy0 = mats["sycol"][0, 0]
-        syN = mats["sycol"][-1, 0]
-        y = y.at[:, 0, :].add(
-            jnp.where(bc3[:, 0, :], 0.0, add0 * (sy0 * base))
-        )
-        y = y.at[:, -1, :].add(
-            jnp.where(bc3[:, -1, :], 0.0, add1 * (syN * base))
-        )
+        (cy,) = _pvary_all(vma, cy)
+        args.append(cy)
     if need_z:
-        add0, add1 = ex_z(t3b[:, :, 0], t3b[:, :, 1])
-        base = sx2[:, None] * mats["sycol"][:, 0][None, :]  # (nplx, nply)
-        sz0 = mats["szrow"][0, 0]
-        szN = mats["szrow"][0, -1]
-        y = y.at[:, :, 0].add(
-            jnp.where(bc3[:, :, 0], 0.0, add0 * (sz0 * base))
-        )
-        y = y.at[:, :, -1].add(
-            jnp.where(bc3[:, :, -1], 0.0, add1 * (szN * base))
-        )
-    return y
+        (cz,) = _pvary_all(vma, cz)
+        args.append(cz)
+    return t23g(*args)
 
 
 def blocked_kron_residual(b3, u3, bc3, mats, *, by=8, bx=8,

@@ -87,9 +87,10 @@ def test_fused_chebyshev_matches_generic():
 
 
 def test_grid_edge_kernel_matches_emulation():
-    """The grid kernel-2 variant (`_kernel_t23_edges`, interpret mode)
-    reproduces the jnp twin exactly: fused output AND the t2/t3
-    edge-partial planes the multi-axis exchange consumes. Composed with
+    """The grid kernel-2 variant (`_kernel_t23_grid`, interpret mode)
+    reproduces the jnp twin exactly — including the neighbour-correction
+    inputs folded into the accumulator's boundary planes — and the XLA
+    `_edge_partials` match slices of the full contractions. Composed with
     the shard_map'd emulation trajectory tests (tests/test_grid2d.py)
     this covers the full real-kernel grid path: kernel == twin here,
     twin == single-device there."""
@@ -97,8 +98,9 @@ def test_grid_edge_kernel_matches_emulation():
     from pmg_dolfinx_tpu.ops.pallas_kron_blocked import (
         _build_calls,
         _build_t23_grid_call,
+        _edge_partials,
         _emu_t1,
-        _emu_t23_edges,
+        _emu_t23_grid,
         grid_symmetrized_mats,
     )
 
@@ -116,22 +118,37 @@ def test_grid_edge_kernel_matches_emulation():
         Ks.append(2.0 * K)
         ms.append(m)
     mats, _ = grid_symmetrized_mats(Ks, ms, (1, 1, 1))
+
+    # _edge_partials == boundary rows/cols of the full contractions.
+    import jax
+
+    HI = jax.lax.Precision.HIGHEST
+    w = jnp.where(bc3, 0.0, x3) * mats["s23"][None]
+    t2_full = jnp.einsum("by,xyz->xbz", mats["Kty"], w, precision=HI)
+    t3_full = jnp.einsum("xyz,zc->xyc", w, mats["KtzT"], precision=HI)
+    t2b, t3b = _edge_partials(x3, bc3, mats, True, True)
+    assert np.allclose(t2b[:, 0, :], t2_full[:, 0, :], atol=1e-6)
+    assert np.allclose(t2b[:, 1, :], t2_full[:, -1, :], atol=1e-6)
+    assert np.allclose(t3b[:, :, 0], t3_full[:, :, 0], atol=1e-6)
+    assert np.allclose(t3b[:, :, 1], t3_full[:, :, -1], atol=1e-6)
+
+    # Random neighbour corrections: kernel == twin.
+    cy = jnp.asarray(rng.standard_normal((shape[0], 2, shape[2])),
+                     jnp.float32)
+    cz = jnp.asarray(rng.standard_normal((shape[0], shape[1], 2)),
+                     jnp.float32)
     for sigma in (0.0, 37.0):
         t1c, _ = _build_calls(shape, 8, 8, False, True, (), sigma)
         t1 = t1c(x3, bc3, mats["Ktx"], mats["sxz"])
-        y_ref, t2b_ref, t3b_ref = _emu_t23_edges(
-            x3, bc3, t1, mats, sigma, True, True
-        )
+        y_ref = _emu_t23_grid(x3, bc3, t1, mats, sigma, cy, cz)
         for high, tol in ((False, 1e-6), (True, 1e-4)):
             t23g = _build_t23_grid_call(shape, 8, high, True, (), sigma,
                                         True, True)
-            y, t2b, t3b = t23g(x3, bc3, t1, mats["Kty"], mats["KtzT"],
-                               mats["sx2d"], mats["sycol"], mats["s23"],
-                               mats["Ktye"], mats["KtzTe"])
-            for got, ref in ((y, y_ref), (t2b, t2b_ref), (t3b, t3b_ref)):
-                err = float(jnp.linalg.norm(got - ref)
-                            / (1e-30 + jnp.linalg.norm(ref)))
-                assert err < tol, (sigma, high, err)
+            y = t23g(x3, bc3, t1, mats["Kty"], mats["KtzT"],
+                     mats["sx2d"], mats["sycol"], mats["s23"], cy, cz)
+            err = float(jnp.linalg.norm(y - y_ref)
+                        / (1e-30 + jnp.linalg.norm(y_ref)))
+            assert err < tol, (sigma, high, err)
 
 
 def test_fused_residual_matches_generic():
