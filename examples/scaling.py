@@ -95,10 +95,11 @@ def _grid_sweep(args, dtype):
     from pmg_dolfinx_tpu.models.poisson import f_rhs, fit_box_cells
     from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
 
-    if args.operator not in ("kron", "lattice", "lattice_blocked"):
+    if args.operator not in ("kron", "kron_blocked", "lattice",
+                             "lattice_blocked"):
         raise SystemExit(
-            f"--grid supports operators kron/lattice/lattice_blocked, "
-            f"got {args.operator!r}"
+            f"--grid supports operators kron/kron_blocked/lattice/"
+            f"lattice_blocked, got {args.operator!r}"
         )
     n_avail = args.max_devices or len(jax.devices())
     layouts = [(1, 1, 1), (2, 1, 1), (2, 2, 1), (2, 2, 2),

@@ -41,3 +41,25 @@ def test_halo_exchange_overlaps_compute_in_tpu_schedule():
         pytest.skip(f"TPU AOT topology unavailable: {e}")
     events, n_overlapped = analyze_overlap(hlo)
     assert n_overlapped >= 1, events
+
+
+def test_grid_halo_exchange_overlaps_compute_in_tpu_schedule():
+    """Same proof for the 3D-grid decomposition (r2 VERDICT weak/next
+    #8): each per-axis ppermute window in the scheduled HLO of the
+    (2,2,2)-grid kron apply must bracket an independent contraction."""
+    import pytest
+
+    from pmg_dolfinx_tpu.utils.overlap import (
+        analyze_overlap,
+        scheduled_hlo_grid_kron_apply,
+    )
+
+    try:
+        hlo = scheduled_hlo_grid_kron_apply()
+    except Exception as e:
+        pytest.skip(f"TPU AOT topology unavailable: {e}")
+    events, n_overlapped = analyze_overlap(hlo)
+    # Three sharded axes -> three exchange pairs; at least two windows
+    # must overlap compute (the last scheduled exchange may have no
+    # remaining independent work).
+    assert n_overlapped >= 2, events
