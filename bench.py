@@ -144,7 +144,9 @@ def _bench_vcycle_16m():
     for op in ("kron", "kron_blocked"):
         prob = PoissonProblem(nc=(42, 42, 42), degrees=(1, 3, 6), kappa=2.0,
                               dtype=jnp.float32, coarse="fdm", operator=op)
-        run = lambda n: prob.solve(num_cycles=n, residuals=False)
+        # The residual readback forces the host sync (block_until_ready
+        # does not synchronize under the axon tunnel — CLAUDE.md).
+        run = lambda n: float(prob.solve(num_cycles=n)[1][-1])
         per_cycle, spread = _measure(run, 4, 16, min_samples=5)
         out[op] = (per_cycle * 1e3, spread)
         del prob
