@@ -199,7 +199,10 @@ def dist_kron_blocked_cycle_ops(n_shards, precision="highest", sigma=0.0):
     level's ``kb_mats`` (the sqrt-mass scalings differ between boundary
     and interior shards, so the x-dependent factors are sharded)."""
     from ..ops.lattice import lattice_prolongate, lattice_restrict
-    from ..ops.pallas_kron_blocked import blocked_kron_apply
+    from ..ops.pallas_kron_blocked import (
+        blocked_kron_apply,
+        blocked_kron_residual,
+    )
 
     ex = lambda t1: _exchange_partials(t1, n_shards)
 
@@ -209,6 +212,14 @@ def dist_kron_blocked_cycle_ops(n_shards, precision="highest", sigma=0.0):
         # interface planes, no extra exchange.
         return blocked_kron_apply(
             x, lv["bc_marker"], lv["kb_mats"], precision=precision,
+            exchange=ex, sigma=sigma,
+        )
+
+    def residual_op(lv, b, u, level):
+        # Down-sweep residual through the fused subtract epilogue
+        # (bit-identical to b - apply; -0.47 ms/cycle at 16.2M).
+        return blocked_kron_residual(
+            b, u, lv["bc_marker"], lv["kb_mats"], precision=precision,
             exchange=ex, sigma=sigma,
         )
 
@@ -225,7 +236,8 @@ def dist_kron_blocked_cycle_ops(n_shards, precision="highest", sigma=0.0):
         )
 
     return dict(
-        apply=apply_op, restrict=restrict_op, prolong=prolong_op,
+        apply=apply_op, residual=residual_op,
+        restrict=restrict_op, prolong=prolong_op,
         dot=lambda u, v, lv: dist_inner_product(u, v, lv["weights"], AXIS),
         pvary=lambda v: pcast_varying(v, (AXIS,)),
         zeros=lambda level, dtype: jnp.zeros(level.shape, dtype=dtype),

@@ -175,7 +175,8 @@ def kron_cycle_ops(precision="highest", sigma=0.0):
 
 
 def kron_blocked_cycle_ops(precision="highest", by=8, bx=8,
-                           fuse_smoother=False, sigma=0.0):
+                           fuse_smoother=False, sigma=0.0,
+                           fuse_residual=True):
     """V-cycle primitives whose operator applies run the blocked fused
     Pallas kernel pair (`ops.pallas_kron_blocked`) instead of the XLA
     einsum chain — the production choice at large N (>~8M dofs), where
@@ -226,7 +227,16 @@ def kron_blocked_cycle_ops(precision="highest", by=8, bx=8,
         )
 
     tprec = "highest"  # transfers are cheap; keep them exact
-    fused = dict(smooth=smooth_op, residual=residual_op) if fuse_smoother else {}
+    # Residual-only fusion (default ON): the down-sweep r = b - A u runs
+    # through `blocked_kron_residual` — one fused subtract epilogue
+    # instead of a separate whole-lattice pass. Measured -0.47 ms/cycle
+    # at 16.2M (13.48 -> 13.01) with BIT-IDENTICAL trajectories (unlike
+    # the 9-buffer fuse_smoother cheb kernel, which goes DMA-bound).
+    fused = {}
+    if fuse_smoother:
+        fused = dict(smooth=smooth_op, residual=residual_op)
+    elif fuse_residual:
+        fused = dict(residual=residual_op)
     return dict(
         apply=apply_op,
         **fused,
