@@ -176,7 +176,7 @@ def kron_cycle_ops(precision="highest", sigma=0.0):
 
 def kron_blocked_cycle_ops(precision="highest", by=8, bx=8,
                            fuse_smoother=False, sigma=0.0,
-                           fuse_residual=True):
+                           fuse_residual=True, fuse_transfers=False):
     """V-cycle primitives whose operator applies run the blocked fused
     Pallas kernel pair (`ops.pallas_kron_blocked`) instead of the XLA
     einsum chain — the production choice at large N (>~8M dofs), where
@@ -237,15 +237,38 @@ def kron_blocked_cycle_ops(precision="highest", by=8, bx=8,
         fused = dict(smooth=smooth_op, residual=residual_op)
     elif fuse_residual:
         fused = dict(residual=residual_op)
+    if fuse_transfers:
+        # Mosaic transfer kernels: measured parity with the XLA einsums
+        # on v5e (the pair is MXU-HIGHEST-bound, not intermediate-bound;
+        # see ops/pallas_transfer.py) — opt-in for future tuning.
+        from ..ops.pallas_transfer import blocked_transfer, transfer_mats
+
+        def restrict_op(tr, r, level_c, level_f):
+            return blocked_transfer(
+                r, *transfer_mats((tr["Ix"], tr["Iy"], tr["Iz"]),
+                                  "restrict")
+            )
+
+        def prolong_op(tr, u, level_c, level_f):
+            return blocked_transfer(
+                u, *transfer_mats((tr["Ix"], tr["Iy"], tr["Iz"]),
+                                  "prolong")
+            )
+    else:
+        def restrict_op(tr, r, level_c, level_f):
+            return lattice_restrict(
+                r, (tr["Ix"], tr["Iy"], tr["Iz"]), level_f.shape, tprec
+            )
+
+        def prolong_op(tr, u, level_c, level_f):
+            return lattice_prolongate(
+                u, (tr["Ix"], tr["Iy"], tr["Iz"]), level_c.shape, tprec
+            )
     return dict(
         apply=apply_op,
         **fused,
-        restrict=lambda tr, r, level_c, level_f: lattice_restrict(
-            r, (tr["Ix"], tr["Iy"], tr["Iz"]), level_f.shape, tprec
-        ),
-        prolong=lambda tr, u, level_c, level_f: lattice_prolongate(
-            u, (tr["Ix"], tr["Iy"], tr["Iz"]), level_c.shape, tprec
-        ),
+        restrict=restrict_op,
+        prolong=prolong_op,
         dot=lambda u, v, lv: inner_product(u, v),
         pvary=lambda v: v,
         zeros=lambda level, dtype: jnp.zeros(level.shape, dtype=dtype),
@@ -494,7 +517,7 @@ class PMGHierarchy:
                  coarse_cfg=None,
                  calibration_iters=DEFAULT_CALIBRATION_ITERS,
                  operator="dofmap", precision="highest", sigma=0.0,
-                 fuse_smoother=False):
+                 fuse_smoother=False, fuse_transfers=False):
         """``operator`` selects the kernel backend: 'dofmap' (general,
         oracle-parity path), 'lattice' (banded-matmul MXU path, general
         hexes) or 'kron' (Kronecker-sum path, axis-aligned meshes — the
@@ -510,10 +533,10 @@ class PMGHierarchy:
         from ..fem.assembly import resolve_kappa
         from ..fem.mesh import require_axis_aligned
 
-        if fuse_smoother and operator != "kron_blocked":
+        if (fuse_smoother or fuse_transfers) and operator != "kron_blocked":
             raise ValueError(
-                "fuse_smoother=True requires operator='kron_blocked' (the "
-                "fused Chebyshev/residual epilogues are Mosaic kernels)"
+                "fuse_smoother/fuse_transfers require operator="
+                "'kron_blocked' (Mosaic kernel epilogues/transfers)"
             )
         self.sigma = float(sigma)
         kron_family = operator in ("kron", "kron_blocked")
@@ -563,7 +586,8 @@ class PMGHierarchy:
             # residual into the Mosaic kernel epilogues (verified equivalent;
             # measured +1.1 ms/cycle SLOWER at 16.2M on v5e — opt-in only).
             self._ops = kron_blocked_cycle_ops(
-                precision, sigma=self.sigma, fuse_smoother=fuse_smoother
+                precision, sigma=self.sigma, fuse_smoother=fuse_smoother,
+                fuse_transfers=fuse_transfers,
             )
         elif operator == "dofmap":
             self._ops = default_cycle_ops(sigma=self.sigma)

@@ -151,6 +151,59 @@ def test_grid_edge_kernel_matches_emulation():
             assert err < tol, (sigma, high, err)
 
 
+def test_blocked_transfer_matches_lattice_transfers():
+    """Mosaic transfer kernels (interpret mode) == the XLA per-axis
+    einsum transfers, both directions; and a V-cycle built with
+    fuse_transfers=True tracks the default trajectories. (Measured
+    performance parity on v5e — kept opt-in; see ops/pallas_transfer.py.)"""
+    from pmg_dolfinx_tpu.fem.assembly import assemble_rhs
+    from pmg_dolfinx_tpu.models.poisson import PoissonProblem, f_rhs
+    from pmg_dolfinx_tpu.ops.lattice import (
+        axis_interpolation_matrix,
+        lattice_prolongate,
+        lattice_restrict,
+    )
+    from pmg_dolfinx_tpu.ops.pallas_transfer import (
+        blocked_transfer,
+        transfer_mats,
+    )
+    from pmg_dolfinx_tpu.solvers.pmg import PMGHierarchy
+
+    mesh = BoxMesh((4, 3, 5))
+    Pc, Pf = 1, 3
+    shape_f = mesh.lattice_shape(Pf)
+    shape_c = mesh.lattice_shape(Pc)
+    I1s = tuple(
+        jnp.asarray(axis_interpolation_matrix(nc_a, Pc, Pf), jnp.float32)
+        for nc_a in mesh.nc
+    )
+    rng = np.random.default_rng(8)
+    r3 = jnp.asarray(rng.standard_normal(shape_f), jnp.float32)
+    rc_ref = lattice_restrict(r3, I1s, shape_f, "highest")
+    rc = blocked_transfer(r3, *transfer_mats(I1s, "restrict"),
+                          interpret=True)
+    assert float(jnp.linalg.norm(rc - rc_ref)
+                 / jnp.linalg.norm(rc_ref)) < 1e-6
+    pf_ref = lattice_prolongate(rc_ref, I1s, shape_c, "highest")
+    pf = blocked_transfer(rc_ref, *transfer_mats(I1s, "prolong"),
+                          interpret=True)
+    assert float(jnp.linalg.norm(pf - pf_ref)
+                 / jnp.linalg.norm(pf_ref)) < 1e-6
+
+    with pytest.raises(ValueError, match="direction"):
+        transfer_mats(I1s, "sideways")
+
+    mesh2 = BoxMesh((4, 4, 4))
+    kwargs = dict(degrees=(1, 3), kappa=2.0, dtype=jnp.float32,
+                  coarse="cg", operator="kron_blocked")
+    ref = PMGHierarchy(mesh2, **kwargs)
+    fused = PMGHierarchy(mesh2, fuse_transfers=True, **kwargs)
+    b = assemble_rhs(mesh2, 3, f_rhs(2.0))
+    _, rn_ref = ref.solve(b, num_cycles=4)
+    _, rn_fused = fused.solve(b, num_cycles=4)
+    assert np.allclose(rn_ref, rn_fused, rtol=1e-4), (rn_ref, rn_fused)
+
+
 def test_fused_residual_matches_generic():
     """The fused down-sweep residual kernel (`blocked_kron_residual`)
     reproduces ``b - A u`` of the XLA Kronecker apply (interpret mode;
