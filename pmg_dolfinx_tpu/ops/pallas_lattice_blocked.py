@@ -114,6 +114,96 @@ def _kernel_lattice(xq_ref, g_ref, Ey_ref, EyT_ref, Dy_ref, DyT_ref,
             out_ref[o + j] = dot(cxy, Ez) + dot(cz, Dz)      # (NY, NZ)
 
 
+def _kernel_lattice_yx(xe_ref, g_ref, Ez_ref, EzT_ref, Dz_ref, DzT_ref,
+                       D1_ref, out_ref, *, n, ncy, bcells, high):
+    # v2 ("yexp") kernel: the input arrives x- AND y-pre-expanded
+    # (XLA reshape/concat copies), so BOTH the x- and y-direction
+    # derivative contractions collapse to n-term block-D1 VPU sums —
+    # only the z-direction keeps MXU dots (4 per plane instead of 10).
+    # Algebra: Dy = BD1_y @ Ey with BD1_y block-diagonal D1, so
+    # Dy-contract(x) == BD1-rows(expand_y(x)) and Dy^T-contract ==
+    # fold_y(BD1^T-rows(.)); the fold_y moves to the XLA epilogue and
+    # commutes with the z-direction matmuls (different axes). Measured
+    # v5e 16.2M 'highest': 8.7 -> 3.1 ms/apply vs the v1 kernel.
+    dot = _mk_dot(high)
+    Ez, EzT = Ez_ref[:], EzT_ref[:]
+    Dz, DzT = Dz_ref[:], DzT_ref[:]
+    D1 = D1_ref[:]
+    Qy = xe_ref.shape[1]
+    Qz = EzT.shape[1]
+
+    def block_d1(planes_r, transpose):
+        # planes_r: (ncy, n, Qz) cell-blocked rows of one (Qy, Qz) plane.
+        # Returns the per-cell D1 (or D1^T) action, same shape.
+        rows = []
+        for q in range(n):
+            if transpose:
+                rows.append(sum(D1[i, q] * planes_r[:, i, :]
+                                for i in range(n)))
+            else:
+                rows.append(sum(D1[q, i] * planes_r[:, i, :]
+                                for i in range(n)))
+        return jnp.stack(rows, axis=1)
+
+    for c in range(bcells):
+        o = c * n
+        v, uz = [], []
+        for p in range(n):
+            xp = xe_ref[o + p]                     # (Qy, NZ)
+            v.append(dot(xp, EzT))                 # (Qy, Qz) full values
+            uz.append(dot(xp, DzT))
+        ux = [
+            sum(D1[q, j] * v[j] for j in range(n))
+            for q in range(n)
+        ]
+        uy = [
+            block_d1(v[p].reshape(ncy, n, Qz), False).reshape(Qy, Qz)
+            for p in range(n)
+        ]
+        tx, ty, tz = [], [], []
+        for q in range(n):
+            g0 = g_ref[0, o + q]
+            g1 = g_ref[1, o + q]
+            g2 = g_ref[2, o + q]
+            g3 = g_ref[3, o + q]
+            g4 = g_ref[4, o + q]
+            g5 = g_ref[5, o + q]
+            tx.append(g0 * ux[q] + g1 * uy[q] + g2 * uz[q])
+            ty.append(g1 * ux[q] + g3 * uy[q] + g4 * uz[q])
+            tz.append(g2 * ux[q] + g4 * uy[q] + g5 * uz[q])
+        for j in range(n):
+            bx_j = sum(D1[q, j] * tx[q] for q in range(n))
+            by_j = block_d1(ty[j].reshape(ncy, n, Qz), True
+                            ).reshape(Qy, Qz)
+            out_ref[o + j] = dot(bx_j + by_j, Ez) + dot(tz[j], Dz)
+
+
+@lru_cache(maxsize=None)
+def _build_call_yx(qshape, Qz, n, ncy, bcells, high, interpret, vma=()):
+    """qshape = (Qx, Qy, NZ) of the x+y-expanded lattice."""
+    Qx, Qy, NZ = qshape
+    bq = bcells * n
+    return pl.pallas_call(
+        partial(_kernel_lattice_yx, n=n, ncy=ncy, bcells=bcells, high=high),
+        grid=(pl.cdiv(Qx, bq),),
+        in_specs=[
+            pl.BlockSpec((bq, Qy, NZ), lambda i: (i, 0, 0)),        # xe
+            pl.BlockSpec((6, bq, Qy, Qz), lambda i: (0, i, 0, 0)),  # G
+            pl.BlockSpec((Qz, NZ), lambda i: (0, 0)),   # Ez
+            pl.BlockSpec((NZ, Qz), lambda i: (0, 0)),   # EzT
+            pl.BlockSpec((Qz, NZ), lambda i: (0, 0)),   # Dz
+            pl.BlockSpec((NZ, Qz), lambda i: (0, 0)),   # DzT
+            pl.BlockSpec((n, n), lambda i: (0, 0)),     # D1
+        ],
+        out_specs=pl.BlockSpec((bq, Qy, NZ), lambda i: (i, 0, 0)),
+        out_shape=out_struct(qshape, vma),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+
 @lru_cache(maxsize=None)
 def _build_call(qshape, nyz, n, bcells, high, interpret, vma=()):
     """qshape = (Qx, NY, NZ) of the x-expanded lattice; nyz = (Qy, Qz)."""
@@ -179,15 +269,22 @@ def geometry_to_gfirst(Gq):
 
 def blocked_lattice_apply(x, mats, Gt, bc_marker, nc, P, *, bcells=1,
                           precision="highest", interpret=None,
-                          apply_bc=True):
+                          apply_bc=True, variant="yexp"):
     """Fused ``y = A x`` on general hexes (shape-preserving like
     `lattice_laplacian_apply`). ``Gt`` is the ``(6, Qx, Qy, Qz)`` array
     from `geometry_to_gfirst`; ``mats`` from `lattice_blocked_mats`.
+
+    ``variant='yexp'`` (default) pre-expands BOTH x and y in XLA so the
+    kernel keeps MXU dots only for the z direction (measured 2.8x the v1
+    kernel at 16.2M, see `_kernel_lattice_yx`); ``variant='v1'`` is the
+    original x-expanded kernel (y via E/D matmuls).
     """
     if precision not in ("highest", "high"):
         raise ValueError(
             f"precision must be 'highest' or 'high', got {precision!r}"
         )
+    if variant not in ("yexp", "v1"):
+        raise ValueError(f"unknown variant {variant!r}")
     emulate = False
     if interpret is None:
         emulate = jax.default_backend() != "tpu"
@@ -210,12 +307,24 @@ def blocked_lattice_apply(x, mats, Gt, bc_marker, nc, P, *, bcells=1,
     xb = jnp.where(bc_marker, jnp.zeros_like(x), x).reshape(NX, NY, NZ)
     xq = expand_axis0(xb, ncx, P)                      # (Qx, NY, NZ) copy
     vma = _join_vma(x, bc_marker, Gt, *mats.values())
-    call = _build_call((ncx * n, NY, NZ), (ncy * n, ncz * n), n,
-                       min(bcells, ncx), precision == "high", interpret,
-                       vma)
-    names = ("Ey", "EyT", "Dy", "DyT", "Ez", "EzT", "Dz", "DzT", "D1")
-    xq, Gt, *mvals = _pvary_all(vma, xq, Gt, *(mats[k] for k in names))
-    yq = call(xq, Gt, *mvals)
+    if variant == "yexp":
+        from .lattice import _expand, _fold
+
+        xe = _expand(xq, 1, ncy, P)                    # (Qx, Qy, NZ)
+        call = _build_call_yx((ncx * n, ncy * n, NZ), ncz * n, n, ncy,
+                              min(bcells, ncx), precision == "high",
+                              interpret, vma)
+        names = ("Ez", "EzT", "Dz", "DzT", "D1")
+        xe, Gt, *mvals = _pvary_all(vma, xe, Gt, *(mats[k] for k in names))
+        yq = call(xe, Gt, *mvals)
+        yq = _fold(yq, 1, ncy, P)                      # y overlap-add
+    else:
+        call = _build_call((ncx * n, NY, NZ), (ncy * n, ncz * n), n,
+                           min(bcells, ncx), precision == "high",
+                           interpret, vma)
+        names = ("Ey", "EyT", "Dy", "DyT", "Ez", "EzT", "Dz", "DzT", "D1")
+        xq, Gt, *mvals = _pvary_all(vma, xq, Gt, *(mats[k] for k in names))
+        yq = call(xq, Gt, *mvals)
     y = fold_axis0(yq, ncx, P).reshape(jnp.shape(x))
     if not apply_bc:
         return y
@@ -230,7 +339,7 @@ class PallasLatticeBlocked:
     """
 
     def __init__(self, mesh, P, kappa=2.0, bcells=1, interpret=False,
-                 precision="highest"):
+                 precision="highest", variant="yexp"):
         from ..fem.assembly import resolve_kappa
         from ..fem.geometry import (
             geometry_factors,
@@ -246,6 +355,7 @@ class PallasLatticeBlocked:
         self.ndofs = mesh.num_dofs(P)
         self.precision = precision
         self.bcells = int(bcells)
+        self.variant = variant
         self._interpret = interpret
         kappa_cells, _ = resolve_kappa(mesh, kappa)
         G_cells, _ = geometry_factors(
@@ -282,6 +392,7 @@ class PallasLatticeBlocked:
             x, mats, Gt, bc_marker, self.mesh.nc, self.P,
             bcells=self.bcells, precision=self.precision,
             interpret=True if self._interpret else None,
+            variant=self.variant,
         )
 
     def __call__(self, x):
