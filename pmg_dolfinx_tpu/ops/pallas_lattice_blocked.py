@@ -269,20 +269,26 @@ def geometry_to_gfirst(Gq):
 
 def blocked_lattice_apply(x, mats, Gt, bc_marker, nc, P, *, bcells=1,
                           precision="highest", interpret=None,
-                          apply_bc=True, variant="yexp"):
+                          apply_bc=True, variant=None):
     """Fused ``y = A x`` on general hexes (shape-preserving like
     `lattice_laplacian_apply`). ``Gt`` is the ``(6, Qx, Qy, Qz)`` array
     from `geometry_to_gfirst`; ``mats`` from `lattice_blocked_mats`.
 
-    ``variant='yexp'`` (default) pre-expands BOTH x and y in XLA so the
-    kernel keeps MXU dots only for the z direction (measured 2.8x the v1
-    kernel at 16.2M, see `_kernel_lattice_yx`); ``variant='v1'`` is the
-    original x-expanded kernel (y via E/D matmuls).
+    ``variant``: 'yexp' pre-expands BOTH x and y in XLA so the kernel
+    keeps MXU dots only for the z direction (`_kernel_lattice_yx`);
+    'v1' is the original x-expanded kernel (y via E/D matmuls). Measured
+    (v5e, p=6 general hex, GDOF/s at 2.05M / 16.2M):
+    'highest': yexp 4.13 / 2.14 vs v1 3.21 / 1.88 — yexp wins;
+    'high' (bf16x3): v1 5.61 / 2.78 vs yexp 4.57 / 2.49 — v1 wins (the
+    bf16 split speeds the matmuls v1 leans on, while the VPU block-D1
+    sums gain nothing). Default (None): picked by precision.
     """
     if precision not in ("highest", "high"):
         raise ValueError(
             f"precision must be 'highest' or 'high', got {precision!r}"
         )
+    if variant is None:
+        variant = "v1" if precision == "high" else "yexp"
     if variant not in ("yexp", "v1"):
         raise ValueError(f"unknown variant {variant!r}")
     emulate = False
@@ -339,7 +345,7 @@ class PallasLatticeBlocked:
     """
 
     def __init__(self, mesh, P, kappa=2.0, bcells=1, interpret=False,
-                 precision="highest", variant="yexp"):
+                 precision="highest", variant=None):
         from ..fem.assembly import resolve_kappa
         from ..fem.geometry import (
             geometry_factors,
