@@ -62,12 +62,21 @@ grid_l = GridPMG(mesh_l, shards=(2, 2, 2), degrees=(1, 3), kappa=kappa,
                  coarse="cg", operator="lattice")
 u_l, rn_lat = grid_l.solve(b_l, num_cycles=5)
 
+# Production blocked Mosaic pair on the process-spanning grid (f32;
+# edge-partial exchanges cross the process boundary).
+import jax.numpy as jnp  # noqa: E402
+
+grid_kb = GridPMG(mesh_g, shards=(2, 2, 2), degrees=(1, 3), kappa=kappa,
+                  coarse="cg", operator="kron_blocked", dtype=jnp.float32)
+_, rn_kb = grid_kb.solve(b_g, num_cycles=5)
+
 with open(out_path, "w") as f:
     json.dump({
         "pid": pid,
         "rn_dist": rn_dist,
         "rn_grid": rn_grid,
         "rn_lat": rn_lat,
+        "rn_kb": rn_kb,
         "u_d_norm": float((u_d ** 2).sum() ** 0.5),
         "u_g_norm": float((u_g ** 2).sum() ** 0.5),
     }, f)

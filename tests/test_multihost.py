@@ -67,6 +67,7 @@ def test_two_processes_match_each_other(two_process_results):
     assert np.allclose(r0["rn_dist"], r1["rn_dist"], rtol=1e-12)
     assert np.allclose(r0["rn_grid"], r1["rn_grid"], rtol=1e-12)
     assert np.allclose(r0["rn_lat"], r1["rn_lat"], rtol=1e-12)
+    assert np.allclose(r0["rn_kb"], r1["rn_kb"], rtol=1e-12)
     assert np.isclose(r0["u_d_norm"], r1["u_d_norm"], rtol=1e-12)
 
 
@@ -101,3 +102,12 @@ def test_two_processes_match_single_process(two_process_results):
     _, rn_lat = grid_l.solve(b_l, num_cycles=5)
     assert np.allclose(r0["rn_lat"], rn_lat, rtol=1e-10), (
         r0["rn_lat"], rn_lat)
+
+    import jax.numpy as jnp
+
+    grid_kb = GridPMG(mesh_g, shards=(2, 2, 2), degrees=(1, 3), kappa=kappa,
+                      coarse="cg", operator="kron_blocked",
+                      dtype=jnp.float32)
+    _, rn_kb = grid_kb.solve(b_g, num_cycles=5)
+    # f32 path: Gloo vs single-process reduction orders differ slightly.
+    assert np.allclose(r0["rn_kb"], rn_kb, rtol=5e-4), (r0["rn_kb"], rn_kb)
