@@ -19,6 +19,9 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--degree", type=int, default=4)
     p.add_argument("--reps", type=int, default=1000)
+    p.add_argument("--variant", choices=["yexp", "v1", ""], default="",
+                   help="lattice_blocked kernel variant (default: "
+                        "auto-select by precision)")
     p.add_argument("--mat_comp", action="store_true",
                    help="verify against the assembled CSR oracle (hosts a "
                         "dense-per-cell assembly; use moderate --ndofs)")
@@ -83,7 +86,8 @@ def main():
         )
 
         op = PallasLatticeBlocked(mesh, args.degree, kappa=args.kappa,
-                                  precision=args.precision)
+                                  precision=args.precision,
+                                  variant=args.variant or None)
 
         @partial(jax.jit, static_argnums=(4,))
         def chain(x, mats, Gt, bc, reps):

@@ -455,7 +455,12 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
         # h-hierarchy, traced inline into one program. Distributed: the
         # gathered global problem is solved redundantly with the
         # single-device hmg ops (whose 'pvary' must match the caller's
-        # SPMD context).
+        # SPMD context). KNOWN SCALING LIMIT: every shard gathers and
+        # solves the FULL p=1 problem — fine while the coarse level is
+        # O(1%) of the fine dofs (p>=3 hierarchies; e.g. 60k coarse dofs
+        # at 16.2M fine), a wall for 3-level p-hierarchies at 100M+ dofs
+        # where the coarse solve itself should be shard_map'd over the
+        # h-levels instead of gathered.
         hmg_ops = coarse_cfg.get("hmg_ops", ops)
         hmg_levels = coarse_cfg["hmg_levels"]
         hfresh = hmg_ops.get("pvary", lambda v: v)
