@@ -17,10 +17,12 @@ operator makes the multi-axis extension clean:
   transposed matmuls, then one exchange per sharded axis (linear and
   axiswise-independent — edges/corners receive all and end complete).
 
-The 'lattice' backend rides the same per-axis exchange machinery
-(`grid_lattice_cycle_ops`): general non-affine hexes and variable DG-0
-coefficients on multi-axis device grids. Only the fully general 'dofmap'
-oracle remains 1D-partition-only.
+Every operator backend rides the same per-axis exchange machinery:
+'kron' / 'kron_blocked' (axis-aligned, the production paths), 'lattice'
+/ 'lattice_blocked' (general non-affine hexes and variable DG-0
+coefficients), and the fully general 'dofmap' oracle (box-blocked
+per-cell arrays + local box dofmaps) — the complete backend x
+decomposition matrix.
 """
 
 import jax
@@ -143,6 +145,37 @@ def _plane_exchange_pair(axis_name, n_shards):
         return from_left, from_right
 
     return ex
+
+
+def grid_dofmap_cycle_ops(shards, sigma=0.0):
+    """Grid V-cycle primitives over the fully general dofmap oracle
+    (gather -> per-cell sum-factorized apply -> scatter-add,
+    `ops.laplacian`). Per-cell arrays are box-blocked host-side
+    (``(ncx, ncy, ncz, ...)`` sharded over the device grid) and the
+    scatter targets each shard's LOCAL box dofmap; cell contributions
+    land entirely inside the local duplicated-plane lattice, so the same
+    sequential per-axis exchanges reconcile the interface partials.
+    Completes the backend x decomposition matrix — previously the oracle
+    ran only single-device and on the 1D slab."""
+    from ..ops.laplacian import laplacian_scatter_raw
+
+    shards = _norm_shards(shards)
+
+    def apply_op(lv, x, level):
+        raw = laplacian_scatter_raw(
+            x.reshape(-1), lv["dofmap"],
+            lv["G"].reshape(-1, *lv["G"].shape[3:]),
+            lv["coeff"].reshape(-1), lv["D"],
+            lv["bc_marker"].reshape(-1),
+        )
+        y = raw.reshape(level.shape)
+        for a in range(3):
+            y = _exchange_axis(y, shards[a], AXES[a], a)
+        if sigma:
+            y = y + sigma * lv["m3"] * x
+        return jnp.where(lv["bc_marker"], x, y)
+
+    return dict(_grid_common_ops(shards, "highest"), apply=apply_op)
 
 
 def grid_kron_blocked_cycle_ops(shards, precision="highest", sigma=0.0):
@@ -390,11 +423,11 @@ class GridPMG:
 
         self.sigma = float(sigma)
         if operator not in ("kron", "kron_blocked", "lattice",
-                            "lattice_blocked"):
+                            "lattice_blocked", "dofmap"):
             raise ValueError(
                 f"GridPMG: unknown operator backend {operator!r} "
-                "(choose 'kron', 'kron_blocked', 'lattice' or "
-                "'lattice_blocked')"
+                "(choose 'kron', 'kron_blocked', 'lattice', "
+                "'lattice_blocked' or 'dofmap')"
             )
         if operator in ("kron", "kron_blocked"):
             require_axis_aligned(mesh, f"GridPMG operator='{operator}'")
@@ -433,6 +466,8 @@ class GridPMG:
         elif operator == "kron_blocked":
             ops = grid_kron_blocked_cycle_ops(shards, precision,
                                               sigma=self.sigma)
+        elif operator == "dofmap":
+            ops = grid_dofmap_cycle_ops(shards, sigma=self.sigma)
         else:
             ops = grid_kron_cycle_ops(shards, precision, sigma=self.sigma)
 
@@ -730,6 +765,39 @@ class GridPMG:
                 lv["m" + name] = jnp.asarray(m_dup, dtype=dtype)
                 spec["K" + name] = P()
                 spec["m" + name] = P(AXES[a])
+        elif backend == "dofmap":
+            from ..fem.geometry import (
+                geometry_factors,
+                quadrature_weights_3d,
+                tabulate_geometry_dphi,
+            )
+            from ..fem.gll import derivative_matrix
+            from ..fem.mesh import BoxMesh as _Box
+
+            # Per-cell arrays box-blocked: the 1D cell order is
+            # (cx slowest, cz fastest), so (ncells, ...) reshapes to
+            # (ncx, ncy, ncz, ...) and shards over the device grid.
+            # The scatter target is the shard's LOCAL box dofmap
+            # (topology only — geometry enters via G).
+            G_cells, _ = geometry_factors(
+                mesh.geometry_x,
+                mesh.geometry_dofmap,
+                tabulate_geometry_dphi(Pdeg),
+                quadrature_weights_3d(Pdeg),
+                xp=np,
+            )
+            nq = G_cells.shape[1]
+            lv["G"] = jnp.asarray(
+                G_cells.reshape(*mesh.nc, nq, 6), dtype=dtype
+            )
+            lv["coeff"] = jnp.asarray(
+                self.kappa_cells.reshape(*mesh.nc), dtype=dtype
+            )
+            lv["dofmap"] = jnp.asarray(
+                _Box(part.cells_per_shard).dofmap(Pdeg)
+            )
+            lv["D"] = jnp.asarray(derivative_matrix(Pdeg), dtype=dtype)
+            spec.update(G=P(*AXES), coeff=P(*AXES), dofmap=P(), D=P())
         else:  # lattice / lattice_blocked
             from ..fem.geometry import (
                 geometry_factors,
@@ -896,6 +964,8 @@ class GridPMG:
             if self.operator_kind in ("kron", "kron_blocked"):
                 ops64 = grid_kron_cycle_ops(shards, "highest",
                                             sigma=self.sigma)
+            elif self.operator_kind == "dofmap":
+                ops64 = grid_dofmap_cycle_ops(shards, sigma=self.sigma)
             else:
                 ops64 = grid_lattice_cycle_ops(shards, "highest",
                                                sigma=self.sigma)

@@ -233,6 +233,28 @@ def test_grid_kron_blocked_matches_single(shards):
     assert np.allclose(u_d, np.asarray(u_s), atol=1e-5)
 
 
+def test_grid_dofmap_oracle_matches_single():
+    """The fully general dofmap oracle under a (2,2,2) grid (the last
+    cell of the backend x decomposition matrix): trajectories match the
+    single-device dofmap hierarchy exactly (f64), on a CURVED mesh with
+    variable DG-0 kappa and the sigma shift — the most general problem
+    the framework expresses."""
+    from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+    from pmg_dolfinx_tpu.models.poisson import f_rhs_variable, kappa_linear
+    from pmg_dolfinx_tpu.solvers.pmg import PMGHierarchy
+
+    mesh = PerturbedBoxMesh((4, 4, 2))
+    kwargs = dict(degrees=(1, 3), kappa=kappa_linear, coarse="cg",
+                  operator="dofmap", sigma=11.0)
+    single = PMGHierarchy(mesh, **kwargs)
+    b = assemble_rhs(mesh, 3, f_rhs_variable(sigma=11.0))
+    u_s, rn_s = single.solve(jnp.asarray(b), num_cycles=5)
+    grid = GridPMG(mesh, shards=(2, 2, 2), **kwargs)
+    u_d, rn_d = grid.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-9), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-10)
+
+
 def test_grid_kron_blocked_apply_oracle():
     """Grid blocked apply == the f64 assembled operator (single apply,
     (2,2,2) shards, all three exchange paths active)."""
