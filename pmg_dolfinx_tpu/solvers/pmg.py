@@ -237,6 +237,15 @@ def kron_blocked_cycle_ops(precision="highest", by=8, bx=8,
         fused = dict(smooth=smooth_op, residual=residual_op)
     elif fuse_residual:
         fused = dict(residual=residual_op)
+    # NOTE (measured, v5e, 16.2M, 16 stationary cycles): a mixed
+    # configuration with ONLY the smoother applies at 'high' (exact
+    # 'highest' residuals/transfers/coarse) stalls at rel 8.8e-2 — the
+    # same level as the all-'high' cycle — while the all-'highest'
+    # baseline reaches the f32 floor (8.2e-4). The documented 'high'
+    # stationary stall is therefore driven by the SMOOTHER reinjecting
+    # the bf16x3 operator perturbation each sweep, not by residual or
+    # transfer inexactness; no intra-cycle precision split helps, and
+    # 'high' stays an FCG/refined-outer-loop mode only.
     if fuse_transfers:
         # Mosaic transfer kernels: measured parity with the XLA einsums
         # on v5e (the pair is MXU-HIGHEST-bound, not intermediate-bound;
