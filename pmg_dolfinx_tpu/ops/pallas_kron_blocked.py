@@ -198,7 +198,8 @@ def _kernel_t23_res(v_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
         ro_ref[i] = r_ref[i] - jnp.where(bci, vi, yi)
 
 
-def _kernel_t23_grid(*refs, high, sigma=0.0, need_y, need_z):
+def _kernel_t23_grid(*refs, high, sigma=0.0, need_y, need_z,
+                     residual=False):
     # Kernel 2 for multi-axis device grids: `_kernel_t23` plus tiny
     # neighbour-correction INPUTS applied to the accumulator's boundary
     # planes BEFORE the final scaling:
@@ -219,6 +220,7 @@ def _kernel_t23_grid(*refs, high, sigma=0.0, need_y, need_z):
     )
     cy_ref = next(it) if need_y else None
     cz_ref = next(it) if need_z else None
+    r_ref = next(it) if residual else None  # fused ro = r - A u
     out_ref = next(it)
 
     Kty = Kty_ref[:]
@@ -262,7 +264,8 @@ def _kernel_t23_grid(*refs, high, sigma=0.0, need_y, need_z):
                 + jnp.where(iz == NZ - 1, cz_ref[i, :, 1:2], 0.0)
             )
         yi = acc * (sxi * s23)
-        out_ref[i] = jnp.where(bci, xi, yi)
+        Av = jnp.where(bci, xi, yi)
+        out_ref[i] = r_ref[i] - Av if residual else Av
 
 
 def symmetrized_mats(Ks, ms, dtype=jnp.float32):
@@ -504,9 +507,11 @@ def _build_res_call(shape, bx, high, interpret, vma=(), sigma=0.0):
 
 @lru_cache(maxsize=None)
 def _build_t23_grid_call(shape, bx, high, interpret, vma=(), sigma=0.0,
-                         need_y=False, need_z=False):
+                         need_y=False, need_z=False, residual=False):
     """Kernel-2 pallas_call with neighbour-correction inputs (see
-    `_kernel_t23_grid`); pairs with kernel 1 from `_build_calls`."""
+    `_kernel_t23_grid`); pairs with kernel 1 from `_build_calls`.
+    With ``residual=True`` the kernel takes an extra r input and emits
+    the fused ``r - A u`` (the down-sweep residual)."""
     NX, NY, NZ = shape
     lat = lambda: pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0))
     in_specs = [
@@ -521,9 +526,11 @@ def _build_t23_grid_call(shape, bx, high, interpret, vma=(), sigma=0.0,
         in_specs.append(pl.BlockSpec((bx, 2, NZ), lambda i: (i, 0, 0)))
     if need_z:
         in_specs.append(pl.BlockSpec((bx, NY, 2), lambda i: (i, 0, 0)))
+    if residual:
+        in_specs.append(lat())                      # r_in
     return pl.pallas_call(
         partial(_kernel_t23_grid, high=high, sigma=sigma,
-                need_y=need_y, need_z=need_z),
+                need_y=need_y, need_z=need_z, residual=residual),
         grid=(pl.cdiv(NX, bx),),
         in_specs=in_specs,
         out_specs=lat(),
@@ -577,7 +584,7 @@ def _emu_t23_grid(x3, bc3, t1, m, sigma, cy, cz):
 def blocked_kron_apply_grid(x3, bc3, mats, *, by=8, bx=8,
                             precision="highest", interpret=None,
                             exchange_x=None, ex_y=None, ex_z=None,
-                            sigma=0.0):
+                            sigma=0.0, r3=None):
     """Blocked Kronecker apply under a multi-axis (x, y, z) device grid.
 
     ``mats`` is the dict from `grid_symmetrized_mats` (per-shard local
@@ -604,6 +611,11 @@ def blocked_kron_apply_grid(x3, bc3, mats, *, by=8, bx=8,
     need_y = ex_y is not None
     need_z = ex_z is not None
     if not (need_y or need_z):
+        if r3 is not None:
+            return blocked_kron_residual(
+                r3, x3, bc3, mats, by=by, bx=bx, precision=precision,
+                interpret=interpret, exchange=exchange_x, sigma=sigma,
+            )
         return blocked_kron_apply(
             x3, bc3, mats, by=by, bx=bx, precision=precision,
             interpret=interpret, exchange=exchange_x, sigma=sigma,
@@ -628,15 +640,17 @@ def blocked_kron_apply_grid(x3, bc3, mats, *, by=8, bx=8,
         t1 = _emu_t1(x3, bc3, mats)
         if exchange_x is not None:
             t1 = exchange_x(t1)
-        return _emu_t23_grid(x3, bc3, t1, mats, sigma, cy, cz)
+        Av = _emu_t23_grid(x3, bc3, t1, mats, sigma, cy, cz)
+        return Av if r3 is None else r3 - Av
 
     by, bx = _clamp_blocks(x3.shape, by, bx)
     high = precision == "high"
-    vma = _join_vma(x3, bc3, cy, cz, *mats.values())
+    vma = _join_vma(x3, bc3, cy, cz, r3, *mats.values())
     t1c, _ = _build_calls(tuple(x3.shape), by, bx, high, interpret,
                           vma, sigma)
     t23g = _build_t23_grid_call(tuple(x3.shape), bx, high, interpret,
-                                vma, sigma, need_y, need_z)
+                                vma, sigma, need_y, need_z,
+                                residual=r3 is not None)
     names = ["Ktx", "sxz", "Kty", "KtzT", "sx2d", "sycol", "s23"]
     x3, bc3, *mvals = _pvary_all(vma, x3, bc3,
                                  *(mats[k] for k in names))
@@ -652,6 +666,9 @@ def blocked_kron_apply_grid(x3, bc3, mats, *, by=8, bx=8,
     if need_z:
         (cz,) = _pvary_all(vma, cz)
         args.append(cz)
+    if r3 is not None:
+        (r3,) = _pvary_all(vma, r3)
+        args.append(r3)
     return t23g(*args)
 
 

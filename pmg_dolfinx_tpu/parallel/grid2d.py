@@ -206,7 +206,16 @@ def grid_kron_blocked_cycle_ops(shards, precision="highest", sigma=0.0):
             exchange_x=ex_x, ex_y=ex_y, ex_z=ex_z, sigma=sigma,
         )
 
-    return dict(_grid_common_ops(shards, "highest"), apply=apply_op)
+    def residual_op(lv, b, u, level):
+        # Down-sweep residual with the subtract fused into kernel 2's
+        # epilogue (r3=), same exchange structure as the apply.
+        return blocked_kron_apply_grid(
+            u, lv["bc_marker"], lv["kb_mats"], precision=precision,
+            exchange_x=ex_x, ex_y=ex_y, ex_z=ex_z, sigma=sigma, r3=b,
+        )
+
+    return dict(_grid_common_ops(shards, "highest"), apply=apply_op,
+                residual=residual_op)
 
 
 def grid_coarse_hooks(part, P0):

@@ -137,6 +137,7 @@ def test_grid_edge_kernel_matches_emulation():
                      jnp.float32)
     cz = jnp.asarray(rng.standard_normal((shape[0], shape[1], 2)),
                      jnp.float32)
+    r3 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
     for sigma in (0.0, 37.0):
         t1c, _ = _build_calls(shape, 8, 8, False, True, (), sigma)
         t1 = t1c(x3, bc3, mats["Ktx"], mats["sxz"])
@@ -149,6 +150,16 @@ def test_grid_edge_kernel_matches_emulation():
             err = float(jnp.linalg.norm(y - y_ref)
                         / (1e-30 + jnp.linalg.norm(y_ref)))
             assert err < tol, (sigma, high, err)
+            # Residual variant: fused ro = r - A u with the same
+            # corrections.
+            t23r = _build_t23_grid_call(shape, 8, high, True, (), sigma,
+                                        True, True, residual=True)
+            ro = t23r(x3, bc3, t1, mats["Kty"], mats["KtzT"],
+                      mats["sx2d"], mats["sycol"], mats["s23"], cy, cz,
+                      r3)
+            err = float(jnp.linalg.norm(ro - (r3 - y_ref))
+                        / (1e-30 + jnp.linalg.norm(r3 - y_ref)))
+            assert err < tol, ("residual", sigma, high, err)
 
 
 def test_blocked_transfer_matches_lattice_transfers():
