@@ -601,8 +601,10 @@ def blocked_kron_apply_grid(x3, bc3, mats, *, by=8, bx=8,
     The exchanges depend only on x (not on kernel 2's output), so the
     ppermutes overlap with kernel 1/2 under XLA's latency-hiding
     scheduler. bc rows need no correction masking (the kernel's bc
-    epilogue overwrites them). Reference bar: the hot kernel running
-    under ANY rank decomposition (src/laplacian.hpp:378-455).
+    epilogue overwrites them). With ``r3`` given, the kernel emits the
+    fused down-sweep residual ``r3 - A x`` instead (bit-exact vs the
+    separate subtract; measured on v5e). Reference bar: the hot kernel
+    running under ANY rank decomposition (src/laplacian.hpp:378-455).
     """
     if precision not in ("highest", "high"):
         raise ValueError(

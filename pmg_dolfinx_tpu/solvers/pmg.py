@@ -183,8 +183,9 @@ def kron_blocked_cycle_ops(precision="highest", by=8, bx=8,
     fusing the bc-mask / symmetric scaling / term sum into the matmul
     pipelines saves whole-lattice HBM passes (+28% apply throughput at
     16.2M dofs, f32 'highest'; +18% more with 'high' bf16x3 matmuls).
-    Measured 16.2M-dof p=(1,3,6) V-cycle (v5e, fdm coarse): 13.4 ms vs
-    14.4 ms for the XLA kron path, identical residual trajectories.
+    Measured 16.2M-dof p=(1,3,6) V-cycle (v5e, fdm coarse): 13.0 ms
+    (with the default fused down-sweep residual) vs 14.3 ms for the XLA
+    kron path, identical residual trajectories.
 
     ``fuse_smoother=True`` additionally folds the Chebyshev-4 update and
     the down-sweep residual into the kernels' epilogues
