@@ -19,7 +19,8 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--degree", type=int, default=4)
     p.add_argument("--reps", type=int, default=1000)
-    p.add_argument("--variant", choices=["yexp", "v1", ""], default="",
+    p.add_argument("--variant", choices=["yexp", "v1", "geom", ""],
+                   default="",
                    help="lattice_blocked kernel variant (default: "
                         "auto-select by precision)")
     p.add_argument("--mat_comp", action="store_true",
@@ -96,7 +97,8 @@ def main():
             return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
 
         def run(reps):
-            return float(chain(x, op.mats, op.Gt, op.bc_marker, reps))
+            g = op.co if op.variant == "geom" else op.Gt
+            return float(chain(x, op.mats, g, op.bc_marker, reps))
     elif args.operator == "lattice":
         op = LatticeLaplacian(mesh, args.degree, kappa=args.kappa, dtype=dtype,
                               precision=args.precision)

@@ -178,6 +178,160 @@ def _kernel_lattice_yx(xe_ref, g_ref, Ez_ref, EzT_ref, Dz_ref, DzT_ref,
             out_ref[o + j] = dot(bx_j + by_j, Ez) + dot(tz[j], Dz)
 
 
+def _kernel_lattice_geom(xe_ref, co_ref, Sy_ref, SyE_ref, SyW_ref,
+                         SzT_ref, SzET_ref, SzWT_ref, Ez_ref, EzT_ref,
+                         Dz_ref, DzT_ref, D1_ref, out_ref,
+                         *, n, ncy, bcells, high, xi, wx):
+    # v3 ("geom") kernel: same contraction structure as the yexp kernel,
+    # but the 6-entry geometry stream is REPLACED by on-the-fly geometry:
+    # per cell, the trilinear map's Jacobian columns are bilinear in the
+    # two non-derivative reference coordinates (d x/d xi has no xi
+    # dependence, etc.), so J is reconstructed from 36 per-cell
+    # coefficients. Coefficient grids (ncy, ncz) expand to quadrature
+    # planes via small MXU matmuls against cell->point expansion
+    # matrices (Sy / SzT; the E-scaled variants fold the within-cell
+    # coordinate factor into the expansion, the W-scaled ones the GLL
+    # weights), then adj(J), detJ and the w*kappa/detJ scale are VPU
+    # plane math. HBM geometry traffic drops from 6 floats/qpoint to
+    # 37 floats/cell ((P+1)^3/6 ~ 57x at p=6) — the enabler for general
+    # hexes at the reference's 30.4M profile size, where the f32 G slab
+    # alone is 1.16 GB. Reference analogue: the in-kernel
+    # `geometry_computation` path (src/laplacian.hpp:22-113) that the
+    # reference runs at setup; here it runs per apply because HBM
+    # bandwidth, not FLOPs, bounds this kernel.
+    dot = _mk_dot(high)     # operator contractions honor `precision`
+    dotg = _mk_dot(False)   # geometry expansions stay exact f32
+    Ez, EzT = Ez_ref[:], EzT_ref[:]
+    Dz, DzT = Dz_ref[:], DzT_ref[:]
+    D1 = D1_ref[:]
+    Sy, SyE, SyW = Sy_ref[:], SyE_ref[:], SyW_ref[:]
+    SzT, SzET, SzWT = SzT_ref[:], SzET_ref[:], SzWT_ref[:]
+    Qy = xe_ref.shape[1]
+    Qz = EzT.shape[1]
+
+    def block_d1(planes_r, transpose):
+        rows = []
+        for q in range(n):
+            if transpose:
+                rows.append(sum(D1[i, q] * planes_r[:, i, :]
+                                for i in range(n)))
+            else:
+                rows.append(sum(D1[q, i] * planes_r[:, i, :]
+                                for i in range(n)))
+        return jnp.stack(rows, axis=1)
+
+    for c in range(bcells):
+        o = c * n
+        cg = lambda t: co_ref[t, c]
+        # J column 0 (xi-derivative of x/y/z): bilinear in (eta, zeta),
+        # constant across the slab's xi planes — expand once per cell.
+        c0 = []
+        for i in range(3):
+            A, B, C, D = (cg((i * 3 + 0) * 4 + t) for t in range(4))
+            c0.append(dotg(Sy, dotg(A, SzT) + dotg(C, SzET))
+                      + dotg(SyE, dotg(B, SzT) + dotg(D, SzET)))
+        # Columns 1/2: bilinear in (xi, zeta) / (xi, eta); the xi factor
+        # is a static scalar per plane, so expand the xi-constant and
+        # xi-linear parts once and FMA per plane below.
+        U1, V1, U2, V2 = [], [], [], []
+        for i in range(3):
+            A, B, C, D = (cg((i * 3 + 1) * 4 + t) for t in range(4))
+            U1.append(dotg(Sy, dotg(A, SzT) + dotg(C, SzET)))
+            V1.append(dotg(Sy, dotg(B, SzT) + dotg(D, SzET)))
+        for i in range(3):
+            A, B, C, D = (cg((i * 3 + 2) * 4 + t) for t in range(4))
+            U2.append(dotg(dotg(Sy, A) + dotg(SyE, C), SzT))
+            V2.append(dotg(dotg(Sy, B) + dotg(SyE, D), SzT))
+        # kappa * wy * wz plane (wx folds in per xi plane below).
+        kw = dotg(SyW, dotg(cg(36), SzWT))
+
+        v, uz = [], []
+        for p in range(n):
+            xp = xe_ref[o + p]                     # (Qy, NZ)
+            v.append(dot(xp, EzT))                 # (Qy, Qz)
+            uz.append(dot(xp, DzT))
+        ux = [
+            sum(D1[q, j] * v[j] for j in range(n))
+            for q in range(n)
+        ]
+        uy = [
+            block_d1(v[p].reshape(ncy, n, Qz), False).reshape(Qy, Qz)
+            for p in range(n)
+        ]
+        tx, ty, tz = [], [], []
+        for q in range(n):
+            a, d, g = c0[0], c0[1], c0[2]                    # J[i][0]
+            b = U1[0] + xi[q] * V1[0]                        # J[0][1]
+            e = U1[1] + xi[q] * V1[1]                        # J[1][1]
+            h = U1[2] + xi[q] * V1[2]                        # J[2][1]
+            cc = U2[0] + xi[q] * V2[0]                       # J[0][2]
+            f = U2[1] + xi[q] * V2[1]                        # J[1][2]
+            i_ = U2[2] + xi[q] * V2[2]                       # J[2][2]
+            # Adjugate K = detJ * J^{-1} (cofactor form, as
+            # fem/geometry.py:_adjugate_3x3) and the cofactor-expansion
+            # determinant.
+            K00 = e * i_ - f * h
+            K01 = cc * h - b * i_
+            K02 = b * f - cc * e
+            K10 = f * g - d * i_
+            K11 = a * i_ - cc * g
+            K12 = cc * d - a * f
+            K20 = d * h - e * g
+            K21 = b * g - a * h
+            K22 = a * e - b * d
+            det = a * K00 + d * K01 + g * K02
+            s = (kw * wx[q]) / det
+            # t = s * K K^T u, factored as K (s * (K^T u)) — skips ever
+            # materializing the 6 G entries.
+            w0 = s * (K00 * ux[q] + K10 * uy[q] + K20 * uz[q])
+            w1 = s * (K01 * ux[q] + K11 * uy[q] + K21 * uz[q])
+            w2 = s * (K02 * ux[q] + K12 * uy[q] + K22 * uz[q])
+            tx.append(K00 * w0 + K01 * w1 + K02 * w2)
+            ty.append(K10 * w0 + K11 * w1 + K12 * w2)
+            tz.append(K20 * w0 + K21 * w1 + K22 * w2)
+        for j in range(n):
+            bx_j = sum(D1[q, j] * tx[q] for q in range(n))
+            by_j = block_d1(ty[j].reshape(ncy, n, Qz), True
+                            ).reshape(Qy, Qz)
+            out_ref[o + j] = dot(bx_j + by_j, Ez) + dot(tz[j], Dz)
+
+
+@lru_cache(maxsize=None)
+def _build_call_geom(qshape, Qz, n, nc_yz, bcells, high, xi, wx,
+                     interpret, vma=()):
+    """qshape = (Qx, Qy, NZ) of the x+y-expanded lattice; nc_yz =
+    (ncy, ncz); xi/wx are the static per-plane GLL point/weight tuples."""
+    Qx, Qy, NZ = qshape
+    ncy, ncz = nc_yz
+    bq = bcells * n
+    return pl.pallas_call(
+        partial(_kernel_lattice_geom, n=n, ncy=ncy, bcells=bcells,
+                high=high, xi=xi, wx=wx),
+        grid=(pl.cdiv(Qx, bq),),
+        in_specs=[
+            pl.BlockSpec((bq, Qy, NZ), lambda i: (i, 0, 0)),          # xe
+            pl.BlockSpec((37, bcells, ncy, ncz), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((Qy, ncy), lambda i: (0, 0)),  # Sy
+            pl.BlockSpec((Qy, ncy), lambda i: (0, 0)),  # SyE
+            pl.BlockSpec((Qy, ncy), lambda i: (0, 0)),  # SyW
+            pl.BlockSpec((ncz, Qz), lambda i: (0, 0)),  # SzT
+            pl.BlockSpec((ncz, Qz), lambda i: (0, 0)),  # SzET
+            pl.BlockSpec((ncz, Qz), lambda i: (0, 0)),  # SzWT
+            pl.BlockSpec((Qz, NZ), lambda i: (0, 0)),   # Ez
+            pl.BlockSpec((NZ, Qz), lambda i: (0, 0)),   # EzT
+            pl.BlockSpec((Qz, NZ), lambda i: (0, 0)),   # Dz
+            pl.BlockSpec((NZ, Qz), lambda i: (0, 0)),   # DzT
+            pl.BlockSpec((n, n), lambda i: (0, 0)),     # D1
+        ],
+        out_specs=pl.BlockSpec((bq, Qy, NZ), lambda i: (i, 0, 0)),
+        out_shape=out_struct(qshape, vma),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+
 @lru_cache(maxsize=None)
 def _build_call_yx(qshape, Qz, n, ncy, bcells, high, interpret, vma=()):
     """qshape = (Qx, Qy, NZ) of the x+y-expanded lattice."""
@@ -267,6 +421,175 @@ def geometry_to_gfirst(Gq):
     return np.ascontiguousarray(np.moveaxis(np.asarray(Gq), -1, 0))
 
 
+def _bilinear_coeffs(f):
+    """Coefficients (A, B, C, D) of ``A + B s + C t + D s t`` from corner
+    values ``f[..., s, t]`` (s, t in {0, 1}, reference coords in [0, 1])."""
+    A = f[..., 0, 0]
+    B = f[..., 1, 0] - A
+    C = f[..., 0, 1] - A
+    D = f[..., 1, 1] - f[..., 1, 0] - f[..., 0, 1] + A
+    return A, B, C, D
+
+
+def lattice_geom_coefficients(mesh, P, kappa_cells):
+    """Per-cell Jacobian coefficient grids ``(37, ncx, ncy, ncz)`` f64.
+
+    Rows 0..35: entry ``(i*3 + j)*4 + term`` holds bilinear term
+    ``term`` (1, s, t, st) of Jacobian entry ``J[i][j] = d x_i / d xi_j``
+    over its two free reference coordinates (the trilinear map's
+    derivative in direction j is constant in coordinate j). Row 36 is
+    the DG-0 coefficient. Host-side, float64 (cast at upload)."""
+    ncx, ncy, ncz = mesh.nc
+    coords = np.asarray(mesh.geometry_x)[np.asarray(mesh.geometry_dofmap)]
+    # Corner index (a*2 + b)*2 + c (tabulate_geometry_dphi convention).
+    X = coords.reshape(ncx, ncy, ncz, 2, 2, 2, 3)
+    co = np.empty((37, ncx, ncy, ncz), np.float64)
+    # J column j: corner differences along axis j; free corners keep
+    # tabulation order (axis order after the diff is the free pair).
+    cols = (
+        X[:, :, :, 1, :, :, :] - X[:, :, :, 0, :, :, :],  # d/dxi: (b, c)
+        X[:, :, :, :, 1, :, :] - X[:, :, :, :, 0, :, :],  # d/deta: (a, c)
+        X[:, :, :, :, :, 1, :] - X[:, :, :, :, :, 0, :],  # d/dzeta: (a, b)
+    )
+    for j, fj in enumerate(cols):
+        # (..., s, t, 3) -> (..., 3, s, t): free corner pair last.
+        terms = _bilinear_coeffs(np.moveaxis(fj, -1, -3))
+        for i in range(3):
+            for t in range(4):
+                co[(i * 3 + j) * 4 + t] = terms[t][..., i]
+    co[36] = np.asarray(kappa_cells, np.float64).reshape(ncx, ncy, ncz)
+    return co
+
+
+def _cell_expansion_1d(nc, vals):
+    """(nc*n, nc) cell->point expansion ``S[c*n + j, c] = vals[j]``."""
+    n = vals.shape[0]
+    S = np.zeros((nc * n, nc))
+    rows = np.arange(nc * n)
+    S[rows, rows // n] = vals[rows % n]
+    return S
+
+
+def lattice_geom_data(nc, P, dtype=jnp.float32):
+    """Static expansion matrices + GLL point/weight tuples for the geom
+    kernel. ``co`` (from `lattice_geom_coefficients`) is the only
+    mesh-sized array; everything here is O(Q x nc)."""
+    from ..fem.gll import gauss_lobatto
+
+    ncx, ncy, ncz = nc
+    n = P + 1
+    q1, w1 = gauss_lobatto(n)
+    f = lambda a: jnp.asarray(a, dtype)
+    return dict(
+        Sy=f(_cell_expansion_1d(ncy, np.ones(n))),
+        SyE=f(_cell_expansion_1d(ncy, q1)),
+        SyW=f(_cell_expansion_1d(ncy, w1)),
+        SzT=f(_cell_expansion_1d(ncz, np.ones(n)).T.copy()),
+        SzET=f(_cell_expansion_1d(ncz, q1).T.copy()),
+        SzWT=f(_cell_expansion_1d(ncz, w1).T.copy()),
+    ), tuple(float(v) for v in q1), tuple(float(v) for v in w1)
+
+
+def geom_to_G(co, nc, P, xp=np):
+    """Reconstruct the quadrature-lattice geometry ``(Qx, Qy, Qz, 6)``
+    from the coefficient grids — the twin of the kernel's in-VMEM
+    pipeline. ``xp=np`` gives the float64 host version (parity tests);
+    ``xp=jnp`` is jittable and feeds the exact-XLA fallback off TPU."""
+    from ..fem.geometry import _adjugate_3x3
+    from ..fem.gll import gauss_lobatto
+
+    ncx, ncy, ncz = nc
+    n = P + 1
+    q1, w1 = gauss_lobatto(n)
+    if xp is np:
+        co = np.asarray(co, np.float64)
+    # Block-form coordinate factors over (ncx, n, ncy, n, ncz, n).
+    xi = q1.reshape(1, n, 1, 1, 1, 1)
+    eta = q1.reshape(1, 1, 1, n, 1, 1)
+    zeta = q1.reshape(1, 1, 1, 1, 1, n)
+    if xp is not np:
+        xi, eta, zeta = (xp.asarray(v, co.dtype) for v in (xi, eta, zeta))
+    free = {0: (eta, zeta), 1: (xi, zeta), 2: (xi, eta)}
+    cell = lambda t: co[t][:, None, :, None, :, None]
+    Jcols = []
+    for i in range(3):
+        row = []
+        for j in range(3):
+            s, t = free[j]
+            base = (i * 3 + j) * 4
+            v = (cell(base) + cell(base + 1) * s
+                 + cell(base + 2) * t + cell(base + 3) * s * t)
+            row.append(xp.broadcast_to(v, (ncx, n, ncy, n, ncz, n)))
+        Jcols.append(xp.stack(row, axis=-1))
+    Jq = xp.stack(Jcols, axis=-2)      # (..., i, j)
+    K = _adjugate_3x3(Jq, xp=xp)
+    det = (Jq[..., 0, 0] * K[..., 0, 0] + Jq[..., 1, 0] * K[..., 0, 1]
+           + Jq[..., 2, 0] * K[..., 0, 2])
+    KKt = xp.einsum("...am,...bm->...ab", K, K)
+    w = np.einsum("i,j,k->ijk", w1, w1, w1)[None, :, None, :, None, :]
+    if xp is not np:
+        w = xp.asarray(w, co.dtype)
+    scale = w * cell(36) / det
+    G = xp.stack(
+        [KKt[..., 0, 0], KKt[..., 1, 0], KKt[..., 2, 0],
+         KKt[..., 1, 1], KKt[..., 2, 1], KKt[..., 2, 2]],
+        axis=-1,
+    ) * scale[..., None]
+    # Block order (ncx, n, ncy, n, ncz, n, 6) IS the lattice layout.
+    return G.reshape(ncx * n, ncy * n, ncz * n, 6)
+
+
+def blocked_lattice_apply_geom(x, mats, co, geom, bc_marker, nc, P, *,
+                               xi, wx, bcells=1, precision="highest",
+                               interpret=None, apply_bc=True):
+    """Fused ``y = A x`` with IN-KERNEL geometry: no G stream. ``co`` is
+    the (37, ncx, ncy, ncz) coefficient array (f32 on device), ``geom``
+    the small expansion-matrix dict and ``xi``/``wx`` the static GLL
+    tuples from `lattice_geom_data`. Off TPU falls back to the exact
+    XLA lattice path with `geom_to_G`-reconstructed factors."""
+    if precision not in ("highest", "high"):
+        raise ValueError(
+            f"precision must be 'highest' or 'high', got {precision!r}"
+        )
+    emulate = False
+    if interpret is None:
+        emulate = jax.default_backend() != "tpu"
+        interpret = False
+    ncx, ncy, ncz = nc
+    n = P + 1
+    NX, NY, NZ = ncx * P + 1, ncy * P + 1, ncz * P + 1
+    if emulate:
+        from .lattice import lattice_laplacian_apply
+
+        G = geom_to_G(co, nc, P, xp=jnp)
+        xl_mats = {k: mats[k] for k in ("Ex", "Dx", "Ey", "Dy", "Ez", "Dz")}
+        return lattice_laplacian_apply(
+            x, xl_mats, G, bc_marker, precision="highest",
+            apply_bc=apply_bc,
+        )
+
+    from .lattice import _expand, _fold
+
+    xb = jnp.where(bc_marker, jnp.zeros_like(x), x).reshape(NX, NY, NZ)
+    xq = expand_axis0(xb, ncx, P)                      # (Qx, NY, NZ)
+    xe = _expand(xq, 1, ncy, P)                        # (Qx, Qy, NZ)
+    vma = _join_vma(x, bc_marker, co, *geom.values(), *mats.values())
+    call = _build_call_geom((ncx * n, ncy * n, NZ), ncz * n, n,
+                            (ncy, ncz), min(bcells, ncx),
+                            precision == "high", xi, wx, interpret, vma)
+    names = ("Ez", "EzT", "Dz", "DzT", "D1")
+    gnames = ("Sy", "SyE", "SyW", "SzT", "SzET", "SzWT")
+    xe, co, *vals = _pvary_all(
+        vma, xe, co, *(geom[k] for k in gnames), *(mats[k] for k in names)
+    )
+    yq = call(xe, co, *vals)
+    yq = _fold(yq, 1, ncy, P)
+    y = fold_axis0(yq, ncx, P).reshape(jnp.shape(x))
+    if not apply_bc:
+        return y
+    return jnp.where(bc_marker, x, y)
+
+
 def blocked_lattice_apply(x, mats, Gt, bc_marker, nc, P, *, bcells=1,
                           precision="highest", interpret=None,
                           apply_bc=True, variant=None):
@@ -290,7 +613,9 @@ def blocked_lattice_apply(x, mats, Gt, bc_marker, nc, P, *, bcells=1,
     if variant is None:
         variant = "v1" if precision == "high" else "yexp"
     if variant not in ("yexp", "v1"):
-        raise ValueError(f"unknown variant {variant!r}")
+        raise ValueError(f"unknown variant {variant!r} (the in-kernel-"
+                         "geometry 'geom' variant has its own entry "
+                         "point, `blocked_lattice_apply_geom`)")
     emulate = False
     if interpret is None:
         emulate = jax.default_backend() != "tpu"
@@ -341,7 +666,10 @@ class PallasLatticeBlocked:
     """Drop-in general-hex operator over the fused lattice kernel.
 
     Same contract as `LatticeLaplacian` (apply + diag), f32 only.
-    ``kappa`` may be scalar or per-cell DG-0.
+    ``kappa`` may be scalar or per-cell DG-0. ``variant='geom'`` selects
+    the in-kernel-geometry kernel: no quadrature-lattice G array exists
+    at all (37 floats/cell upload instead of 6 floats/qpoint) — the
+    memory-scalable configuration for large general-hex problems.
     """
 
     def __init__(self, mesh, P, kappa=2.0, bcells=1, interpret=False,
@@ -371,10 +699,23 @@ class PallasLatticeBlocked:
             quadrature_weights_3d(self.P),
             xp=np,
         )
-        Gq = geometry_to_qlattice(
-            G_cells * kappa_cells[:, None, None], mesh.nc, self.P
-        )
-        self.Gt = jnp.asarray(geometry_to_gfirst(Gq), jnp.float32)
+        if variant == "geom":
+            # In-kernel geometry: upload only the per-cell coefficient
+            # grids (37 floats/cell) — no quadrature-lattice G stream.
+            self.co = jnp.asarray(
+                lattice_geom_coefficients(mesh, self.P, kappa_cells),
+                jnp.float32,
+            )
+            self.geom, self._xi, self._wx = lattice_geom_data(
+                mesh.nc, self.P
+            )
+            self.Gt = None
+        else:
+            Gq = geometry_to_qlattice(
+                G_cells * kappa_cells[:, None, None], mesh.nc, self.P
+            )
+            self.Gt = jnp.asarray(geometry_to_gfirst(Gq), jnp.float32)
+            self.co = None
         self.mats = lattice_blocked_mats(mesh.nc, self.P)
         self.bc_marker = jnp.asarray(mesh.boundary_dof_marker(self.P))
         # Exact diagonal via the (setup-time) dofmap formulation.
@@ -394,6 +735,17 @@ class PallasLatticeBlocked:
         self._apply = jax.jit(self._apply_impl)
 
     def _apply_impl(self, x, mats, Gt, bc_marker):
+        if self.variant == "geom":
+            # `Gt` carries the coefficient grids here; the small
+            # expansion matrices are closed over (pallas-only operands —
+            # opaque to XLA constant folding, measured faster as
+            # constants).
+            return blocked_lattice_apply_geom(
+                x, mats, Gt, self.geom, bc_marker, self.mesh.nc, self.P,
+                xi=self._xi, wx=self._wx, bcells=self.bcells,
+                precision=self.precision,
+                interpret=True if self._interpret else None,
+            )
         return blocked_lattice_apply(
             x, mats, Gt, bc_marker, self.mesh.nc, self.P,
             bcells=self.bcells, precision=self.precision,
@@ -402,5 +754,6 @@ class PallasLatticeBlocked:
         )
 
     def __call__(self, x):
+        op_arrays = self.co if self.variant == "geom" else self.Gt
         return self._apply(jnp.asarray(x, jnp.float32), self.mats,
-                           self.Gt, self.bc_marker)
+                           op_arrays, self.bc_marker)

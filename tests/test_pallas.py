@@ -321,6 +321,58 @@ def test_pallas_lattice_blocked_matches_oracle():
                        rtol=1e-5)
 
 
+def test_pallas_lattice_geom_matches_oracle():
+    """In-kernel-geometry variant ('geom'): the coefficient-grid
+    reconstruction equals the f64 geometry factors exactly, and the
+    interpret-mode kernel / emulation path match the XLA lattice oracle
+    on a perturbed mesh with variable kappa."""
+    from pmg_dolfinx_tpu.fem.assembly import resolve_kappa
+    from pmg_dolfinx_tpu.fem.geometry import (
+        geometry_factors,
+        quadrature_weights_3d,
+        tabulate_geometry_dphi,
+    )
+    from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+    from pmg_dolfinx_tpu.models.poisson import kappa_linear
+    from pmg_dolfinx_tpu.ops.lattice import geometry_to_qlattice
+    from pmg_dolfinx_tpu.ops.pallas_lattice_blocked import (
+        PallasLatticeBlocked,
+        geom_to_G,
+        lattice_geom_coefficients,
+    )
+
+    mesh = PerturbedBoxMesh((4, 3, 5))
+    P = 3
+    kc, _ = resolve_kappa(mesh, kappa_linear)
+    # Host twin: bilinear-coefficient reconstruction == geometry_factors.
+    G_cells, _ = geometry_factors(
+        mesh.geometry_x, mesh.geometry_dofmap,
+        tabulate_geometry_dphi(P), quadrature_weights_3d(P), xp=np,
+    )
+    Gq = geometry_to_qlattice(G_cells * kc[:, None, None], mesh.nc, P)
+    co = lattice_geom_coefficients(mesh, P, kc)
+    err = np.max(np.abs(geom_to_G(co, mesh.nc, P) - Gq)) / np.max(np.abs(Gq))
+    assert err < 1e-12, err
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal(mesh.num_dofs(P)), jnp.float32)
+    from pmg_dolfinx_tpu.ops.laplacian import MatFreeLaplacian
+
+    y_ref = MatFreeLaplacian(mesh, P, kappa=kc, dtype=jnp.float32)(x)
+    nrm = float(jnp.linalg.norm(y_ref))
+    for bcells in (1, 2):
+        blk = PallasLatticeBlocked(mesh, P, kappa=kappa_linear,
+                                   bcells=bcells, interpret=True,
+                                   variant="geom")
+        rel = float(jnp.linalg.norm(blk(x) - y_ref)) / nrm
+        assert rel < 1e-5, (bcells, rel)
+    # emulation path (non-TPU backends, interpret=False)
+    blk_e = PallasLatticeBlocked(mesh, P, kappa=kappa_linear,
+                                 variant="geom")
+    rel = float(jnp.linalg.norm(blk_e(x) - y_ref)) / nrm
+    assert rel < 1e-5, rel
+
+
 def test_lattice_blocked_hierarchy_matches_lattice():
     """operator='lattice_blocked' V-cycles track the XLA lattice backend
     on a perturbed mesh with variable kappa."""
