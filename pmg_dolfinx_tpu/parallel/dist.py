@@ -134,6 +134,153 @@ def dist_cycle_ops(n_shards, sigma=0.0):
     )
 
 
+def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
+                   precision="highest", bottom="direct", min_cells=2,
+                   sigma=0.0):
+    """Distributed (non-gathered) geometric h-multigrid coarse hierarchy.
+
+    The gathered hmg coarse solves the FULL p=1 problem redundantly on
+    every shard — fine at today's coarse sizes, a wall for 3-level
+    p-hierarchies at 100M+ dofs (solvers/pmg.py coarse='hmg' note).
+    This builder keeps every h-level in the duplicated-plane slab
+    layout: coarsening is shard-aligned (each level's x-cells stay
+    divisible by ``n_shards``, `coarsenable_levels(divisors=...)`), so
+    per-level applies ride `dist_kron_cycle_ops` (ppermute partial-sum
+    exchange) and inter-level transfers are the LOCAL blocks of the
+    global per-axis h-interpolation — fine interface planes are
+    ownership-weighted and coarse interface partials reconciled by the
+    same exchange as the p-transfers (`dist_kron_cycle_ops.restrict_op`).
+    Only the bottom solve gathers, at the much smaller coarsest level.
+
+    Smoother calibration (per-level lmax), diagonals and the bottom
+    factor come from a single global `build_hmg` pass over the SAME
+    level sizes (the distributed operator is numerically identical, so
+    the Lanczos estimates transfer; the global coarse hierarchy is tiny
+    relative to the fine problem). Replaces the reference's distributed
+    BoomerAMG coarse solve (src/amg.hpp:11-119) for shard counts where
+    redundant-global solving stops scaling.
+
+    Returns ``(levels, data, specs, bottom_mode, gather, unslice)``:
+    the `v_cycle`-shaped data pytree with per-leaf PartitionSpecs, and
+    the coarsest-level gather/slice hooks for the bottom solve.
+    """
+    from ..fem.mesh import BoxMesh
+    from ..ops.kron import axis_stiffness_mass
+    from ..solvers.hmg import (
+        axis_h_interpolation,
+        build_hmg,
+        coarsenable_levels,
+    )
+
+    sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
+                               divisors=(n_shards, 1, 1))
+    if len(sizes) < 2:
+        raise ValueError(
+            f"mesh nc={mesh.nc} is not h-coarsenable with x-cells "
+            f"divisible by n_shards={n_shards}; use the gathered hmg "
+            "coarse (coarse_cfg without dist=True) or a coarser-friendly "
+            "mesh size"
+        )
+    g_levels, g_data, g_bottom = build_hmg(
+        mesh, P0, kappa, dtype, smoother_iters=smoother_iters,
+        precision=precision, bottom=bottom, min_cells=min_cells,
+        sigma=sigma, sizes=sizes,
+    )
+    sizes_cf = sizes[::-1]  # coarse -> fine, matching g_data["levels"]
+    meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes_cf]
+    parts = [SlabPartition(m, n_shards) for m in meshes]
+
+    levels, level_data, level_specs = [], [], []
+    for m, p_l, g_lv in zip(meshes, parts, g_data["levels"]):
+        Kx, _ = axis_stiffness_mass(p_l.cells_per_shard_x, P0, m.h[0])
+        Ky, my = axis_stiffness_mass(m.nc[1], P0, m.h[1])
+        Kz, mz = axis_stiffness_mass(m.nc[2], P0, m.h[2])
+        _, mx_g = axis_stiffness_mass(m.nc[0], P0, m.h[0])
+        npl = p_l.local_planes(P0)
+        mx_dup = np.concatenate([
+            mx_g[s * (npl - 1): s * (npl - 1) + npl]
+            for s in range(n_shards)
+        ])
+        lv = dict(
+            Kx=jnp.asarray(float(kappa) * Kx, dtype=dtype),
+            Ky=jnp.asarray(float(kappa) * Ky, dtype=dtype),
+            Kz=jnp.asarray(float(kappa) * Kz, dtype=dtype),
+            mx=jnp.asarray(mx_dup, dtype=dtype),
+            my=jnp.asarray(my, dtype=dtype),
+            mz=jnp.asarray(mz, dtype=dtype),
+            bc_marker=jnp.asarray(
+                p_l.to_dist(P0, m.boundary_dof_marker(P0)) > 0.5
+            ),
+            diag_inv=jnp.asarray(
+                p_l.to_dist(P0, np.asarray(g_lv["diag_inv"]).reshape(-1)),
+                dtype=dtype,
+            ),
+            weights=jnp.asarray(p_l.ownership_weights(P0), dtype=dtype),
+            lmax=g_lv["lmax"],
+        )
+        spec = dict(Kx=P(), Ky=P(), Kz=P(), mx=P(AXIS), my=P(), mz=P(),
+                    bc_marker=P(AXIS), diag_inv=P(AXIS), weights=P(AXIS),
+                    lmax=P())
+        levels.append(Level(P=P0, ndofs=p_l.local_ndofs(P0),
+                            smoother_iters=smoother_iters,
+                            shape=p_l.local_shape(P0)))
+        level_data.append(lv)
+        level_specs.append(spec)
+
+    transfer, transfer_specs = [], []
+    for i in range(len(meshes) - 1):
+        mc, mf = meshes[i], meshes[i + 1]
+        pc, pf = parts[i], parts[i + 1]
+        tr = dict(
+            Ix=jnp.asarray(
+                axis_h_interpolation(pc.cells_per_shard_x, P0,
+                                     factor=mf.nc[0] // mc.nc[0]),
+                dtype=dtype,
+            ),
+            Iy=jnp.asarray(
+                axis_h_interpolation(mc.nc[1], P0,
+                                     factor=mf.nc[1] // mc.nc[1]),
+                dtype=dtype,
+            ),
+            Iz=jnp.asarray(
+                axis_h_interpolation(mc.nc[2], P0,
+                                     factor=mf.nc[2] // mc.nc[2]),
+                dtype=dtype,
+            ),
+            weights_f=jnp.asarray(pf.ownership_weights(P0), dtype=dtype),
+        )
+        transfer.append(tr)
+        transfer_specs.append(dict(Ix=P(), Iy=P(), Iz=P(),
+                                   weights_f=P(AXIS)))
+
+    data = dict(levels=tuple(level_data), transfer=tuple(transfer))
+    specs = dict(levels=tuple(level_specs), transfer=tuple(transfer_specs))
+    if "coarse_chol" in g_data:
+        data["coarse_chol"] = g_data["coarse_chol"]
+        specs["coarse_chol"] = P()
+
+    # Bottom-solve gather/slice at the coarsest h-level.
+    p0 = parts[0]
+    npl0, NY0, NZ0 = p0.local_shape(P0)
+    NXg = meshes[0].lattice_shape(P0)[0]
+
+    def hmg_gather(b_local):
+        lat = b_local.reshape(npl0, NY0, NZ0)
+        allg = jax.lax.all_gather(lat, AXIS)
+        pieces = [allg[s, :-1] for s in range(n_shards - 1)] + [allg[-1]]
+        out = jnp.concatenate(pieces, axis=0)
+        return out if b_local.ndim == 3 else out.reshape(-1)
+
+    def hmg_slice(ug):
+        lat = ug.reshape(NXg, NY0, NZ0)
+        s = jax.lax.axis_index(AXIS)
+        loc = jax.lax.dynamic_slice_in_dim(lat, s * (npl0 - 1), npl0,
+                                           axis=0)
+        return loc if ug.ndim == 3 else loc.reshape(-1)
+
+    return tuple(levels), data, specs, g_bottom, hmg_gather, hmg_slice
+
+
 def dist_kron_cycle_ops(n_shards, precision="highest", sigma=0.0):
     """Sharded Kronecker-sum backend: 3 banded matmuls per apply, with the
     interface partial-sum exchange applied to the (only shard-partial)
@@ -535,6 +682,7 @@ class DistPMG:
             )
 
         self._coarse_data = None
+        self._coarse_spec = None
         if coarse in ("fdm", "direct", "hmg"):
             # Global-coarse solvers: gather the (small) coarse rhs, solve
             # redundantly on every shard, slice the local planes back —
@@ -597,7 +745,40 @@ class DistPMG:
                     "coarse_chol",
                     jnp.asarray(np.linalg.cholesky(A0), dtype=dtype),
                 )
-            else:  # hmg
+            elif self.coarse_cfg.get("dist"):
+                # Non-gathered h-MG coarse: every h-level stays in the
+                # slab layout (see `build_hmg_dist`); only the coarsest
+                # bottom solve gathers. Constant-kappa boxes only (the
+                # kron h-hierarchy).
+                if not (getattr(mesh, "is_axis_aligned", True)
+                        and self.kappa is not None):
+                    raise ValueError(
+                        "coarse_cfg dist=True (distributed hmg) requires "
+                        "a constant-kappa axis-aligned BoxMesh; the "
+                        "general family uses the gathered hmg coarse"
+                    )
+                (hmg_levels, hmg_data, hmg_specs, hmg_bottom,
+                 hmg_gather, hmg_slice) = build_hmg_dist(
+                    mesh, self.n_shards, P0, self.kappa, dtype,
+                    smoother_iters=smoother_iters, precision=precision,
+                    bottom=self.coarse_cfg.get("bottom", "direct"),
+                    min_cells=self.coarse_cfg.get("min_cells", 2),
+                    sigma=self.sigma,
+                )
+                hmg_ops = dict(
+                    dist_kron_cycle_ops(self.n_shards, precision,
+                                        sigma=self.sigma),
+                    coarse_gather=hmg_gather,
+                    coarse_slice=hmg_slice,
+                )
+                self.coarse_cfg.update(
+                    hmg_levels=hmg_levels, hmg_ops=hmg_ops,
+                    hmg_bottom=hmg_bottom, hmg_dist=True,
+                    cycles=self.coarse_cfg.get("cycles", 3),
+                )
+                self._coarse_data = ("hmg", hmg_data)
+                self._coarse_spec = hmg_specs
+            else:  # hmg (gathered, solved redundantly per shard)
                 # Constant-kappa boxes ride the kron h-hierarchy; the
                 # general family (curved hexes / DG-0 kappa) the
                 # rediscretized lattice one (solvers.hmg.build_hmg_general).
@@ -743,10 +924,15 @@ class DistPMG:
         )
         if self._coarse_data is not None:
             key, cdata = self._coarse_data
-            csh = NamedSharding(self.jmesh, P())
-            cdata = jax.tree.map(lambda a: put_global(a, csh), cdata)
+            spec_tree = getattr(self, "_coarse_spec", None)
+            if spec_tree is None:  # gathered coarse: fully replicated
+                spec_tree = jax.tree.map(lambda _: P(), cdata)
+            cdata = jax.tree.map(
+                lambda a, s: put_global(a, NamedSharding(self.jmesh, s)),
+                cdata, spec_tree,
+            )
             self.data[key] = cdata
-            self.data_specs[key] = jax.tree.map(lambda _: P(), cdata)
+            self.data_specs[key] = spec_tree
 
         self._vcycle = jax.jit(
             jax.shard_map(

@@ -55,15 +55,22 @@ def axis_h_interpolation(nc_coarse: int, P: int = 1, factor: int = 2,
     return I
 
 
-def coarsenable_levels(nc, min_cells=2, max_levels=10):
+def coarsenable_levels(nc, min_cells=2, max_levels=10, divisors=(1, 1, 1)):
     """Mesh sizes [finest, ..., coarsest], coarsening by factor 2 (or 3
-    when 2 does not divide) while all axes stay above ``min_cells``."""
+    when 2 does not divide) while all axes stay above ``min_cells``.
+
+    ``divisors`` constrains every level's cell counts to remain
+    divisible per axis — the shard-alignment condition for the
+    distributed (non-gathered) h-hierarchy, where each level must split
+    into the same per-shard slabs (cells per shard stay integral)."""
     out = [tuple(nc)]
     cur = tuple(nc)
     while len(out) < max_levels:
         nxt = None
         for f in (2, 3):
-            if all(c % f == 0 and c // f >= min_cells for c in cur):
+            if all(c % f == 0 and c // f >= min_cells
+                   and (c // f) % d == 0
+                   for c, d in zip(cur, divisors)):
                 nxt = tuple(c // f for c in cur)
                 break
         if nxt is None:
@@ -75,7 +82,8 @@ def coarsenable_levels(nc, min_cells=2, max_levels=10):
 
 def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
               max_levels=10, precision="highest",
-              calibration_iters=20, bottom="direct", sigma=0.0):
+              calibration_iters=20, bottom="direct", sigma=0.0,
+              sizes=None):
     """Construct (levels, data, bottom) for the generic `v_cycle`.
 
     Levels are ordered coarse->fine like the p-hierarchy. Smoother
@@ -98,8 +106,10 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     )
     from .tridiag import lanczos_eigenvalue_estimates
 
-    sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
-                               max_levels=max_levels)[::-1]  # coarse->fine
+    if sizes is None:
+        sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
+                                   max_levels=max_levels)
+    sizes = list(sizes)[::-1]  # coarse->fine
     meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes]
     ops = kron_cycle_ops(precision, sigma=sigma)
 

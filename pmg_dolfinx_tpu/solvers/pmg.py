@@ -473,6 +473,12 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
         # h-levels instead of gathered.
         hmg_ops = coarse_cfg.get("hmg_ops", ops)
         hmg_levels = coarse_cfg["hmg_levels"]
+        if coarse_cfg.get("hmg_dist"):
+            # Non-gathered h-hierarchy (parallel.dist.build_hmg_dist):
+            # the p-coarse rhs is already in the h-hierarchy's finest
+            # local layout; only the bottom solve gathers, via the
+            # coarse hooks carried in hmg_ops itself.
+            gather = unslice = lambda v: v
         hfresh = hmg_ops.get("pvary", lambda v: v)
         hzeros = hmg_ops.get(
             "zeros", lambda level, dtype: jnp.zeros(level.ndofs, dtype=dtype)

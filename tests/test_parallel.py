@@ -206,6 +206,36 @@ def test_dist_global_coarse_matches_single(coarse):
     assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
 
 
+@pytest.mark.parametrize("sigma", [0.0, 37.0])
+def test_dist_hmg_distributed_coarse_matches_single(sigma):
+    """Non-gathered h-MG coarse (coarse_cfg dist=True): every h-level stays
+    in the duplicated-plane slab layout, only the coarsest bottom solve
+    gathers. Same h-hierarchy sizes as the single-device build here, so the
+    trajectories must match the gathered/single-device hmg coarse."""
+    nc = (8, 4, 4)
+    kappa = 2.0
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa,
+                            coarse="hmg", operator="kron", sigma=sigma)
+    u_s, rn_s = single.solve(num_cycles=5)
+    dist = DistPMG(single.mesh, n_devices=4, degrees=(1, 3), kappa=kappa,
+                   coarse="hmg", coarse_cfg=dict(dist=True),
+                   operator="kron", sigma=sigma)
+    b = assemble_rhs(single.mesh, 3, f_rhs(kappa, sigma=sigma))
+    u_d, rn_d = dist.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_dist_hmg_distributed_coarse_rejects_unalignable():
+    """dist=True needs every h-level's x-cells divisible by n_shards; an
+    8-shard build of an 8-cell axis cannot coarsen at all -> clear error."""
+    from pmg_dolfinx_tpu.parallel.dist import build_hmg_dist
+
+    mesh = BoxMesh((8, 4, 4))
+    with pytest.raises(ValueError, match="not h-coarsenable"):
+        build_hmg_dist(mesh, 8, 1, 2.0, jnp.float64)
+
+
 def test_dist_solve_pcg_matches_single():
     nc = (8, 4, 4)
     kappa = 2.0
