@@ -23,6 +23,9 @@ def main():
                    default="",
                    help="lattice_blocked kernel variant (default: "
                         "auto-select by precision)")
+    p.add_argument("--bcells", type=int, default=1,
+                   help="lattice_blocked cell-slab block size (the "
+                        "x-cells each Mosaic grid step owns)")
     p.add_argument("--mat_comp", action="store_true",
                    help="verify against the assembled CSR oracle (hosts a "
                         "dense-per-cell assembly; use moderate --ndofs)")
@@ -88,7 +91,8 @@ def main():
 
         op = PallasLatticeBlocked(mesh, args.degree, kappa=args.kappa,
                                   precision=args.precision,
-                                  variant=args.variant or None)
+                                  variant=args.variant or None,
+                                  bcells=args.bcells)
 
         @partial(jax.jit, static_argnums=(4,))
         def chain(x, mats, Gt, bc, reps):

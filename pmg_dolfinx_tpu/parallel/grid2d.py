@@ -401,6 +401,122 @@ def grid_lattice_blocked_cycle_ops(shards, precision="highest", sigma=0.0):
     return dict(_grid_common_ops(shards, precision), apply=apply_op)
 
 
+def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
+                   precision="highest", bottom="direct", min_cells=2,
+                   sigma=0.0):
+    """Distributed (non-gathered) h-MG coarse hierarchy on the 2D/3D box
+    partition — the multi-axis generalization of
+    `parallel.dist.build_hmg_dist`.
+
+    Coarsening is shard-aligned on EVERY sharded axis (each h-level's
+    cell counts stay divisible by ``shards``,
+    `coarsenable_levels(divisors=shards)`), so every h-level keeps the
+    per-axis duplicated-plane layout: level applies ride
+    `grid_kron_cycle_ops` (one ppermute pair per sharded axis),
+    inter-level transfers are the LOCAL blocks of the global per-axis
+    h-interpolation (ownership-weighted fine input, per-axis exchange of
+    the coarse partials — the `_grid_common_ops` machinery verbatim),
+    and only the bottom solve gathers, at the much smaller coarsest
+    level (`grid_coarse_hooks`). Smoother calibration (per-level lmax),
+    diagonals and the bottom factor come from one global `build_hmg`
+    pass over the SAME level sizes — the distributed operator is
+    numerically identical, so the Lanczos estimates transfer. Replaces
+    the reference's distributed BoomerAMG coarse (src/amg.hpp:11-119)
+    under multi-axis rank layouts where redundant-global solving stops
+    scaling.
+
+    Returns ``(levels, data, specs, bottom_mode, gather, unslice)``.
+    """
+    from ..ops.kron import axis_stiffness_mass
+    from ..solvers.hmg import (
+        axis_h_interpolation,
+        build_hmg,
+        coarsenable_levels,
+    )
+
+    shards = _norm_shards(shards)
+    sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
+                               divisors=shards)
+    if len(sizes) < 2:
+        raise ValueError(
+            f"mesh nc={mesh.nc} is not h-coarsenable with cells "
+            f"divisible by shards={shards}; use the gathered hmg coarse "
+            "(coarse_cfg without dist=True) or a shard-friendlier mesh"
+        )
+    g_levels, g_data, g_bottom = build_hmg(
+        mesh, P0, kappa, dtype, smoother_iters=smoother_iters,
+        precision=precision, bottom=bottom, min_cells=min_cells,
+        sigma=sigma, sizes=sizes,
+    )
+    sizes_cf = sizes[::-1]  # coarse -> fine, matching g_data["levels"]
+    meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes_cf]
+    parts = [GridPartition(m, shards) for m in meshes]
+    PSHARD = P(*AXES)
+
+    levels, level_data, level_specs = [], [], []
+    for m, p_l, g_lv in zip(meshes, parts, g_data["levels"]):
+        npls = p_l.local_shape(P0)
+        lv = dict(
+            bc_marker=jnp.asarray(
+                p_l.to_dist(P0, m.boundary_dof_marker(P0)) > 0.5
+            ),
+            diag_inv=jnp.asarray(
+                p_l.to_dist(P0, np.asarray(g_lv["diag_inv"]).reshape(-1)),
+                dtype=dtype,
+            ),
+            weights=jnp.asarray(p_l.ownership_weights(P0), dtype=dtype),
+            lmax=g_lv["lmax"],
+        )
+        spec = dict(bc_marker=PSHARD, diag_inv=PSHARD, weights=PSHARD,
+                    lmax=P())
+        for a, name in enumerate("xyz"):
+            # Local per-shard stiffness (interface partials reconciled by
+            # the exchange); global axis mass in the duplicated layout.
+            Kl, _ = axis_stiffness_mass(p_l.cells_per_shard[a], P0, m.h[a])
+            _, mg = axis_stiffness_mass(m.nc[a], P0, m.h[a])
+            npl = npls[a]
+            m_dup = np.concatenate(
+                [mg[s * (npl - 1): s * (npl - 1) + npl]
+                 for s in range(shards[a])]
+            )
+            lv["K" + name] = jnp.asarray(float(kappa) * Kl, dtype=dtype)
+            lv["m" + name] = jnp.asarray(m_dup, dtype=dtype)
+            spec["K" + name] = P()
+            spec["m" + name] = P(AXES[a])
+        levels.append(Level(P=P0, ndofs=p_l.local_ndofs(P0),
+                            smoother_iters=smoother_iters,
+                            shape=npls))
+        level_data.append(lv)
+        level_specs.append(spec)
+
+    transfer, transfer_specs = [], []
+    for i in range(len(meshes) - 1):
+        mc, mf = meshes[i], meshes[i + 1]
+        pc, pf = parts[i], parts[i + 1]
+        tr = {
+            "I" + name: jnp.asarray(
+                axis_h_interpolation(pc.cells_per_shard[a], P0,
+                                     factor=mf.nc[a] // mc.nc[a]),
+                dtype=dtype,
+            )
+            for a, name in enumerate("xyz")
+        }
+        tr["weights_f"] = jnp.asarray(pf.ownership_weights(P0),
+                                      dtype=dtype)
+        transfer.append(tr)
+        transfer_specs.append(dict(Ix=P(), Iy=P(), Iz=P(),
+                                   weights_f=PSHARD))
+
+    data = dict(levels=tuple(level_data), transfer=tuple(transfer))
+    specs = dict(levels=tuple(level_specs), transfer=tuple(transfer_specs))
+    if "coarse_chol" in g_data:
+        data["coarse_chol"] = g_data["coarse_chol"]
+        specs["coarse_chol"] = P()
+
+    hmg_gather, hmg_slice = grid_coarse_hooks(parts[0], P0)
+    return tuple(levels), data, specs, g_bottom, hmg_gather, hmg_slice
+
+
 class GridPMG:
     """p-multigrid over a 2D/3D device mesh.
 
@@ -411,6 +527,9 @@ class GridPMG:
     Coarse solvers: 'cg' (default), 'smoother', or the global gathered
     modes 'fdm' / 'direct' / 'hmg' (gather -> redundant solve -> slice;
     fdm/hmg are constant-coefficient box-only, 'direct' is general).
+    ``coarse='hmg', coarse_cfg=dict(dist=True)`` keeps every h-level in
+    the multi-axis duplicated-plane layout instead (`build_hmg_grid`) —
+    only the coarsest bottom solve gathers.
     """
 
     def __init__(self, mesh, shards=(2, 2), degrees=(1, 3), kappa=2.0,
@@ -486,6 +605,7 @@ class GridPMG:
                 "(choose from cg, smoother, fdm, direct, hmg)"
             )
         self._coarse_data = None
+        self._coarse_spec = None
         if coarse in ("fdm", "direct", "hmg"):
             P0 = self.degrees[0]
             coarse_gather, coarse_slice = grid_coarse_hooks(part, P0)
@@ -520,6 +640,39 @@ class GridPMG:
                     "coarse_chol",
                     jnp.asarray(np.linalg.cholesky(A0), dtype=dtype),
                 )
+            elif self.coarse_cfg.get("dist"):
+                # Non-gathered h-MG coarse: every h-level stays in the
+                # multi-axis duplicated-plane layout (`build_hmg_grid`);
+                # only the coarsest bottom solve gathers. Constant-kappa
+                # boxes only (the kron h-hierarchy).
+                if not (getattr(mesh, "is_axis_aligned", True)
+                        and self.kappa is not None):
+                    raise ValueError(
+                        "coarse_cfg dist=True (distributed hmg) requires "
+                        "a constant-kappa axis-aligned BoxMesh; the "
+                        "general family uses the gathered hmg coarse"
+                    )
+                (hmg_levels, hmg_data, hmg_specs, hmg_bottom,
+                 hmg_gather, hmg_slice) = build_hmg_grid(
+                    mesh, shards, P0, self.kappa, dtype,
+                    smoother_iters=smoother_iters, precision=precision,
+                    bottom=self.coarse_cfg.get("bottom", "direct"),
+                    min_cells=self.coarse_cfg.get("min_cells", 2),
+                    sigma=self.sigma,
+                )
+                hmg_ops = dict(
+                    grid_kron_cycle_ops(shards, precision,
+                                        sigma=self.sigma),
+                    coarse_gather=hmg_gather,
+                    coarse_slice=hmg_slice,
+                )
+                self.coarse_cfg.update(
+                    hmg_levels=hmg_levels, hmg_ops=hmg_ops,
+                    hmg_bottom=hmg_bottom, hmg_dist=True,
+                    cycles=self.coarse_cfg.get("cycles", 3),
+                )
+                self._coarse_data = ("hmg", hmg_data)
+                self._coarse_spec = hmg_specs
             else:  # hmg
                 # Gathered redundant h-MG coarse solve: kron h-hierarchy
                 # on constant-kappa boxes, rediscretized lattice
@@ -659,10 +812,15 @@ class GridPMG:
                                transfer=tuple(transfer_specs))
         if self._coarse_data is not None:
             key, cdata = self._coarse_data
-            csh = NamedSharding(self.jmesh, P())
-            cdata = jax.tree.map(lambda a: put_global(a, csh), cdata)
+            spec_tree = self._coarse_spec
+            if spec_tree is None:  # gathered coarse: fully replicated
+                spec_tree = jax.tree.map(lambda _: P(), cdata)
+            cdata = jax.tree.map(
+                lambda a, s: put_global(a, NamedSharding(self.jmesh, s)),
+                cdata, spec_tree,
+            )
             self.data[key] = cdata
-            self.data_specs[key] = jax.tree.map(lambda _: P(), cdata)
+            self.data_specs[key] = spec_tree
 
         # Vectors are lattice-shaped (3D local blocks) everywhere: at the
         # shard_map boundary AND inside the cycle — one layout contract.

@@ -89,6 +89,39 @@ def test_grid_global_coarse_matches_single_device(coarse):
     assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
 
 
+@pytest.mark.parametrize("shards,sigma", [((2, 2, 2), 0.0),
+                                          ((2, 4), 37.0)])
+def test_grid_hmg_distributed_coarse_matches_single(shards, sigma):
+    """Non-gathered h-MG coarse on the grid (coarse_cfg dist=True): every
+    h-level stays in the multi-axis duplicated-plane layout, only the
+    coarsest bottom solve gathers. Same h-hierarchy sizes as the
+    single-device build, so trajectories must match the gathered/single
+    hmg coarse (the multi-axis twin of
+    test_parallel.test_dist_hmg_distributed_coarse_matches_single)."""
+    nc = (4, 8, 4)
+    kappa = 2.0
+    single = PoissonProblem(nc=nc, degrees=(1, 3), kappa=kappa,
+                            coarse="hmg", operator="kron", sigma=sigma)
+    u_s, rn_s = single.solve(num_cycles=5)
+    grid = GridPMG(single.mesh, shards=shards, degrees=(1, 3), kappa=kappa,
+                   coarse="hmg", coarse_cfg=dict(dist=True), sigma=sigma)
+    b = assemble_rhs(single.mesh, 3, f_rhs(kappa, sigma=sigma))
+    u_d, rn_d = grid.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_grid_hmg_distributed_coarse_rejects_unalignable():
+    """dist=True needs every h-level's cells divisible per axis by the
+    shard grid; a (4,4,4) mesh on (4,1,1) shards cannot coarsen at all
+    -> clear error."""
+    from pmg_dolfinx_tpu.parallel.grid2d import build_hmg_grid
+
+    mesh = BoxMesh((4, 4, 4))
+    with pytest.raises(ValueError, match="not h-coarsenable"):
+        build_hmg_grid(mesh, (4, 1, 1), 1, 2.0, jnp.float64)
+
+
 def test_grid_fdm_coarse_2d_shards():
     """FDM coarse with an unsharded axis (shards=(2,4,1))."""
     nc = (4, 8, 4)
