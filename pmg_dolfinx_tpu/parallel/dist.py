@@ -509,6 +509,7 @@ class DistPMG:
                     "use 'hmg', 'cg', 'smoother' or 'direct'"
                 )
         self.dtype = dtype
+        self.precision = precision
         self.coarse = coarse
         self.coarse_cfg = dict(coarse_cfg or {})
         self.operator_kind = operator
@@ -1235,6 +1236,11 @@ class DistPMG:
 
         Runs the whole iteration as one jitted sharded `lax.scan` with
         device-side residual norms — a single host sync at the end."""
+        from ..solvers.pmg import warn_high_precision_stationary
+
+        warn_high_precision_stationary(
+            self.precision, self.mesh.num_dofs(self.degrees[-1])
+        )
         if not hasattr(self, "_solve_scans"):
             self._solve_scans = {}
         if num_cycles not in self._solve_scans:

@@ -581,6 +581,7 @@ class GridPMG:
                     "use 'hmg', 'cg', 'smoother' or 'direct'"
                 )
         self.dtype = dtype
+        self.precision = precision
         self.coarse = coarse
         self.coarse_cfg = dict(coarse_cfg or {})
         self.operator_kind = operator
@@ -1025,6 +1026,11 @@ class GridPMG:
     def solve(self, b, num_cycles=10, residuals=True, u0=None):
         """Stationary V-cycle iteration as one jitted sharded `lax.scan`
         (device-side residual norms, single host sync at the end)."""
+        from ..solvers.pmg import warn_high_precision_stationary
+
+        warn_high_precision_stationary(
+            self.precision, self.mesh.num_dofs(self.degrees[-1])
+        )
         if not hasattr(self, "_solve_scans"):
             self._solve_scans = {}
         if num_cycles not in self._solve_scans:

@@ -56,6 +56,26 @@ DEFAULT_CALIBRATION_RTOL = 1e-6
 EIG_RANGE_FACTORS = (0.1, 1.1)  # examples/pmg/main.cpp:327
 
 
+def warn_high_precision_stationary(precision, ndofs_global):
+    """Runtime guard shared by every stationary-solve entry point
+    (PMGHierarchy / DistPMG / GridPMG): precision='high' (bf16x3
+    matmuls) stalls the stationary V-cycle iteration at ~1e-1 relative
+    residual above ~8M dofs (measured at 16.2M on v5e; the smoother
+    reinjects the operator perturbation each sweep — CLAUDE.md). FCG /
+    refined outer loops recompute the true residual and are unaffected."""
+    if precision == "high" and ndofs_global > 8_000_000:
+        import warnings
+
+        warnings.warn(
+            "stationary V-cycle iteration with precision='high' "
+            "(bf16x3 matmuls) stalls at ~1e-1 relative residual above "
+            "~8M dofs (measured at 16.2M on v5e); use solve_pcg / "
+            "solve_refined, which recompute the outer residual "
+            "exactly, or precision='highest'",
+            stacklevel=3,
+        )
+
+
 def pcast_varying(v, axes):
     """Idempotent `jax.lax.pcast(..., to="varying")`: promotes only the
     mesh axes the value does not already vary over (pcast itself rejects
@@ -1085,17 +1105,8 @@ class PMGHierarchy:
         residual norms collected device-side — a single host readback at
         the end (per-cycle host syncs cost ~0.5 s each over the remote
         TPU tunnel, vs ~2 ms of compute per cycle)."""
-        if self.precision == "high" and self.levels[-1].ndofs > 8_000_000:
-            import warnings
-
-            warnings.warn(
-                "stationary V-cycle iteration with precision='high' "
-                "(bf16x3 matmuls) stalls at ~1e-1 relative residual above "
-                "~8M dofs (measured at 16.2M on v5e); use solve_pcg / "
-                "solve_refined, which recompute the outer residual "
-                "exactly, or precision='highest'",
-                stacklevel=2,
-            )
+        warn_high_precision_stationary(self.precision,
+                                       self.levels[-1].ndofs)
         b = self._to_work(jnp.asarray(b, dtype=self.dtype))
         u = (jnp.zeros_like(b) if u0 is None
              else self._to_work(jnp.asarray(u0, dtype=self.dtype)))

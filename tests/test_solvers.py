@@ -159,3 +159,19 @@ def test_chebyshev_reduces_error(kind):
     r0 = np.linalg.norm(np.asarray(b))
     r = np.linalg.norm(np.asarray(b) - A @ np.asarray(x))
     assert r < 0.35 * r0, (kind, r / r0)
+
+
+def test_high_precision_stationary_guard():
+    """The shared runtime guard (PMGHierarchy/DistPMG/GridPMG solve):
+    warns only for precision='high' stationary iterations above ~8M
+    global dofs (the measured stall regime; CLAUDE.md)."""
+    import warnings
+
+    from pmg_dolfinx_tpu.solvers.pmg import warn_high_precision_stationary
+
+    with pytest.warns(UserWarning, match="stalls"):
+        warn_high_precision_stationary("high", 16_200_000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        warn_high_precision_stationary("highest", 16_200_000)
+        warn_high_precision_stationary("high", 2_000_000)
