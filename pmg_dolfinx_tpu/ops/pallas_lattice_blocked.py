@@ -352,7 +352,9 @@ def _build_call_yx(qshape, Qz, n, ncy, bcells, high, interpret, vma=()):
         out_specs=pl.BlockSpec((bq, Qy, NZ), lambda i: (i, 0, 0)),
         out_shape=out_struct(qshape, vma),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024
+            # bcells=2 at 16M needs ~113 MiB (the 29 MiB/cell G slab,
+            # double-buffered); v5e has 128 MiB of VMEM.
+            vmem_limit_bytes=120 * 1024 * 1024
         ),
         interpret=interpret,
     )
