@@ -70,6 +70,16 @@ grid_kb = GridPMG(mesh_g, shards=(2, 2, 2), degrees=(1, 3), kappa=kappa,
                   coarse="cg", operator="kron_blocked", dtype=jnp.float32)
 _, rn_kb = grid_kb.solve(b_g, num_cycles=5)
 
+# Distributed (non-gathered) h-MG coarse spanning both processes: every
+# h-level stays in the multi-axis layout; the only cross-process
+# collective beyond the usual exchanges is the coarsest-level
+# all_gather of the bottom solve (grid2d.build_hmg_grid).
+mesh_h = BoxMesh((4, 8, 4))
+b_h = assemble_rhs(mesh_h, 3, f_rhs(kappa))
+grid_h = GridPMG(mesh_h, shards=(2, 2, 2), degrees=(1, 3), kappa=kappa,
+                 coarse="hmg", coarse_cfg=dict(dist=True))
+_, rn_hmg = grid_h.solve(b_h, num_cycles=5)
+
 with open(out_path, "w") as f:
     json.dump({
         "pid": pid,
@@ -77,6 +87,7 @@ with open(out_path, "w") as f:
         "rn_grid": rn_grid,
         "rn_lat": rn_lat,
         "rn_kb": rn_kb,
+        "rn_hmg": rn_hmg,
         "u_d_norm": float((u_d ** 2).sum() ** 0.5),
         "u_g_norm": float((u_g ** 2).sum() ** 0.5),
     }, f)

@@ -68,6 +68,7 @@ def test_two_processes_match_each_other(two_process_results):
     assert np.allclose(r0["rn_grid"], r1["rn_grid"], rtol=1e-12)
     assert np.allclose(r0["rn_lat"], r1["rn_lat"], rtol=1e-12)
     assert np.allclose(r0["rn_kb"], r1["rn_kb"], rtol=1e-12)
+    assert np.allclose(r0["rn_hmg"], r1["rn_hmg"], rtol=1e-12)
     assert np.isclose(r0["u_d_norm"], r1["u_d_norm"], rtol=1e-12)
 
 
@@ -111,3 +112,11 @@ def test_two_processes_match_single_process(two_process_results):
     _, rn_kb = grid_kb.solve(b_g, num_cycles=5)
     # f32 path: Gloo vs single-process reduction orders differ slightly.
     assert np.allclose(r0["rn_kb"], rn_kb, rtol=5e-4), (r0["rn_kb"], rn_kb)
+
+    mesh_h = BoxMesh((4, 8, 4))
+    b_h = assemble_rhs(mesh_h, 3, f_rhs(kappa))
+    grid_h = GridPMG(mesh_h, shards=(2, 2, 2), degrees=(1, 3), kappa=kappa,
+                     coarse="hmg", coarse_cfg=dict(dist=True))
+    _, rn_hmg = grid_h.solve(b_h, num_cycles=5)
+    assert np.allclose(r0["rn_hmg"], rn_hmg, rtol=1e-10), (
+        r0["rn_hmg"], rn_hmg)
