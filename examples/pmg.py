@@ -36,6 +36,9 @@ def main():
                    help="fast-diagonalization DIRECT solve (constant "
                         "kappa, box mesh): the whole system in ~one "
                         "matvec cost; combine with --refined for f64")
+    p.add_argument("--warm", action="store_true",
+                   help="run one throwaway solve first so the timed solve "
+                        "excludes jit compilation")
     p.add_argument("--output", type=str, default=None,
                    help="write solution to this file (.npz or .vtk)")
     p.add_argument("--precision", choices=["highest", "high"],
@@ -141,17 +144,25 @@ def main():
         print(json.dumps({"rel_residual": rel, "l2_error": err}))
         return
 
-    with Timer("pmg solve (%d cycles)" % args.cycles, sync=True):
+    def _solve():
         if args.refined:
-            u, rnorms = prob.hierarchy.solve_refined(prob.b,
-                                                     num_cycles=args.cycles)
-        elif args.pcg:
+            return prob.hierarchy.solve_refined(prob.b,
+                                                num_cycles=args.cycles)
+        if args.pcg:
             u, niter = prob.hierarchy.solve_pcg(prob.b, rtol=1e-8,
                                                 maxiter=args.cycles)
             print(f"FCG(V-cycle) converged in {niter} iterations")
-            rnorms = []
-        else:
-            u, rnorms = prob.solve(num_cycles=args.cycles)
+            return u, []
+        return prob.solve(num_cycles=args.cycles)
+
+    if args.warm:
+        # Throwaway first solve so the timed one excludes jit compiles
+        # (the remote-TPU compile of the whole-solve program dwarfs the
+        # solve itself at large N).
+        with Timer("pmg solve warmup (jit compile)", sync=True):
+            _solve()
+    with Timer("pmg solve (%d cycles)" % args.cycles, sync=True):
+        u, rnorms = _solve()
     r0 = float(np.linalg.norm(np.asarray(prob.b)))
     for i, r in enumerate(rnorms):
         print(f"cycle {i + 1:2d}: |r| = {r:.4e}   rel = {r / r0:.4e}")
