@@ -407,7 +407,9 @@ def _build_calls(shape, by, bx, high, interpret, vma=(), sigma=0.0):
     the pallas_call objects at every trace would re-trace the kernels.
     """
     NX, NY, NZ = shape
-    vmem = 64 * 1024 * 1024
+    # 100M-dof lattices need ~73 MiB for kernel 2's double-buffered
+    # 8-row slabs (8 x NY x NZ x 4B x in/out pairs); v5e has 128 MiB.
+    vmem = 100 * 1024 * 1024
     # Fixed slab sizes with cdiv grids: edge blocks are partial, which
     # is safe here because every y-slice (kernel 1) / x-slice (kernel 2)
     # is computed independently and out-of-bounds rows are masked on the
