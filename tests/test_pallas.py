@@ -19,7 +19,8 @@ def _ref(mesh, P, x):
     return op, kron_laplacian_apply(x, op.Ks, op.ms, op.bc_marker)
 
 
-@pytest.mark.parametrize("nc,P", [((5, 4, 3), 4), ((4, 5, 6), 3)])
+@pytest.mark.parametrize("nc,P", [((5, 4, 3), 4), ((4, 5, 6), 3),
+                                  ((3, 3, 3), 8)])
 def test_pallas_blocked_matches_kron(nc, P):
     from pmg_dolfinx_tpu.ops.pallas_kron_blocked import PallasKronBlocked
 
