@@ -26,6 +26,11 @@ def main():
     p.add_argument("--grid", action="store_true",
                    help="sweep multi-axis (x,y,z) GridPMG box "
                         "decompositions instead of the 1D slab")
+    p.add_argument("--coarse", choices=["cg", "smoother", "fdm", "direct",
+                                        "hmg"], default="cg")
+    p.add_argument("--dist-coarse", action="store_true",
+                   help="with --coarse hmg: the distributed (non-"
+                        "gathered) h-MG coarse (coarse_cfg dist=True)")
     args = p.parse_args()
     dtype = setup_jax(args, n_cpu_devices=args.max_devices or 8)
 
@@ -56,9 +61,13 @@ def main():
         nx = max(div, (nc[0] + div - 1) // div * div)
         mesh = BoxMesh((nx, nc[1], nc[2]))
         t0 = time.time()
+        # Pin the h-hierarchy across device counts (its depth depends on
+        # the shard-alignment constraint) so trajectories stay invariant.
+        ccfg = (dict(dist=True, divisors=(max(counts), 1, 1))
+                if args.dist_coarse else None)
         dist = DistPMG(mesh, n_devices=nd, degrees=tuple(args.degrees),
-                       kappa=args.kappa, dtype=dtype, coarse="cg",
-                       operator=args.operator)
+                       kappa=args.kappa, dtype=dtype, coarse=args.coarse,
+                       coarse_cfg=ccfg, operator=args.operator)
         setup = time.time() - t0
         b = assemble_rhs(mesh, pmax, f_rhs(args.kappa))
         bd = dist.to_dist(b)
@@ -119,9 +128,13 @@ def _grid_sweep(args, dtype):
     for shards in layouts:
         op = args.operator
         t0 = time.time()
+        # Pin the h-hierarchy across layouts (see the slab sweep note).
+        div_all = tuple(max(s[a] for s in layouts) for a in range(3))
+        ccfg = (dict(dist=True, divisors=div_all) if args.dist_coarse
+                else None)
         grid = GridPMG(mesh, shards=shards, degrees=tuple(args.degrees),
-                       kappa=args.kappa, dtype=dtype, coarse="cg",
-                       operator=op)
+                       kappa=args.kappa, dtype=dtype, coarse=args.coarse,
+                       coarse_cfg=ccfg, operator=op)
         setup = time.time() - t0
         grid.solve(b, num_cycles=1)  # compile
         t0 = time.time()

@@ -136,7 +136,7 @@ def dist_cycle_ops(n_shards, sigma=0.0):
 
 def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
                    precision="highest", bottom="direct", min_cells=2,
-                   sigma=0.0):
+                   sigma=0.0, divisors=None):
     """Distributed (non-gathered) geometric h-multigrid coarse hierarchy.
 
     The gathered hmg coarse solves the FULL p=1 problem redundantly on
@@ -172,14 +172,24 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
         coarsenable_levels,
     )
 
+    # ``divisors`` (coarse_cfg['divisors']) pins the alignment constraint
+    # across shard counts (the hierarchy depth depends on it), keeping
+    # scaling-sweep trajectories rank-count-invariant; must be a
+    # per-axis multiple of the actual layout.
+    div = tuple(divisors) if divisors is not None else (n_shards, 1, 1)
+    if div[0] % n_shards:
+        raise ValueError(
+            f"divisors[0]={div[0]} must be a multiple of "
+            f"n_shards={n_shards}"
+        )
     sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
-                               divisors=(n_shards, 1, 1))
+                               divisors=div)
     if len(sizes) < 2:
         raise ValueError(
             f"mesh nc={mesh.nc} is not h-coarsenable with x-cells "
-            f"divisible by n_shards={n_shards}; use the gathered hmg "
-            "coarse (coarse_cfg without dist=True) or a coarser-friendly "
-            "mesh size"
+            f"divisible by n_shards={n_shards} (divisors={div}); use the "
+            "gathered hmg coarse (coarse_cfg without dist=True) or a "
+            "coarser-friendly mesh size"
         )
     g_levels, g_data, g_bottom = build_hmg(
         mesh, P0, kappa, dtype, smoother_iters=smoother_iters,
@@ -765,6 +775,7 @@ class DistPMG:
                     bottom=self.coarse_cfg.get("bottom", "direct"),
                     min_cells=self.coarse_cfg.get("min_cells", 2),
                     sigma=self.sigma,
+                    divisors=self.coarse_cfg.get("divisors"),
                 )
                 hmg_ops = dict(
                     dist_kron_cycle_ops(self.n_shards, precision,

@@ -403,7 +403,7 @@ def grid_lattice_blocked_cycle_ops(shards, precision="highest", sigma=0.0):
 
 def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
                    precision="highest", bottom="direct", min_cells=2,
-                   sigma=0.0):
+                   sigma=0.0, divisors=None):
     """Distributed (non-gathered) h-MG coarse hierarchy on the 2D/3D box
     partition — the multi-axis generalization of
     `parallel.dist.build_hmg_dist`.
@@ -435,13 +435,26 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
     )
 
     shards = _norm_shards(shards)
+    # The h-hierarchy DEPTH depends on the alignment constraint, so two
+    # shard layouts can get different hierarchies (and slightly
+    # different trajectories). ``divisors`` (coarse_cfg['divisors'])
+    # pins one constraint across layouts — e.g. the largest layout of a
+    # scaling sweep — so trajectories stay layout-invariant.
+    div = _norm_shards(divisors) if divisors is not None else shards
+    for a, (d, s) in enumerate(zip(div, shards)):
+        if d % s:
+            raise ValueError(
+                f"divisors[{a}]={d} must be a multiple of shards[{a}]={s} "
+                "(levels divisible by the override stay shard-aligned)"
+            )
     sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
-                               divisors=shards)
+                               divisors=div)
     if len(sizes) < 2:
         raise ValueError(
             f"mesh nc={mesh.nc} is not h-coarsenable with cells "
-            f"divisible by shards={shards}; use the gathered hmg coarse "
-            "(coarse_cfg without dist=True) or a shard-friendlier mesh"
+            f"divisible by shards={shards} (divisors={div}); use the "
+            "gathered hmg coarse (coarse_cfg without dist=True) or a "
+            "shard-friendlier mesh"
         )
     g_levels, g_data, g_bottom = build_hmg(
         mesh, P0, kappa, dtype, smoother_iters=smoother_iters,
@@ -660,6 +673,7 @@ class GridPMG:
                     bottom=self.coarse_cfg.get("bottom", "direct"),
                     min_cells=self.coarse_cfg.get("min_cells", 2),
                     sigma=self.sigma,
+                    divisors=self.coarse_cfg.get("divisors"),
                 )
                 hmg_ops = dict(
                     grid_kron_cycle_ops(shards, precision,
