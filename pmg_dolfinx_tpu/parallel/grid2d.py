@@ -530,6 +530,147 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
     return tuple(levels), data, specs, g_bottom, hmg_gather, hmg_slice
 
 
+def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
+                           smoother_iters=2, precision="highest",
+                           bottom="direct", min_cells=2, sigma=0.0,
+                           divisors=None):
+    """Distributed h-MG coarse for the GENERAL family (curved hexes /
+    DG-0 kappa) on the 2D/3D box partition — the lattice-backend twin
+    of `build_hmg_grid`, rediscretizing the curved operator per h-level
+    like `solvers.hmg.build_hmg_general`.
+
+    Every h-level keeps the multi-axis duplicated-plane layout: the
+    level's quadrature-lattice geometry (recomputed on its own
+    coarsened mesh, kappa volume-averaged) partitions exactly along the
+    device grid (cell-local quadrature points), applies ride
+    `grid_lattice_cycle_ops`, transfers are the local per-axis
+    reference-space h-interpolation blocks, and only the coarsest
+    bottom solve gathers. Calibration (per-level lmax), diagonals and
+    the bottom factor come from one global `build_hmg_general` pass
+    over the SAME level sizes. Completes the reference's distributed
+    BoomerAMG replacement (src/amg.hpp:11-119) for the meshes where the
+    constant-kappa kron hierarchy refuses.
+
+    Returns ``(levels, data, specs, bottom_mode, gather, unslice)``.
+    """
+    from ..fem.assembly import lumped_mass_np, resolve_kappa
+    from ..fem.geometry import (
+        geometry_factors,
+        quadrature_weights_3d,
+        tabulate_geometry_dphi,
+    )
+    from ..fem.mesh import PerturbedBoxMesh
+    from ..ops.lattice import axis_matrices, geometry_to_qlattice
+    from ..solvers.hmg import (
+        axis_h_interpolation,
+        build_hmg_general,
+        coarsen_cell_field,
+        coarsenable_levels,
+    )
+
+    shards = _norm_shards(shards)
+    div = _norm_shards(divisors) if divisors is not None else shards
+    for a, (d, s) in enumerate(zip(div, shards)):
+        if d % s:
+            raise ValueError(
+                f"divisors[{a}]={d} must be a multiple of shards[{a}]={s}"
+            )
+    sizes = coarsenable_levels(mesh.nc, min_cells=min_cells, divisors=div)
+    if len(sizes) < 2:
+        raise ValueError(
+            f"mesh nc={mesh.nc} is not h-coarsenable with cells "
+            f"divisible by shards={shards} (divisors={div}); use the "
+            "gathered hmg coarse (coarse_cfg without dist=True) or a "
+            "shard-friendlier mesh"
+        )
+    g_levels, g_data, g_bottom, _g_core = build_hmg_general(
+        mesh, P0, kappa, dtype, smoother_iters=smoother_iters,
+        precision=precision, bottom=bottom, min_cells=min_cells,
+        sigma=sigma, sizes=sizes,
+    )
+    sizes_cf = sizes[::-1]  # coarse -> fine, matching g_data["levels"]
+    if isinstance(mesh, PerturbedBoxMesh):
+        meshes = [PerturbedBoxMesh(nc, extent=mesh.extent, warp=mesh._warp)
+                  for nc in sizes_cf]
+    else:
+        meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes_cf]
+    parts = [GridPartition(m, shards) for m in meshes]
+    kappa_fine, _ = resolve_kappa(mesh, kappa)
+    PSHARD = P(*AXES)
+
+    levels, level_data, level_specs = [], [], []
+    for m, p_l, g_lv in zip(meshes, parts, g_data["levels"]):
+        if callable(kappa):
+            kc, _ = resolve_kappa(m, kappa)
+        else:
+            kc = coarsen_cell_field(kappa_fine, mesh.nc, m.nc)
+        G_cells, _ = geometry_factors(
+            m.geometry_x, m.geometry_dofmap,
+            tabulate_geometry_dphi(P0), quadrature_weights_3d(P0), xp=np,
+        )
+        lv = dict(
+            G=jnp.asarray(
+                geometry_to_qlattice(G_cells * kc[:, None, None], m.nc, P0),
+                dtype=dtype,
+            ),
+            bc_marker=jnp.asarray(
+                p_l.to_dist(P0, m.boundary_dof_marker(P0)) > 0.5
+            ),
+            diag_inv=jnp.asarray(
+                p_l.to_dist(P0, np.asarray(g_lv["diag_inv"]).reshape(-1)),
+                dtype=dtype,
+            ),
+            weights=jnp.asarray(p_l.ownership_weights(P0), dtype=dtype),
+            lmax=g_lv["lmax"],
+        )
+        spec = dict(G=PSHARD, bc_marker=PSHARD, diag_inv=PSHARD,
+                    weights=PSHARD, lmax=P())
+        if sigma:
+            lv["m3"] = jnp.asarray(
+                p_l.to_dist(P0, lumped_mass_np(m, P0, bc_zero=True)),
+                dtype=dtype,
+            )
+            spec["m3"] = PSHARD
+        for a, name in enumerate("xyz"):
+            E, Dg = axis_matrices(p_l.cells_per_shard[a], P0)
+            lv["E" + name] = jnp.asarray(E, dtype=dtype)
+            lv["D" + name] = jnp.asarray(Dg, dtype=dtype)
+            spec["E" + name] = P()
+            spec["D" + name] = P()
+        levels.append(Level(P=P0, ndofs=p_l.local_ndofs(P0),
+                            smoother_iters=smoother_iters,
+                            shape=p_l.local_shape(P0)))
+        level_data.append(lv)
+        level_specs.append(spec)
+
+    transfer, transfer_specs = [], []
+    for i in range(len(meshes) - 1):
+        mc, mf = meshes[i], meshes[i + 1]
+        pc, pf = parts[i], parts[i + 1]
+        tr = {
+            "I" + name: jnp.asarray(
+                axis_h_interpolation(pc.cells_per_shard[a], P0,
+                                     factor=mf.nc[a] // mc.nc[a]),
+                dtype=dtype,
+            )
+            for a, name in enumerate("xyz")
+        }
+        tr["weights_f"] = jnp.asarray(pf.ownership_weights(P0),
+                                      dtype=dtype)
+        transfer.append(tr)
+        transfer_specs.append(dict(Ix=P(), Iy=P(), Iz=P(),
+                                   weights_f=PSHARD))
+
+    data = dict(levels=tuple(level_data), transfer=tuple(transfer))
+    specs = dict(levels=tuple(level_specs), transfer=tuple(transfer_specs))
+    if "coarse_chol" in g_data:
+        data["coarse_chol"] = g_data["coarse_chol"]
+        specs["coarse_chol"] = P()
+
+    hmg_gather, hmg_slice = grid_coarse_hooks(parts[0], P0)
+    return tuple(levels), data, specs, g_bottom, hmg_gather, hmg_slice
+
+
 class GridPMG:
     """p-multigrid over a 2D/3D device mesh.
 
@@ -656,28 +797,33 @@ class GridPMG:
                 )
             elif self.coarse_cfg.get("dist"):
                 # Non-gathered h-MG coarse: every h-level stays in the
-                # multi-axis duplicated-plane layout (`build_hmg_grid`);
-                # only the coarsest bottom solve gathers. Constant-kappa
-                # boxes only (the kron h-hierarchy).
-                if not (getattr(mesh, "is_axis_aligned", True)
-                        and self.kappa is not None):
-                    raise ValueError(
-                        "coarse_cfg dist=True (distributed hmg) requires "
-                        "a constant-kappa axis-aligned BoxMesh; the "
-                        "general family uses the gathered hmg coarse"
-                    )
-                (hmg_levels, hmg_data, hmg_specs, hmg_bottom,
-                 hmg_gather, hmg_slice) = build_hmg_grid(
-                    mesh, shards, P0, self.kappa, dtype,
+                # multi-axis duplicated-plane layout; only the coarsest
+                # bottom solve gathers. Constant-kappa boxes ride the
+                # kron h-hierarchy (`build_hmg_grid`); the general
+                # family (curved hexes / DG-0 kappa) the rediscretized
+                # lattice one (`build_hmg_grid_general`).
+                kw = dict(
                     smoother_iters=smoother_iters, precision=precision,
                     bottom=self.coarse_cfg.get("bottom", "direct"),
                     min_cells=self.coarse_cfg.get("min_cells", 2),
                     sigma=self.sigma,
                     divisors=self.coarse_cfg.get("divisors"),
                 )
+                if (getattr(mesh, "is_axis_aligned", True)
+                        and self.kappa is not None):
+                    (hmg_levels, hmg_data, hmg_specs, hmg_bottom,
+                     hmg_gather, hmg_slice) = build_hmg_grid(
+                        mesh, shards, P0, self.kappa, dtype, **kw)
+                    hmg_core = grid_kron_cycle_ops(shards, precision,
+                                                   sigma=self.sigma)
+                else:
+                    (hmg_levels, hmg_data, hmg_specs, hmg_bottom,
+                     hmg_gather, hmg_slice) = build_hmg_grid_general(
+                        mesh, shards, P0, self._kappa_raw, dtype, **kw)
+                    hmg_core = grid_lattice_cycle_ops(shards, precision,
+                                                      sigma=self.sigma)
                 hmg_ops = dict(
-                    grid_kron_cycle_ops(shards, precision,
-                                        sigma=self.sigma),
+                    hmg_core,
                     coarse_gather=hmg_gather,
                     coarse_slice=hmg_slice,
                 )

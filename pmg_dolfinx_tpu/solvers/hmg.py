@@ -199,7 +199,8 @@ def coarsen_cell_field(vals, nc_fine, nc_coarse):
 
 def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
                       max_levels=10, precision="highest",
-                      calibration_iters=20, bottom="direct", sigma=0.0):
+                      calibration_iters=20, bottom="direct", sigma=0.0,
+                      sizes=None):
     """Geometric h-multigrid for the GENERAL model family: curved
     (perturbed) hexes and variable DG-0 coefficients — the scalable
     coarse solver the reference gets from hypre BoomerAMG
@@ -238,8 +239,10 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     )
     from .tridiag import lanczos_eigenvalue_estimates
 
-    sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
-                               max_levels=max_levels)[::-1]  # coarse->fine
+    if sizes is None:
+        sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
+                                   max_levels=max_levels)
+    sizes = list(sizes)[::-1]  # coarse->fine
     if isinstance(mesh, PerturbedBoxMesh):
         meshes = [PerturbedBoxMesh(nc, extent=mesh.extent, warp=mesh._warp)
                   for nc in sizes]

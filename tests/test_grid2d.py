@@ -111,6 +111,32 @@ def test_grid_hmg_distributed_coarse_matches_single(shards, sigma):
     assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
 
 
+def test_grid_hmg_distributed_coarse_general_family():
+    """Distributed h-MG coarse for the GENERAL family on the grid
+    (`build_hmg_grid_general`): curved hexes + variable DG-0 kappa +
+    sigma, every rediscretized lattice h-level in the multi-axis
+    layout. Same level sizes as the single-device general build, so
+    trajectories must match the gathered/single hmg coarse."""
+    from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+    from pmg_dolfinx_tpu.models.poisson import f_rhs_variable, kappa_linear
+
+    sigma = 5.0
+    mesh = PerturbedBoxMesh((4, 8, 4))
+    single = PoissonProblem(nc=mesh.nc, mesh=mesh, degrees=(1, 3),
+                            kappa=kappa_linear, coarse="hmg",
+                            operator="lattice", sigma=sigma,
+                            f=f_rhs_variable(sigma=sigma))
+    u_s, rn_s = single.solve(num_cycles=5)
+    grid = GridPMG(mesh, shards=(2, 2, 2), degrees=(1, 3),
+                   kappa=kappa_linear, coarse="hmg",
+                   coarse_cfg=dict(dist=True), operator="lattice",
+                   sigma=sigma)
+    b = assemble_rhs(mesh, 3, f_rhs_variable(sigma=sigma))
+    u_d, rn_d = grid.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
 def test_grid_hmg_distributed_coarse_rejects_unalignable():
     """dist=True needs every h-level's cells divisible per axis by the
     shard grid; a (4,4,4) mesh on (4,1,1) shards cannot coarsen at all
