@@ -764,9 +764,13 @@ class DistPMG:
                 if not (getattr(mesh, "is_axis_aligned", True)
                         and self.kappa is not None):
                     raise ValueError(
-                        "coarse_cfg dist=True (distributed hmg) requires "
-                        "a constant-kappa axis-aligned BoxMesh; the "
-                        "general family uses the gathered hmg coarse"
+                        "DistPMG coarse_cfg dist=True (distributed hmg) "
+                        "requires a constant-kappa axis-aligned BoxMesh; "
+                        "for the general family use the gathered hmg "
+                        "coarse here, or GridPMG(shards=(n, 1, 1), "
+                        "coarse='hmg', coarse_cfg=dict(dist=True)) — "
+                        "the multi-axis build_hmg_grid_general covers "
+                        "the 1D-slab layout"
                     )
                 (hmg_levels, hmg_data, hmg_specs, hmg_bottom,
                  hmg_gather, hmg_slice) = build_hmg_dist(
