@@ -7,7 +7,11 @@ framework replaces algebraic multigrid with TPU-friendly options
 (BASELINE.md explicitly swaps the AMG path out):
 
 - `--pc jacobi`  : Jacobi-CG (default; the coarse solve used inside PMG),
-- `--pc cheb`    : CG preconditioned by a fixed fourth-kind Chebyshev sweep.
+- `--pc cheb`    : CG preconditioned by a fixed fourth-kind Chebyshev sweep,
+- `--pc hmg`     : CG preconditioned by ONE geometric h-MG V-cycle — the
+  closest analogue of the reference's KSPCG + PCHYPRE(BoomerAMG)
+  composition (amg/main.cpp:173-211), with the closed-form geometric
+  hierarchy standing in for AMG's inferred one.
 """
 
 import numpy as np
@@ -17,7 +21,8 @@ from _common import base_parser, setup_jax
 
 def main():
     p = base_parser(__doc__)
-    p.add_argument("--pc", choices=["jacobi", "cheb"], default="jacobi")
+    p.add_argument("--pc", choices=["jacobi", "cheb", "hmg"],
+                   default="jacobi")
     p.add_argument("--rtol", type=float, default=1e-8)
     p.add_argument("--max-iters", type=int, default=500)
     args = p.parse_args()
@@ -28,18 +33,32 @@ def main():
 
     from pmg_dolfinx_tpu.fem.assembly import assemble_rhs
     from pmg_dolfinx_tpu.fem.mesh import BoxMesh
-    from pmg_dolfinx_tpu.models.poisson import f_rhs, fit_box_cells
+    from pmg_dolfinx_tpu.models.poisson import fit_box_cells
     from pmg_dolfinx_tpu.ops.lattice import LatticeLaplacian
     from pmg_dolfinx_tpu.solvers.cg import cg_solve
     from pmg_dolfinx_tpu.utils.timers import Timer, list_timings
 
     nc = fit_box_cells(args.ndofs, 1)
+    if args.pc == "hmg":
+        # Round to multiples of 4 so the geometric hierarchy can coarsen
+        # (fit_box_cells may pick prime cell counts).
+        nc = tuple((c + 3) // 4 * 4 for c in nc)
     mesh = BoxMesh(nc)
     nd = mesh.num_dofs(1)
     print(f"mesh {nc}, p=1, ndofs={nd}, backend {jax.default_backend()}")
 
     op = LatticeLaplacian(mesh, 1, kappa=args.kappa, dtype=dtype)
-    b = jnp.asarray(assemble_rhs(mesh, 1, f_rhs(args.kappa)), dtype=dtype)
+
+    # The reference's Gaussian point-source rhs (amg/main.cpp:110-121) —
+    # deliberately NOT the manufactured sine (on a uniform p=1 grid the
+    # discrete sine is an exact generalized eigenvector of every
+    # tensor-product Toeplitz operator here, so CG would converge in ONE
+    # iteration and the preconditioner comparison would be degenerate).
+    def f_gauss(x):
+        d = sum((x[i] - 0.5) ** 2 for i in range(2))
+        return 1000.0 * np.exp(-d / 0.02)
+
+    b = jnp.asarray(assemble_rhs(mesh, 1, f_gauss), dtype=dtype)
 
     precond = None
     if args.pc == "cheb":
@@ -56,6 +75,23 @@ def main():
         def precond(r):
             return chebyshev4_solve(op, r, jnp.zeros_like(r), op.diag_inv,
                                     lmax, 3)
+    elif args.pc == "hmg":
+        from pmg_dolfinx_tpu.solvers.hmg import build_hmg
+        from pmg_dolfinx_tpu.solvers.pmg import kron_cycle_ops, v_cycle
+
+        levels, data, bottom = build_hmg(mesh, 1, args.kappa, dtype)
+        hops = kron_cycle_ops("highest")
+        shape = levels[-1].shape
+        print(f"h-MG preconditioner: {len(levels)} levels "
+              f"{[lv.shape for lv in levels]}, bottom '{bottom}'")
+
+        def precond(r):
+            # One V-cycle with symmetric Chebyshev smoothing: a fixed
+            # SPD operator, as CG requires (the PCHYPRE analogue).
+            r3 = r.reshape(shape)
+            u = v_cycle(data, r3, jnp.zeros_like(r3), levels=levels,
+                        coarse=bottom, coarse_cfg={}, ops=hops)
+            return u.reshape(jnp.shape(r))
 
     with Timer("ZZZ Solve", sync=True):
         x, info = cg_solve(op, b, jnp.zeros_like(b), op.diag_inv,
