@@ -126,3 +126,42 @@ def test_dist_curved_hmg_matches_single():
     u_d, rn_d = dist.solve(b, num_cycles=5)
     assert np.allclose(rn_d, rn_s, rtol=1e-9), (rn_s, rn_d)
     assert np.allclose(u_d, np.asarray(u_s), atol=1e-10)
+
+
+def test_vcycle_preconditioned_cg_beats_jacobi():
+    """One h-MG V-cycle as the CG preconditioner (examples/amg.py
+    --pc hmg, the reference's KSPCG+PCHYPRE composition,
+    amg/main.cpp:173-211) must cut the iteration count by an
+    AMG-class factor vs plain Jacobi-CG on a non-eigenvector rhs."""
+    from pmg_dolfinx_tpu.ops.lattice import LatticeLaplacian
+    from pmg_dolfinx_tpu.solvers.cg import cg_solve
+    from pmg_dolfinx_tpu.solvers.hmg import build_hmg
+    from pmg_dolfinx_tpu.solvers.pmg import kron_cycle_ops, v_cycle
+
+    mesh = BoxMesh((16, 16, 16))  # large enough that Jacobi-CG's O(1/h)
+    op = LatticeLaplacian(mesh, 1, kappa=2.0, dtype=jnp.float64)
+
+    def f_gauss(x):
+        return 1000.0 * np.exp(-sum((x[i] - 0.5) ** 2 for i in range(2))
+                               / 0.02)
+
+    b = jnp.asarray(assemble_rhs(mesh, 1, f_gauss))
+    _, info_j = cg_solve(op, b, jnp.zeros_like(b), op.diag_inv,
+                         rtol=1e-8, maxiter=200)
+
+    levels, data, bottom = build_hmg(mesh, 1, 2.0, jnp.float64)
+    hops = kron_cycle_ops("highest")
+    shape = levels[-1].shape
+
+    def precond(r):
+        u = v_cycle(data, r.reshape(shape),
+                    jnp.zeros(shape, dtype=r.dtype), levels=levels,
+                    coarse=bottom, coarse_cfg={}, ops=hops)
+        return u.reshape(jnp.shape(r))
+
+    x, info_h = cg_solve(op, b, jnp.zeros_like(b), op.diag_inv,
+                         rtol=1e-8, maxiter=200, precond=precond)
+    assert int(info_h["niter"]) * 3 <= int(info_j["niter"]), (
+        int(info_h["niter"]), int(info_j["niter"]))
+    r = b - op(x)
+    assert float(jnp.linalg.norm(r)) < 1e-6 * float(jnp.linalg.norm(b))
