@@ -33,7 +33,7 @@ def main():
 
     from pmg_dolfinx_tpu.fem.assembly import assemble_rhs
     from pmg_dolfinx_tpu.fem.mesh import BoxMesh
-    from pmg_dolfinx_tpu.models.poisson import fit_box_cells
+    from pmg_dolfinx_tpu.models.poisson import f_gauss, fit_box_cells
     from pmg_dolfinx_tpu.ops.lattice import LatticeLaplacian
     from pmg_dolfinx_tpu.solvers.cg import cg_solve
     from pmg_dolfinx_tpu.utils.timers import Timer, list_timings
@@ -48,16 +48,6 @@ def main():
     print(f"mesh {nc}, p=1, ndofs={nd}, backend {jax.default_backend()}")
 
     op = LatticeLaplacian(mesh, 1, kappa=args.kappa, dtype=dtype)
-
-    # The reference's Gaussian point-source rhs (amg/main.cpp:110-121) —
-    # deliberately NOT the manufactured sine (on a uniform p=1 grid the
-    # discrete sine is an exact generalized eigenvector of every
-    # tensor-product Toeplitz operator here, so CG would converge in ONE
-    # iteration and the preconditioner comparison would be degenerate).
-    def f_gauss(x):
-        d = sum((x[i] - 0.5) ** 2 for i in range(2))
-        return 1000.0 * np.exp(-d / 0.02)
-
     b = jnp.asarray(assemble_rhs(mesh, 1, f_gauss), dtype=dtype)
 
     precond = None
@@ -75,28 +65,39 @@ def main():
         def precond(r):
             return chebyshev4_solve(op, r, jnp.zeros_like(r), op.diag_inv,
                                     lmax, 3)
-    elif args.pc == "hmg":
+    flexible = False
+    if args.pc == "hmg":
         from pmg_dolfinx_tpu.solvers.hmg import build_hmg
         from pmg_dolfinx_tpu.solvers.pmg import kron_cycle_ops, v_cycle
 
         levels, data, bottom = build_hmg(mesh, 1, args.kappa, dtype)
         hops = kron_cycle_ops("highest")
         shape = levels[-1].shape
+        # With a 'direct' bottom the V-cycle is a fixed SPD operator and
+        # plain PCG applies; a 'cg' bottom (coarsest level > 4096 dofs)
+        # is an inner Krylov solve — not a fixed linear operator — so
+        # the outer loop must be FLEXIBLE CG.
+        flexible = bottom != "direct"
         print(f"h-MG preconditioner: {len(levels)} levels "
-              f"{[lv.shape for lv in levels]}, bottom '{bottom}'")
+              f"{[lv.shape for lv in levels]}, bottom '{bottom}'"
+              f"{' -> flexible CG outer' if flexible else ''}")
 
         def precond(r):
-            # One V-cycle with symmetric Chebyshev smoothing: a fixed
-            # SPD operator, as CG requires (the PCHYPRE analogue).
             r3 = r.reshape(shape)
             u = v_cycle(data, r3, jnp.zeros_like(r3), levels=levels,
                         coarse=bottom, coarse_cfg={}, ops=hops)
             return u.reshape(jnp.shape(r))
 
     with Timer("ZZZ Solve", sync=True):
-        x, info = cg_solve(op, b, jnp.zeros_like(b), op.diag_inv,
-                           rtol=args.rtol, maxiter=args.max_iters,
-                           precond=precond)
+        if flexible:
+            from pmg_dolfinx_tpu.solvers.cg import fcg_solve
+
+            x, info = fcg_solve(op, b, jnp.zeros_like(b), precond,
+                                rtol=args.rtol, maxiter=args.max_iters)
+        else:
+            x, info = cg_solve(op, b, jnp.zeros_like(b), op.diag_inv,
+                               rtol=args.rtol, maxiter=args.max_iters,
+                               precond=precond)
     print(f"CG iterations: {int(info['niter'])}, "
           f"|r|_M = {float(info['rnorm'])**0.5:.4e}")
     r = b - op(x)

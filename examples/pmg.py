@@ -151,9 +151,8 @@ def main():
         if args.pcg:
             u, niter = prob.hierarchy.solve_pcg(prob.b, rtol=1e-8,
                                                 maxiter=args.cycles)
-            print(f"FCG(V-cycle) converged in {niter} iterations")
-            return u, []
-        return prob.solve(num_cycles=args.cycles)
+            return u, [], niter
+        return (*prob.solve(num_cycles=args.cycles),)
 
     if args.warm:
         # Throwaway first solve so the timed one excludes jit compiles
@@ -162,7 +161,9 @@ def main():
         with Timer("pmg solve warmup (jit compile)", sync=True):
             _solve()
     with Timer("pmg solve (%d cycles)" % args.cycles, sync=True):
-        u, rnorms = _solve()
+        u, rnorms, *extra = _solve()
+    if args.pcg:
+        print(f"FCG(V-cycle) converged in {extra[0]} iterations")
     r0 = float(np.linalg.norm(np.asarray(prob.b)))
     for i, r in enumerate(rnorms):
         print(f"cycle {i + 1:2d}: |r| = {r:.4e}   rel = {r / r0:.4e}")

@@ -58,6 +58,12 @@ def main():
         target = args.ndofs * (nd if args.mode == "weak" else 1)
         nc = fit_box_cells(target, pmax)
         div = lcm if args.mode == "strong" else nd
+        if args.dist_coarse:
+            # The pinned h-hierarchy needs one factor-2 coarsening with
+            # x-cells still divisible by max(counts), and even y/z cells
+            # (fit_box_cells often picks primes).
+            div = 2 * lcm
+            nc = (nc[0], (nc[1] + 1) // 2 * 2, (nc[2] + 1) // 2 * 2)
         nx = max(div, (nc[0] + div - 1) // div * div)
         mesh = BoxMesh((nx, nc[1], nc[2]))
         t0 = time.time()
@@ -116,8 +122,13 @@ def _grid_sweep(args, dtype):
     layouts = [s for s in layouts if s[0] * s[1] * s[2] <= n_avail]
     pmax = max(args.degrees)
     nc = fit_box_cells(args.ndofs, pmax)
-    div = max(max(s) for s in layouts)
-    nc = tuple((c + div - 1) // div * div for c in nc)
+    div_all = tuple(max(s[a] for s in layouts) for a in range(3))
+    if args.dist_coarse:
+        # One factor-2 coarsening must stay divisible by every layout.
+        per_axis = tuple(2 * d for d in div_all)
+    else:
+        per_axis = (max(div_all),) * 3
+    nc = tuple((c + d - 1) // d * d for c, d in zip(nc, per_axis))
     mesh = BoxMesh(nc)
     b = assemble_rhs(mesh, pmax, f_rhs(args.kappa))
     rtol = 1e-9 if args.dtype == "f64" else 1e-3
@@ -129,7 +140,6 @@ def _grid_sweep(args, dtype):
         op = args.operator
         t0 = time.time()
         # Pin the h-hierarchy across layouts (see the slab sweep note).
-        div_all = tuple(max(s[a] for s in layouts) for a in range(3))
         ccfg = (dict(dist=True, divisors=div_all) if args.dist_coarse
                 else None)
         grid = GridPMG(mesh, shards=shards, degrees=tuple(args.degrees),

@@ -32,6 +32,16 @@ def f_rhs(kappa, sigma=0.0):
     return f
 
 
+def f_gauss(x):
+    """The reference amg driver's Gaussian point source
+    (examples/amg/main.cpp:110-121): ``1000 exp(-((x-.5)^2+(y-.5)^2)/.02)``.
+    Deliberately NOT the manufactured sine — on a uniform p=1 grid the
+    discrete sine is an exact generalized eigenvector of every
+    tensor-product Toeplitz operator, which makes CG converge in one
+    iteration and degenerates preconditioner comparisons."""
+    return 1000.0 * np.exp(-((x[0] - 0.5) ** 2 + (x[1] - 0.5) ** 2) / 0.02)
+
+
 def grad_u_exact(x):
     """Gradient of the manufactured solution at ``x[(3, npts)]``."""
     sx, sy, sz = (np.sin(np.pi * x[i]) for i in range(3))

@@ -553,18 +553,12 @@ def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
 
     Returns ``(levels, data, specs, bottom_mode, gather, unslice)``.
     """
-    from ..fem.assembly import lumped_mass_np, resolve_kappa
-    from ..fem.geometry import (
-        geometry_factors,
-        quadrature_weights_3d,
-        tabulate_geometry_dphi,
-    )
+    from ..fem.assembly import lumped_mass_np
     from ..fem.mesh import PerturbedBoxMesh
-    from ..ops.lattice import axis_matrices, geometry_to_qlattice
+    from ..ops.lattice import axis_matrices
     from ..solvers.hmg import (
         axis_h_interpolation,
         build_hmg_general,
-        coarsen_cell_field,
         coarsenable_levels,
     )
 
@@ -595,24 +589,18 @@ def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
     else:
         meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes_cf]
     parts = [GridPartition(m, shards) for m in meshes]
-    kappa_fine, _ = resolve_kappa(mesh, kappa)
     PSHARD = P(*AXES)
 
     levels, level_data, level_specs = [], [], []
     for m, p_l, g_lv in zip(meshes, parts, g_data["levels"]):
-        if callable(kappa):
-            kc, _ = resolve_kappa(m, kappa)
-        else:
-            kc = coarsen_cell_field(kappa_fine, mesh.nc, m.nc)
-        G_cells, _ = geometry_factors(
-            m.geometry_x, m.geometry_dofmap,
-            tabulate_geometry_dphi(P0), quadrature_weights_3d(P0), xp=np,
-        )
         lv = dict(
-            G=jnp.asarray(
-                geometry_to_qlattice(G_cells * kc[:, None, None], m.nc, P0),
-                dtype=dtype,
-            ),
+            # The global q-lattice geometry (kappa folded in) and the
+            # per-level lumped mass are exactly what build_hmg_general
+            # already computed — reuse instead of recomputing the
+            # host-side geometry pipeline (it dominates setup at the
+            # finest h-level, the FULL p=1 mesh); the PSHARD spec
+            # partitions the global array at placement.
+            G=g_lv["G"],
             bc_marker=jnp.asarray(
                 p_l.to_dist(P0, m.boundary_dof_marker(P0)) > 0.5
             ),
@@ -626,10 +614,9 @@ def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
         spec = dict(G=PSHARD, bc_marker=PSHARD, diag_inv=PSHARD,
                     weights=PSHARD, lmax=P())
         if sigma:
-            lv["m3"] = jnp.asarray(
-                p_l.to_dist(P0, lumped_mass_np(m, P0, bc_zero=True)),
-                dtype=dtype,
-            )
+            m3_np = (np.asarray(g_lv["m3"]) if "m3" in g_lv
+                     else lumped_mass_np(m, P0, bc_zero=True))
+            lv["m3"] = jnp.asarray(p_l.to_dist(P0, m3_np), dtype=dtype)
             spec["m3"] = PSHARD
         for a, name in enumerate("xyz"):
             E, Dg = axis_matrices(p_l.cells_per_shard[a], P0)
