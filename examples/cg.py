@@ -25,7 +25,7 @@ def main():
 
     from pmg_dolfinx_tpu.fem.assembly import assemble_rhs
     from pmg_dolfinx_tpu.fem.mesh import BoxMesh
-    from pmg_dolfinx_tpu.models.poisson import f_rhs, fit_box_cells
+    from pmg_dolfinx_tpu.models.poisson import f_gauss, fit_box_cells
     from pmg_dolfinx_tpu.ops.lattice import LatticeLaplacian
     from pmg_dolfinx_tpu.ops.laplacian import MatFreeLaplacian
     from pmg_dolfinx_tpu.solvers.cg import cg_solve
@@ -68,7 +68,12 @@ def main():
         else:
             op = MatFreeLaplacian(mesh, args.degree, kappa=args.kappa,
                                   dtype=dtype)
-    b = jnp.asarray(assemble_rhs(mesh, args.degree, f_rhs(args.kappa)), dtype=dtype)
+    # The reference's Gaussian point-source rhs (cg/main.cpp:136-148).
+    # The manufactured sine is spectrally too clean here: CG converges in
+    # ~16 iterations and the recorded Lanczos coefficients then
+    # UNDERestimate lmax badly (1.57 vs true 2.21 at p=3), which makes
+    # the 30-iteration Chebyshev demo diverge.
+    b = jnp.asarray(assemble_rhs(mesh, args.degree, f_gauss), dtype=dtype)
 
     with Timer("ZZZ CG", sync=True):
         x, info = cg_solve(
