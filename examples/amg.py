@@ -25,6 +25,14 @@ def main():
                    default="jacobi")
     p.add_argument("--rtol", type=float, default=1e-8)
     p.add_argument("--max-iters", type=int, default=500)
+    p.add_argument("--mesh", choices=["box", "perturbed"], default="box",
+                   help="'perturbed': general (non-affine) hexahedra — "
+                        "with --pc hmg this is the full BoomerAMG-"
+                        "replacement scenario (rediscretized curved "
+                        "h-levels)")
+    p.add_argument("--kappa-field", choices=["const", "linear"],
+                   default="const",
+                   help="'linear': variable per-cell DG-0 coefficient")
     args = p.parse_args()
     dtype = setup_jax(args)
 
@@ -43,11 +51,23 @@ def main():
         # Round to multiples of 4 so the geometric hierarchy can coarsen
         # (fit_box_cells may pick prime cell counts).
         nc = tuple((c + 3) // 4 * 4 for c in nc)
-    mesh = BoxMesh(nc)
-    nd = mesh.num_dofs(1)
-    print(f"mesh {nc}, p=1, ndofs={nd}, backend {jax.default_backend()}")
+    if args.mesh == "perturbed":
+        from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
 
-    op = LatticeLaplacian(mesh, 1, kappa=args.kappa, dtype=dtype)
+        mesh = PerturbedBoxMesh(nc)
+    else:
+        mesh = BoxMesh(nc)
+    kappa = args.kappa
+    if args.kappa_field == "linear":
+        from pmg_dolfinx_tpu.models.poisson import kappa_linear
+
+        kappa = kappa_linear
+    general = args.mesh == "perturbed" or args.kappa_field != "const"
+    nd = mesh.num_dofs(1)
+    print(f"mesh {nc} ({args.mesh}), p=1, ndofs={nd}, "
+          f"kappa {args.kappa_field}, backend {jax.default_backend()}")
+
+    op = LatticeLaplacian(mesh, 1, kappa=kappa, dtype=dtype)
     b = jnp.asarray(assemble_rhs(mesh, 1, f_gauss), dtype=dtype)
 
     precond = None
@@ -67,12 +87,25 @@ def main():
                                     lmax, 3)
     flexible = False
     if args.pc == "hmg":
-        from pmg_dolfinx_tpu.solvers.hmg import build_hmg
-        from pmg_dolfinx_tpu.solvers.pmg import kron_cycle_ops, v_cycle
+        from pmg_dolfinx_tpu.solvers.pmg import v_cycle
 
-        levels, data, bottom = build_hmg(mesh, 1, args.kappa, dtype)
-        hops = kron_cycle_ops("highest")
-        shape = levels[-1].shape
+        if general:
+            # Rediscretized lattice hierarchy: curved meshes re-evaluate
+            # the warp per level, DG-0 kappa volume-averages — the full
+            # BoomerAMG-replacement scenario (src/amg.hpp on any mesh).
+            from pmg_dolfinx_tpu.solvers.hmg import build_hmg_general
+
+            levels, data, bottom, hops = build_hmg_general(
+                mesh, 1, kappa, dtype)
+        else:
+            from pmg_dolfinx_tpu.solvers.hmg import build_hmg
+            from pmg_dolfinx_tpu.solvers.pmg import kron_cycle_ops
+
+            levels, data, bottom = build_hmg(mesh, 1, kappa, dtype)
+            hops = kron_cycle_ops("highest")
+        zeros = hops.get(
+            "zeros", lambda level, dt: jnp.zeros(level.ndofs, dtype=dt)
+        )
         # With a 'direct' bottom the V-cycle is a fixed SPD operator and
         # plain PCG applies; a 'cg' bottom (coarsest level > 4096 dofs)
         # is an inner Krylov solve — not a fixed linear operator — so
@@ -83,8 +116,8 @@ def main():
               f"{' -> flexible CG outer' if flexible else ''}")
 
         def precond(r):
-            r3 = r.reshape(shape)
-            u = v_cycle(data, r3, jnp.zeros_like(r3), levels=levels,
+            u0 = zeros(levels[-1], r.dtype)
+            u = v_cycle(data, r.reshape(jnp.shape(u0)), u0, levels=levels,
                         coarse=bottom, coarse_cfg={}, ops=hops)
             return u.reshape(jnp.shape(r))
 

@@ -297,6 +297,11 @@ class LatticeLaplacian:
     """
 
     def __init__(self, mesh, P, kappa=2.0, dtype=jnp.float32, precision="highest"):
+        """``kappa`` may be a scalar, a per-cell DG-0 array, or a callable
+        over points (sampled at cell centroids) — same contract as
+        `PMGHierarchy` (`fem.assembly.resolve_kappa`)."""
+        from ..fem.assembly import resolve_kappa
+
         self.P = int(P)
         self.mesh = mesh
         self.dtype = dtype
@@ -318,7 +323,9 @@ class LatticeLaplacian:
             quadrature_weights_3d(self.P),
             xp=np,
         )
-        Gq = geometry_to_qlattice(G_cells * float(kappa), mesh.nc, self.P)
+        kc, _ = resolve_kappa(mesh, kappa)
+        Gq = geometry_to_qlattice(G_cells * kc[:, None, None], mesh.nc,
+                                  self.P)
         self.G = jnp.asarray(Gq, dtype=dtype)
         self.bc_marker = jnp.asarray(mesh.boundary_dof_marker(self.P))
         self._apply = jax.jit(
@@ -331,7 +338,7 @@ class LatticeLaplacian:
         diag = jax.jit(laplacian_diagonal, static_argnums=(5,))(
             jnp.asarray(mesh.dofmap(self.P)),
             jnp.asarray(G_cells, dtype=dtype),
-            jnp.full((mesh.ncells,), float(kappa), dtype=dtype),
+            jnp.asarray(kc, dtype=dtype),
             jnp.asarray(derivative_matrix(self.P), dtype=dtype),
             self.bc_marker,
             self.ndofs,
