@@ -123,3 +123,27 @@ def test_high_degree_beyond_reference(P):
     x = np.random.default_rng(P).standard_normal(mesh.num_dofs(P))
     y = np.asarray(op(jnp.asarray(x)))
     assert np.linalg.norm(y - A @ x) / np.linalg.norm(A @ x) < 1e-12
+
+
+def test_lattice_laplacian_variable_kappa_and_curved():
+    """LatticeLaplacian accepts per-cell DG-0 / callable kappa and curved
+    meshes (the p=1 operator behind examples/amg.py's general family):
+    apply AND diagonal must match the assembled oracle."""
+    from pmg_dolfinx_tpu.fem.assembly import assemble_stiffness, resolve_kappa
+    from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+    from pmg_dolfinx_tpu.models.poisson import kappa_linear
+
+    mesh = PerturbedBoxMesh((3, 4, 5))
+    P = 2
+    op = LatticeLaplacian(mesh, P, kappa=kappa_linear, dtype=jnp.float64)
+    kc, _ = resolve_kappa(mesh, kappa_linear)
+    A = assemble_stiffness(mesh, P, kappa=kc).toarray()
+    nd = mesh.num_dofs(P)
+    bc = np.asarray(mesh.boundary_dof_marker(P)) > 0.5
+    x = np.random.default_rng(3).standard_normal(nd)
+    y_ref = A @ np.where(bc, 0.0, x)
+    y_ref[bc] = x[bc]
+    y = np.asarray(op(jnp.asarray(x)))
+    assert np.allclose(y, y_ref, atol=1e-11)
+    d_ref = np.where(bc, 1.0, np.diag(A))
+    assert np.allclose(np.asarray(op.diag), d_ref, atol=1e-11)
