@@ -208,14 +208,17 @@ def _bench_fdm_solve_2m():
     shape = mesh.lattice_shape(P)
     b3 = jnp.ones(shape, dtype=jnp.float32)
 
-    @partial(jax.jit, static_argnums=(1,))
-    def chain(b, reps):
+    # Solver arrays are jit ARGUMENTS, not closures: the 2M-entry
+    # dinv/bc lattices feed XLA matmul/elementwise graphs and would
+    # constant-fold into the HLO otherwise (CLAUDE.md closure rule).
+    @partial(jax.jit, static_argnums=(5, 6))
+    def chain(b, Vs, Vts, dinv, bc, shp, reps):
         def body(i, v):
-            return fdm_solve(b + 1e-30 * v, fdm.Vs, fdm.Vts, fdm.dinv,
-                             fdm.bc_marker, shape)
+            return fdm_solve(b + 1e-30 * v, Vs, Vts, dinv, bc, shp)
         return jnp.sum(jax.lax.fori_loop(0, reps, body, b))
 
-    run = lambda r: float(chain(b3, r))
+    run = lambda r: float(chain(b3, fdm.Vs, fdm.Vts, fdm.dinv,
+                                fdm.bc_marker, shape, r))
     per_solve, spread = _measure(run, 50, 250, min_samples=5)
     return per_solve * 1e3, spread
 

@@ -81,12 +81,8 @@ def main():
           f"backend {jax.default_backend()}, dtype {args.dtype}")
 
     kappa, f = args.kappa, None
-    if args.sigma and args.operator not in ("kron", "kron_blocked") \
-            and args.mesh == "box" and args.kappa_field == "const":
-        # Only override backends that cannot carry the shift; an explicit
-        # --operator kron_blocked is honored (it supports sigma).
-        args.operator = "kron"
-        print("sigma shift: switching operator backend to 'kron'")
+    # sigma needs no backend override: every operator backend carries
+    # the lumped-mass shift (README model-family matrix).
     if args.kappa_field == "linear":
         kappa, f = kappa_linear, f_rhs_variable(sigma=args.sigma)
         if args.operator in ("kron", "kron_blocked"):

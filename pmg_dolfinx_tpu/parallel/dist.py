@@ -49,7 +49,7 @@ from ..solvers.pmg import (
 )
 from ..solvers.tridiag import lanczos_eigenvalue_estimates
 from .multihost import fetch_global, put_global
-from .partition import SlabPartition
+from .partition import SlabPartition, duplicate_planes
 
 AXIS = "x"
 
@@ -207,10 +207,7 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
         Kz, mz = axis_stiffness_mass(m.nc[2], P0, m.h[2])
         _, mx_g = axis_stiffness_mass(m.nc[0], P0, m.h[0])
         npl = p_l.local_planes(P0)
-        mx_dup = np.concatenate([
-            mx_g[s * (npl - 1): s * (npl - 1) + npl]
-            for s in range(n_shards)
-        ])
+        mx_dup = duplicate_planes(mx_g, npl, n_shards)
         lv = dict(
             Kx=jnp.asarray(float(kappa) * Kx, dtype=dtype),
             Ky=jnp.asarray(float(kappa) * Ky, dtype=dtype),
@@ -586,10 +583,7 @@ class DistPMG:
                 _, mx_g = axis_stiffness_mass(mesh.nc[0], Pdeg, mesh.h[0])
                 # Global x-mass in the duplicated-plane layout, sharded.
                 npl = part.local_planes(Pdeg)
-                mx_dup = np.concatenate(
-                    [mx_g[s * (npl - 1): s * (npl - 1) + npl]
-                     for s in range(part.n_shards)]
-                )
+                mx_dup = duplicate_planes(mx_g, npl, part.n_shards)
                 if operator == "kron_blocked":
                     from ..ops.pallas_kron_blocked import symmetrized_mats
 
@@ -1098,10 +1092,7 @@ class DistPMG:
                 Kz, mz = axis_stiffness_mass(mesh.nc[2], Pdeg, mesh.h[2])
                 _, mx_g = axis_stiffness_mass(mesh.nc[0], Pdeg, mesh.h[0])
                 npl = part.local_planes(Pdeg)
-                mx_dup = np.concatenate(
-                    [mx_g[s * (npl - 1): s * (npl - 1) + npl]
-                     for s in range(part.n_shards)]
-                )
+                mx_dup = duplicate_planes(mx_g, npl, part.n_shards)
                 lv64 = dict(
                     common,
                     Kx=jnp.asarray(self.kappa * Kx, dtype=jnp.float64),

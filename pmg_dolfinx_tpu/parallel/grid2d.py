@@ -44,6 +44,7 @@ from ..solvers.pmg import (
 )
 from ..solvers.tridiag import lanczos_eigenvalue_estimates
 from .multihost import fetch_global, put_global
+from .partition import duplicate_planes
 
 AXES = ("x", "y", "z")
 
@@ -401,38 +402,17 @@ def grid_lattice_blocked_cycle_ops(shards, precision="highest", sigma=0.0):
     return dict(_grid_common_ops(shards, precision), apply=apply_op)
 
 
-def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
-                   precision="highest", bottom="direct", min_cells=2,
-                   sigma=0.0, divisors=None):
-    """Distributed (non-gathered) h-MG coarse hierarchy on the 2D/3D box
-    partition — the multi-axis generalization of
-    `parallel.dist.build_hmg_dist`.
-
-    Coarsening is shard-aligned on EVERY sharded axis (each h-level's
-    cell counts stay divisible by ``shards``,
-    `coarsenable_levels(divisors=shards)`), so every h-level keeps the
-    per-axis duplicated-plane layout: level applies ride
-    `grid_kron_cycle_ops` (one ppermute pair per sharded axis),
-    inter-level transfers are the LOCAL blocks of the global per-axis
-    h-interpolation (ownership-weighted fine input, per-axis exchange of
-    the coarse partials — the `_grid_common_ops` machinery verbatim),
-    and only the bottom solve gathers, at the much smaller coarsest
-    level (`grid_coarse_hooks`). Smoother calibration (per-level lmax),
-    diagonals and the bottom factor come from one global `build_hmg`
-    pass over the SAME level sizes — the distributed operator is
-    numerically identical, so the Lanczos estimates transfer. Replaces
-    the reference's distributed BoomerAMG coarse (src/amg.hpp:11-119)
-    under multi-axis rank layouts where redundant-global solving stops
-    scaling.
-
-    Returns ``(levels, data, specs, bottom_mode, gather, unslice)``.
-    """
-    from ..ops.kron import axis_stiffness_mass
-    from ..solvers.hmg import (
-        axis_h_interpolation,
-        build_hmg,
-        coarsenable_levels,
-    )
+def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
+                       min_cells, divisors, global_build, make_mesh,
+                       fill_level):
+    """Shared frame of `build_hmg_grid` / `build_hmg_grid_general`:
+    divisors validation, shard-aligned level sizing, the global
+    calibration pass, per-level base data (bc/diag/weights/lmax), the
+    per-axis h-transfer loop, and the bottom-solve hook wiring. The
+    backend-specific operator arrays come from ``fill_level(lv, spec, m,
+    p_l, g_lv)``; the global hierarchy from ``global_build(sizes) ->
+    (g_data, g_bottom)``."""
+    from ..solvers.hmg import axis_h_interpolation, coarsenable_levels
 
     shards = _norm_shards(shards)
     # The h-hierarchy DEPTH depends on the alignment constraint, so two
@@ -456,19 +436,14 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
             "gathered hmg coarse (coarse_cfg without dist=True) or a "
             "shard-friendlier mesh"
         )
-    g_levels, g_data, g_bottom = build_hmg(
-        mesh, P0, kappa, dtype, smoother_iters=smoother_iters,
-        precision=precision, bottom=bottom, min_cells=min_cells,
-        sigma=sigma, sizes=sizes,
-    )
+    g_data, g_bottom = global_build(sizes)
     sizes_cf = sizes[::-1]  # coarse -> fine, matching g_data["levels"]
-    meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes_cf]
+    meshes = [make_mesh(nc) for nc in sizes_cf]
     parts = [GridPartition(m, shards) for m in meshes]
     PSHARD = P(*AXES)
 
     levels, level_data, level_specs = [], [], []
     for m, p_l, g_lv in zip(meshes, parts, g_data["levels"]):
-        npls = p_l.local_shape(P0)
         lv = dict(
             bc_marker=jnp.asarray(
                 p_l.to_dist(P0, m.boundary_dof_marker(P0)) > 0.5
@@ -482,148 +457,7 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
         )
         spec = dict(bc_marker=PSHARD, diag_inv=PSHARD, weights=PSHARD,
                     lmax=P())
-        for a, name in enumerate("xyz"):
-            # Local per-shard stiffness (interface partials reconciled by
-            # the exchange); global axis mass in the duplicated layout.
-            Kl, _ = axis_stiffness_mass(p_l.cells_per_shard[a], P0, m.h[a])
-            _, mg = axis_stiffness_mass(m.nc[a], P0, m.h[a])
-            npl = npls[a]
-            m_dup = np.concatenate(
-                [mg[s * (npl - 1): s * (npl - 1) + npl]
-                 for s in range(shards[a])]
-            )
-            lv["K" + name] = jnp.asarray(float(kappa) * Kl, dtype=dtype)
-            lv["m" + name] = jnp.asarray(m_dup, dtype=dtype)
-            spec["K" + name] = P()
-            spec["m" + name] = P(AXES[a])
-        levels.append(Level(P=P0, ndofs=p_l.local_ndofs(P0),
-                            smoother_iters=smoother_iters,
-                            shape=npls))
-        level_data.append(lv)
-        level_specs.append(spec)
-
-    transfer, transfer_specs = [], []
-    for i in range(len(meshes) - 1):
-        mc, mf = meshes[i], meshes[i + 1]
-        pc, pf = parts[i], parts[i + 1]
-        tr = {
-            "I" + name: jnp.asarray(
-                axis_h_interpolation(pc.cells_per_shard[a], P0,
-                                     factor=mf.nc[a] // mc.nc[a]),
-                dtype=dtype,
-            )
-            for a, name in enumerate("xyz")
-        }
-        tr["weights_f"] = jnp.asarray(pf.ownership_weights(P0),
-                                      dtype=dtype)
-        transfer.append(tr)
-        transfer_specs.append(dict(Ix=P(), Iy=P(), Iz=P(),
-                                   weights_f=PSHARD))
-
-    data = dict(levels=tuple(level_data), transfer=tuple(transfer))
-    specs = dict(levels=tuple(level_specs), transfer=tuple(transfer_specs))
-    if "coarse_chol" in g_data:
-        data["coarse_chol"] = g_data["coarse_chol"]
-        specs["coarse_chol"] = P()
-
-    hmg_gather, hmg_slice = grid_coarse_hooks(parts[0], P0)
-    return tuple(levels), data, specs, g_bottom, hmg_gather, hmg_slice
-
-
-def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
-                           smoother_iters=2, precision="highest",
-                           bottom="direct", min_cells=2, sigma=0.0,
-                           divisors=None):
-    """Distributed h-MG coarse for the GENERAL family (curved hexes /
-    DG-0 kappa) on the 2D/3D box partition — the lattice-backend twin
-    of `build_hmg_grid`, rediscretizing the curved operator per h-level
-    like `solvers.hmg.build_hmg_general`.
-
-    Every h-level keeps the multi-axis duplicated-plane layout: the
-    level's quadrature-lattice geometry (recomputed on its own
-    coarsened mesh, kappa volume-averaged) partitions exactly along the
-    device grid (cell-local quadrature points), applies ride
-    `grid_lattice_cycle_ops`, transfers are the local per-axis
-    reference-space h-interpolation blocks, and only the coarsest
-    bottom solve gathers. Calibration (per-level lmax), diagonals and
-    the bottom factor come from one global `build_hmg_general` pass
-    over the SAME level sizes. Completes the reference's distributed
-    BoomerAMG replacement (src/amg.hpp:11-119) for the meshes where the
-    constant-kappa kron hierarchy refuses.
-
-    Returns ``(levels, data, specs, bottom_mode, gather, unslice)``.
-    """
-    from ..fem.assembly import lumped_mass_np
-    from ..fem.mesh import PerturbedBoxMesh
-    from ..ops.lattice import axis_matrices
-    from ..solvers.hmg import (
-        axis_h_interpolation,
-        build_hmg_general,
-        coarsenable_levels,
-    )
-
-    shards = _norm_shards(shards)
-    div = _norm_shards(divisors) if divisors is not None else shards
-    for a, (d, s) in enumerate(zip(div, shards)):
-        if d % s:
-            raise ValueError(
-                f"divisors[{a}]={d} must be a multiple of shards[{a}]={s}"
-            )
-    sizes = coarsenable_levels(mesh.nc, min_cells=min_cells, divisors=div)
-    if len(sizes) < 2:
-        raise ValueError(
-            f"mesh nc={mesh.nc} is not h-coarsenable with cells "
-            f"divisible by shards={shards} (divisors={div}); use the "
-            "gathered hmg coarse (coarse_cfg without dist=True) or a "
-            "shard-friendlier mesh"
-        )
-    g_levels, g_data, g_bottom, _g_core = build_hmg_general(
-        mesh, P0, kappa, dtype, smoother_iters=smoother_iters,
-        precision=precision, bottom=bottom, min_cells=min_cells,
-        sigma=sigma, sizes=sizes,
-    )
-    sizes_cf = sizes[::-1]  # coarse -> fine, matching g_data["levels"]
-    if isinstance(mesh, PerturbedBoxMesh):
-        meshes = [PerturbedBoxMesh(nc, extent=mesh.extent, warp=mesh._warp)
-                  for nc in sizes_cf]
-    else:
-        meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes_cf]
-    parts = [GridPartition(m, shards) for m in meshes]
-    PSHARD = P(*AXES)
-
-    levels, level_data, level_specs = [], [], []
-    for m, p_l, g_lv in zip(meshes, parts, g_data["levels"]):
-        lv = dict(
-            # The global q-lattice geometry (kappa folded in) and the
-            # per-level lumped mass are exactly what build_hmg_general
-            # already computed — reuse instead of recomputing the
-            # host-side geometry pipeline (it dominates setup at the
-            # finest h-level, the FULL p=1 mesh); the PSHARD spec
-            # partitions the global array at placement.
-            G=g_lv["G"],
-            bc_marker=jnp.asarray(
-                p_l.to_dist(P0, m.boundary_dof_marker(P0)) > 0.5
-            ),
-            diag_inv=jnp.asarray(
-                p_l.to_dist(P0, np.asarray(g_lv["diag_inv"]).reshape(-1)),
-                dtype=dtype,
-            ),
-            weights=jnp.asarray(p_l.ownership_weights(P0), dtype=dtype),
-            lmax=g_lv["lmax"],
-        )
-        spec = dict(G=PSHARD, bc_marker=PSHARD, diag_inv=PSHARD,
-                    weights=PSHARD, lmax=P())
-        if sigma:
-            m3_np = (np.asarray(g_lv["m3"]) if "m3" in g_lv
-                     else lumped_mass_np(m, P0, bc_zero=True))
-            lv["m3"] = jnp.asarray(p_l.to_dist(P0, m3_np), dtype=dtype)
-            spec["m3"] = PSHARD
-        for a, name in enumerate("xyz"):
-            E, Dg = axis_matrices(p_l.cells_per_shard[a], P0)
-            lv["E" + name] = jnp.asarray(E, dtype=dtype)
-            lv["D" + name] = jnp.asarray(Dg, dtype=dtype)
-            spec["E" + name] = P()
-            spec["D" + name] = P()
+        fill_level(lv, spec, m, p_l, g_lv)
         levels.append(Level(P=P0, ndofs=p_l.local_ndofs(P0),
                             smoother_iters=smoother_iters,
                             shape=p_l.local_shape(P0)))
@@ -656,6 +490,134 @@ def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
 
     hmg_gather, hmg_slice = grid_coarse_hooks(parts[0], P0)
     return tuple(levels), data, specs, g_bottom, hmg_gather, hmg_slice
+
+
+def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
+                   precision="highest", bottom="direct", min_cells=2,
+                   sigma=0.0, divisors=None):
+    """Distributed (non-gathered) h-MG coarse hierarchy on the 2D/3D box
+    partition — the multi-axis generalization of
+    `parallel.dist.build_hmg_dist`.
+
+    Coarsening is shard-aligned on EVERY sharded axis (each h-level's
+    cell counts stay divisible by ``shards``,
+    `coarsenable_levels(divisors=shards)`), so every h-level keeps the
+    per-axis duplicated-plane layout: level applies ride
+    `grid_kron_cycle_ops` (one ppermute pair per sharded axis),
+    inter-level transfers are the LOCAL blocks of the global per-axis
+    h-interpolation (ownership-weighted fine input, per-axis exchange of
+    the coarse partials — the `_grid_common_ops` machinery verbatim),
+    and only the bottom solve gathers, at the much smaller coarsest
+    level (`grid_coarse_hooks`). Smoother calibration (per-level lmax),
+    diagonals and the bottom factor come from one global `build_hmg`
+    pass over the SAME level sizes — the distributed operator is
+    numerically identical, so the Lanczos estimates transfer. Replaces
+    the reference's distributed BoomerAMG coarse (src/amg.hpp:11-119)
+    under multi-axis rank layouts where redundant-global solving stops
+    scaling.
+
+    Returns ``(levels, data, specs, bottom_mode, gather, unslice)``.
+    """
+    from ..ops.kron import axis_stiffness_mass
+    from ..solvers.hmg import build_hmg
+
+    def global_build(sizes):
+        _, g_data, g_bottom = build_hmg(
+            mesh, P0, kappa, dtype, smoother_iters=smoother_iters,
+            precision=precision, bottom=bottom, min_cells=min_cells,
+            sigma=sigma, sizes=sizes,
+        )
+        return g_data, g_bottom
+
+    def fill_level(lv, spec, m, p_l, g_lv):
+        npls = p_l.local_shape(P0)
+        for a, name in enumerate("xyz"):
+            # Local per-shard stiffness (interface partials reconciled by
+            # the exchange); global axis mass in the duplicated layout.
+            Kl, _ = axis_stiffness_mass(p_l.cells_per_shard[a], P0, m.h[a])
+            _, mg = axis_stiffness_mass(m.nc[a], P0, m.h[a])
+            lv["K" + name] = jnp.asarray(float(kappa) * Kl, dtype=dtype)
+            lv["m" + name] = jnp.asarray(
+                duplicate_planes(mg, npls[a], p_l.shards[a]), dtype=dtype
+            )
+            spec["K" + name] = P()
+            spec["m" + name] = P(AXES[a])
+
+    return _hmg_grid_scaffold(
+        mesh, shards, P0, dtype, smoother_iters, min_cells, divisors,
+        global_build, lambda nc: BoxMesh(nc, extent=mesh.extent),
+        fill_level,
+    )
+
+
+def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
+                           smoother_iters=2, precision="highest",
+                           bottom="direct", min_cells=2, sigma=0.0,
+                           divisors=None):
+    """Distributed h-MG coarse for the GENERAL family (curved hexes /
+    DG-0 kappa) on the 2D/3D box partition — the lattice-backend twin
+    of `build_hmg_grid`, rediscretizing the curved operator per h-level
+    like `solvers.hmg.build_hmg_general`.
+
+    Every h-level keeps the multi-axis duplicated-plane layout: the
+    level's quadrature-lattice geometry (recomputed on its own
+    coarsened mesh, kappa volume-averaged) partitions exactly along the
+    device grid (cell-local quadrature points), applies ride
+    `grid_lattice_cycle_ops`, transfers are the local per-axis
+    reference-space h-interpolation blocks, and only the coarsest
+    bottom solve gathers. Calibration (per-level lmax), diagonals and
+    the bottom factor come from one global `build_hmg_general` pass
+    over the SAME level sizes. Completes the reference's distributed
+    BoomerAMG replacement (src/amg.hpp:11-119) for the meshes where the
+    constant-kappa kron hierarchy refuses.
+
+    Returns ``(levels, data, specs, bottom_mode, gather, unslice)``.
+    """
+    from ..fem.assembly import lumped_mass_np
+    from ..fem.mesh import PerturbedBoxMesh
+    from ..ops.lattice import axis_matrices
+    from ..solvers.hmg import build_hmg_general
+
+    def global_build(sizes):
+        _, g_data, g_bottom, _core = build_hmg_general(
+            mesh, P0, kappa, dtype, smoother_iters=smoother_iters,
+            precision=precision, bottom=bottom, min_cells=min_cells,
+            sigma=sigma, sizes=sizes,
+        )
+        return g_data, g_bottom
+
+    if isinstance(mesh, PerturbedBoxMesh):
+        make_mesh = lambda nc: PerturbedBoxMesh(nc, extent=mesh.extent,
+                                                warp=mesh._warp)
+    else:
+        make_mesh = lambda nc: BoxMesh(nc, extent=mesh.extent)
+    PSHARD = P(*AXES)
+
+    def fill_level(lv, spec, m, p_l, g_lv):
+        # The global q-lattice geometry (kappa folded in) and the
+        # per-level lumped mass are exactly what build_hmg_general
+        # already computed — reuse instead of recomputing the host-side
+        # geometry pipeline (it dominates setup at the finest h-level,
+        # the FULL p=1 mesh); the PSHARD spec partitions the global
+        # array at placement.
+        lv["G"] = g_lv["G"]
+        spec["G"] = PSHARD
+        if sigma:
+            m3_np = (np.asarray(g_lv["m3"]) if "m3" in g_lv
+                     else lumped_mass_np(m, P0, bc_zero=True))
+            lv["m3"] = jnp.asarray(p_l.to_dist(P0, m3_np), dtype=dtype)
+            spec["m3"] = PSHARD
+        for a, name in enumerate("xyz"):
+            E, Dg = axis_matrices(p_l.cells_per_shard[a], P0)
+            lv["E" + name] = jnp.asarray(E, dtype=dtype)
+            lv["D" + name] = jnp.asarray(Dg, dtype=dtype)
+            spec["E" + name] = P()
+            spec["D" + name] = P()
+
+    return _hmg_grid_scaffold(
+        mesh, shards, P0, dtype, smoother_iters, min_cells, divisors,
+        global_build, make_mesh, fill_level,
+    )
 
 
 class GridPMG:
@@ -711,8 +673,9 @@ class GridPMG:
         self.kappa = float(self.kappa_cells[0]) if _kconst else None
         if not _kconst and operator in ("kron", "kron_blocked"):
             raise ValueError(
-                "GridPMG: variable kappa requires operator='lattice' "
-                "(the Kronecker sum is constant-only)"
+                "GridPMG: variable kappa requires operator='lattice', "
+                "'lattice_blocked' or 'dofmap' (the Kronecker sum is "
+                "constant-only)"
             )
         if coarse == "fdm":
             require_axis_aligned(mesh, "GridPMG coarse='fdm'")
@@ -1053,10 +1016,7 @@ class GridPMG:
                 )
                 _, mg = axis_stiffness_mass(mesh.nc[a], Pdeg, mesh.h[a])
                 npl = npls[a]
-                ms_dup.append(np.concatenate(
-                    [mg[s * (npl - 1): s * (npl - 1) + npl]
-                     for s in range(shards[a])]
-                ))
+                ms_dup.append(duplicate_planes(mg, npl, shards[a]))
                 Ks_local.append(self.kappa * Kl)
             kb, kb_axes = grid_symmetrized_mats(Ks_local, ms_dup, shards)
             lv["kb_mats"] = kb
@@ -1072,10 +1032,7 @@ class GridPMG:
                 )
                 _, mg = axis_stiffness_mass(mesh.nc[a], Pdeg, mesh.h[a])
                 npl = npls[a]
-                m_dup = np.concatenate(
-                    [mg[s * (npl - 1): s * (npl - 1) + npl]
-                     for s in range(shards[a])]
-                )
+                m_dup = duplicate_planes(mg, npl, shards[a])
                 lv["K" + name] = jnp.asarray(self.kappa * Kl, dtype=dtype)
                 lv["m" + name] = jnp.asarray(m_dup, dtype=dtype)
                 spec["K" + name] = P()

@@ -24,6 +24,19 @@ import numpy as np
 from ..fem.mesh import BoxMesh
 
 
+def duplicate_planes(mg: np.ndarray, npl: int, n_shards: int) -> np.ndarray:
+    """Global per-plane axis array -> duplicated-plane layout.
+
+    Each shard's ``npl`` planes start at ``s*(npl-1)``: the interface
+    plane shared with the right neighbour appears on BOTH shards (the
+    layout invariant documented above). Used for the global axis-mass
+    vectors of every distributed kron-family level.
+    """
+    return np.concatenate(
+        [mg[s * (npl - 1): s * (npl - 1) + npl] for s in range(n_shards)]
+    )
+
+
 class SlabPartition:
     """Static partition data for ``mesh`` split into ``n_shards`` x-slabs."""
 
