@@ -27,6 +27,7 @@ hit, in which case the spread is reported honestly in the JSON line).
 Prints exactly ONE JSON line.
 """
 
+import sys
 import json
 import time
 from functools import partial
@@ -225,15 +226,68 @@ def _bench_fdm_solve_2m():
 
 def main():
     # 2.05M dofs: enough reps that the slope dwarfs tunnel jitter.
+    # The headline number runs first and unguarded; every extra is
+    # independently fault-tolerant so one flaky remote compile (the
+    # tunnel's TPU worker restarts spontaneously, CLAUDE.md) cannot
+    # wipe the whole round artifact.
     nd_s, gdofs_s, spread_s, kern_s, det_s = _bench_size(21, 200, 1000)
-    # 16.2M dofs: ~1.2 ms/apply, fewer reps needed.
-    nd_l, gdofs_l, spread_l, kern_l, det_l = _bench_size(42, 20, 100)
-    # 30.4M dofs (N=313): the reference's rocprof profile size
-    # (examples/cg/submit_rocprof.sh --ndofs 30000000).
-    nd_x, gdofs_x, spread_x, kern_x, det_x = _bench_size(52, 10, 50)
-    vcycle = _bench_vcycle_16m()
-    nd_lb, lat_blk = _bench_lattice_blocked_2m()
-    fdm_ms, fdm_spread = _bench_fdm_solve_2m()
+    extra = {
+        "ndofs": nd_s,
+        "kernel": kern_s,
+        "per_kernel_2M": {k: round(v[0], 2) for k, v in det_s.items()},
+    }
+
+    def guarded(label, fn):
+        import traceback
+
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — record, keep benching
+            extra[label + "_error"] = f"{type(e).__name__}: {e}"[:200]
+            traceback.print_exc(file=sys.stderr)
+
+    def bench_16m():
+        # 16.2M dofs: ~1.2 ms/apply, fewer reps needed.
+        nd_l, gdofs_l, spread_l, kern_l, det_l = _bench_size(42, 20, 100)
+        extra.update(
+            gdofs_16M=round(gdofs_l, 3), ndofs_16M=nd_l,
+            spread_16M=round(spread_l, 3), kernel_16M=kern_l,
+            per_kernel_16M={k: round(v[0], 2) for k, v in det_l.items()},
+        )
+
+    def bench_30m():
+        # 30.4M dofs (N=313): the reference's rocprof profile size
+        # (examples/cg/submit_rocprof.sh --ndofs 30000000).
+        nd_x, gdofs_x, spread_x, kern_x, det_x = _bench_size(52, 10, 50)
+        extra.update(
+            gdofs_30M=round(gdofs_x, 3), ndofs_30M=nd_x,
+            spread_30M=round(spread_x, 3), kernel_30M=kern_x,
+            per_kernel_30M={k: round(v[0], 2) for k, v in det_x.items()},
+        )
+
+    def bench_vcycle():
+        vcycle = _bench_vcycle_16m()
+        extra["vcycle_16M_p136_fdm_ms"] = {
+            k: round(v[0], 2) for k, v in vcycle.items()
+        }
+
+    def bench_lat():
+        _, lat_blk = _bench_lattice_blocked_2m()
+        extra["lattice_blocked_2M_gdofs"] = {
+            k: round(v[0], 2) for k, v in lat_blk.items()
+        }
+
+    def bench_fdm():
+        fdm_ms, _ = _bench_fdm_solve_2m()
+        extra["fdm_solve_2M_ms"] = round(fdm_ms, 3)
+
+    # Cheapest-compile extras first: a mid-run worker outage still
+    # leaves the most numbers on the table.
+    guarded("fdm_solve_2M", bench_fdm)
+    guarded("lattice_blocked_2M", bench_lat)
+    guarded("16M", bench_16m)
+    guarded("30M", bench_30m)
+    guarded("vcycle_16M", bench_vcycle)
     print(
         json.dumps(
             {
@@ -242,31 +296,7 @@ def main():
                 "unit": "GDOF/s",
                 "vs_baseline": round(gdofs_s / 1.0, 3),
                 "spread": round(spread_s, 3),
-                "extra": {
-                    "ndofs": nd_s,
-                    "kernel": kern_s,
-                    "gdofs_16M": round(gdofs_l, 3),
-                    "ndofs_16M": nd_l,
-                    "spread_16M": round(spread_l, 3),
-                    "kernel_16M": kern_l,
-                    "gdofs_30M": round(gdofs_x, 3),
-                    "ndofs_30M": nd_x,
-                    "spread_30M": round(spread_x, 3),
-                    "kernel_30M": kern_x,
-                    "per_kernel_2M": {k: round(v[0], 2)
-                                      for k, v in det_s.items()},
-                    "per_kernel_16M": {k: round(v[0], 2)
-                                       for k, v in det_l.items()},
-                    "per_kernel_30M": {k: round(v[0], 2)
-                                       for k, v in det_x.items()},
-                    "vcycle_16M_p136_fdm_ms": {
-                        k: round(v[0], 2) for k, v in vcycle.items()
-                    },
-                    "lattice_blocked_2M_gdofs": {
-                        k: round(v[0], 2) for k, v in lat_blk.items()
-                    },
-                    "fdm_solve_2M_ms": round(fdm_ms, 3),
-                },
+                "extra": extra,
             }
         )
     )
