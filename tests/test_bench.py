@@ -1,0 +1,75 @@
+"""Bench-harness regression tests (CPU; no TPU required).
+
+The driver runs `bench.py` once per round on the real chip and records
+its single JSON line; a crash in any sub-bench used to wipe the whole
+artifact. These tests pin the guarded-main contract: the headline
+number always prints, failed extras degrade to `_error` strings, and
+successful extras land under their documented keys.
+"""
+
+import contextlib
+import io
+import json
+
+import numpy as np
+
+
+def test_guarded_main_survives_subbench_failures(monkeypatch):
+    import bench
+
+    def fake_size(nc, lo, hi):
+        if nc == 21:  # the unguarded headline
+            return 2048383, 26.8, 0.03, "pallas_blocked", {
+                "xla": (25.9, 0.03), "pallas_blocked": (26.8, 0.03),
+            }
+        raise RuntimeError("worker crashed")  # 16M and 30M extras
+
+    monkeypatch.setattr(bench, "_bench_size", fake_size)
+    monkeypatch.setattr(bench, "_bench_vcycle_16m",
+                        lambda: {"kron_blocked": (13.0, 0.02)})
+    monkeypatch.setattr(bench, "_bench_lattice_blocked_2m",
+                        lambda: (2048383, {"highest": (4.13, 0.05)}))
+    monkeypatch.setattr(bench, "_bench_fdm_solve_2m", lambda: (0.135, 0.01))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.main()
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    assert len(lines) == 1, "bench must print exactly ONE JSON line"
+    d = json.loads(lines[0])
+    assert d["metric"] == "matfree_laplacian_apply_p6_f32_kron"
+    assert d["value"] == 26.8 and d["unit"] == "GDOF/s"
+    # Failed extras degrade to error strings, successful ones land.
+    assert "worker crashed" in d["extra"]["16M_error"]
+    assert "worker crashed" in d["extra"]["30M_error"]
+    assert d["extra"]["fdm_solve_2M_ms"] == 0.135
+    assert d["extra"]["vcycle_16M_p136_fdm_ms"] == {"kron_blocked": 13.0}
+    assert d["extra"]["lattice_blocked_2M_gdofs"] == {"highest": 4.13}
+
+
+def test_measure_rejects_pure_jitter(monkeypatch):
+    """_measure raises (not returns garbage) when every slope sample is
+    non-positive — the tunnel-jitter guard."""
+    import bench
+
+    import pytest
+
+    # A frozen clock makes every slope exactly 0.0 — all filtered as
+    # signal-free, so sampling must hit MAX_SAMPLES and raise.
+    monkeypatch.setattr(bench.time, "time", lambda: 5.0)
+    with pytest.raises(RuntimeError, match="jitter"):
+        bench._measure(lambda r: None, 10, 100, min_samples=3)
+
+
+def test_duplicate_planes_layout():
+    """Each shard's npl planes start at s*(npl-1); the interface plane is
+    duplicated on both neighbours."""
+    from pmg_dolfinx_tpu.parallel.partition import duplicate_planes
+
+    mg = np.arange(9.0)  # 2 shards x npl=5 planes, one shared
+    out = duplicate_planes(mg, 5, 2)
+    np.testing.assert_array_equal(
+        out, [0, 1, 2, 3, 4, 4, 5, 6, 7, 8]
+    )
+    # single shard: identity
+    np.testing.assert_array_equal(duplicate_planes(mg, 9, 1), mg)
