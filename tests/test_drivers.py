@@ -1,0 +1,75 @@
+"""End-to-end CLI driver smoke tests (subprocess, CPU, tiny sizes).
+
+The drivers are the reference's user surface (examples/{pmg,cg,amg,
+mat_free}/main.cpp); importing them (test_examples_import) does not
+catch argument-wiring or convergence regressions. Each run here pins
+the driver's printed numerics, not just its exit code.
+"""
+
+import json
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
+
+
+def run(script, *args, timeout=300):
+    r = subprocess.run(
+        [sys.executable, str(EXAMPLES / script), "--cpu", "--dtype", "f64",
+         *args],
+        capture_output=True, text=True, timeout=timeout,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+def test_pmg_driver_converges():
+    out = run("pmg.py", "--ndofs", "30000")
+    d = json.loads(out.strip().splitlines()[-1])
+    assert d["rel_residual"] < 1e-3
+    assert d["l2_error"] < 1e-4
+
+
+def test_pmg_driver_sigma_honors_explicit_operator():
+    """--sigma must NOT override an explicit general backend (the
+    removed auto-switch silently benchmarked the wrong kernel)."""
+    out = run("pmg.py", "--ndofs", "8000", "--sigma", "10",
+              "--operator", "dofmap")
+    assert "switching operator" not in out
+    d = json.loads(out.strip().splitlines()[-1])
+    assert d["rel_residual"] < 1e-2
+
+
+@pytest.mark.parametrize("extra", [
+    (),  # constant kappa, box: kron h-levels
+    ("--mesh", "perturbed", "--kappa-field", "linear"),  # general family
+])
+def test_amg_driver_hmg_preconditioner(extra):
+    """The BoomerAMG-replacement scenario (examples/amg/main.cpp): p=1
+    problem, h-MG-preconditioned CG must converge in O(10) iterations
+    on both the box and the curved/variable-kappa family."""
+    out = run("amg.py", "--ndofs", "4000", "--pc", "hmg", *extra)
+    line = next(ln for ln in out.splitlines() if "CG iterations" in ln)
+    iters = int(line.split("CG iterations:")[1].split(",")[0])
+    assert iters <= 15, line
+    true_r = float(next(ln for ln in out.splitlines()
+                        if "final true |r|" in ln).split("=")[1])
+    assert true_r < 1e-6
+
+
+def test_mat_free_driver_oracle():
+    """--mat_comp: matvec vs the assembled matrix (the reference's
+    mat_free verification, examples/mat_free/main.cpp:270-289)."""
+    out = run("mat_free.py", "--ndofs", "4000", "--degree", "3",
+              "--reps", "5", "--mat_comp")
+    rel = float(next(ln for ln in out.splitlines()
+                     if "y_assembled" in ln).split("=")[1])
+    assert rel < 1e-12
+
+
+def test_cg_driver_runs_chebyshev_demo():
+    out = run("cg.py", "--ndofs", "4000", "--max-iters", "60")
+    assert "ZZZ CG" in out and "Chebyshev" in out
