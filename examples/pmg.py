@@ -36,6 +36,11 @@ def main():
                    help="fast-diagonalization DIRECT solve (constant "
                         "kappa, box mesh): the whole system in ~one "
                         "matvec cost; combine with --refined for f64")
+    p.add_argument("--fmg", action="store_true",
+                   help="full-multigrid initial guess (nested iteration: "
+                        "restrict rhs down, coarse-solve, prolong up with "
+                        "one truncated V-cycle per level) — typically "
+                        "saves 2-4 cycles; beyond reference parity")
     p.add_argument("--warm", action="store_true",
                    help="run one throwaway solve first so the timed solve "
                         "excludes jit compilation")
@@ -146,9 +151,10 @@ def main():
                                                 num_cycles=args.cycles)
         if args.pcg:
             u, niter = prob.hierarchy.solve_pcg(prob.b, rtol=1e-8,
-                                                maxiter=args.cycles)
+                                                maxiter=args.cycles,
+                                                fmg=args.fmg)
             return u, [], niter
-        return (*prob.solve(num_cycles=args.cycles),)
+        return (*prob.solve(num_cycles=args.cycles, fmg=args.fmg),)
 
     if args.warm:
         # Throwaway first solve so the timed one excludes jit compiles

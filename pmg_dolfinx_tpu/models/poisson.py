@@ -143,11 +143,12 @@ class PoissonProblem:
             assemble_rhs(self.mesh, self.degrees[-1], f), dtype=dtype,
         )
 
-    def solve(self, num_cycles=10, residuals=True, u0=None):
+    def solve(self, num_cycles=10, residuals=True, u0=None, fmg=False):
         """Run the stationary V-cycle iteration (reference main loop).
-        ``u0`` resumes from a checkpointed iterate (utils.checkpoint)."""
+        ``u0`` resumes from a checkpointed iterate (utils.checkpoint);
+        ``fmg`` starts from the full-multigrid guess instead of zero."""
         return self.hierarchy.solve(self.b, num_cycles=num_cycles,
-                                    residuals=residuals, u0=u0)
+                                    residuals=residuals, u0=u0, fmg=fmg)
 
     def error_l2(self, u):
         """L2 error of the discrete solution vs the manufactured solution.
