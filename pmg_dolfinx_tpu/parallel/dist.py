@@ -39,6 +39,7 @@ from ..ops.interpolate import prolongate, restrict
 from ..ops.laplacian import laplacian_scatter_raw
 from ..solvers.cg import cg_solve
 from ..solvers.pmg import (
+    fmg_initial_guess,
     DEFAULT_CALIBRATION_ITERS,
     DEFAULT_CALIBRATION_RTOL,
     DEFAULT_SMOOTHER_ITERS,
@@ -1013,20 +1014,22 @@ class DistPMG:
     def residual_norm(self, b_dist, u_dist):
         return float(self._rnorm(self.data["levels"][-1], b_dist, u_dist))
 
-    def solve_pcg(self, b, rtol=1e-8, maxiter=50):
+    def solve_pcg(self, b, rtol=1e-8, maxiter=50, fmg=False):
         """Sharded V-cycle-preconditioned flexible CG — one jitted
-        shard_map'd while_loop (see `PMGHierarchy.solve_pcg`).
+        shard_map'd while_loop (see `PMGHierarchy.solve_pcg`); ``fmg``
+        starts from the sharded full-multigrid guess.
         Returns ``(u, niter)``."""
         from ..solvers.cg import fcg_solve
 
         if not hasattr(self, "_pcg_cache"):
             self._pcg_cache = {}
-        key = (float(rtol), int(maxiter))
+        key = (float(rtol), int(maxiter), bool(fmg))
         if key not in self._pcg_cache:
             ops = self._ops
             fine = self.levels[-1]
 
-            def _run(data, bd, _rtol=key[0], _maxiter=key[1]):
+            def _run(data, bd, _rtol=key[0], _maxiter=key[1],
+                     _fmg=key[2]):
                 lvf = data["levels"][-1]
                 A = lambda x: ops["apply"](lvf, x, fine)
                 M = lambda r: v_cycle(
@@ -1034,8 +1037,12 @@ class DistPMG:
                     levels=self.levels, coarse=self.coarse,
                     coarse_cfg=self.coarse_cfg, ops=ops,
                 )
+                u0 = (fmg_initial_guess(
+                          data, bd, levels=self.levels, coarse=self.coarse,
+                          coarse_cfg=self.coarse_cfg, ops=ops)
+                      if _fmg else ops["pvary"](jnp.zeros_like(bd)))
                 return fcg_solve(
-                    A, bd, ops["pvary"](jnp.zeros_like(bd)), M,
+                    A, bd, u0, M,
                     rtol=_rtol, maxiter=_maxiter,
                     dot=lambda u_, v_: ops["dot"](u_, v_, lvf),
                 )
@@ -1236,9 +1243,14 @@ class DistPMG:
                 break
         return self.from_dist(u64), rnorms
 
-    def solve(self, b, num_cycles=10, residuals=True, u0=None):
+    def solve(self, b, num_cycles=10, residuals=True, u0=None, fmg=False):
         """Stationary V-cycle iteration on a *global* rhs; returns the
         global solution vector and the residual-norm history.
+
+        ``fmg=True`` (with no explicit ``u0``) starts from the sharded
+        full-multigrid guess (`solvers.pmg.fmg_initial_guess` — generic
+        over the dist cycle ops, so the nested-iteration sweep rides the
+        same exchanges as the V-cycle).
 
         Runs the whole iteration as one jitted sharded `lax.scan` with
         device-side residual norms — a single host sync at the end."""
@@ -1247,9 +1259,11 @@ class DistPMG:
         warn_high_precision_stationary(
             self.precision, self.mesh.num_dofs(self.degrees[-1])
         )
+        use_fmg = bool(fmg) and u0 is None
         if not hasattr(self, "_solve_scans"):
             self._solve_scans = {}
-        if num_cycles not in self._solve_scans:
+        key = (num_cycles, use_fmg)
+        if key not in self._solve_scans:
             ops = self._ops
             fine = self.levels[-1]
             vc = partial(
@@ -1257,7 +1271,13 @@ class DistPMG:
                 coarse_cfg=self.coarse_cfg, ops=ops,
             )
 
-            def _run(data, bd, ud, _n=num_cycles):
+            def _run(data, bd, ud, _n=num_cycles, _fmg=use_fmg):
+                if _fmg:
+                    ud = fmg_initial_guess(
+                        data, bd, levels=self.levels, coarse=self.coarse,
+                        coarse_cfg=self.coarse_cfg, ops=ops,
+                    )
+
                 def body(uc, _):
                     uc = vc(data, bd, uc)
                     lvf = data["levels"][-1]
@@ -1266,7 +1286,7 @@ class DistPMG:
 
                 return jax.lax.scan(body, ud, None, length=_n)
 
-            self._solve_scans[num_cycles] = jax.jit(
+            self._solve_scans[key] = jax.jit(
                 jax.shard_map(
                     _run,
                     mesh=self.jmesh,
@@ -1277,7 +1297,7 @@ class DistPMG:
         bd = self.to_dist(b)
         # ``u0`` resumes from a checkpointed iterate (utils.checkpoint).
         ud = jnp.zeros_like(bd) if u0 is None else self.to_dist(u0)
-        ud, rnorms = self._solve_scans[num_cycles](self.data, bd, ud)
+        ud, rnorms = self._solve_scans[key](self.data, bd, ud)
         out = self.from_dist(ud)
         if not residuals:
             return out, []

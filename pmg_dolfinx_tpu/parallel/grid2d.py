@@ -34,6 +34,7 @@ from ..fem.mesh import BoxMesh
 from ..ops.blas import dist_inner_product
 from ..solvers.cg import cg_solve
 from ..solvers.pmg import (
+    fmg_initial_guess,
     DEFAULT_CALIBRATION_ITERS,
     DEFAULT_CALIBRATION_RTOL,
     DEFAULT_SMOOTHER_ITERS,
@@ -1127,21 +1128,30 @@ class GridPMG:
     def from_dist(self, ud, level=-1):
         return self.part.from_dist(self.degrees[level], fetch_global(ud))
 
-    def solve(self, b, num_cycles=10, residuals=True, u0=None):
+    def solve(self, b, num_cycles=10, residuals=True, u0=None, fmg=False):
         """Stationary V-cycle iteration as one jitted sharded `lax.scan`
-        (device-side residual norms, single host sync at the end)."""
+        (device-side residual norms, single host sync at the end).
+        ``fmg=True`` starts from the sharded full-multigrid guess."""
         from ..solvers.pmg import warn_high_precision_stationary
 
         warn_high_precision_stationary(
             self.precision, self.mesh.num_dofs(self.degrees[-1])
         )
+        use_fmg = bool(fmg) and u0 is None
         if not hasattr(self, "_solve_scans"):
             self._solve_scans = {}
-        if num_cycles not in self._solve_scans:
+        key = (num_cycles, use_fmg)
+        if key not in self._solve_scans:
             ops = self._ops
             fine = self.levels[-1]
 
-            def _run(data, bd, ud, _n=num_cycles):
+            def _run(data, bd, ud, _n=num_cycles, _fmg=use_fmg):
+                if _fmg:
+                    ud = fmg_initial_guess(
+                        data, bd, levels=self.levels, coarse=self.coarse,
+                        coarse_cfg=self.coarse_cfg, ops=ops,
+                    )
+
                 def body(uc, _):
                     u = v_cycle(
                         data, bd, uc,
@@ -1154,7 +1164,7 @@ class GridPMG:
 
                 return jax.lax.scan(body, ud, None, length=_n)
 
-            self._solve_scans[num_cycles] = jax.jit(
+            self._solve_scans[key] = jax.jit(
                 jax.shard_map(
                     _run, mesh=self.jmesh,
                     in_specs=(self.data_specs, P(*AXES), P(*AXES)),
@@ -1164,26 +1174,28 @@ class GridPMG:
         bd = self.to_dist(b)
         # ``u0`` resumes from a checkpointed iterate (utils.checkpoint).
         ud = jnp.zeros_like(bd) if u0 is None else self.to_dist(u0)
-        ud, rnorms = self._solve_scans[num_cycles](self.data, bd, ud)
+        ud, rnorms = self._solve_scans[key](self.data, bd, ud)
         out = self.from_dist(ud)
         if not residuals:
             return out, []
         return out, [float(r) for r in np.asarray(rnorms)]
 
-    def solve_pcg(self, b, rtol=1e-8, maxiter=50):
+    def solve_pcg(self, b, rtol=1e-8, maxiter=50, fmg=False):
         """Sharded V-cycle-preconditioned flexible CG over the device
         grid — one jitted shard_map'd while_loop (see
-        `PMGHierarchy.solve_pcg`). Returns ``(u, niter)``."""
+        `PMGHierarchy.solve_pcg`); ``fmg`` starts from the sharded
+        full-multigrid guess. Returns ``(u, niter)``."""
         from ..solvers.cg import fcg_solve
 
         if not hasattr(self, "_pcg_cache"):
             self._pcg_cache = {}
-        key = (float(rtol), int(maxiter))
+        key = (float(rtol), int(maxiter), bool(fmg))
         if key not in self._pcg_cache:
             ops = self._ops
             fine = self.levels[-1]
 
-            def _run(data, b3, _rtol=key[0], _maxiter=key[1]):
+            def _run(data, b3, _rtol=key[0], _maxiter=key[1],
+                     _fmg=key[2]):
                 lvf = data["levels"][-1]
                 A = lambda x: ops["apply"](lvf, x, fine)
                 M = lambda r: v_cycle(
@@ -1191,8 +1203,12 @@ class GridPMG:
                     levels=self.levels, coarse=self.coarse,
                     coarse_cfg=self.coarse_cfg, ops=ops,
                 )
+                u0 = (fmg_initial_guess(
+                          data, b3, levels=self.levels, coarse=self.coarse,
+                          coarse_cfg=self.coarse_cfg, ops=ops)
+                      if _fmg else ops["pvary"](jnp.zeros_like(b3)))
                 return fcg_solve(
-                    A, b3, ops["pvary"](jnp.zeros_like(b3)), M,
+                    A, b3, u0, M,
                     rtol=_rtol, maxiter=_maxiter,
                     dot=lambda u_, v_: ops["dot"](u_, v_, lvf),
                 )

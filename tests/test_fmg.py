@@ -75,6 +75,50 @@ def test_fmg_three_level_shifted_curved():
     assert res[-1] < res0[-1]
 
 
+def test_fmg_dist_matches_single_device_trajectory():
+    """The sharded FMG sweep (restrict rhs through the exchange-aware
+    ops, coarse-solve, prolong up) must be trajectory-exact vs the
+    single-device one — the rank-count-invariance contract extends to
+    the nested iteration."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+
+    nc = (8, 4, 4)
+    mesh = BoxMesh(nc)
+    hier = PMGHierarchy(mesh, degrees=(1, 3), kappa=KAPPA,
+                        dtype=jnp.float64, coarse="cg", operator="kron")
+    b = _problem(mesh, 3)
+    u_s, rn_s = hier.solve(b, num_cycles=5, fmg=True)
+    dist = DistPMG(mesh, n_devices=8, degrees=(1, 3), kappa=KAPPA,
+                   coarse="cg", operator="kron")
+    u_d, rn_d = dist.solve(b, num_cycles=5, fmg=True)
+    assert np.allclose(rn_d, rn_s, rtol=1e-9), (rn_s, rn_d)
+    assert np.allclose(np.asarray(u_d), np.asarray(u_s), atol=1e-10)
+    # and ahead of the zero-start sharded trajectory
+    _, rn_0 = dist.solve(b, num_cycles=5)
+    assert all(rf < r0 for rf, r0 in zip(rn_d, rn_0))
+
+
+def test_fmg_grid_matches_single_device_trajectory():
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    nc = (8, 8, 4)
+    mesh = BoxMesh(nc)
+    hier = PMGHierarchy(mesh, degrees=(1, 3), kappa=KAPPA,
+                        dtype=jnp.float64, coarse="cg", operator="kron")
+    b = _problem(mesh, 3)
+    u_s, rn_s = hier.solve(b, num_cycles=5, fmg=True)
+    grid = GridPMG(mesh, shards=(2, 2, 2), degrees=(1, 3), kappa=KAPPA,
+                   coarse="cg")
+    u_d, rn_d = grid.solve(b, num_cycles=5, fmg=True)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(np.asarray(u_d), np.asarray(u_s), atol=1e-9)
+    u_p, n_p = grid.solve_pcg(b, rtol=1e-10, fmg=True)
+    u_q, n_q = grid.solve_pcg(b, rtol=1e-10)
+    assert n_p <= n_q
+    assert np.allclose(np.asarray(u_p), np.asarray(u_q),
+                       atol=1e-7 * max(1.0, np.abs(np.asarray(u_q)).max()))
+
+
 def test_fmg_pcg_saves_iterations():
     mesh = BoxMesh((8, 8, 8))
     hier = PMGHierarchy(mesh, degrees=(1, 3), kappa=KAPPA,
