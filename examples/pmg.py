@@ -148,7 +148,8 @@ def main():
     def _solve():
         if args.refined:
             return prob.hierarchy.solve_refined(prob.b,
-                                                num_cycles=args.cycles)
+                                                num_cycles=args.cycles,
+                                                fmg=args.fmg)
         if args.pcg:
             u, niter = prob.hierarchy.solve_pcg(prob.b, rtol=1e-8,
                                                 maxiter=args.cycles,

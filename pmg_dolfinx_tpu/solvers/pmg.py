@@ -1019,7 +1019,7 @@ class PMGHierarchy:
         return self._from_work(u), int(info["niter"])
 
     def solve_refined(self, b, num_cycles=15, rtol=0.0, residuals=True,
-                      u0=None):
+                      u0=None, fmg=False):
         """Mixed-precision iterative refinement: float64 outer residual,
         working-dtype (f32) V-cycle as the error smoother.
 
@@ -1140,8 +1140,16 @@ class PMGHierarchy:
         # ``u0`` resumes refinement from a checkpointed iterate
         # (utils.checkpoint).
         b64 = jnp.asarray(b, dtype=jnp.float64).reshape(self._b64shape)
-        u64 = (jnp.zeros_like(b64) if u0 is None
-               else jnp.asarray(u0, dtype=jnp.float64).reshape(b64.shape))
+        if u0 is not None:
+            u64 = jnp.asarray(u0, dtype=jnp.float64).reshape(b64.shape)
+        elif fmg:
+            # Working-dtype FMG guess (the f64 outer loop immediately
+            # recomputes the true residual, so the guess precision is
+            # irrelevant — only its distance to the solution matters).
+            uw = self._fmg_guess(self._to_work(jnp.asarray(b, self.dtype)))
+            u64 = jnp.asarray(uw, dtype=jnp.float64).reshape(b64.shape)
+        else:
+            u64 = jnp.zeros_like(b64)
         r0 = float(jnp.linalg.norm(b64))
         rnorms = []
         for _ in range(num_cycles):

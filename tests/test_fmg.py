@@ -130,3 +130,23 @@ def test_fmg_pcg_saves_iterations():
     assert n1 <= n0
     assert np.allclose(np.asarray(u0), np.asarray(u1),
                        atol=1e-7 * max(1.0, np.abs(u0).max()))
+
+
+def test_fmg_refined_start():
+    """solve_refined(fmg=True): the f64 refinement loop started from the
+    working-dtype FMG guess is ahead of the zero start at every cycle."""
+    mesh = BoxMesh((6, 6, 6))
+    hier = PMGHierarchy(mesh, degrees=(1, 3), kappa=KAPPA,
+                        dtype=jnp.float64, coarse="direct",
+                        operator="kron")
+    b = _problem(mesh, 3)
+    u1, r1 = hier.solve_refined(b, num_cycles=5, fmg=True)
+    u0, r0 = hier.solve_refined(b, num_cycles=5)
+    assert all(a < z for a, z in zip(r1, r0)), (r1, r0)
+    # both converge to the same f64 solution when run to tolerance
+    nb = float(jnp.linalg.norm(b))
+    uc1, rc1 = hier.solve_refined(b, num_cycles=30, rtol=1e-11, fmg=True)
+    uc0, rc0 = hier.solve_refined(b, num_cycles=30, rtol=1e-11)
+    assert rc1[-1] / nb < 1e-11 and len(rc1) < len(rc0)
+    assert np.allclose(np.asarray(uc1), np.asarray(uc0),
+                       atol=1e-9 * max(1.0, np.abs(np.asarray(uc0)).max()))
