@@ -121,6 +121,10 @@ def main():
         print(f"  level p={P}: eig range estimate [{eig[0]:.4f}, {eig[-1]:.4f}]")
 
     if args.fdm:
+        if args.fmg:
+            raise SystemExit("--fmg is an initial guess for the iterative "
+                             "solvers; --fdm is a direct solve (exact in "
+                             "one application) — drop one of the flags")
         if args.kappa_field != "const":
             raise SystemExit("--fdm is a constant-coefficient direct solve; "
                              "use --pcg for variable kappa")

@@ -1023,13 +1023,12 @@ class DistPMG:
 
         if not hasattr(self, "_pcg_cache"):
             self._pcg_cache = {}
-        key = (float(rtol), int(maxiter), bool(fmg))
+        key = (float(rtol), int(maxiter))
         if key not in self._pcg_cache:
             ops = self._ops
             fine = self.levels[-1]
 
-            def _run(data, bd, _rtol=key[0], _maxiter=key[1],
-                     _fmg=key[2]):
+            def _run(data, bd, u0, _rtol=key[0], _maxiter=key[1]):
                 lvf = data["levels"][-1]
                 A = lambda x: ops["apply"](lvf, x, fine)
                 M = lambda r: v_cycle(
@@ -1037,10 +1036,6 @@ class DistPMG:
                     levels=self.levels, coarse=self.coarse,
                     coarse_cfg=self.coarse_cfg, ops=ops,
                 )
-                u0 = (fmg_initial_guess(
-                          data, bd, levels=self.levels, coarse=self.coarse,
-                          coarse_cfg=self.coarse_cfg, ops=ops)
-                      if _fmg else ops["pvary"](jnp.zeros_like(bd)))
                 return fcg_solve(
                     A, bd, u0, M,
                     rtol=_rtol, maxiter=_maxiter,
@@ -1050,22 +1045,24 @@ class DistPMG:
             self._pcg_cache[key] = jax.jit(
                 jax.shard_map(
                     _run, mesh=self.jmesh,
-                    in_specs=(self.data_specs, P(AXIS)),
+                    in_specs=(self.data_specs, P(AXIS), P(AXIS)),
                     out_specs=(P(AXIS),
                                dict(niter=P(), rnorm=P(), rnorm0=P())),
                 )
             )
         bd = self.to_dist(b)
-        u, info = self._pcg_cache[key](self.data, bd)
+        u0d = self._fmg_guess_dist(bd) if fmg else jnp.zeros_like(bd)
+        u, info = self._pcg_cache[key](self.data, bd, u0d)
         return self.from_dist(u), int(info["niter"])
 
     def solve_refined(self, b, num_cycles=15, rtol=0.0, residuals=True,
-                      u0=None):
+                      u0=None, fmg=False):
         """Sharded mixed-precision iterative refinement (see the
         single-device `PMGHierarchy.solve_refined`): f64 residual via a
         sharded fine-level apply (Kronecker on axis-aligned
         constant-coefficient problems, lattice otherwise — general hexes
         and variable DG-0 kappa), f32 sharded V-cycle as error smoother.
+        ``fmg`` seeds the loop with the sharded working-dtype FMG guess.
         Requires jax_enable_x64."""
         from ..ops.kron import axis_stiffness_mass, kron_laplacian_apply
 
@@ -1222,9 +1219,7 @@ class DistPMG:
             np.asarray(bd, dtype=np.float64),
             NamedSharding(self.jmesh, P(AXIS)),
         )
-        if u0 is None:
-            u64 = jnp.zeros_like(b64)
-        else:
+        if u0 is not None:
             u0d = self.part.to_dist(Pdeg, np.asarray(u0))
             if self.operator_kind not in ("kron", "kron_blocked"):
                 u0d = u0d.reshape(-1)
@@ -1232,6 +1227,13 @@ class DistPMG:
                 np.asarray(u0d, dtype=np.float64),
                 NamedSharding(self.jmesh, P(AXIS)),
             )
+        elif fmg:
+            # Working-dtype sharded FMG guess, promoted to f64 (the f64
+            # outer loop recomputes the true residual immediately).
+            uw = self._fmg_guess_dist(jnp.asarray(b64, dtype=self.dtype))
+            u64 = jnp.asarray(uw, dtype=jnp.float64)
+        else:
+            u64 = jnp.zeros_like(b64)
         r0 = float(np.linalg.norm(np.asarray(b, dtype=np.float64)))
         rnorms = []
         for _ in range(num_cycles):
@@ -1242,6 +1244,30 @@ class DistPMG:
             if rtol and rn < rtol * r0:
                 break
         return self.from_dist(u64), rnorms
+
+    def _fmg_guess_dist(self, bd):
+        """Cached jitted shard_map'd FMG guess on a distributed rhs —
+        one small program shared by solve / solve_pcg / solve_refined
+        (baking the sweep into each whole-solve scan would re-compile
+        the full program per fmg toggle; at 16M dofs a whole-solve
+        remote compile is minutes)."""
+        if getattr(self, "_fmg_prog", None) is None:
+            ops = self._ops
+
+            def _g(data, bd_):
+                return fmg_initial_guess(
+                    data, bd_, levels=self.levels, coarse=self.coarse,
+                    coarse_cfg=self.coarse_cfg, ops=ops,
+                )
+
+            self._fmg_prog = jax.jit(
+                jax.shard_map(
+                    _g, mesh=self.jmesh,
+                    in_specs=(self.data_specs, P(AXIS)),
+                    out_specs=P(AXIS),
+                )
+            )
+        return self._fmg_prog(self.data, bd)
 
     def solve(self, b, num_cycles=10, residuals=True, u0=None, fmg=False):
         """Stationary V-cycle iteration on a *global* rhs; returns the
@@ -1259,11 +1285,9 @@ class DistPMG:
         warn_high_precision_stationary(
             self.precision, self.mesh.num_dofs(self.degrees[-1])
         )
-        use_fmg = bool(fmg) and u0 is None
         if not hasattr(self, "_solve_scans"):
             self._solve_scans = {}
-        key = (num_cycles, use_fmg)
-        if key not in self._solve_scans:
+        if num_cycles not in self._solve_scans:
             ops = self._ops
             fine = self.levels[-1]
             vc = partial(
@@ -1271,13 +1295,7 @@ class DistPMG:
                 coarse_cfg=self.coarse_cfg, ops=ops,
             )
 
-            def _run(data, bd, ud, _n=num_cycles, _fmg=use_fmg):
-                if _fmg:
-                    ud = fmg_initial_guess(
-                        data, bd, levels=self.levels, coarse=self.coarse,
-                        coarse_cfg=self.coarse_cfg, ops=ops,
-                    )
-
+            def _run(data, bd, ud, _n=num_cycles):
                 def body(uc, _):
                     uc = vc(data, bd, uc)
                     lvf = data["levels"][-1]
@@ -1286,7 +1304,7 @@ class DistPMG:
 
                 return jax.lax.scan(body, ud, None, length=_n)
 
-            self._solve_scans[key] = jax.jit(
+            self._solve_scans[num_cycles] = jax.jit(
                 jax.shard_map(
                     _run,
                     mesh=self.jmesh,
@@ -1296,8 +1314,13 @@ class DistPMG:
             )
         bd = self.to_dist(b)
         # ``u0`` resumes from a checkpointed iterate (utils.checkpoint).
-        ud = jnp.zeros_like(bd) if u0 is None else self.to_dist(u0)
-        ud, rnorms = self._solve_scans[key](self.data, bd, ud)
+        if u0 is not None:
+            ud = self.to_dist(u0)
+        elif fmg:
+            ud = self._fmg_guess_dist(bd)
+        else:
+            ud = jnp.zeros_like(bd)
+        ud, rnorms = self._solve_scans[num_cycles](self.data, bd, ud)
         out = self.from_dist(ud)
         if not residuals:
             return out, []

@@ -1128,6 +1128,28 @@ class GridPMG:
     def from_dist(self, ud, level=-1):
         return self.part.from_dist(self.degrees[level], fetch_global(ud))
 
+    def _fmg_guess_dist(self, bd):
+        """Cached jitted shard_map'd FMG guess on a distributed rhs —
+        one small program shared by solve / solve_pcg / solve_refined
+        (see `DistPMG._fmg_guess_dist`)."""
+        if getattr(self, "_fmg_prog", None) is None:
+            ops = self._ops
+
+            def _g(data, bd_):
+                return fmg_initial_guess(
+                    data, bd_, levels=self.levels, coarse=self.coarse,
+                    coarse_cfg=self.coarse_cfg, ops=ops,
+                )
+
+            self._fmg_prog = jax.jit(
+                jax.shard_map(
+                    _g, mesh=self.jmesh,
+                    in_specs=(self.data_specs, P(*AXES)),
+                    out_specs=P(*AXES),
+                )
+            )
+        return self._fmg_prog(self.data, bd)
+
     def solve(self, b, num_cycles=10, residuals=True, u0=None, fmg=False):
         """Stationary V-cycle iteration as one jitted sharded `lax.scan`
         (device-side residual norms, single host sync at the end).
@@ -1137,21 +1159,13 @@ class GridPMG:
         warn_high_precision_stationary(
             self.precision, self.mesh.num_dofs(self.degrees[-1])
         )
-        use_fmg = bool(fmg) and u0 is None
         if not hasattr(self, "_solve_scans"):
             self._solve_scans = {}
-        key = (num_cycles, use_fmg)
-        if key not in self._solve_scans:
+        if num_cycles not in self._solve_scans:
             ops = self._ops
             fine = self.levels[-1]
 
-            def _run(data, bd, ud, _n=num_cycles, _fmg=use_fmg):
-                if _fmg:
-                    ud = fmg_initial_guess(
-                        data, bd, levels=self.levels, coarse=self.coarse,
-                        coarse_cfg=self.coarse_cfg, ops=ops,
-                    )
-
+            def _run(data, bd, ud, _n=num_cycles):
                 def body(uc, _):
                     u = v_cycle(
                         data, bd, uc,
@@ -1164,7 +1178,7 @@ class GridPMG:
 
                 return jax.lax.scan(body, ud, None, length=_n)
 
-            self._solve_scans[key] = jax.jit(
+            self._solve_scans[num_cycles] = jax.jit(
                 jax.shard_map(
                     _run, mesh=self.jmesh,
                     in_specs=(self.data_specs, P(*AXES), P(*AXES)),
@@ -1173,8 +1187,13 @@ class GridPMG:
             )
         bd = self.to_dist(b)
         # ``u0`` resumes from a checkpointed iterate (utils.checkpoint).
-        ud = jnp.zeros_like(bd) if u0 is None else self.to_dist(u0)
-        ud, rnorms = self._solve_scans[key](self.data, bd, ud)
+        if u0 is not None:
+            ud = self.to_dist(u0)
+        elif fmg:
+            ud = self._fmg_guess_dist(bd)
+        else:
+            ud = jnp.zeros_like(bd)
+        ud, rnorms = self._solve_scans[num_cycles](self.data, bd, ud)
         out = self.from_dist(ud)
         if not residuals:
             return out, []
@@ -1189,13 +1208,12 @@ class GridPMG:
 
         if not hasattr(self, "_pcg_cache"):
             self._pcg_cache = {}
-        key = (float(rtol), int(maxiter), bool(fmg))
+        key = (float(rtol), int(maxiter))
         if key not in self._pcg_cache:
             ops = self._ops
             fine = self.levels[-1]
 
-            def _run(data, b3, _rtol=key[0], _maxiter=key[1],
-                     _fmg=key[2]):
+            def _run(data, b3, u0, _rtol=key[0], _maxiter=key[1]):
                 lvf = data["levels"][-1]
                 A = lambda x: ops["apply"](lvf, x, fine)
                 M = lambda r: v_cycle(
@@ -1203,10 +1221,6 @@ class GridPMG:
                     levels=self.levels, coarse=self.coarse,
                     coarse_cfg=self.coarse_cfg, ops=ops,
                 )
-                u0 = (fmg_initial_guess(
-                          data, b3, levels=self.levels, coarse=self.coarse,
-                          coarse_cfg=self.coarse_cfg, ops=ops)
-                      if _fmg else ops["pvary"](jnp.zeros_like(b3)))
                 return fcg_solve(
                     A, b3, u0, M,
                     rtol=_rtol, maxiter=_maxiter,
@@ -1216,20 +1230,22 @@ class GridPMG:
             self._pcg_cache[key] = jax.jit(
                 jax.shard_map(
                     _run, mesh=self.jmesh,
-                    in_specs=(self.data_specs, P(*AXES)),
+                    in_specs=(self.data_specs, P(*AXES), P(*AXES)),
                     out_specs=(P(*AXES),
                                dict(niter=P(), rnorm=P(), rnorm0=P())),
                 )
             )
         bd = self.to_dist(b)
-        u, info = self._pcg_cache[key](self.data, bd)
+        u0d = self._fmg_guess_dist(bd) if fmg else jnp.zeros_like(bd)
+        u, info = self._pcg_cache[key](self.data, bd, u0d)
         return self.from_dist(u), int(info["niter"])
 
     def solve_refined(self, b, num_cycles=15, rtol=0.0, residuals=True,
-                      u0=None):
+                      u0=None, fmg=False):
         """Sharded mixed-precision iterative refinement over the device
         grid: f64 residual via the sharded fine-level apply, working-dtype
-        V-cycle as error smoother (see `PMGHierarchy.solve_refined`).
+        V-cycle as error smoother (see `PMGHierarchy.solve_refined`);
+        ``fmg`` seeds the loop with the sharded working-dtype FMG guess.
         Requires jax_enable_x64. Works for both operator backends."""
         if not jax.config.read("jax_enable_x64"):
             raise RuntimeError("solve_refined requires jax_enable_x64")
@@ -1296,14 +1312,17 @@ class GridPMG:
             np.asarray(bd, dtype=np.float64),
             NamedSharding(self.jmesh, P(*AXES)),
         )
-        if u0 is None:
-            u64 = jnp.zeros_like(b64)
-        else:
+        if u0 is not None:
             u64 = put_global(
                 np.asarray(part.to_dist(Pdeg, np.asarray(u0)),
                            dtype=np.float64),
                 NamedSharding(self.jmesh, P(*AXES)),
             )
+        elif fmg:
+            uw = self._fmg_guess_dist(jnp.asarray(b64, dtype=self.dtype))
+            u64 = jnp.asarray(uw, dtype=jnp.float64)
+        else:
+            u64 = jnp.zeros_like(b64)
         r0 = float(np.linalg.norm(np.asarray(b, dtype=np.float64)))
         rnorms = []
         for _ in range(num_cycles):
