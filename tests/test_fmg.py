@@ -150,3 +150,26 @@ def test_fmg_refined_start():
     assert rc1[-1] / nb < 1e-11 and len(rc1) < len(rc0)
     assert np.allclose(np.asarray(uc1), np.asarray(uc0),
                        atol=1e-9 * max(1.0, np.abs(np.asarray(uc0)).max()))
+
+
+def test_fmg_refined_sharded_matches_single():
+    """DistPMG/GridPMG solve_refined(fmg=True): the sharded refined loop
+    seeded by the sharded FMG guess matches the single-device one."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    mesh = BoxMesh((8, 4, 4))
+    hier = PMGHierarchy(mesh, degrees=(1, 3), kappa=KAPPA,
+                        dtype=jnp.float64, coarse="cg", operator="kron")
+    b = _problem(mesh, 3)
+    u_s, r_s = hier.solve_refined(b, num_cycles=4, fmg=True)
+    dist = DistPMG(mesh, n_devices=4, degrees=(1, 3), kappa=KAPPA,
+                   coarse="cg", operator="kron", dtype=jnp.float64)
+    u_d, r_d = dist.solve_refined(b, num_cycles=4, fmg=True)
+    assert np.allclose(r_d, r_s, rtol=1e-9), (r_s, r_d)
+    assert np.allclose(np.asarray(u_d), np.asarray(u_s), atol=1e-11)
+    grid = GridPMG(mesh, shards=(2, 2), degrees=(1, 3), kappa=KAPPA,
+                   coarse="cg", dtype=jnp.float64)
+    u_g, r_g = grid.solve_refined(b, num_cycles=4, fmg=True)
+    assert np.allclose(r_g, r_s, rtol=1e-9), (r_s, r_g)
+    assert np.allclose(np.asarray(u_g), np.asarray(u_s), atol=1e-11)
