@@ -19,13 +19,16 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--degree", type=int, default=4)
     p.add_argument("--reps", type=int, default=1000)
-    p.add_argument("--variant", choices=["yexp", "v1", "geom", ""],
+    p.add_argument("--variant", choices=["yexp", "v1", "geom", "zgrp", ""],
                    default="",
                    help="lattice_blocked kernel variant (default: "
                         "auto-select by precision)")
     p.add_argument("--bcells", type=int, default=1,
                    help="lattice_blocked cell-slab block size (the "
                         "x-cells each Mosaic grid step owns)")
+    p.add_argument("--zb", type=int, default=0,
+                   help="z-group size for --variant zgrp (default: "
+                        "cost-model auto-select)")
     p.add_argument("--mat_comp", action="store_true",
                    help="verify against the assembled CSR oracle (hosts a "
                         "dense-per-cell assembly; use moderate --ndofs)")
@@ -92,7 +95,8 @@ def main():
         op = PallasLatticeBlocked(mesh, args.degree, kappa=args.kappa,
                                   precision=args.precision,
                                   variant=args.variant or None,
-                                  bcells=args.bcells)
+                                  bcells=args.bcells,
+                                  zb=args.zb or None)
 
         @partial(jax.jit, static_argnums=(4,))
         def chain(x, mats, Gt, bc, reps):
@@ -101,7 +105,7 @@ def main():
             return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
 
         def run(reps):
-            g = op.co if op.variant == "geom" else op.Gt
+            g = {"geom": op.co, "zgrp": op.Gz}.get(op.variant, op.Gt)
             return float(chain(x, op.mats, g, op.bc_marker, reps))
     elif args.operator == "lattice":
         op = LatticeLaplacian(mesh, args.degree, kappa=args.kappa, dtype=dtype,

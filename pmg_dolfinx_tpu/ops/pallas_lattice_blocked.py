@@ -178,6 +178,74 @@ def _kernel_lattice_yx(xe_ref, g_ref, Ez_ref, EzT_ref, Dz_ref, DzT_ref,
             out_ref[o + j] = dot(bx_j + by_j, Ez) + dot(tz[j], Dz)
 
 
+def _kernel_lattice_zg(xg_ref, g_ref, EzTb_ref, Ezb_ref, DzTb_ref,
+                       Dzb_ref, D1_ref, out_ref, *, n, ncy, ngz, bcells,
+                       high):
+    # v4 ("zgrp") kernel: x/y handled exactly as in the yexp kernel, but
+    # the z-direction MXU dots contract GROUPED block matrices instead of
+    # the dense global (NZ, Qz) pair. The global Ez/Dz are block-banded
+    # (n nonzeros per row), so the dense dots do ~NZ/n redundant MXU
+    # flops; splitting z into ngz groups of zb cells (shared interface
+    # plane duplicated, like the cell-level expand) contracts
+    # (K=zb*P+1, zb*n) blocks that are the SAME for every group
+    # (translation invariance: axis_matrices(zb, P)). Padded-MXU-cycle
+    # model: ngz*pad128(K)*pad128(zb*n) vs pad128(NZ)*pad128(Qz) — a ~2x
+    # cut at 16.2M (ncz=42, zb=14). All group arrays live in their own
+    # (sublane, lane) tiles, so no in-kernel relayouts; the group
+    # overlap-add rides the XLA epilogue like the cell-level folds.
+    dot = _mk_dot(high)
+    EzTb, Ezb = EzTb_ref[:], Ezb_ref[:]
+    DzTb, Dzb = DzTb_ref[:], Dzb_ref[:]
+    D1 = D1_ref[:]
+    Qy = xg_ref.shape[2]
+    zbn = EzTb.shape[1]
+
+    def block_d1(planes_r, transpose):
+        rows = []
+        for q in range(n):
+            if transpose:
+                rows.append(sum(D1[i, q] * planes_r[:, i, :]
+                                for i in range(n)))
+            else:
+                rows.append(sum(D1[q, i] * planes_r[:, i, :]
+                                for i in range(n)))
+        return jnp.stack(rows, axis=1)
+
+    for c in range(bcells):
+        o = c * n
+        v = [[None] * ngz for _ in range(n)]
+        uz = [[None] * ngz for _ in range(n)]
+        for p in range(n):
+            for g in range(ngz):
+                xpg = xg_ref[o + p, g]                 # (Qy, K)
+                v[p][g] = dot(xpg, EzTb)               # (Qy, zbn)
+                uz[p][g] = dot(xpg, DzTb)
+        tx = [[None] * ngz for _ in range(n)]
+        ty = [[None] * ngz for _ in range(n)]
+        tz = [[None] * ngz for _ in range(n)]
+        for q in range(n):
+            for g in range(ngz):
+                uxqg = sum(D1[q, j] * v[j][g] for j in range(n))
+                uyqg = block_d1(v[q][g].reshape(ncy, n, zbn), False
+                                ).reshape(Qy, zbn)
+                g0 = g_ref[o + q, 0 * ngz + g]
+                g1 = g_ref[o + q, 1 * ngz + g]
+                g2 = g_ref[o + q, 2 * ngz + g]
+                g3 = g_ref[o + q, 3 * ngz + g]
+                g4 = g_ref[o + q, 4 * ngz + g]
+                g5 = g_ref[o + q, 5 * ngz + g]
+                tx[q][g] = g0 * uxqg + g1 * uyqg + g2 * uz[q][g]
+                ty[q][g] = g1 * uxqg + g3 * uyqg + g4 * uz[q][g]
+                tz[q][g] = g2 * uxqg + g4 * uyqg + g5 * uz[q][g]
+        for j in range(n):
+            for g in range(ngz):
+                bx = sum(D1[q, j] * tx[q][g] for q in range(n))
+                by = block_d1(ty[j][g].reshape(ncy, n, zbn), True
+                              ).reshape(Qy, zbn)
+                out_ref[o + j, g] = (dot(bx + by, Ezb)
+                                     + dot(tz[j][g], Dzb))
+
+
 def _kernel_lattice_geom(xe_ref, co_ref, Sy_ref, SyE_ref, SyW_ref,
                          SzT_ref, SzET_ref, SzWT_ref, Ez_ref, EzT_ref,
                          Dz_ref, DzT_ref, D1_ref, out_ref,
@@ -330,6 +398,155 @@ def _build_call_geom(qshape, Qz, n, nc_yz, bcells, high, xi, wx,
         ),
         interpret=interpret,
     )
+
+
+@lru_cache(maxsize=None)
+def _build_call_zg(qshape, zbn, n, ncy, bcells, high, interpret, vma=()):
+    """qshape = (Qx, ngz, Qy, K) of the x+y-expanded, z-grouped lattice."""
+    Qx, ngz, Qy, K = qshape
+    bq = bcells * n
+    return pl.pallas_call(
+        partial(_kernel_lattice_zg, n=n, ncy=ncy, ngz=ngz, bcells=bcells,
+                high=high),
+        grid=(pl.cdiv(Qx, bq),),
+        in_specs=[
+            pl.BlockSpec((bq, ngz, Qy, K), lambda i: (i, 0, 0, 0)),   # xg
+            pl.BlockSpec((bq, 6 * ngz, Qy, zbn),
+                         lambda i: (i, 0, 0, 0)),                      # G
+            pl.BlockSpec((K, zbn), lambda i: (0, 0)),   # EzTb
+            pl.BlockSpec((zbn, K), lambda i: (0, 0)),   # Ezb
+            pl.BlockSpec((K, zbn), lambda i: (0, 0)),   # DzTb
+            pl.BlockSpec((zbn, K), lambda i: (0, 0)),   # Dzb
+            pl.BlockSpec((n, n), lambda i: (0, 0)),     # D1
+        ],
+        out_specs=pl.BlockSpec((bq, ngz, Qy, K), lambda i: (i, 0, 0, 0)),
+        out_shape=out_struct(qshape, vma),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+
+def _pad128(v):
+    return -(-int(v) // 128) * 128
+
+
+def select_zgroup(ncz, P, max_groups=8, margin=0.8):
+    """Pick the z-group size ``zb`` for the 'zgrp' kernel, or None.
+
+    Cost model: padded MXU cycles of the per-plane z-direction dots —
+    dense ``pad128(NZ) * pad128(Qz)`` vs grouped
+    ``ngz * pad128(zb*P+1) * pad128(zb*n)``. Returns the divisor of
+    ``ncz`` minimizing the grouped cost if it beats dense by at least
+    ``1 - margin`` (grouping adds small prologue/epilogue copies, so a
+    paper-thin MXU win is not worth taking); else None."""
+    n = P + 1
+    dense = _pad128(ncz * P + 1) * _pad128(ncz * n)
+    best, best_cost = None, dense * margin
+    for zb in range(1, ncz):
+        if ncz % zb:
+            continue
+        ngz = ncz // zb
+        if ngz < 2 or ngz > max_groups:
+            continue
+        cost = ngz * _pad128(zb * P + 1) * _pad128(zb * n)
+        if cost < best_cost:
+            best, best_cost = zb, cost
+    return best
+
+
+def zgroup_matrices(zb, P, dtype=jnp.float32):
+    """The (shared-by-every-group) z-block expansion/derivative matrices:
+    `axis_matrices` of a zb-cell axis, shapes ``(zb*(P+1), zb*P+1)``."""
+    from .lattice import axis_matrices
+
+    E, Dg = axis_matrices(zb, P)
+    f = lambda a: jnp.asarray(a, dtype)
+    return dict(EzTb=f(E.T.copy()), Ezb=f(E),
+                DzTb=f(Dg.T.copy()), Dzb=f(Dg))
+
+
+def geometry_to_zgrouped(Gq, zb, P):
+    """Reorder quadrature-lattice geometry ``(Qx, Qy, Qz, 6)`` to the
+    z-grouped kernel layout ``(Qx, 6*ngz, Qy, zb*(P+1))`` (entry-major
+    on dim 1; done once at setup so the kernel never pays a per-apply
+    G relayout)."""
+    Gq = np.asarray(Gq)
+    Qx, Qy, Qz, _ = Gq.shape
+    zbn = zb * (P + 1)
+    ngz = Qz // zbn
+    G = Gq.reshape(Qx, Qy, ngz, zbn, 6)
+    G = np.transpose(G, (0, 4, 2, 1, 3))    # (Qx, 6, ngz, Qy, zbn)
+    return np.ascontiguousarray(G.reshape(Qx, 6 * ngz, Qy, zbn))
+
+
+def blocked_lattice_apply_zgrp(x, mats, zmats, Gz, bc_marker, nc, P, zb,
+                               *, bcells=1, precision="highest",
+                               interpret=None, apply_bc=True):
+    """Fused ``y = A x`` with the z axis processed in groups of ``zb``
+    cells (`_kernel_lattice_zg`). ``zmats`` from `zgroup_matrices`,
+    ``Gz`` from `geometry_to_zgrouped`; ``zb`` must divide ``nc[2]``
+    (use `select_zgroup`). Off TPU falls back to the exact XLA lattice
+    path on the ungrouped geometry."""
+    if precision not in ("highest", "high"):
+        raise ValueError(
+            f"precision must be 'highest' or 'high', got {precision!r}"
+        )
+    emulate = False
+    if interpret is None:
+        emulate = jax.default_backend() != "tpu"
+        interpret = False
+    ncx, ncy, ncz = nc
+    n = P + 1
+    NX, NY, NZ = ncx * P + 1, ncy * P + 1, ncz * P + 1
+    if ncz % zb:
+        raise ValueError(f"zb={zb} must divide ncz={ncz}")
+    ngz = ncz // zb
+    K = zb * P + 1
+    zbn = zb * n
+    if emulate:
+        from .lattice import lattice_laplacian_apply
+
+        G = jnp.transpose(
+            jnp.reshape(Gz, (ncx * n, 6, ngz, ncy * n, zbn)),
+            (0, 3, 2, 4, 1),
+        ).reshape(ncx * n, ncy * n, ncz * n, 6)
+        xl_mats = {k: mats[k] for k in ("Ex", "Dx", "Ey", "Dy", "Ez", "Dz")}
+        return lattice_laplacian_apply(
+            x, xl_mats, G, bc_marker, precision="highest",
+            apply_bc=apply_bc,
+        )
+
+    from .lattice import _expand, _fold
+
+    xb = jnp.where(bc_marker, jnp.zeros_like(x), x).reshape(NX, NY, NZ)
+    xq = expand_axis0(xb, ncx, P)                      # (Qx, NY, NZ)
+    xe = _expand(xq, 1, ncy, P)                        # (Qx, Qy, NZ)
+    # z-group expand: overlapping K-wide windows (interface plane shared
+    # by adjacent groups, duplicated like the cell-level expand).
+    xg = jnp.stack(
+        [xe[..., g * zb * P: g * zb * P + K] for g in range(ngz)], axis=1
+    )                                                  # (Qx, ngz, Qy, K)
+    vma = _join_vma(x, bc_marker, Gz, *zmats.values(), mats["D1"])
+    call = _build_call_zg((ncx * n, ngz, ncy * n, K), zbn, n, ncy,
+                          min(bcells, ncx), precision == "high",
+                          interpret, vma)
+    names = ("EzTb", "Ezb", "DzTb", "Dzb")
+    xg, Gz, *mvals = _pvary_all(
+        vma, xg, Gz, *(zmats[k] for k in names), mats["D1"]
+    )
+    yg = call(xg, Gz, *mvals)                          # (Qx, ngz, Qy, K)
+    # Group-fold along z: adjacent groups overlap in ONE plane.
+    parts = [yg[:, 0]] + [yg[:, g, :, 1:] for g in range(1, ngz)]
+    yq = jnp.concatenate(parts, axis=-1)               # (Qx, Qy, NZ)
+    for g in range(1, ngz):
+        yq = yq.at[:, :, g * zb * P].add(yg[:, g, :, 0])
+    yq = _fold(yq, 1, ncy, P)
+    y = fold_axis0(yq, ncx, P).reshape(jnp.shape(x))
+    if not apply_bc:
+        return y
+    return jnp.where(bc_marker, x, y)
 
 
 @lru_cache(maxsize=None)
@@ -616,8 +833,10 @@ def blocked_lattice_apply(x, mats, Gt, bc_marker, nc, P, *, bcells=1,
         variant = "v1" if precision == "high" else "yexp"
     if variant not in ("yexp", "v1"):
         raise ValueError(f"unknown variant {variant!r} (the in-kernel-"
-                         "geometry 'geom' variant has its own entry "
-                         "point, `blocked_lattice_apply_geom`)")
+                         "geometry 'geom' and z-grouped 'zgrp' variants "
+                         "have their own entry points, "
+                         "`blocked_lattice_apply_geom` / "
+                         "`blocked_lattice_apply_zgrp`)")
     emulate = False
     if interpret is None:
         emulate = jax.default_backend() != "tpu"
@@ -675,7 +894,7 @@ class PallasLatticeBlocked:
     """
 
     def __init__(self, mesh, P, kappa=2.0, bcells=1, interpret=False,
-                 precision="highest", variant=None):
+                 precision="highest", variant=None, zb=None):
         from ..fem.assembly import resolve_kappa
         from ..fem.geometry import (
             geometry_factors,
@@ -701,6 +920,7 @@ class PallasLatticeBlocked:
             quadrature_weights_3d(self.P),
             xp=np,
         )
+        self.Gz = self.zb = self.zmats = None
         if variant == "geom":
             # In-kernel geometry: upload only the per-cell coefficient
             # grids (37 floats/cell) — no quadrature-lattice G stream.
@@ -712,6 +932,26 @@ class PallasLatticeBlocked:
                 mesh.nc, self.P
             )
             self.Gt = None
+        elif variant == "zgrp":
+            self.zb = int(zb) if zb else select_zgroup(mesh.nc[2], self.P)
+            if self.zb is None:
+                raise ValueError(
+                    f"variant='zgrp': ncz={mesh.nc[2]} has no z-group "
+                    "divisor that beats the dense z dots (see "
+                    "select_zgroup) — use variant='yexp'"
+                )
+            if mesh.nc[2] % self.zb:
+                raise ValueError(
+                    f"zb={self.zb} must divide ncz={mesh.nc[2]}"
+                )
+            Gq = geometry_to_qlattice(
+                G_cells * kappa_cells[:, None, None], mesh.nc, self.P
+            )
+            self.Gz = jnp.asarray(
+                geometry_to_zgrouped(Gq, self.zb, self.P), jnp.float32
+            )
+            self.zmats = zgroup_matrices(self.zb, self.P)
+            self.Gt = self.co = None
         else:
             Gq = geometry_to_qlattice(
                 G_cells * kappa_cells[:, None, None], mesh.nc, self.P
@@ -748,6 +988,14 @@ class PallasLatticeBlocked:
                 precision=self.precision,
                 interpret=True if self._interpret else None,
             )
+        if self.variant == "zgrp":
+            # `Gt` carries the z-grouped geometry here; the small group
+            # matrices are closed over (pallas-only operands).
+            return blocked_lattice_apply_zgrp(
+                x, mats, self.zmats, Gt, bc_marker, self.mesh.nc, self.P,
+                self.zb, bcells=self.bcells, precision=self.precision,
+                interpret=True if self._interpret else None,
+            )
         return blocked_lattice_apply(
             x, mats, Gt, bc_marker, self.mesh.nc, self.P,
             bcells=self.bcells, precision=self.precision,
@@ -756,6 +1004,8 @@ class PallasLatticeBlocked:
         )
 
     def __call__(self, x):
-        op_arrays = self.co if self.variant == "geom" else self.Gt
+        op_arrays = {"geom": self.co, "zgrp": self.Gz}.get(
+            self.variant, self.Gt
+        )
         return self._apply(jnp.asarray(x, jnp.float32), self.mats,
                            op_arrays, self.bc_marker)

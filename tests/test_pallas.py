@@ -374,6 +374,63 @@ def test_pallas_lattice_geom_matches_oracle():
     assert rel < 1e-5, rel
 
 
+def test_pallas_lattice_zgrp_matches_oracle():
+    """z-grouped variant ('zgrp'): grouped-block z contractions match the
+    XLA lattice path on a perturbed mesh (interpret mode + emulation),
+    and the group-size selector's cost model behaves."""
+    from pmg_dolfinx_tpu.fem.assembly import resolve_kappa
+    from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+    from pmg_dolfinx_tpu.models.poisson import kappa_linear
+    from pmg_dolfinx_tpu.ops.laplacian import MatFreeLaplacian
+    from pmg_dolfinx_tpu.ops.lattice import LatticeLaplacian
+    from pmg_dolfinx_tpu.ops.pallas_lattice_blocked import (
+        PallasLatticeBlocked,
+        select_zgroup,
+    )
+
+    mesh = PerturbedBoxMesh((3, 2, 6))
+    P = 3
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(mesh.num_dofs(P)), jnp.float32)
+    y_ref = LatticeLaplacian(mesh, P, kappa=2.0, dtype=jnp.float32)(x)
+    nrm = float(jnp.linalg.norm(y_ref))
+    for zb, bcells in ((2, 1), (3, 1), (2, 2)):
+        blk = PallasLatticeBlocked(mesh, P, kappa=2.0, bcells=bcells,
+                                   interpret=True, variant="zgrp", zb=zb)
+        err = float(jnp.linalg.norm(blk(x) - y_ref)) / nrm
+        assert err < 1e-5, (zb, bcells, err)
+    # 'high' (bf16x3) keeps ~1e-3-grade accuracy through the group fold
+    blk_h = PallasLatticeBlocked(mesh, P, kappa=2.0, interpret=True,
+                                 variant="zgrp", zb=2, precision="high")
+    err = float(jnp.linalg.norm(blk_h(x) - y_ref)) / nrm
+    assert err < 5e-3, err
+    # variable DG-0 kappa vs the dofmap oracle + emulation path
+    kc, _ = resolve_kappa(mesh, kappa_linear)
+    y_mf = MatFreeLaplacian(mesh, P, kappa=kc, dtype=jnp.float32)(x)
+    blk_v = PallasLatticeBlocked(mesh, P, kappa=kappa_linear,
+                                 interpret=True, variant="zgrp", zb=3)
+    err = float(jnp.linalg.norm(blk_v(x) - y_mf)
+                / jnp.linalg.norm(y_mf))
+    assert err < 1e-4, err
+    blk_e = PallasLatticeBlocked(mesh, P, kappa=kappa_linear,
+                                 variant="zgrp", zb=3)
+    err = float(jnp.linalg.norm(blk_e(x) - y_mf)
+                / jnp.linalg.norm(y_mf))
+    assert err < 1e-4, err
+
+    # Selector: at 16.2M-scale (ncz=42, p=6) grouping halves the padded
+    # MXU cost -> picks zb=14; tiny/prime ncz -> None (dense wins).
+    assert select_zgroup(42, 6) == 14
+    assert select_zgroup(3, 6) is None
+    assert select_zgroup(41, 6) is None  # prime: no usable divisor
+    with pytest.raises(ValueError, match="divide"):
+        PallasLatticeBlocked(mesh, P, interpret=True, variant="zgrp",
+                             zb=4)(x)
+    with pytest.raises(ValueError, match="z-group"):
+        PallasLatticeBlocked(PerturbedBoxMesh((3, 2, 3)), P,
+                             interpret=True, variant="zgrp")
+
+
 def test_lattice_blocked_hierarchy_matches_lattice():
     """operator='lattice_blocked' V-cycles track the XLA lattice backend
     on a perturbed mesh with variable kappa."""
