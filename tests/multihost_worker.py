@@ -1,10 +1,11 @@
-"""Worker for the 2-process multi-host smoke test (not a test module).
+"""Worker for the multi-process multi-host smoke test (not a test module).
 
-Launched twice by tests/test_multihost.py:
+Launched ``nprocs`` times by tests/test_multihost.py:
 
     python multihost_worker.py <coordinator> <nprocs> <pid> <out_json>
 
-Each process brings up 4 virtual CPU devices (8 global), builds the SAME
+Each process brings up ``8 // nprocs`` virtual CPU devices (8 global, so
+every process topology shards the SAME global mesh), builds the SAME
 DistPMG / GridPMG solves as the single-process tests, and writes one
 JSON file of residual norms for the parent to compare — rank-count AND
 process-count invariance (the reference's multi-node `srun` contract,
@@ -22,7 +23,7 @@ from pmg_dolfinx_tpu.parallel.multihost import initialize  # noqa: E402
 coordinator, nprocs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 out_path = sys.argv[4]
 initialize(coordinator_address=coordinator, num_processes=nprocs,
-           process_id=pid, local_device_count=4)
+           process_id=pid, local_device_count=8 // nprocs)
 
 import jax  # noqa: E402
 

@@ -1,7 +1,8 @@
-"""Multi-host (2-process) smoke test: the reference's multi-node MPI runs
-(LUMI.md: 2 nodes x 8 GCDs under srun) mapped to JAX multi-controller
-SPMD, validated on one machine with 2 processes x 4 virtual CPU devices
-(Gloo collectives). The residual trajectories must match the
+"""Multi-host (multi-process) smoke test: the reference's multi-node MPI
+runs (LUMI.md: 2 nodes x 8 GCDs under srun) mapped to JAX
+multi-controller SPMD, validated on one machine with 2 processes x 4
+virtual CPU devices AND 4 processes x 2 devices (Gloo collectives) over
+the same 8-device global mesh. The residual trajectories must match the
 single-process 8-device runs exactly — process-count invariance on top
 of the rank-count invariance the other parallel tests pin down.
 """
@@ -30,20 +31,24 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.fixture(scope="module")
-def two_process_results(tmp_path_factory):
+@pytest.fixture(scope="module", params=[2, 4],
+                ids=["2procs_x4dev", "4procs_x2dev"])
+def two_process_results(request, tmp_path_factory):
+    nprocs = request.param
     coord = f"localhost:{_free_port()}"
     env = {k: v for k, v in os.environ.items()
            if not k.startswith(("JAX_", "XLA_"))}
     outdir = tmp_path_factory.mktemp("multihost")
-    out_paths = [str(outdir / f"result_{pid}.json") for pid in range(2)]
+    out_paths = [str(outdir / f"result_{pid}.json")
+                 for pid in range(nprocs)]
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, coord, "2", str(pid), out_paths[pid]],
+            [sys.executable, _WORKER, coord, str(nprocs), str(pid),
+             out_paths[pid]],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env, cwd=os.path.dirname(_WORKER),
         )
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     for p in procs:
         try:
@@ -63,13 +68,15 @@ def two_process_results(tmp_path_factory):
 
 
 def test_two_processes_match_each_other(two_process_results):
-    r0, r1 = sorted(two_process_results, key=lambda r: r["pid"])
-    assert np.allclose(r0["rn_dist"], r1["rn_dist"], rtol=1e-12)
-    assert np.allclose(r0["rn_grid"], r1["rn_grid"], rtol=1e-12)
-    assert np.allclose(r0["rn_lat"], r1["rn_lat"], rtol=1e-12)
-    assert np.allclose(r0["rn_kb"], r1["rn_kb"], rtol=1e-12)
-    assert np.allclose(r0["rn_hmg"], r1["rn_hmg"], rtol=1e-12)
-    assert np.isclose(r0["u_d_norm"], r1["u_d_norm"], rtol=1e-12)
+    rs = sorted(two_process_results, key=lambda r: r["pid"])
+    r0 = rs[0]
+    for r1 in rs[1:]:
+        assert np.allclose(r0["rn_dist"], r1["rn_dist"], rtol=1e-12)
+        assert np.allclose(r0["rn_grid"], r1["rn_grid"], rtol=1e-12)
+        assert np.allclose(r0["rn_lat"], r1["rn_lat"], rtol=1e-12)
+        assert np.allclose(r0["rn_kb"], r1["rn_kb"], rtol=1e-12)
+        assert np.allclose(r0["rn_hmg"], r1["rn_hmg"], rtol=1e-12)
+        assert np.isclose(r0["u_d_norm"], r1["u_d_norm"], rtol=1e-12)
 
 
 def test_two_processes_match_single_process(two_process_results):
