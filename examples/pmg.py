@@ -25,6 +25,11 @@ def main():
     p.add_argument("--coarse",
                    choices=["smoother", "cg", "direct", "hmg", "fdm"],
                    default="cg")
+    p.add_argument("--gamma", type=int, default=1,
+                   help="cycle index: 1 = V-cycle (default), 2 = W-cycle "
+                        "(each level visits its coarse sub-hierarchy "
+                        "twice; pays when the coarse solve is weak — "
+                        "beyond reference parity)")
     p.add_argument("--refined", action="store_true",
                    help="mixed-precision refinement: f64 outer residual + "
                         "working-dtype V-cycle (needs x64; converges past "
@@ -114,6 +119,7 @@ def main():
             nc=nc, degrees=tuple(args.degrees), kappa=kappa, dtype=dtype,
             coarse=args.coarse, operator=args.operator, f=f,
             precision=args.precision, mesh=mesh, sigma=args.sigma,
+            coarse_cfg={"gamma": args.gamma} if args.gamma > 1 else None,
         )
     ndofs = [prob.mesh.num_dofs(P) for P in args.degrees]
     print("hierarchy:", " -> ".join(f"p={P}: {n}" for P, n in zip(args.degrees, ndofs)))

@@ -390,6 +390,8 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
     optional dense coarse factor. ``levels`` (tuple of `Level`) and
     ``coarse`` (one of 'smoother' | 'cg' | 'direct') are static. ``ops``
     supplies the apply/transfer/dot primitives (see `default_cycle_ops`).
+    ``coarse_cfg['gamma']`` selects the cycle index: 1 = V-cycle
+    (default), 2 = W-cycle (see the mu-cycle branch below).
     """
     L = len(levels)
     coarse_cfg = coarse_cfg or {}
@@ -418,6 +420,35 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
         "residual",
         lambda lv, b, u, level: b - ops["apply"](lv, u, level),
     )
+
+    # W-cycle (mu-cycle, gamma=2): visit the coarse sub-hierarchy
+    # ``gamma`` times per level instead of once — beyond the reference's
+    # V-only driver (src/pmg.hpp:56-155). Configured via
+    # ``coarse_cfg['gamma']`` so every composition site (PMGHierarchy /
+    # DistPMG / GridPMG solve / solve_pcg / solve_refined / FMG) gets it
+    # without signature changes. Recursion bottoms out at the standard
+    # two-level cycle (one coarse solve per visit); gamma=1 is exactly
+    # the V-cycle below. Traced inline: 2^(L-2) coarse visits per cycle.
+    gamma = coarse_cfg.get("gamma", 1)
+    if gamma > 1 and L > 2:
+        if diagnostics:
+            raise NotImplementedError(
+                "per-level diagnostics are V-cycle only (gamma=1)")
+        top = L - 1
+        u = smooth(lvs[top], b_in, u_in, levels[top])
+        r = residual(lvs[top], b_in, u, levels[top])
+        b_c = ops["restrict"](
+            data["transfer"][top - 1], r, levels[top - 1], levels[top]
+        )
+        sub = dict(data, levels=lvs[:top], transfer=data["transfer"][:top - 1])
+        u_c = fresh(zeros(levels[top - 1], b_in.dtype))
+        for _ in range(gamma):
+            u_c = v_cycle(sub, b_c, u_c, levels=levels[:top], coarse=coarse,
+                          coarse_cfg=coarse_cfg, ops=ops)
+        du = ops["prolong"](
+            data["transfer"][top - 1], u_c, levels[top - 1], levels[top]
+        )
+        return smooth(lvs[top], b_in, u + du, levels[top])
 
     # Down sweep: pre-smooth and restrict.
     for i in range(L - 1, 0, -1):
