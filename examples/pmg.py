@@ -56,11 +56,14 @@ def main():
                    help="'high' = bf16x3 matmuls inside the V-cycle "
                         "(~1e-5 operator error, faster; convergence of the "
                         "refined/pcg outer loops is unaffected)")
-    p.add_argument("--kappa-field", choices=["const", "linear"],
+    p.add_argument("--kappa-field", choices=["const", "linear", "aniso"],
                    default="const",
                    help="'linear': variable coefficient kappa(x)=1+x "
                         "(DG-0 per cell; requires --operator lattice or "
-                        "dofmap, reference laplacian.hpp:220-241)")
+                        "dofmap, reference laplacian.hpp:220-241); "
+                        "'aniso': constant 3x3 diffusion TENSOR (100:1 "
+                        "anisotropy rotated 30deg off-grid, folded into "
+                        "the geometry factors — beyond reference parity)")
     p.add_argument("--sigma", type=float, default=0.0,
                    help="lumped-mass shift: solve the reaction-diffusion "
                         "problem -div(kappa grad u) + sigma u = f (all "
@@ -98,6 +101,16 @@ def main():
         if args.operator in ("kron", "kron_blocked"):
             args.operator = "lattice"
             print("variable kappa: switching operator backend to 'lattice'")
+    elif args.kappa_field == "aniso":
+        from pmg_dolfinx_tpu.models.poisson import f_rhs_tensor, kappa_aniso
+
+        kappa = kappa_aniso()
+        f = f_rhs_tensor(kappa, sigma=args.sigma)
+        if args.operator in ("kron", "kron_blocked"):
+            args.operator = ("lattice_blocked" if args.dtype == "f32"
+                             else "lattice")
+            print("tensor kappa: switching operator backend to "
+                  f"'{args.operator}'")
     mesh = None
     if args.mesh == "perturbed":
         from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh

@@ -23,14 +23,19 @@ from .gll import derivative_matrix, gauss_legendre, gauss_lobatto, lagrange_tabu
 from .mesh import BoxMesh
 
 
-def geometry_factors_np(mesh: BoxMesh, P: int) -> tuple[np.ndarray, np.ndarray]:
-    """G and detJ for all cells, pure-NumPy float64 (oracle path)."""
+def geometry_factors_np(mesh: BoxMesh, P: int,
+                        kappa=None) -> tuple[np.ndarray, np.ndarray]:
+    """G and detJ for all cells, pure-NumPy float64 (oracle path).
+
+    ``kappa`` (optional): per-cell scalar or 3x3-tensor field folded into
+    G (see `fem.geometry.geometry_factors`)."""
     G, detJ = geometry_factors(
         mesh.geometry_x,
         mesh.geometry_dofmap,
         tabulate_geometry_dphi(P),
         quadrature_weights_3d(P),
         xp=np,
+        kappa=kappa,
     )
     return np.asarray(G), np.asarray(detJ)
 
@@ -76,16 +81,20 @@ def assemble_stiffness(
     matrix-free kernel's semantics (zero bc dofs on gather, ``y[bc]=x[bc]``
     on scatter; reference src/laplacian.hpp:182-189, 272-277).
     """
-    G, _ = geometry_factors_np(mesh, P)
+    kc, _ = resolve_kappa(mesh, kappa)
+    if kc.ndim == 3:  # anisotropic tensor: fold into the geometry factors
+        G, _ = geometry_factors_np(mesh, P, kappa=kc)
+        kc = np.ones(mesh.ncells)
+    else:
+        G, _ = geometry_factors_np(mesh, P)
     dofmap = mesh.dofmap(P)
     ndofs = mesh.num_dofs(P)
     ncells, nld = dofmap.shape
     rows = np.repeat(dofmap, nld, axis=1).ravel()
     cols = np.tile(dofmap, (1, nld)).ravel()
-    kappa_c = np.broadcast_to(np.asarray(kappa, dtype=np.float64), (ncells,))
     vals = np.empty((ncells, nld, nld))
     for c in range(ncells):
-        vals[c] = element_stiffness(G[c], P, kappa_c[c])
+        vals[c] = element_stiffness(G[c], P, kc[c])
     A = sp.coo_matrix((vals.ravel(), (rows, cols)), shape=(ndofs, ndofs)).tocsr()
     if bc:
         marker = mesh.boundary_dof_marker(P)
@@ -141,28 +150,44 @@ def resolve_kappa(mesh: BoxMesh, kappa):
     """Resolve a coefficient spec to ``(kappa_cells, is_constant)``.
 
     ``kappa`` may be a scalar, an ``(ncells,)`` array (a DG-0 field in
-    dofmap cell order), or a callable over points ``x[(3, npts)]``
-    sampled at cell centroids. This is the TPU-native counterpart of the
-    reference interpolating a coefficient Function into DG-0 and passing
-    it per cell through the stiffness kernel
-    (src/laplacian.hpp:220-241, examples/pmg/main.cpp:253-257).
+    dofmap cell order), a SYMMETRIC ``(3, 3)`` / per-cell
+    ``(ncells, 3, 3)`` diffusion TENSOR (full anisotropic
+    ``-div(kappa grad u)``; resolved to ``(ncells, 3, 3)`` and folded
+    into the geometry factors by `geometry_factors(kappa=...)` — beyond
+    the reference's scalar coefficient), or a callable over points
+    ``x[(3, npts)]`` sampled at cell centroids returning either
+    ``(npts,)`` scalars or ``(npts, 3, 3)`` tensors. This is the
+    TPU-native counterpart of the reference interpolating a coefficient
+    Function into DG-0 and passing it per cell through the stiffness
+    kernel (src/laplacian.hpp:220-241, examples/pmg/main.cpp:253-257).
+    ``is_constant`` is only ever True for the scalar-constant case.
     """
     if callable(kappa):
         vals = np.asarray(
             kappa(mesh.cell_centroids().T), dtype=np.float64
-        ).reshape(-1)
-        if vals.shape != (mesh.ncells,):
-            raise ValueError(
-                f"kappa callable returned shape {vals.shape}, "
-                f"expected ({mesh.ncells},)"
-            )
-        return vals, bool(np.all(vals == vals[0]))
+        )
+        if vals.ndim >= 2 and vals.shape[-2:] == (3, 3):
+            kappa = vals.reshape(-1, 3, 3)  # tensor field: fall through
+        else:
+            vals = vals.reshape(-1)
+            if vals.shape != (mesh.ncells,):
+                raise ValueError(
+                    f"kappa callable returned shape {vals.shape}, "
+                    f"expected ({mesh.ncells},)"
+                )
+            return vals, bool(np.all(vals == vals[0]))
     arr = np.asarray(kappa, dtype=np.float64)
     if arr.ndim == 0:
         return np.full(mesh.ncells, float(arr)), True
+    if arr.shape[-2:] == (3, 3) and arr.ndim in (2, 3):
+        arr = np.broadcast_to(arr, (mesh.ncells, 3, 3)).copy()
+        if not np.allclose(arr, np.swapaxes(arr, -1, -2)):
+            raise ValueError("tensor kappa must be symmetric")
+        return arr, False
     if arr.shape != (mesh.ncells,):
         raise ValueError(
             f"per-cell kappa has shape {arr.shape}, expected ({mesh.ncells},)"
+            " — or (3, 3) / (ncells, 3, 3) for a diffusion tensor"
         )
     return arr.copy(), bool(np.all(arr == arr[0]))
 
@@ -177,10 +202,13 @@ def stiffness_diagonal_np(mesh: BoxMesh, P: int, kappa=1.0) -> np.ndarray:
     """
     from .gll import derivative_matrix
 
-    kappa = np.broadcast_to(
-        np.asarray(kappa, dtype=np.float64), (mesh.ncells,)
-    )[:, None, None, None]
-    G, _ = geometry_factors_np(mesh, P)
+    kc, _ = resolve_kappa(mesh, kappa)
+    if kc.ndim == 3:  # anisotropic tensor: folded into G (see above)
+        G, _ = geometry_factors_np(mesh, P, kappa=kc)
+        kc = np.ones(mesh.ncells)
+    else:
+        G, _ = geometry_factors_np(mesh, P)
+    kappa = kc[:, None, None, None]
     n = P + 1
     g = G.reshape(mesh.ncells, n, n, n, 6)
     D = derivative_matrix(P)

@@ -63,12 +63,24 @@ def quadrature_weights_3d(P: int) -> np.ndarray:
     return np.einsum("i,j,k->ijk", w, w, w).reshape(-1)
 
 
-def geometry_factors(xgeom, geometry_dofmap, dphi_geom, weights, xp=jnp):
+def geometry_factors(xgeom, geometry_dofmap, dphi_geom, weights, xp=jnp,
+                     kappa=None):
     """Compute ``G[(ncells, nq, 6)]`` and ``detJ[(ncells, nq)]``.
 
     Parameters mirror the reference kernel arguments
     (src/laplacian.hpp:22-26): corner coordinates, cell->corner map, Q1
     derivative table ``(3, nq, 8)``, and 3D quadrature weights ``(nq,)``.
+
+    ``kappa`` (optional) folds the diffusion coefficient into G:
+    an ``(ncells,)`` DG-0 scalar field scales the 6 entries
+    (``G = w kappa/detJ K K^T``, identical to post-multiplying the
+    kappa-free factors), while an ``(ncells, 3, 3)`` per-cell SYMMETRIC
+    tensor produces ``G = w/detJ K kappa K^T`` — full anisotropic
+    diffusion ``-div(kappa grad u)``, which cannot be recovered from the
+    kappa-free 6-entry G and is beyond the reference's scalar-DG-0
+    coefficient (src/laplacian.hpp:220-241). Every downstream consumer
+    (lattice / blocked / dofmap applies, diagonals, oracle assembly) is
+    unchanged: the 6-entry symmetric layout is the same.
 
     ``xp`` selects the backend: ``jnp`` (default, jittable) or ``np`` for
     the float64 golden model used by the assembly oracle regardless of the
@@ -83,7 +95,11 @@ def geometry_factors(xgeom, geometry_dofmap, dphi_geom, weights, xp=jnp):
         + J[..., 1, 0] * K[..., 0, 1]
         + J[..., 2, 0] * K[..., 0, 2]
     )
-    KKt = xp.einsum("xqam,xqbm->xqab", K, K)
+    if kappa is not None and xp.ndim(kappa) == 3:
+        KKt = xp.einsum("xqam,xmn,xqbn->xqab", K, kappa, K)
+        kappa = None  # folded; skip the scalar path below
+    else:
+        KKt = xp.einsum("xqam,xqbm->xqab", K, K)
     scale = weights[None, :] / detJ
     G = xp.stack(
         [
@@ -96,6 +112,10 @@ def geometry_factors(xgeom, geometry_dofmap, dphi_geom, weights, xp=jnp):
         ],
         axis=-1,
     ) * scale[..., None]
+    if kappa is not None:
+        # Post-multiply exactly like the historical consumer-side
+        # ``G * kc[:, None, None]`` (bit-identical trajectories).
+        G = G * xp.asarray(kappa)[:, None, None]
     return G, detJ
 
 

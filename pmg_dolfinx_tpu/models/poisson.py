@@ -81,6 +81,38 @@ def f_rhs_variable(kappa_fn=kappa_linear, grad_kappa_fn=grad_kappa_linear,
     return f
 
 
+def kappa_aniso(theta=np.pi / 6.0, ratio=100.0):
+    """Constant anisotropic diffusion TENSOR: the classic
+    strength-``ratio`` anisotropy rotated by ``theta`` in the x-z plane
+    (so the strong direction is NOT grid-aligned — cross-derivative
+    terms are exercised). Beyond the reference's scalar coefficient."""
+    c, s = np.cos(theta), np.sin(theta)
+    R = np.array([[c, 0.0, -s], [0.0, 1.0, 0.0], [s, 0.0, c]])
+    return R @ np.diag([1.0, 1.0, ratio]) @ R.T
+
+
+def f_rhs_tensor(K, sigma=0.0):
+    """Source for the manufactured ``u_e`` under a CONSTANT symmetric
+    diffusion tensor: ``f = -div(K grad u_e) + sigma u_e
+    = -sum_ab K_ab d_a d_b u_e + sigma u_e``.
+
+    For ``u_e = sin(pi x) sin(pi y) sin(pi z)``:
+    ``d_a^2 u_e = -pi^2 u_e`` and the cross terms are
+    ``d_a d_b u_e = pi^2 cos_a cos_b sin_c`` (a != b).
+    """
+    K = np.asarray(K, dtype=np.float64)
+
+    def f(x):
+        sx, sy, sz = (np.sin(np.pi * x[i]) for i in range(3))
+        cx, cy, cz = (np.cos(np.pi * x[i]) for i in range(3))
+        tr = (K[0, 0] + K[1, 1] + K[2, 2]) * sx * sy * sz
+        cross = 2.0 * (K[0, 1] * cx * cy * sz + K[0, 2] * cx * sy * cz
+                       + K[1, 2] * sx * cy * cz)
+        return np.pi**2 * (tr - cross) + sigma * sx * sy * sz
+
+    return f
+
+
 def fit_box_cells(ndofs_target: int, max_degree: int, search: int = 5):
     """Pick (nx, ny, nz) so the finest space has ~``ndofs_target`` dofs.
 

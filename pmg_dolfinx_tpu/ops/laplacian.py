@@ -27,6 +27,7 @@ per level, mirroring the reference's compile-time template dispatch
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..fem.geometry import (
     geometry_factors,
@@ -196,7 +197,19 @@ class MatFreeLaplacian:
         self.dphi_geom = jnp.asarray(tabulate_geometry_dphi(self.P), dtype=dtype)
         self.weights = jnp.asarray(quadrature_weights_3d(self.P), dtype=dtype)
         self.dofmap = jnp.asarray(mesh.dofmap(self.P))
-        self.coeff = jnp.full((mesh.ncells,), kappa, dtype=dtype)
+        from ..fem.assembly import resolve_kappa
+
+        kc, _ = resolve_kappa(mesh, kappa)
+        kt = None
+        if kc.ndim == 3:  # anisotropic tensor: fold into G, coeff = 1
+            if self.batch_size:
+                raise ValueError(
+                    "tensor kappa + geometry batching not supported "
+                    "(fold happens in the precomputed G); use batch_size=0"
+                )
+            kt = jnp.asarray(kc, dtype=dtype)
+            kc = np.ones(mesh.ncells)
+        self.coeff = jnp.asarray(kc, dtype=dtype)
         self.D = jnp.asarray(derivative_matrix(self.P), dtype=dtype)
         self.bc_marker = jnp.asarray(mesh.boundary_dof_marker(self.P))
         self.ndofs = mesh.num_dofs(self.P)
@@ -206,7 +219,8 @@ class MatFreeLaplacian:
         # G precomputed for diagonal extraction (and for the unbatched
         # apply). In batched mode it is dropped after the diagonal.
         G, _ = jax.jit(geometry_factors)(
-            self.xgeom, self.geometry_dofmap, self.dphi_geom, self.weights
+            self.xgeom, self.geometry_dofmap, self.dphi_geom, self.weights,
+            kappa=kt,
         )
         # NOTE: operator data is passed as jit *arguments*, never closed
         # over — closed-over arrays become HLO constants and trigger

@@ -316,16 +316,23 @@ class LatticeLaplacian:
         self.mats = mats
 
         # Geometry factors (float64 on host for accuracy, cast after).
+        # Tensor (anisotropic) kappa folds into G here; scalar DG-0
+        # kappa scales after — either way downstream is kappa-free.
+        kc, _ = resolve_kappa(mesh, kappa)
         G_cells, _ = geometry_factors(
             mesh.geometry_x,
             mesh.geometry_dofmap,
             tabulate_geometry_dphi(self.P),
             quadrature_weights_3d(self.P),
             xp=np,
+            kappa=kc if kc.ndim == 3 else None,
         )
-        kc, _ = resolve_kappa(mesh, kappa)
-        Gq = geometry_to_qlattice(G_cells * kc[:, None, None], mesh.nc,
-                                  self.P)
+        if kc.ndim == 3:
+            kc = np.ones(mesh.ncells)
+            Gq = geometry_to_qlattice(G_cells, mesh.nc, self.P)
+        else:
+            Gq = geometry_to_qlattice(G_cells * kc[:, None, None], mesh.nc,
+                                      self.P)
         self.G = jnp.asarray(Gq, dtype=dtype)
         self.bc_marker = jnp.asarray(mesh.boundary_dof_marker(self.P))
         self._apply = jax.jit(

@@ -919,7 +919,16 @@ class PallasLatticeBlocked:
             tabulate_geometry_dphi(self.P),
             quadrature_weights_3d(self.P),
             xp=np,
+            kappa=kappa_cells if kappa_cells.ndim == 3 else None,
         )
+        if kappa_cells.ndim == 3:  # anisotropic tensor: folded into G
+            if variant == "geom":
+                raise ValueError(
+                    "variant='geom' rebuilds geometry from scalar-kappa "
+                    "coefficients in-kernel; tensor kappa needs the "
+                    "G-streaming variants ('yexp'/'v1'/'zgrp')"
+                )
+            kappa_cells = np.ones(mesh.ncells)
         self.Gz = self.zb = self.zmats = None
         if variant == "geom":
             # In-kernel geometry: upload only the per-cell coefficient

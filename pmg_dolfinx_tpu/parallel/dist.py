@@ -505,6 +505,13 @@ class DistPMG:
         self._kappa_raw = kappa
         self.kappa_cells, _kconst = resolve_kappa(mesh, kappa)
         self.kappa = float(self.kappa_cells[0]) if _kconst else None
+        # Anisotropic (3x3-tensor) kappa folds into the geometry factors
+        # (fem.geometry.geometry_factors); scalar DG-0 kappa keeps the
+        # historical post-multiply (bit-identical trajectories).
+        self._kappa_fold = (self.kappa_cells
+                            if self.kappa_cells.ndim == 3 else None)
+        self._kc = (np.ones(mesh.ncells) if self._kappa_fold is not None
+                    else self.kappa_cells)
         if not _kconst:
             if kron_family:
                 raise ValueError(
@@ -535,6 +542,7 @@ class DistPMG:
                 tabulate_geometry_dphi(Pdeg),
                 quadrature_weights_3d(Pdeg),
                 xp=np,
+                kappa=self._kappa_fold,
             )
             # kron backends carry lattice-shaped (3D) vectors; the general
             # backends keep the flat contract of the dofmap/E-matrix ops.
@@ -632,7 +640,7 @@ class DistPMG:
                 spec = dict(common_spec)
                 lv["G"] = jnp.asarray(
                     geometry_to_qlattice(
-                        G_cells * self.kappa_cells[:, None, None],
+                        G_cells * self._kc[:, None, None],
                         mesh.nc, Pdeg,
                     ),
                     dtype=dtype,
@@ -654,7 +662,7 @@ class DistPMG:
                 lv.update(
                     dofmap=jnp.asarray(part.local_dofmap(Pdeg)),
                     G=jnp.asarray(G_cells, dtype=dtype),
-                    coeff=jnp.asarray(self.kappa_cells, dtype=dtype),
+                    coeff=jnp.asarray(self._kc, dtype=dtype),
                     D=jnp.asarray(derivative_matrix(Pdeg), dtype=dtype),
                 )
                 spec.update(dofmap=P(), G=P(AXIS), coeff=P(AXIS), D=P())
@@ -1120,12 +1128,13 @@ class DistPMG:
                     tabulate_geometry_dphi(Pdeg),
                     quadrature_weights_3d(Pdeg),
                     xp=np,
+                    kappa=self._kappa_fold,
                 )
                 lv64 = dict(
                     common,
                     G=jnp.asarray(
                         geometry_to_qlattice(
-                            G_cells * self.kappa_cells[:, None, None],
+                            G_cells * self._kc[:, None, None],
                             mesh.nc, Pdeg,
                         ),
                         dtype=jnp.float64,
@@ -1280,11 +1289,15 @@ class DistPMG:
 
         Runs the whole iteration as one jitted sharded `lax.scan` with
         device-side residual norms — a single host sync at the end."""
-        from ..solvers.pmg import warn_high_precision_stationary
+        from ..solvers.pmg import (
+            warn_high_precision_stationary,
+            warn_tensor_stationary,
+        )
 
         warn_high_precision_stationary(
             self.precision, self.mesh.num_dofs(self.degrees[-1])
         )
+        warn_tensor_stationary(self._kappa_fold)
         if not hasattr(self, "_solve_scans"):
             self._solve_scans = {}
         if num_cycles not in self._solve_scans:

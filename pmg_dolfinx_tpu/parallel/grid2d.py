@@ -672,6 +672,13 @@ class GridPMG:
         self._kappa_raw = kappa
         self.kappa_cells, _kconst = resolve_kappa(mesh, kappa)
         self.kappa = float(self.kappa_cells[0]) if _kconst else None
+        # Anisotropic (3x3-tensor) kappa folds into the geometry factors
+        # (fem.geometry.geometry_factors); scalar DG-0 kappa keeps the
+        # historical post-multiply (bit-identical trajectories).
+        self._kappa_fold = (self.kappa_cells
+                            if self.kappa_cells.ndim == 3 else None)
+        self._kc = (np.ones(mesh.ncells) if self._kappa_fold is not None
+                    else self.kappa_cells)
         if not _kconst and operator in ("kron", "kron_blocked"):
             raise ValueError(
                 "GridPMG: variable kappa requires operator='lattice', "
@@ -1058,13 +1065,14 @@ class GridPMG:
                 tabulate_geometry_dphi(Pdeg),
                 quadrature_weights_3d(Pdeg),
                 xp=np,
+                kappa=self._kappa_fold,
             )
             nq = G_cells.shape[1]
             lv["G"] = jnp.asarray(
                 G_cells.reshape(*mesh.nc, nq, 6), dtype=dtype
             )
             lv["coeff"] = jnp.asarray(
-                self.kappa_cells.reshape(*mesh.nc), dtype=dtype
+                self._kc.reshape(*mesh.nc), dtype=dtype
             )
             lv["dofmap"] = jnp.asarray(
                 _Box(part.cells_per_shard).dofmap(Pdeg)
@@ -1088,9 +1096,10 @@ class GridPMG:
                 tabulate_geometry_dphi(Pdeg),
                 quadrature_weights_3d(Pdeg),
                 xp=np,
+                kappa=self._kappa_fold,
             )
             Gq = geometry_to_qlattice(
-                G_cells * self.kappa_cells[:, None, None], mesh.nc, Pdeg
+                G_cells * self._kc[:, None, None], mesh.nc, Pdeg
             )
             if backend == "lattice_blocked":
                 from ..ops.pallas_lattice_blocked import (
@@ -1154,11 +1163,15 @@ class GridPMG:
         """Stationary V-cycle iteration as one jitted sharded `lax.scan`
         (device-side residual norms, single host sync at the end).
         ``fmg=True`` starts from the sharded full-multigrid guess."""
-        from ..solvers.pmg import warn_high_precision_stationary
+        from ..solvers.pmg import (
+            warn_high_precision_stationary,
+            warn_tensor_stationary,
+        )
 
         warn_high_precision_stationary(
             self.precision, self.mesh.num_dofs(self.degrees[-1])
         )
+        warn_tensor_stationary(self._kappa_fold)
         if not hasattr(self, "_solve_scans"):
             self._solve_scans = {}
         if num_cycles not in self._solve_scans:

@@ -192,9 +192,12 @@ def coarsen_cell_field(vals, nc_fine, nc_coarse):
     (each coarse cell averages its ``f^3`` children; cells are uniform in
     reference space, so the plain mean is the volume average)."""
     fx, fy, fz = (nf // nc for nf, nc in zip(nc_fine, nc_coarse))
-    v = np.asarray(vals).reshape(nc_fine)
-    v = v.reshape(nc_coarse[0], fx, nc_coarse[1], fy, nc_coarse[2], fz)
-    return v.mean(axis=(1, 3, 5)).reshape(-1)
+    vals = np.asarray(vals)
+    tail = vals.shape[1:]  # () for scalars, (3, 3) for tensor kappa
+    v = vals.reshape(nc_fine + tail)
+    v = v.reshape((nc_coarse[0], fx, nc_coarse[1], fy, nc_coarse[2], fz)
+                  + tail)
+    return v.mean(axis=(1, 3, 5)).reshape((-1,) + tail)
 
 
 def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
@@ -257,13 +260,16 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
             kc, _ = resolve_kappa(m, kappa)
         else:
             kc = coarsen_cell_field(kappa_fine, mesh.nc, m.nc)
+        kfold = kc if kc.ndim == 3 else None  # tensor: fold into G
         G_cells, _ = geometry_factors(
             m.geometry_x, m.geometry_dofmap,
             tabulate_geometry_dphi(P), quadrature_weights_3d(P), xp=np,
+            kappa=kfold,
         )
+        ksc = np.ones(m.ncells) if kfold is not None else kc
         lv = dict(
             G=jnp.asarray(
-                geometry_to_qlattice(G_cells * kc[:, None, None], m.nc, P),
+                geometry_to_qlattice(G_cells * ksc[:, None, None], m.nc, P),
                 dtype=dtype,
             ),
             bc_marker=jnp.asarray(m.boundary_dof_marker(P)),

@@ -76,6 +76,28 @@ def warn_high_precision_stationary(precision, ndofs_global):
         )
 
 
+def warn_tensor_stationary(kappa_fold):
+    """Runtime guard shared by every stationary-solve entry point:
+    with a strongly anisotropic tensor kappa the rediscretized coarse
+    correction need not be a contraction (non-Galerkin coarsening +
+    point smoothers, standard multigrid theory), and the STATIONARY
+    V-cycle iteration can diverge — measured: rotated 100:1 anisotropy
+    diverges stationary while FCG(V) converges in 10 iterations with
+    discretization-level L2 error. The Krylov outer loop is the robust
+    path for this family."""
+    if kappa_fold is not None:
+        import warnings
+
+        warnings.warn(
+            "stationary V-cycle iteration with a tensor (anisotropic) "
+            "kappa can diverge for strong off-axis anisotropy (the "
+            "rediscretized coarse correction is not necessarily a "
+            "contraction); prefer solve_pcg, which is robust "
+            "(measured: rotated 100:1 anisotropy, FCG(V) 10 iterations)",
+            stacklevel=3,
+        )
+
+
 def pcast_varying(v, axes):
     """Idempotent `jax.lax.pcast(..., to="varying")`: promotes only the
     mesh axes the value does not already vary over (pcast itself rejects
@@ -672,6 +694,14 @@ class PMGHierarchy:
         self._kappa_raw = kappa
         self.kappa_cells, kappa_const = resolve_kappa(mesh, kappa)
         self.kappa = float(self.kappa_cells[0]) if kappa_const else None
+        # Anisotropic (3x3-tensor) kappa folds into the geometry factors
+        # (fem.geometry.geometry_factors); downstream the level data is
+        # coefficient-free (kc == 1). Scalar DG-0 kappa keeps the
+        # historical post-multiply (bit-identical trajectories).
+        self._kappa_fold = (self.kappa_cells
+                            if self.kappa_cells.ndim == 3 else None)
+        self._kc = (np.ones(mesh.ncells) if self._kappa_fold is not None
+                    else self.kappa_cells)
         if not kappa_const:
             if kron_family:
                 raise ValueError(
@@ -733,6 +763,7 @@ class PMGHierarchy:
                     tabulate_geometry_dphi(P),
                     quadrature_weights_3d(P),
                     xp=np,
+                    kappa=self._kappa_fold,
                 )
             bc = jnp.asarray(mesh.boundary_dof_marker(P))
             ndofs = mesh.num_dofs(P)
@@ -757,7 +788,7 @@ class PMGHierarchy:
                     lv["D" + name] = jnp.asarray(Dg, dtype=dtype)
                 lv["G"] = jnp.asarray(
                     geometry_to_qlattice(
-                        G_cells * self.kappa_cells[:, None, None],
+                        G_cells * self._kc[:, None, None],
                         mesh.nc, P,
                     ),
                     dtype=dtype,
@@ -772,7 +803,7 @@ class PMGHierarchy:
                 )
 
                 Gq = geometry_to_qlattice(
-                    G_cells * self.kappa_cells[:, None, None], mesh.nc, P
+                    G_cells * self._kc[:, None, None], mesh.nc, P
                 )
                 lv = dict(
                     Gt=jnp.asarray(geometry_to_gfirst(Gq), dtype=dtype),
@@ -785,7 +816,7 @@ class PMGHierarchy:
                 lv = dict(
                     dofmap=jnp.asarray(mesh.dofmap(P)),
                     G=jnp.asarray(G_cells, dtype=dtype),
-                    coeff=jnp.asarray(self.kappa_cells, dtype=dtype),
+                    coeff=jnp.asarray(self._kc, dtype=dtype),
                     D=jnp.asarray(derivative_matrix(P), dtype=dtype),
                     bc_marker=bc,
                 )
@@ -816,7 +847,7 @@ class PMGHierarchy:
                 diag = jax.jit(laplacian_diagonal, static_argnums=(5,))(
                     jnp.asarray(mesh.dofmap(P)),
                     jnp.asarray(G_cells, dtype=dtype),
-                    jnp.asarray(self.kappa_cells, dtype=dtype),
+                    jnp.asarray(self._kc, dtype=dtype),
                     jnp.asarray(derivative_matrix(P), dtype=dtype),
                     bc,
                     ndofs,
@@ -1100,6 +1131,7 @@ class PMGHierarchy:
                     tabulate_geometry_dphi(Pf),
                     quadrature_weights_3d(Pf),
                     xp=np,
+                    kappa=self._kappa_fold,
                 )
                 mats64 = {}
                 for name, nc_a in zip("xyz", self.mesh.nc):
@@ -1110,7 +1142,7 @@ class PMGHierarchy:
                     mats=mats64,
                     G=jnp.asarray(
                         geometry_to_qlattice(
-                            G_cells * self.kappa_cells[:, None, None],
+                            G_cells * self._kc[:, None, None],
                             self.mesh.nc, Pf,
                         ),
                         jnp.float64,
@@ -1206,6 +1238,7 @@ class PMGHierarchy:
         TPU tunnel, vs ~2 ms of compute per cycle)."""
         warn_high_precision_stationary(self.precision,
                                        self.levels[-1].ndofs)
+        warn_tensor_stationary(self._kappa_fold)
         b = self._to_work(jnp.asarray(b, dtype=self.dtype))
         if u0 is None:
             u = self._fmg_guess(b) if fmg else jnp.zeros_like(b)

@@ -1,0 +1,185 @@
+"""Anisotropic (3x3-tensor) diffusion coefficient tests.
+
+Beyond the reference's scalar DG-0 coefficient (src/laplacian.hpp:220-241):
+``kappa`` may be a symmetric 3x3 tensor (constant, per-cell, or a callable
+field), folded into the 6-entry geometry factors
+``G = w/detJ K kappa K^T`` (fem/geometry.py) so every downstream consumer
+— lattice / blocked / dofmap applies, diagonals, oracle assembly, h-MG
+rediscretization — is unchanged. Gates: exact agreement with the
+assembled-matrix oracle in f64, scalar reduction, and converged solves on
+a strongly anisotropic problem.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+from pmg_dolfinx_tpu.fem.assembly import (
+    assemble_rhs,
+    assemble_stiffness,
+    resolve_kappa,
+    stiffness_diagonal_np,
+)
+from pmg_dolfinx_tpu.fem.mesh import BoxMesh, PerturbedBoxMesh
+from pmg_dolfinx_tpu.models.poisson import f_rhs
+from pmg_dolfinx_tpu.solvers.pmg import PMGHierarchy
+
+ANISO = np.diag([1.0, 1.0, 100.0])  # classic strong-anisotropy tensor
+
+
+def _spd_tensor_field(mesh, seed=0):
+    """Random symmetric positive-definite tensor per cell."""
+    rng = np.random.default_rng(seed)
+    B = rng.normal(size=(mesh.ncells, 3, 3))
+    return np.einsum("cam,cbm->cab", B, B) + 3.0 * np.eye(3)
+
+
+def test_resolve_kappa_tensor_forms():
+    mesh = BoxMesh((3, 3, 3))
+    kc, const = resolve_kappa(mesh, ANISO)
+    assert kc.shape == (mesh.ncells, 3, 3) and not const
+    assert np.allclose(kc, ANISO)
+    kt = _spd_tensor_field(mesh)
+    kc2, _ = resolve_kappa(mesh, kt)
+    assert np.array_equal(kc2, kt)
+    # callable returning tensors, sampled at centroids
+    fn = lambda x: np.broadcast_to(ANISO, (x.shape[1], 3, 3))
+    kc3, _ = resolve_kappa(mesh, fn)
+    assert np.allclose(kc3, ANISO)
+    with pytest.raises(ValueError, match="symmetric"):
+        resolve_kappa(mesh, np.triu(np.ones((3, 3))) + np.eye(3))
+
+
+def test_tensor_reduces_to_scalar():
+    """kappa = k*I must reproduce the scalar-kappa operator."""
+    mesh = PerturbedBoxMesh((4, 4, 4))
+    P, k = 3, 2.7
+    A_s = assemble_stiffness(mesh, P, kappa=k).toarray()
+    A_t = assemble_stiffness(mesh, P, kappa=k * np.eye(3)).toarray()
+    assert np.allclose(A_t, A_s, atol=1e-12 * np.abs(A_s).max())
+
+
+@pytest.mark.parametrize("operator", ["dofmap", "lattice"])
+def test_operator_matches_assembled_oracle(operator):
+    """Matrix-free applies on a curved mesh with a random SPD tensor
+    field match the assembled CSR matrix to f64 roundoff (the
+    --mat_comp oracle, reference examples/mat_free/main.cpp:270-289)."""
+    mesh = PerturbedBoxMesh((4, 3, 3))
+    P = 3
+    kt = _spd_tensor_field(mesh)
+    A = assemble_stiffness(mesh, P, kappa=kt)
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=mesh.num_dofs(P))
+    marker = np.asarray(mesh.boundary_dof_marker(P))
+    want = A @ np.where(marker, 0.0, x)
+    want[marker] = x[marker]
+
+    if operator == "dofmap":
+        from pmg_dolfinx_tpu.ops.laplacian import MatFreeLaplacian
+
+        op = MatFreeLaplacian(mesh, P, kappa=kt, dtype=jnp.float64)
+    else:
+        from pmg_dolfinx_tpu.ops.lattice import LatticeLaplacian
+
+        op = LatticeLaplacian(mesh, P, kappa=kt, dtype=jnp.float64)
+        op = op.__call__ if not callable(op) else op
+    got = np.asarray(op(jnp.asarray(x)))
+    assert np.allclose(got, want, atol=1e-11 * np.abs(want).max())
+
+
+def test_diagonal_matches_assembled():
+    mesh = PerturbedBoxMesh((3, 3, 4))
+    P = 2
+    kt = _spd_tensor_field(mesh, seed=2)
+    A = assemble_stiffness(mesh, P, kappa=kt)
+    d = stiffness_diagonal_np(mesh, P, kt)
+    assert np.allclose(d, A.diagonal(), atol=1e-12 * np.abs(d).max())
+
+
+def test_blocked_lattice_tensor_kappa_emulation():
+    """PallasLatticeBlocked with tensor kappa (XLA emulation fallback off
+    TPU routes through the same folded G): oracle parity in f32."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        pytest.skip("emulation-path test (CPU)")
+    from pmg_dolfinx_tpu.ops.pallas_lattice_blocked import (
+        PallasLatticeBlocked,
+    )
+
+    mesh = PerturbedBoxMesh((4, 3, 3))
+    P = 3
+    kt = _spd_tensor_field(mesh, seed=3)
+    op = PallasLatticeBlocked(mesh, P, kappa=kt)
+    A = assemble_stiffness(mesh, P, kappa=kt)
+    x = np.random.default_rng(4).normal(size=mesh.num_dofs(P))
+    marker = np.asarray(mesh.boundary_dof_marker(P))
+    want = A @ np.where(marker, 0.0, x)
+    want[marker] = x[marker]
+    got = np.asarray(op(jnp.asarray(x, jnp.float32)))
+    assert np.allclose(got, want, atol=2e-4 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("coarse", ["direct", "cg"])
+def test_pmg_solves_anisotropic_problem(coarse):
+    """Full PMG solve with the classic diag(1,1,100) anisotropy: the
+    FCG(V) solution matches the scipy direct solve of the assembled
+    system."""
+    mesh = BoxMesh((6, 6, 6))
+    degrees = (1, 3)
+    hier = PMGHierarchy(mesh, degrees=degrees, kappa=ANISO,
+                        dtype=jnp.float64, coarse=coarse,
+                        operator="lattice")
+    b = np.asarray(assemble_rhs(mesh, degrees[-1], f_rhs(1.0)))
+    u, niter = hier.solve_pcg(jnp.asarray(b), rtol=1e-10, maxiter=60)
+    A = assemble_stiffness(mesh, degrees[-1], kappa=ANISO)
+    u_ref = spla.spsolve(A.tocsc(), b)
+    assert np.allclose(np.asarray(u), u_ref,
+                       atol=1e-7 * max(1.0, np.abs(u_ref).max()))
+
+
+def test_tensor_kappa_sharded_matches_single_device():
+    """DistPMG (1D slab) and GridPMG (3D grid) with a per-cell SPD tensor
+    field: residual trajectories match the single-device solve exactly
+    (the rank-count-invariance contract extends to anisotropic kappa)."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    mesh = BoxMesh((8, 4, 4))
+    degrees = (1, 3)
+    kt = _spd_tensor_field(mesh, seed=6)
+    hier = PMGHierarchy(mesh, degrees=degrees, kappa=kt,
+                        dtype=jnp.float64, coarse="cg",
+                        operator="lattice")
+    b = np.asarray(assemble_rhs(mesh, degrees[-1], f_rhs(1.0)))
+    u_s, rn_s = hier.solve(jnp.asarray(b), num_cycles=5)
+    dist = DistPMG(mesh, n_devices=4, degrees=degrees, kappa=kt,
+                   coarse="cg", operator="lattice", dtype=jnp.float64)
+    u_d, rn_d = dist.solve(b, num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-10), (rn_s, rn_d)
+    assert np.allclose(np.asarray(u_d), np.asarray(u_s), atol=1e-11)
+    grid = GridPMG(mesh, shards=(2, 2, 2), degrees=degrees, kappa=kt,
+                   coarse="cg", operator="lattice", dtype=jnp.float64)
+    u_g, rn_g = grid.solve(b, num_cycles=5)
+    assert np.allclose(rn_g, rn_s, rtol=1e-10), (rn_s, rn_g)
+    assert np.allclose(np.asarray(u_g), np.asarray(u_s), atol=1e-11)
+
+
+def test_pmg_hmg_coarse_tensor_field_curved():
+    """The general-family h-MG coarse solver threads tensor kappa through
+    the rediscretized h-levels (volume-averaged tensors): FCG converges
+    on a curved mesh with a random SPD tensor field."""
+    mesh = PerturbedBoxMesh((8, 8, 8))
+    degrees = (1, 3)
+    kt = _spd_tensor_field(mesh, seed=5)
+    hier = PMGHierarchy(mesh, degrees=degrees, kappa=kt,
+                        dtype=jnp.float64, coarse="hmg",
+                        operator="lattice")
+    b = np.asarray(assemble_rhs(mesh, degrees[-1], f_rhs(1.0)))
+    u, niter = hier.solve_pcg(jnp.asarray(b), rtol=1e-9, maxiter=40)
+    assert int(niter) < 40
+    A = assemble_stiffness(mesh, degrees[-1], kappa=kt)
+    r = b - A @ np.asarray(u)
+    # bc rows are identity in A; u there equals b there by construction
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
