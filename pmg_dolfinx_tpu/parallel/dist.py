@@ -812,6 +812,7 @@ class DistPMG:
                         bottom=self.coarse_cfg.get("bottom", "direct"),
                         min_cells=self.coarse_cfg.get("min_cells", 2),
                         sigma=self.sigma,
+                        sizes=self.coarse_cfg.get("sizes"),
                     )
                     hmg_core = kron_cycle_ops(precision, sigma=self.sigma)
                 else:
@@ -825,6 +826,7 @@ class DistPMG:
                             bottom=self.coarse_cfg.get("bottom", "direct"),
                             min_cells=self.coarse_cfg.get("min_cells", 2),
                             sigma=self.sigma,
+                            sizes=self.coarse_cfg.get("sizes"),
                         )
                     )
                 hmg_ops = dict(

@@ -808,6 +808,7 @@ class GridPMG:
                         bottom=self.coarse_cfg.get("bottom", "direct"),
                         min_cells=self.coarse_cfg.get("min_cells", 2),
                         sigma=self.sigma,
+                        sizes=self.coarse_cfg.get("sizes"),
                     )
                     hmg_core = kron_cycle_ops(precision, sigma=self.sigma)
                 else:
@@ -821,6 +822,7 @@ class GridPMG:
                             bottom=self.coarse_cfg.get("bottom", "direct"),
                             min_cells=self.coarse_cfg.get("min_cells", 2),
                             sigma=self.sigma,
+                            sizes=self.coarse_cfg.get("sizes"),
                         )
                     )
                 hmg_ops = dict(

@@ -80,6 +80,43 @@ def coarsenable_levels(nc, min_cells=2, max_levels=10, divisors=(1, 1, 1)):
     return out
 
 
+def semicoarsen_sizes(nc, axes, min_cells=2, max_levels=10):
+    """Mesh sizes [finest, ..., coarsest] coarsening ONLY the given
+    ``axes`` (factor 2/3) until they bottom out, then all axes —
+    SEMI-COARSENING, the geometric analogue of AMG's
+    strength-of-connection coarsening for anisotropic problems
+    (hypre BoomerAMG, the reference's src/amg.hpp coarse solver, does
+    this algebraically): coarsen the strongly-coupled directions first
+    so point smoothers stay effective on every level. Feed the result
+    to ``coarse_cfg['sizes']`` / the ``sizes=`` builder argument.
+    """
+    out = [tuple(nc)]
+    cur = tuple(nc)
+    axes = tuple(axes)
+    while len(out) < max_levels:
+        nxt = None
+        for f in (2, 3):
+            cand = tuple(c // f if a in axes and c % f == 0
+                         and c // f >= min_cells else c
+                         for a, c in enumerate(cur))
+            if cand != cur:
+                nxt = cand
+                break
+        if nxt is None:
+            # Strong axes bottomed out. Coarsening only the REMAINING
+            # axes would re-grow the effective grid anisotropy the semi
+            # levels just removed (couplings scale as k_a/h_a^2), so
+            # continue only with RATIO-PRESERVING full coarsening —
+            # every axis must divide — else stop.
+            rest = coarsenable_levels(cur, min_cells=min_cells,
+                                      max_levels=max_levels - len(out) + 1)
+            out.extend(rest[1:])
+            break
+        cur = nxt
+        out.append(cur)
+    return out
+
+
 def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
               max_levels=10, precision="highest",
               calibration_iters=20, bottom="direct", sigma=0.0,

@@ -567,7 +567,10 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
                 data["hmg"], b0g, u0g,
                 levels=hmg_levels,
                 coarse=coarse_cfg.get("hmg_bottom", "direct"),
-                coarse_cfg={},
+                # 'hmg_gamma' runs the nested h-hierarchy as W-cycles
+                # (pays on anisotropic problems where the h-levels' point
+                # smoothers are weak; see semicoarsen_sizes).
+                coarse_cfg={"gamma": coarse_cfg.get("hmg_gamma", 1)},
                 ops=hmg_ops,
             )
         u0 = unslice(u0g.reshape(jnp.shape(b0g_raw)))
@@ -951,6 +954,7 @@ class PMGHierarchy:
                     bottom=self.coarse_cfg.get("bottom", "direct"),
                     min_cells=self.coarse_cfg.get("min_cells", 2),
                     sigma=self.sigma,
+                    sizes=self.coarse_cfg.get("sizes"),
                 )
                 hmg_ops = kron_cycle_ops(precision, sigma=self.sigma)
             else:
@@ -967,6 +971,7 @@ class PMGHierarchy:
                         bottom=self.coarse_cfg.get("bottom", "direct"),
                         min_cells=self.coarse_cfg.get("min_cells", 2),
                         sigma=self.sigma,
+                        sizes=self.coarse_cfg.get("sizes"),
                     )
                 )
             self.data["hmg"] = hmg_data

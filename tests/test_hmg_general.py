@@ -23,6 +23,7 @@ from pmg_dolfinx_tpu.fem.assembly import assemble_rhs, assemble_stiffness
 from pmg_dolfinx_tpu.fem.mesh import BoxMesh, PerturbedBoxMesh
 from pmg_dolfinx_tpu.models.poisson import (
     f_rhs,
+    f_rhs_tensor,
     f_rhs_variable,
     kappa_linear,
 )
@@ -165,3 +166,72 @@ def test_vcycle_preconditioned_cg_beats_jacobi():
         int(info_h["niter"]), int(info_j["niter"]))
     r = b - op(x)
     assert float(jnp.linalg.norm(r)) < 1e-6 * float(jnp.linalg.norm(b))
+
+
+def test_semicoarsen_sizes():
+    from pmg_dolfinx_tpu.solvers.hmg import semicoarsen_sizes
+
+    sizes = semicoarsen_sizes((8, 8, 16), axes=(2,))
+    assert sizes == [(8, 8, 16), (8, 8, 8), (8, 8, 4), (8, 8, 2)]
+    # after the strong axis bottoms out, only RATIO-PRESERVING full
+    # coarsening continues (coarsening just the weak axes would re-grow
+    # the effective anisotropy); here (4,4,1) violates min_cells -> stop
+    sizes2 = semicoarsen_sizes((16, 4, 4), axes=(0,), min_cells=2)
+    assert sizes2 == [(16, 4, 4), (8, 4, 4), (4, 4, 4), (2, 4, 4)]
+    # partial semi-coarsening of multiple strong axes
+    sizes3 = semicoarsen_sizes((4, 8, 16), axes=(1, 2))
+    assert sizes3[1] == (4, 4, 8) and sizes3[2] == (4, 2, 4)
+
+
+def test_semicoarsening_rescues_anisotropic_hmg():
+    """Anisotropic tensor kappa diag(1,1,64): isotropic factor-2 h-MG
+    coarsening stalls the FCG outer loop (point smoothers are blind to
+    the strong z coupling on every level — the weakness CLAUDE.md/r2
+    documented), while SEMI-coarsening the strong axis
+    (`semicoarsen_sizes`, coarse_cfg['sizes']) converges. The AMG
+    strength-of-connection analogue (reference src/amg.hpp BoomerAMG).
+    Measured (maxiter=80, rtol 1e-10): iso 80+ (cap), semi 33,
+    semi + smoother_iters=4: 15 vs 11 for the exact dense coarse."""
+    from pmg_dolfinx_tpu.solvers.hmg import semicoarsen_sizes
+
+    K = np.diag([1.0, 1.0, 64.0])
+    nc = (8, 8, 16)
+    mesh = BoxMesh(nc)
+    b = jnp.asarray(assemble_rhs(mesh, 3, f_rhs_tensor(K)))
+    iters = {}
+    for tag, cfg in (("iso", None),
+                     ("semi", dict(sizes=semicoarsen_sizes(nc, (2,))))):
+        h = PMGHierarchy(mesh, degrees=(1, 3), kappa=K, coarse="hmg",
+                         operator="lattice", coarse_cfg=cfg)
+        _, niter = h.solve_pcg(b, rtol=1e-10, maxiter=60)
+        iters[tag] = int(niter)
+    assert iters["semi"] <= 40, iters
+    assert iters["semi"] < iters["iso"] - 15, iters
+
+
+def test_semicoarsening_sharded_matches_single():
+    """coarse_cfg['sizes'] rides the gathered hmg coarse on DistPMG and
+    GridPMG: same custom (semi-coarsened) hierarchy, trajectory-exact vs
+    the single-device solve."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+    from pmg_dolfinx_tpu.solvers.hmg import semicoarsen_sizes
+
+    K = np.diag([1.0, 1.0, 16.0])
+    nc = (8, 4, 8)
+    mesh = BoxMesh(nc)
+    b = jnp.asarray(assemble_rhs(mesh, 2, f_rhs_tensor(K)))
+    cfg = dict(sizes=semicoarsen_sizes(nc, (2,)))
+    hier = PMGHierarchy(mesh, degrees=(1, 2), kappa=K, coarse="hmg",
+                        operator="lattice", coarse_cfg=dict(cfg))
+    u_s, rn_s = hier.solve(b, num_cycles=4)
+    dist = DistPMG(mesh, n_devices=4, degrees=(1, 2), kappa=K,
+                   coarse="hmg", operator="lattice",
+                   coarse_cfg=dict(cfg), dtype=jnp.float64)
+    u_d, rn_d = dist.solve(np.asarray(b), num_cycles=4)
+    assert np.allclose(rn_d, rn_s, rtol=1e-10), (rn_s, rn_d)
+    grid = GridPMG(mesh, shards=(2, 2, 1), degrees=(1, 2), kappa=K,
+                   coarse="hmg", operator="lattice",
+                   coarse_cfg=dict(cfg), dtype=jnp.float64)
+    u_g, rn_g = grid.solve(np.asarray(b), num_cycles=4)
+    assert np.allclose(rn_g, rn_s, rtol=1e-10), (rn_s, rn_g)
