@@ -25,6 +25,12 @@ def main():
     p.add_argument("--coarse",
                    choices=["smoother", "cg", "direct", "hmg", "fdm"],
                    default="cg")
+    p.add_argument("--semicoarsen", type=str, default="",
+                   help="h-MG semi-coarsening axes for anisotropic "
+                        "problems, e.g. 'z' or 'xy' (with --coarse hmg: "
+                        "coarsen the strongly-coupled axes first — the "
+                        "BoomerAMG strength-of-connection analogue; "
+                        "solvers.hmg.semicoarsen_sizes)")
     p.add_argument("--gamma", type=int, default=1,
                    help="cycle index: 1 = V-cycle (default), 2 = W-cycle "
                         "(each level visits its coarse sub-hierarchy "
@@ -128,11 +134,22 @@ def main():
                   "curved operator per h-level)")
 
     with Timer("setup (operators+calibration+rhs)"):
+        coarse_cfg = {}
+        if args.gamma > 1:
+            coarse_cfg["gamma"] = args.gamma
+        if args.semicoarsen:
+            from pmg_dolfinx_tpu.solvers.hmg import semicoarsen_sizes
+
+            if args.coarse != "hmg":
+                raise SystemExit("--semicoarsen requires --coarse hmg")
+            axes = tuple(sorted("xyz".index(a) for a in args.semicoarsen))
+            coarse_cfg["sizes"] = semicoarsen_sizes(nc, axes)
+            print(f"semi-coarsened h-levels: {coarse_cfg['sizes']}")
         prob = PoissonProblem(
             nc=nc, degrees=tuple(args.degrees), kappa=kappa, dtype=dtype,
             coarse=args.coarse, operator=args.operator, f=f,
             precision=args.precision, mesh=mesh, sigma=args.sigma,
-            coarse_cfg={"gamma": args.gamma} if args.gamma > 1 else None,
+            coarse_cfg=coarse_cfg or None,
         )
     ndofs = [prob.mesh.num_dofs(P) for P in args.degrees]
     print("hierarchy:", " -> ".join(f"p={P}: {n}" for P, n in zip(args.degrees, ndofs)))

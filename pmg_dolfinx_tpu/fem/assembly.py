@@ -81,12 +81,8 @@ def assemble_stiffness(
     matrix-free kernel's semantics (zero bc dofs on gather, ``y[bc]=x[bc]``
     on scatter; reference src/laplacian.hpp:182-189, 272-277).
     """
-    kc, _ = resolve_kappa(mesh, kappa)
-    if kc.ndim == 3:  # anisotropic tensor: fold into the geometry factors
-        G, _ = geometry_factors_np(mesh, P, kappa=kc)
-        kc = np.ones(mesh.ncells)
-    else:
-        G, _ = geometry_factors_np(mesh, P)
+    kc, kt, _ = resolve_kappa_split(mesh, kappa)
+    G, _ = geometry_factors_np(mesh, P, kappa=kt)
     dofmap = mesh.dofmap(P)
     ndofs = mesh.num_dofs(P)
     ncells, nld = dofmap.shape
@@ -180,6 +176,11 @@ def resolve_kappa(mesh: BoxMesh, kappa):
     if arr.ndim == 0:
         return np.full(mesh.ncells, float(arr)), True
     if arr.shape[-2:] == (3, 3) and arr.ndim in (2, 3):
+        if arr.ndim == 3 and arr.shape[0] != mesh.ncells:
+            raise ValueError(
+                f"per-cell tensor kappa has shape {arr.shape}, expected "
+                f"({mesh.ncells}, 3, 3)"
+            )
         arr = np.broadcast_to(arr, (mesh.ncells, 3, 3)).copy()
         if not np.allclose(arr, np.swapaxes(arr, -1, -2)):
             raise ValueError("tensor kappa must be symmetric")
@@ -192,6 +193,32 @@ def resolve_kappa(mesh: BoxMesh, kappa):
     return arr.copy(), bool(np.all(arr == arr[0]))
 
 
+def resolve_kappa_split(mesh: BoxMesh, kappa):
+    """`resolve_kappa`, split for the geometry fold: returns
+    ``(kappa_scalar, kappa_tensor, is_constant)`` where exactly one of
+    the first two carries the coefficient — ``kappa_scalar`` is always a
+    usable ``(ncells,)`` array (all-ones when the coefficient is a
+    tensor, for consumers that need a per-cell scalar such as the
+    dofmap-path ``coeff``), and ``kappa_tensor`` is ``None`` or the
+    ``(ncells, 3, 3)`` field to pass to `geometry_factors(kappa=...)`.
+    Pair with `scale_G` so the scalar path keeps its historical
+    post-multiply (bit-identical) while the tensor path skips the
+    (large, pointless) multiply by ones."""
+    kc, const = resolve_kappa(mesh, kappa)
+    if kc.ndim == 3:
+        return np.ones(mesh.ncells), kc, False
+    return kc, None, const
+
+
+def scale_G(G_cells, kappa_scalar, kappa_tensor):
+    """Apply the scalar DG-0 coefficient to the geometry factors —
+    identity when the coefficient was a tensor (already folded into
+    ``G_cells`` by `geometry_factors(kappa=kappa_tensor)`)."""
+    if kappa_tensor is not None:
+        return G_cells
+    return G_cells * kappa_scalar[:, None, None]
+
+
 def stiffness_diagonal_np(mesh: BoxMesh, P: int, kappa=1.0) -> np.ndarray:
     """Operator diagonal in NumPy float64 (host, setup-time).
 
@@ -202,12 +229,8 @@ def stiffness_diagonal_np(mesh: BoxMesh, P: int, kappa=1.0) -> np.ndarray:
     """
     from .gll import derivative_matrix
 
-    kc, _ = resolve_kappa(mesh, kappa)
-    if kc.ndim == 3:  # anisotropic tensor: folded into G (see above)
-        G, _ = geometry_factors_np(mesh, P, kappa=kc)
-        kc = np.ones(mesh.ncells)
-    else:
-        G, _ = geometry_factors_np(mesh, P)
+    kc, kt, _ = resolve_kappa_split(mesh, kappa)
+    G, _ = geometry_factors_np(mesh, P, kappa=kt)
     kappa = kc[:, None, None, None]
     n = P + 1
     g = G.reshape(mesh.ncells, n, n, n, 6)

@@ -197,18 +197,16 @@ class MatFreeLaplacian:
         self.dphi_geom = jnp.asarray(tabulate_geometry_dphi(self.P), dtype=dtype)
         self.weights = jnp.asarray(quadrature_weights_3d(self.P), dtype=dtype)
         self.dofmap = jnp.asarray(mesh.dofmap(self.P))
-        from ..fem.assembly import resolve_kappa
+        from ..fem.assembly import resolve_kappa_split
 
-        kc, _ = resolve_kappa(mesh, kappa)
-        kt = None
-        if kc.ndim == 3:  # anisotropic tensor: fold into G, coeff = 1
+        kc, kt, _ = resolve_kappa_split(mesh, kappa)
+        if kt is not None:  # anisotropic tensor: fold into G, coeff = 1
             if self.batch_size:
                 raise ValueError(
                     "tensor kappa + geometry batching not supported "
                     "(fold happens in the precomputed G); use batch_size=0"
                 )
-            kt = jnp.asarray(kc, dtype=dtype)
-            kc = np.ones(mesh.ncells)
+            kt = jnp.asarray(kt, dtype=dtype)
         self.coeff = jnp.asarray(kc, dtype=dtype)
         self.D = jnp.asarray(derivative_matrix(self.P), dtype=dtype)
         self.bc_marker = jnp.asarray(mesh.boundary_dof_marker(self.P))

@@ -300,7 +300,7 @@ class LatticeLaplacian:
         """``kappa`` may be a scalar, a per-cell DG-0 array, or a callable
         over points (sampled at cell centroids) — same contract as
         `PMGHierarchy` (`fem.assembly.resolve_kappa`)."""
-        from ..fem.assembly import resolve_kappa
+        from ..fem.assembly import resolve_kappa_split, scale_G
 
         self.P = int(P)
         self.mesh = mesh
@@ -318,21 +318,16 @@ class LatticeLaplacian:
         # Geometry factors (float64 on host for accuracy, cast after).
         # Tensor (anisotropic) kappa folds into G here; scalar DG-0
         # kappa scales after — either way downstream is kappa-free.
-        kc, _ = resolve_kappa(mesh, kappa)
+        kc, kt, _ = resolve_kappa_split(mesh, kappa)
         G_cells, _ = geometry_factors(
             mesh.geometry_x,
             mesh.geometry_dofmap,
             tabulate_geometry_dphi(self.P),
             quadrature_weights_3d(self.P),
             xp=np,
-            kappa=kc if kc.ndim == 3 else None,
+            kappa=kt,
         )
-        if kc.ndim == 3:
-            kc = np.ones(mesh.ncells)
-            Gq = geometry_to_qlattice(G_cells, mesh.nc, self.P)
-        else:
-            Gq = geometry_to_qlattice(G_cells * kc[:, None, None], mesh.nc,
-                                      self.P)
+        Gq = geometry_to_qlattice(scale_G(G_cells, kc, kt), mesh.nc, self.P)
         self.G = jnp.asarray(Gq, dtype=dtype)
         self.bc_marker = jnp.asarray(mesh.boundary_dof_marker(self.P))
         self._apply = jax.jit(

@@ -895,7 +895,7 @@ class PallasLatticeBlocked:
 
     def __init__(self, mesh, P, kappa=2.0, bcells=1, interpret=False,
                  precision="highest", variant=None, zb=None):
-        from ..fem.assembly import resolve_kappa
+        from ..fem.assembly import resolve_kappa_split, scale_G
         from ..fem.geometry import (
             geometry_factors,
             quadrature_weights_3d,
@@ -912,23 +912,21 @@ class PallasLatticeBlocked:
         self.bcells = int(bcells)
         self.variant = variant
         self._interpret = interpret
-        kappa_cells, _ = resolve_kappa(mesh, kappa)
+        kappa_cells, kt, _ = resolve_kappa_split(mesh, kappa)
+        if kt is not None and variant == "geom":
+            raise ValueError(
+                "variant='geom' rebuilds geometry from scalar-kappa "
+                "coefficients in-kernel; tensor kappa needs the "
+                "G-streaming variants ('yexp'/'v1'/'zgrp')"
+            )
         G_cells, _ = geometry_factors(
             mesh.geometry_x,
             mesh.geometry_dofmap,
             tabulate_geometry_dphi(self.P),
             quadrature_weights_3d(self.P),
             xp=np,
-            kappa=kappa_cells if kappa_cells.ndim == 3 else None,
+            kappa=kt,
         )
-        if kappa_cells.ndim == 3:  # anisotropic tensor: folded into G
-            if variant == "geom":
-                raise ValueError(
-                    "variant='geom' rebuilds geometry from scalar-kappa "
-                    "coefficients in-kernel; tensor kappa needs the "
-                    "G-streaming variants ('yexp'/'v1'/'zgrp')"
-                )
-            kappa_cells = np.ones(mesh.ncells)
         self.Gz = self.zb = self.zmats = None
         if variant == "geom":
             # In-kernel geometry: upload only the per-cell coefficient
@@ -954,7 +952,7 @@ class PallasLatticeBlocked:
                     f"zb={self.zb} must divide ncz={mesh.nc[2]}"
                 )
             Gq = geometry_to_qlattice(
-                G_cells * kappa_cells[:, None, None], mesh.nc, self.P
+                scale_G(G_cells, kappa_cells, kt), mesh.nc, self.P
             )
             self.Gz = jnp.asarray(
                 geometry_to_zgrouped(Gq, self.zb, self.P), jnp.float32
@@ -963,7 +961,7 @@ class PallasLatticeBlocked:
             self.Gt = self.co = None
         else:
             Gq = geometry_to_qlattice(
-                G_cells * kappa_cells[:, None, None], mesh.nc, self.P
+                scale_G(G_cells, kappa_cells, kt), mesh.nc, self.P
             )
             self.Gt = jnp.asarray(geometry_to_gfirst(Gq), jnp.float32)
             self.co = None

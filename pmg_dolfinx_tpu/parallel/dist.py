@@ -34,6 +34,7 @@ from ..fem.geometry import (
     tabulate_geometry_dphi,
 )
 from ..fem.gll import derivative_matrix, interpolation_matrix_1d
+from ..fem.assembly import resolve_kappa_split, scale_G
 from ..ops.blas import dist_inner_product
 from ..ops.interpolate import prolongate, restrict
 from ..ops.laplacian import laplacian_scatter_raw
@@ -137,7 +138,7 @@ def dist_cycle_ops(n_shards, sigma=0.0):
 
 def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
                    precision="highest", bottom="direct", min_cells=2,
-                   sigma=0.0, divisors=None):
+                   sigma=0.0, divisors=None, sizes=None):
     """Distributed (non-gathered) geometric h-multigrid coarse hierarchy.
 
     The gathered hmg coarse solves the FULL p=1 problem redundantly on
@@ -183,8 +184,23 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
             f"divisors[0]={div[0]} must be a multiple of "
             f"n_shards={n_shards}"
         )
-    sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
-                               divisors=div)
+    if sizes is not None:
+        # User hierarchy (coarse_cfg['sizes'], e.g. semicoarsen_sizes):
+        # nesting-validated and every level x-shard-aligned.
+        from ..solvers.hmg import validate_hmg_sizes
+
+        sizes = validate_hmg_sizes(mesh.nc, sizes)
+        for lvl in sizes:
+            if any(c % d for c, d in zip(lvl, div)):
+                raise ValueError(
+                    f"coarse_cfg['sizes'] level {lvl} is not divisible "
+                    f"by divisors={div}; every h-level must split into "
+                    "the same per-shard slabs for the distributed "
+                    "(dist=True) hierarchy"
+                )
+    else:
+        sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
+                                   divisors=div)
     if len(sizes) < 2:
         raise ValueError(
             f"mesh nc={mesh.nc} is not h-coarsenable with x-cells "
@@ -481,7 +497,6 @@ class DistPMG:
         self.part = SlabPartition(mesh, n_devices)
         self.mesh = mesh
         self.degrees = tuple(int(p) for p in degrees)
-        from ..fem.assembly import resolve_kappa
         from ..fem.mesh import require_axis_aligned
 
         self.sigma = float(sigma)
@@ -503,15 +518,14 @@ class DistPMG:
         if coarse == "fdm":
             require_axis_aligned(mesh, "coarse='fdm'")
         self._kappa_raw = kappa
-        self.kappa_cells, _kconst = resolve_kappa(mesh, kappa)
-        self.kappa = float(self.kappa_cells[0]) if _kconst else None
-        # Anisotropic (3x3-tensor) kappa folds into the geometry factors
-        # (fem.geometry.geometry_factors); scalar DG-0 kappa keeps the
-        # historical post-multiply (bit-identical trajectories).
-        self._kappa_fold = (self.kappa_cells
-                            if self.kappa_cells.ndim == 3 else None)
-        self._kc = (np.ones(mesh.ncells) if self._kappa_fold is not None
-                    else self.kappa_cells)
+        self._kc, self._kappa_fold, _kconst = resolve_kappa_split(
+            mesh, kappa)
+        # See PMGHierarchy: tensor kappa folds into G via _kappa_fold;
+        # _kc is the per-cell scalar (ones for tensors), applied to big
+        # geometry arrays only through scale_G.
+        self.kappa_cells = (self._kappa_fold if self._kappa_fold is not None
+                            else self._kc)
+        self.kappa = float(self._kc[0]) if _kconst else None
         if not _kconst:
             if kron_family:
                 raise ValueError(
@@ -640,7 +654,7 @@ class DistPMG:
                 spec = dict(common_spec)
                 lv["G"] = jnp.asarray(
                     geometry_to_qlattice(
-                        G_cells * self._kc[:, None, None],
+                        scale_G(G_cells, self._kc, self._kappa_fold),
                         mesh.nc, Pdeg,
                     ),
                     dtype=dtype,
@@ -783,6 +797,7 @@ class DistPMG:
                     min_cells=self.coarse_cfg.get("min_cells", 2),
                     sigma=self.sigma,
                     divisors=self.coarse_cfg.get("divisors"),
+                    sizes=self.coarse_cfg.get("sizes"),
                 )
                 hmg_ops = dict(
                     dist_kron_cycle_ops(self.n_shards, precision,
@@ -1074,6 +1089,9 @@ class DistPMG:
         and variable DG-0 kappa), f32 sharded V-cycle as error smoother.
         ``fmg`` seeds the loop with the sharded working-dtype FMG guess.
         Requires jax_enable_x64."""
+        from ..solvers.pmg import warn_tensor_stationary
+
+        warn_tensor_stationary(self._kappa_fold)
         from ..ops.kron import axis_stiffness_mass, kron_laplacian_apply
 
         if not jax.config.read("jax_enable_x64"):
@@ -1136,7 +1154,7 @@ class DistPMG:
                     common,
                     G=jnp.asarray(
                         geometry_to_qlattice(
-                            G_cells * self._kc[:, None, None],
+                            scale_G(G_cells, self._kc, self._kappa_fold),
                             mesh.nc, Pdeg,
                         ),
                         dtype=jnp.float64,

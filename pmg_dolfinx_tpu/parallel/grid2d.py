@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..fem.mesh import BoxMesh
+from ..fem.assembly import resolve_kappa_split, scale_G
 from ..ops.blas import dist_inner_product
 from ..solvers.cg import cg_solve
 from ..solvers.pmg import (
@@ -405,7 +406,7 @@ def grid_lattice_blocked_cycle_ops(shards, precision="highest", sigma=0.0):
 
 def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
                        min_cells, divisors, global_build, make_mesh,
-                       fill_level):
+                       fill_level, sizes=None):
     """Shared frame of `build_hmg_grid` / `build_hmg_grid_general`:
     divisors validation, shard-aligned level sizing, the global
     calibration pass, per-level base data (bc/diag/weights/lmax), the
@@ -428,8 +429,24 @@ def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
                 f"divisors[{a}]={d} must be a multiple of shards[{a}]={s} "
                 "(levels divisible by the override stay shard-aligned)"
             )
-    sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
-                               divisors=div)
+    if sizes is not None:
+        # User hierarchy (e.g. hmg.semicoarsen_sizes via
+        # coarse_cfg['sizes']): nesting-validated, and EVERY level must
+        # stay shard-aligned so the duplicated-plane layout exists.
+        from ..solvers.hmg import validate_hmg_sizes
+
+        sizes = validate_hmg_sizes(mesh.nc, sizes)
+        for lvl in sizes:
+            if any(c % d for c, d in zip(lvl, div)):
+                raise ValueError(
+                    f"coarse_cfg['sizes'] level {lvl} is not divisible "
+                    f"by the shard grid (divisors={div}); every h-level "
+                    "must split into the same per-shard slabs for the "
+                    "distributed (dist=True) hierarchy"
+                )
+    else:
+        sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
+                                   divisors=div)
     if len(sizes) < 2:
         raise ValueError(
             f"mesh nc={mesh.nc} is not h-coarsenable with cells "
@@ -495,7 +512,7 @@ def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
 
 def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
                    precision="highest", bottom="direct", min_cells=2,
-                   sigma=0.0, divisors=None):
+                   sigma=0.0, divisors=None, sizes=None):
     """Distributed (non-gathered) h-MG coarse hierarchy on the 2D/3D box
     partition — the multi-axis generalization of
     `parallel.dist.build_hmg_dist`.
@@ -547,14 +564,14 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
     return _hmg_grid_scaffold(
         mesh, shards, P0, dtype, smoother_iters, min_cells, divisors,
         global_build, lambda nc: BoxMesh(nc, extent=mesh.extent),
-        fill_level,
+        fill_level, sizes=sizes,
     )
 
 
 def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
                            smoother_iters=2, precision="highest",
                            bottom="direct", min_cells=2, sigma=0.0,
-                           divisors=None):
+                           divisors=None, sizes=None):
     """Distributed h-MG coarse for the GENERAL family (curved hexes /
     DG-0 kappa) on the 2D/3D box partition — the lattice-backend twin
     of `build_hmg_grid`, rediscretizing the curved operator per h-level
@@ -617,7 +634,7 @@ def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
 
     return _hmg_grid_scaffold(
         mesh, shards, P0, dtype, smoother_iters, min_cells, divisors,
-        global_build, make_mesh, fill_level,
+        global_build, make_mesh, fill_level, sizes=sizes,
     )
 
 
@@ -650,7 +667,6 @@ class GridPMG:
         self.jmesh = Mesh(np.array(devices).reshape(shards), AXES)
         self.mesh = mesh
         self.degrees = tuple(int(p) for p in degrees)
-        from ..fem.assembly import resolve_kappa
         from ..fem.mesh import require_axis_aligned
 
         self.sigma = float(sigma)
@@ -670,15 +686,14 @@ class GridPMG:
                 f"got dtype={dtype}"
             )
         self._kappa_raw = kappa
-        self.kappa_cells, _kconst = resolve_kappa(mesh, kappa)
-        self.kappa = float(self.kappa_cells[0]) if _kconst else None
-        # Anisotropic (3x3-tensor) kappa folds into the geometry factors
-        # (fem.geometry.geometry_factors); scalar DG-0 kappa keeps the
-        # historical post-multiply (bit-identical trajectories).
-        self._kappa_fold = (self.kappa_cells
-                            if self.kappa_cells.ndim == 3 else None)
-        self._kc = (np.ones(mesh.ncells) if self._kappa_fold is not None
-                    else self.kappa_cells)
+        self._kc, self._kappa_fold, _kconst = resolve_kappa_split(
+            mesh, kappa)
+        # See PMGHierarchy: tensor kappa folds into G via _kappa_fold;
+        # _kc is the per-cell scalar (ones for tensors), applied to big
+        # geometry arrays only through scale_G.
+        self.kappa_cells = (self._kappa_fold if self._kappa_fold is not None
+                            else self._kc)
+        self.kappa = float(self._kc[0]) if _kconst else None
         if not _kconst and operator in ("kron", "kron_blocked"):
             raise ValueError(
                 "GridPMG: variable kappa requires operator='lattice', "
@@ -766,6 +781,7 @@ class GridPMG:
                     min_cells=self.coarse_cfg.get("min_cells", 2),
                     sigma=self.sigma,
                     divisors=self.coarse_cfg.get("divisors"),
+                    sizes=self.coarse_cfg.get("sizes"),
                 )
                 if (getattr(mesh, "is_axis_aligned", True)
                         and self.kappa is not None):
@@ -1101,7 +1117,7 @@ class GridPMG:
                 kappa=self._kappa_fold,
             )
             Gq = geometry_to_qlattice(
-                G_cells * self._kc[:, None, None], mesh.nc, Pdeg
+                scale_G(G_cells, self._kc, self._kappa_fold), mesh.nc, Pdeg
             )
             if backend == "lattice_blocked":
                 from ..ops.pallas_lattice_blocked import (
@@ -1262,6 +1278,9 @@ class GridPMG:
         V-cycle as error smoother (see `PMGHierarchy.solve_refined`);
         ``fmg`` seeds the loop with the sharded working-dtype FMG guess.
         Requires jax_enable_x64. Works for both operator backends."""
+        from ..solvers.pmg import warn_tensor_stationary
+
+        warn_tensor_stationary(self._kappa_fold)
         if not jax.config.read("jax_enable_x64"):
             raise RuntimeError("solve_refined requires jax_enable_x64")
         part = self.part

@@ -117,6 +117,32 @@ def semicoarsen_sizes(nc, axes, min_cells=2, max_levels=10):
     return out
 
 
+def validate_hmg_sizes(nc, sizes):
+    """Fail fast on a malformed user hierarchy (``coarse_cfg['sizes']``):
+    finest-first, sizes[0] == the mesh's nc, and every consecutive pair
+    NESTED (each finer count an integer per-axis multiple of the next
+    coarser — the condition `axis_h_interpolation` and
+    `coarsen_cell_field` assume; violations otherwise surface as cryptic
+    reshape/shape errors deep in setup or at cycle trace time)."""
+    sizes = [tuple(int(c) for c in s) for s in sizes]
+    if len(sizes) < 2:
+        raise ValueError(f"hmg sizes needs >= 2 levels, got {sizes}")
+    if sizes[0] != tuple(nc):
+        raise ValueError(
+            f"hmg sizes must start at the mesh's cell counts {tuple(nc)} "
+            f"(finest first), got sizes[0]={sizes[0]}"
+        )
+    for lf, lc in zip(sizes, sizes[1:]):
+        if any(c < 1 or f % c or f // c < 1 for f, c in zip(lf, lc)):
+            raise ValueError(
+                f"hmg sizes must be per-axis nested (finer divisible by "
+                f"coarser): {lf} -> {lc}"
+            )
+        if lf == lc:
+            raise ValueError(f"hmg sizes contains a repeated level {lf}")
+    return sizes
+
+
 def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
               max_levels=10, precision="highest",
               calibration_iters=20, bottom="direct", sigma=0.0,
@@ -146,6 +172,8 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     if sizes is None:
         sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
                                    max_levels=max_levels)
+    else:
+        sizes = validate_hmg_sizes(mesh.nc, sizes)
     sizes = list(sizes)[::-1]  # coarse->fine
     meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes]
     ops = kron_cycle_ops(precision, sigma=sigma)
@@ -262,7 +290,12 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     """
     import jax
 
-    from ..fem.assembly import lumped_mass_np, resolve_kappa, stiffness_diagonal_np
+    from ..fem.assembly import (
+        lumped_mass_np,
+        resolve_kappa,
+        scale_G,
+        stiffness_diagonal_np,
+    )
     from ..fem.geometry import (
         geometry_factors,
         quadrature_weights_3d,
@@ -282,6 +315,8 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     if sizes is None:
         sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
                                    max_levels=max_levels)
+    else:
+        sizes = validate_hmg_sizes(mesh.nc, sizes)
     sizes = list(sizes)[::-1]  # coarse->fine
     if isinstance(mesh, PerturbedBoxMesh):
         meshes = [PerturbedBoxMesh(nc, extent=mesh.extent, warp=mesh._warp)
@@ -303,10 +338,9 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
             tabulate_geometry_dphi(P), quadrature_weights_3d(P), xp=np,
             kappa=kfold,
         )
-        ksc = np.ones(m.ncells) if kfold is not None else kc
         lv = dict(
             G=jnp.asarray(
-                geometry_to_qlattice(G_cells * ksc[:, None, None], m.nc, P),
+                geometry_to_qlattice(scale_G(G_cells, kc, kfold), m.nc, P),
                 dtype=dtype,
             ),
             bc_marker=jnp.asarray(m.boundary_dof_marker(P)),

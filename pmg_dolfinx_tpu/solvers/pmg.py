@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..fem.assembly import resolve_kappa_split, scale_G
 from ..fem.geometry import (
     geometry_factors,
     quadrature_weights_3d,
@@ -665,14 +666,22 @@ class PMGHierarchy:
         hexes) or 'kron' (Kronecker-sum path, axis-aligned meshes — the
         production TPU choice). ``precision`` applies to the matmuls.
 
-        ``kappa`` may be a scalar, a per-cell ``(ncells,)`` DG-0 array, or
-        a callable over points ``x[(3, npts)]`` sampled at cell centroids
-        (reference src/laplacian.hpp:220-241). A non-constant coefficient
-        requires the 'lattice' or 'dofmap' backend (the Kronecker sum
+        ``kappa`` may be a scalar, a per-cell ``(ncells,)`` DG-0 array, a
+        SYMMETRIC 3x3 diffusion tensor — constant ``(3, 3)`` or per-cell
+        ``(ncells, 3, 3)``, folded into the geometry factors (full
+        anisotropic diffusion, beyond the reference) — or a callable over
+        points ``x[(3, npts)]`` sampled at cell centroids returning
+        scalars or tensors (reference src/laplacian.hpp:220-241). A
+        non-constant / tensor coefficient requires a general backend
+        ('lattice', 'lattice_blocked' or 'dofmap' — the Kronecker sum
         cannot express it) and a coarse solver in {'cg', 'smoother',
-        'direct'} (FDM/h-MG coarse data is built constant-coefficient).
+        'direct', 'hmg'} ('fdm' is constant-coefficient only; 'hmg'
+        rediscretizes per h-level with volume-averaged coefficients —
+        see also `solvers.hmg.semicoarsen_sizes` +
+        ``coarse_cfg['sizes']`` for strongly anisotropic tensors, and
+        prefer `solve_pcg` there: the stationary iteration can diverge,
+        `warn_tensor_stationary`).
         """
-        from ..fem.assembly import resolve_kappa
         from ..fem.mesh import require_axis_aligned
 
         if (fuse_smoother or fuse_transfers) and operator != "kron_blocked":
@@ -695,16 +704,17 @@ class PMGHierarchy:
         self.mesh = mesh
         self.degrees = tuple(int(p) for p in degrees)
         self._kappa_raw = kappa
-        self.kappa_cells, kappa_const = resolve_kappa(mesh, kappa)
-        self.kappa = float(self.kappa_cells[0]) if kappa_const else None
-        # Anisotropic (3x3-tensor) kappa folds into the geometry factors
-        # (fem.geometry.geometry_factors); downstream the level data is
-        # coefficient-free (kc == 1). Scalar DG-0 kappa keeps the
-        # historical post-multiply (bit-identical trajectories).
-        self._kappa_fold = (self.kappa_cells
-                            if self.kappa_cells.ndim == 3 else None)
-        self._kc = (np.ones(mesh.ncells) if self._kappa_fold is not None
-                    else self.kappa_cells)
+        self._kc, self._kappa_fold, kappa_const = resolve_kappa_split(
+            mesh, kappa)
+        # _kappa_fold: (ncells, 3, 3) anisotropic tensor to fold into the
+        # geometry factors (or None); _kc: the per-cell scalar field
+        # (all-ones when the coefficient is a tensor). scale_G applies
+        # _kc to big geometry arrays only when it carries the
+        # coefficient (the scalar path keeps its historical post-
+        # multiply — bit-identical trajectories).
+        self.kappa_cells = (self._kappa_fold if self._kappa_fold is not None
+                            else self._kc)
+        self.kappa = float(self._kc[0]) if kappa_const else None
         if not kappa_const:
             if kron_family:
                 raise ValueError(
@@ -791,7 +801,7 @@ class PMGHierarchy:
                     lv["D" + name] = jnp.asarray(Dg, dtype=dtype)
                 lv["G"] = jnp.asarray(
                     geometry_to_qlattice(
-                        G_cells * self._kc[:, None, None],
+                        scale_G(G_cells, self._kc, self._kappa_fold),
                         mesh.nc, P,
                     ),
                     dtype=dtype,
@@ -806,7 +816,7 @@ class PMGHierarchy:
                 )
 
                 Gq = geometry_to_qlattice(
-                    G_cells * self._kc[:, None, None], mesh.nc, P
+                    scale_G(G_cells, self._kc, self._kappa_fold), mesh.nc, P
                 )
                 lv = dict(
                     Gt=jnp.asarray(geometry_to_gfirst(Gq), dtype=dtype),
@@ -1104,6 +1114,7 @@ class PMGHierarchy:
         problems, the f64 lattice apply otherwise (general hexes,
         variable DG-0 kappa). Requires ``jax_enable_x64``.
         """
+        warn_tensor_stationary(self._kappa_fold)
         if not jax.config.read("jax_enable_x64"):
             raise RuntimeError("solve_refined requires jax_enable_x64")
         fine = self.levels[-1]
@@ -1147,7 +1158,7 @@ class PMGHierarchy:
                     mats=mats64,
                     G=jnp.asarray(
                         geometry_to_qlattice(
-                            G_cells * self._kc[:, None, None],
+                            scale_G(G_cells, self._kc, self._kappa_fold),
                             self.mesh.nc, Pf,
                         ),
                         jnp.float64,

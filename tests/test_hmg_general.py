@@ -235,3 +235,46 @@ def test_semicoarsening_sharded_matches_single():
                    coarse_cfg=dict(cfg), dtype=jnp.float64)
     u_g, rn_g = grid.solve(np.asarray(b), num_cycles=4)
     assert np.allclose(rn_g, rn_s, rtol=1e-10), (rn_s, rn_g)
+
+
+def test_hmg_sizes_validation():
+    """Malformed coarse_cfg['sizes'] must fail fast with a clear error
+    (review finding: non-nested levels previously died in cryptic
+    reshape errors deep in setup)."""
+    from pmg_dolfinx_tpu.solvers.hmg import build_hmg, validate_hmg_sizes
+
+    mesh = BoxMesh((8, 8, 8))
+    with pytest.raises(ValueError, match="nested"):
+        build_hmg(mesh, 1, 2.0, jnp.float64, sizes=[(8, 8, 8), (6, 6, 6)])
+    with pytest.raises(ValueError, match="must start at"):
+        validate_hmg_sizes((8, 8, 8), [(4, 4, 4), (2, 2, 2)])
+    with pytest.raises(ValueError, match="repeated"):
+        validate_hmg_sizes((8, 8, 8), [(8, 8, 8), (8, 8, 8)])
+    with pytest.raises(ValueError, match=">= 2 levels"):
+        validate_hmg_sizes((8, 8, 8), [(8, 8, 8)])
+
+
+def test_semicoarsening_dist_hmg():
+    """coarse_cfg['sizes'] + dist=True: the DISTRIBUTED (non-gathered)
+    h-hierarchy accepts a shard-aligned semi-coarsened hierarchy and
+    stays trajectory-exact vs the gathered/single-device solve; a
+    shard-misaligned hierarchy fails fast (review finding: sizes was
+    silently dropped with dist=True)."""
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+    from pmg_dolfinx_tpu.solvers.hmg import semicoarsen_sizes
+
+    nc = (8, 4, 8)
+    mesh = BoxMesh(nc)
+    b = assemble_rhs(mesh, 2, f_rhs(2.0))
+    sizes = semicoarsen_sizes(nc, (2,))
+    single = PMGHierarchy(mesh, degrees=(1, 2), kappa=2.0, coarse="hmg",
+                          operator="kron", coarse_cfg=dict(sizes=sizes))
+    u_s, rn_s = single.solve(jnp.asarray(b), num_cycles=4)
+    grid = GridPMG(mesh, shards=(2, 2, 1), degrees=(1, 2), kappa=2.0,
+                   coarse="hmg", coarse_cfg=dict(dist=True, sizes=sizes))
+    u_d, rn_d = grid.solve(b, num_cycles=4)
+    assert np.allclose(rn_d, rn_s, rtol=1e-10), (rn_s, rn_d)
+    with pytest.raises(ValueError, match="not divisible"):
+        GridPMG(mesh, shards=(2, 2, 1), degrees=(1, 2), kappa=2.0,
+                coarse="hmg",
+                coarse_cfg=dict(dist=True, sizes=[nc, (4, 1, 8)]))
