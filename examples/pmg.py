@@ -138,11 +138,22 @@ def main():
         if args.gamma > 1:
             coarse_cfg["gamma"] = args.gamma
         if args.semicoarsen:
-            from pmg_dolfinx_tpu.solvers.hmg import semicoarsen_sizes
+            from pmg_dolfinx_tpu.solvers.hmg import (
+                semicoarsen_axes,
+                semicoarsen_sizes,
+            )
 
             if args.coarse != "hmg":
                 raise SystemExit("--semicoarsen requires --coarse hmg")
-            axes = tuple(sorted("xyz".index(a) for a in args.semicoarsen))
+            if args.semicoarsen == "auto":
+                from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+
+                axes = semicoarsen_axes(mesh or BoxMesh(nc), kappa)
+                print(f"semi-coarsening axes (auto): "
+                      f"{''.join('xyz'[a] for a in axes) or '(none)'}")
+            else:
+                axes = tuple(sorted("xyz".index(a)
+                                    for a in args.semicoarsen))
             coarse_cfg["sizes"] = semicoarsen_sizes(nc, axes)
             print(f"semi-coarsened h-levels: {coarse_cfg['sizes']}")
         prob = PoissonProblem(

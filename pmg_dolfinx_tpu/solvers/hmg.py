@@ -117,6 +117,28 @@ def semicoarsen_sizes(nc, axes, min_cells=2, max_levels=10):
     return out
 
 
+def semicoarsen_axes(mesh, kappa, threshold=4.0):
+    """Detect the strongly-coupled axes for `semicoarsen_sizes`.
+
+    Per-axis effective coupling ``c_a = mean(kappa_aa) / h_a^2`` — the
+    scale on which point smoothers act (large c_a = strong direction,
+    damped well; the h-MG hierarchy should coarsen it first). Sources of
+    anisotropy both count: a tensor coefficient's diagonal AND stretched
+    cells (h_a from the mesh extent / cell counts). Returns the axes
+    whose coupling exceeds ``threshold`` times the weakest — empty when
+    the problem is (near-)isotropic, which `semicoarsen_sizes` treats as
+    plain full coarsening."""
+    from ..fem.assembly import resolve_kappa_split
+
+    kc, kt, _ = resolve_kappa_split(mesh, kappa)
+    if kt is not None:
+        kaa = np.diagonal(kt.mean(axis=0))
+    else:
+        kaa = np.full(3, float(np.mean(kc)))
+    c = kaa / np.asarray(mesh.h, dtype=float) ** 2
+    return tuple(a for a in range(3) if c[a] > threshold * c.min())
+
+
 def validate_hmg_sizes(nc, sizes):
     """Fail fast on a malformed user hierarchy (``coarse_cfg['sizes']``):
     finest-first, sizes[0] == the mesh's nc, and every consecutive pair

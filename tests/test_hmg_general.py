@@ -278,3 +278,21 @@ def test_semicoarsening_dist_hmg():
         GridPMG(mesh, shards=(2, 2, 1), degrees=(1, 2), kappa=2.0,
                 coarse="hmg",
                 coarse_cfg=dict(dist=True, sizes=[nc, (4, 1, 8)]))
+
+
+def test_semicoarsen_axes_autodetect():
+    """Strong-axis detection from the coefficient AND cell aspect."""
+    from pmg_dolfinx_tpu.solvers.hmg import semicoarsen_axes
+
+    mesh = BoxMesh((8, 8, 8))
+    # tensor anisotropy: strong z
+    assert semicoarsen_axes(mesh, np.diag([1.0, 1.0, 64.0])) == (2,)
+    # isotropic scalar: no strong axes
+    assert semicoarsen_axes(mesh, 2.0) == ()
+    # cell-aspect anisotropy: hx = 1/16 vs 1/4 -> coupling_x 16x larger
+    assert semicoarsen_axes(BoxMesh((16, 4, 4)), 2.0) == (0,)
+    # extent-compensated cells are isotropic again
+    assert semicoarsen_axes(BoxMesh((16, 4, 4), extent=(4.0, 1.0, 1.0)),
+                            2.0) == ()
+    # two strong axes
+    assert semicoarsen_axes(mesh, np.diag([1.0, 50.0, 64.0])) == (1, 2)
