@@ -62,14 +62,18 @@ def main():
                    help="'high' = bf16x3 matmuls inside the V-cycle "
                         "(~1e-5 operator error, faster; convergence of the "
                         "refined/pcg outer loops is unaffected)")
-    p.add_argument("--kappa-field", choices=["const", "linear", "aniso"],
+    p.add_argument("--kappa-field",
+                   choices=["const", "linear", "aniso", "aniso-diag"],
                    default="const",
                    help="'linear': variable coefficient kappa(x)=1+x "
                         "(DG-0 per cell; requires --operator lattice or "
                         "dofmap, reference laplacian.hpp:220-241); "
                         "'aniso': constant 3x3 diffusion TENSOR (100:1 "
                         "anisotropy rotated 30deg off-grid, folded into "
-                        "the geometry factors — beyond reference parity)")
+                        "the geometry factors — beyond reference parity); "
+                        "'aniso-diag': grid-aligned diag(1,1,100) tensor "
+                        "— per-axis Kronecker structure, so the kron "
+                        "family and the exact --fdm direct solve apply")
     p.add_argument("--sigma", type=float, default=0.0,
                    help="lumped-mass shift: solve the reaction-diffusion "
                         "problem -div(kappa grad u) + sigma u = f (all "
@@ -117,6 +121,17 @@ def main():
                              else "lattice")
             print("tensor kappa: switching operator backend to "
                   f"'{args.operator}'")
+    elif args.kappa_field == "aniso-diag":
+        # Grid-aligned diagonal tensor: the Kronecker sum expresses it
+        # per axis, so the kron family AND the exact FDM direct solve
+        # apply unchanged (combine with --fdm for a one-shot solve of
+        # the anisotropic system).
+        import numpy as _np
+
+        from pmg_dolfinx_tpu.models.poisson import f_rhs_tensor
+
+        kappa = _np.diag([1.0, 1.0, 100.0])
+        f = f_rhs_tensor(kappa, sigma=args.sigma)
     mesh = None
     if args.mesh == "perturbed":
         from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
@@ -172,14 +187,17 @@ def main():
             raise SystemExit("--fmg is an initial guess for the iterative "
                              "solvers; --fdm is a direct solve (exact in "
                              "one application) — drop one of the flags")
-        if args.kappa_field != "const":
-            raise SystemExit("--fdm is a constant-coefficient direct solve; "
-                             "use --pcg for variable kappa")
+        if args.kappa_field not in ("const", "aniso-diag"):
+            raise SystemExit("--fdm is a constant-coefficient (or diagonal-"
+                             "tensor) direct solve; use --pcg for variable "
+                             "kappa")
         from pmg_dolfinx_tpu.solvers.fdm import FastDiagonalizationSolver
 
         fdm = FastDiagonalizationSolver(prob.mesh, args.degrees[-1],
-                                        kappa=args.kappa, dtype=dtype,
-                                        sigma=args.sigma)
+                                        kappa=(kappa if args.kappa_field
+                                               == "aniso-diag"
+                                               else args.kappa),
+                                        dtype=dtype, sigma=args.sigma)
         with Timer("fdm solve", sync=True):
             if args.refined:
                 u, rnorms = fdm.refine(prob.b, cycles=min(args.cycles, 4))

@@ -210,6 +210,51 @@ def resolve_kappa_split(mesh: BoxMesh, kappa):
     return kc, None, const
 
 
+def resolve_kappa_axes(mesh: BoxMesh, kappa):
+    """Resolve a KRON-FAMILY coefficient to per-axis scalars
+    ``(kx, ky, kz)``.
+
+    The Kronecker-sum factorization ``kx K(x)M(x)M + ky M(x)K(x)M + kz
+    M(x)M(x)K`` survives any coefficient expressible as a CONSTANT
+    DIAGONAL tensor — grid-aligned anisotropic diffusion rides the full
+    MXU kron/blocked paths and the EXACT FDM direct solver (per-axis
+    generalized eigenvalues just scale: ``d = kx lx + ky ly + kz lz``),
+    where the general backends need a Krylov loop. Accepts a scalar
+    (``(k, k, k)``), a length-3 sequence, or a constant diagonal
+    ``(3, 3)`` / ``(ncells, 3, 3)`` tensor; raises ValueError for
+    per-cell, off-diagonal, or otherwise non-separable coefficients
+    (use the lattice/dofmap backends for those).
+    """
+    if (isinstance(kappa, (tuple, list)) and len(kappa) == 3
+            and all(np.ndim(k) == 0 for k in kappa)):
+        return tuple(float(k) for k in kappa)
+    kc, kt, const = resolve_kappa_split(mesh, kappa)
+    if kt is None:
+        if not const:
+            raise ValueError(
+                "the Kronecker-sum factorization needs a constant (or "
+                "constant per-axis / diagonal-tensor) kappa; got a "
+                "per-cell field — use operator='lattice' or 'dofmap'"
+            )
+        k = float(kc[0])
+        return (k, k, k)
+    if not np.allclose(kt, kt[0]):
+        raise ValueError(
+            "the Kronecker-sum factorization needs a CONSTANT diagonal "
+            "tensor kappa; got a per-cell tensor field — use "
+            "operator='lattice' or 'dofmap'"
+        )
+    K0 = kt[0]
+    if not np.allclose(K0, np.diag(np.diag(K0))):
+        raise ValueError(
+            "the Kronecker-sum factorization needs a constant DIAGONAL "
+            "tensor kappa (it cannot express cross-derivative terms); "
+            f"got off-diagonal entries {K0.tolist()} — use "
+            "operator='lattice' or 'dofmap'"
+        )
+    return tuple(float(v) for v in np.diag(K0))
+
+
 def scale_G(G_cells, kappa_scalar, kappa_tensor):
     """Apply the scalar DG-0 coefficient to the geometry factors —
     identity when the coefficient was a tensor (already folded into

@@ -144,11 +144,17 @@ class KronLaplacian:
         self.precision = precision
         self.sigma = float(sigma)
         self.ndofs = mesh.num_dofs(P)
+        from ..fem.assembly import resolve_kappa_axes
+
+        kax = resolve_kappa_axes(mesh, kappa)
+        self.kappa_axes = kax
         Ks, ms = [], []
-        for nc_a, h_a in zip(mesh.nc, mesh.h):
+        for nc_a, h_a, k_a in zip(mesh.nc, mesh.h, kax):
             K, m = axis_stiffness_mass(nc_a, self.P, h_a)
-            # kappa folded into the stiffness factors (one K per term).
-            Ks.append(jnp.asarray(float(kappa) * K, dtype=dtype))
+            # kappa folded into the stiffness factors (one K per term;
+            # a per-axis / diagonal-tensor kappa scales each term by its
+            # own k_a — grid-aligned anisotropic diffusion).
+            Ks.append(jnp.asarray(k_a * K, dtype=dtype))
             ms.append(jnp.asarray(m, dtype=dtype))
         self.Ks = tuple(Ks)
         self.ms = tuple(ms)

@@ -174,6 +174,9 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
         coarsenable_levels,
     )
 
+    from ..fem.assembly import resolve_kappa_axes
+
+    kax = resolve_kappa_axes(mesh, kappa)  # scalar / per-axis / diag tensor
     # ``divisors`` (coarse_cfg['divisors']) pins the alignment constraint
     # across shard counts (the hierarchy depth depends on it), keeping
     # scaling-sweep trajectories rank-count-invariant; must be a
@@ -226,9 +229,9 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
         npl = p_l.local_planes(P0)
         mx_dup = duplicate_planes(mx_g, npl, n_shards)
         lv = dict(
-            Kx=jnp.asarray(float(kappa) * Kx, dtype=dtype),
-            Ky=jnp.asarray(float(kappa) * Ky, dtype=dtype),
-            Kz=jnp.asarray(float(kappa) * Kz, dtype=dtype),
+            Kx=jnp.asarray(kax[0] * Kx, dtype=dtype),
+            Ky=jnp.asarray(kax[1] * Ky, dtype=dtype),
+            Kz=jnp.asarray(kax[2] * Kz, dtype=dtype),
             mx=jnp.asarray(mx_dup, dtype=dtype),
             my=jnp.asarray(my, dtype=dtype),
             mz=jnp.asarray(mz, dtype=dtype),
@@ -526,17 +529,23 @@ class DistPMG:
         self.kappa_cells = (self._kappa_fold if self._kappa_fold is not None
                             else self._kc)
         self.kappa = float(self._kc[0]) if _kconst else None
-        if not _kconst:
+        # Per-axis coefficient (kx, ky, kz): constant scalar / per-axis /
+        # diagonal tensor — the forms the Kronecker-sum paths (and the
+        # exact FDM coarse) can express. See fem.assembly.resolve_kappa_axes.
+        from ..fem.assembly import resolve_kappa_axes
+
+        try:
+            self.kappa_axes = resolve_kappa_axes(mesh, kappa)
+        except ValueError:
             if kron_family:
-                raise ValueError(
-                    "DistPMG: variable kappa requires operator='lattice' "
-                    "or 'dofmap' (the Kronecker sum is constant-only)"
-                )
-            if coarse == "fdm":
-                raise ValueError(
-                    "DistPMG: coarse='fdm' is constant-coefficient only; "
-                    "use 'hmg', 'cg', 'smoother' or 'direct'"
-                )
+                raise
+            self.kappa_axes = None
+        if self.kappa_axes is None and coarse == "fdm":
+            raise ValueError(
+                "DistPMG: coarse='fdm' is constant-coefficient (scalar, "
+                "per-axis or diagonal-tensor) only; use 'hmg', 'cg', "
+                "'smoother' or 'direct'"
+            )
         self.dtype = dtype
         self.precision = precision
         self.coarse = coarse
@@ -545,6 +554,7 @@ class DistPMG:
         self.eigs = []
 
         part = self.part
+        kax = self.kappa_axes  # per-axis kron coefficient (None = general)
         level_data, level_specs, levels = [], [], []
         for Pdeg in self.degrees:
             # Geometry factors computed on host (float64); cells are
@@ -617,12 +627,12 @@ class DistPMG:
                     # helper. sx stacking distributes over the outer
                     # products, so the stacked factors are closed-form.
                     kb = symmetrized_mats(
-                        (self.kappa * Kx, self.kappa * Ky, self.kappa * Kz),
+                        (kax[0] * Kx, kax[1] * Ky, kax[2] * Kz),
                         (mx_dup[:npl], my, mz),
                     )
                     sx_all = np.sqrt(np.asarray(mx_dup, np.float64))
                     sz = np.sqrt(np.asarray(mz, np.float64))
-                    Kx64 = self.kappa * np.asarray(Kx, np.float64)
+                    Kx64 = kax[0] * np.asarray(Kx, np.float64)
                     kb["Ktx"] = jnp.asarray(
                         np.concatenate([
                             Kx64 / sx_s[:, None] / sx_s[None, :]
@@ -640,9 +650,9 @@ class DistPMG:
                     )
                 else:
                     lv.update(
-                        Kx=jnp.asarray(self.kappa * Kx, dtype=dtype),
-                        Ky=jnp.asarray(self.kappa * Ky, dtype=dtype),
-                        Kz=jnp.asarray(self.kappa * Kz, dtype=dtype),
+                        Kx=jnp.asarray(kax[0] * Kx, dtype=dtype),
+                        Ky=jnp.asarray(kax[1] * Ky, dtype=dtype),
+                        Kz=jnp.asarray(kax[2] * Kz, dtype=dtype),
                         mx=jnp.asarray(mx_dup, dtype=dtype),
                         my=jnp.asarray(my, dtype=dtype),
                         mz=jnp.asarray(mz, dtype=dtype),
@@ -745,7 +755,7 @@ class DistPMG:
                 from ..solvers.fdm import FastDiagonalizationSolver
 
                 fd = FastDiagonalizationSolver(
-                    mesh, P0, kappa=self.kappa, dtype=dtype,
+                    mesh, P0, kappa=self.kappa_axes, dtype=dtype,
                     precision=precision, sigma=self.sigma,
                 )
                 self._coarse_data = ("fdm", dict(
@@ -779,7 +789,7 @@ class DistPMG:
                 # bottom solve gathers. Constant-kappa boxes only (the
                 # kron h-hierarchy).
                 if not (getattr(mesh, "is_axis_aligned", True)
-                        and self.kappa is not None):
+                        and self.kappa_axes is not None):
                     raise ValueError(
                         "DistPMG coarse_cfg dist=True (distributed hmg) "
                         "requires a constant-kappa axis-aligned BoxMesh; "
@@ -791,7 +801,7 @@ class DistPMG:
                     )
                 (hmg_levels, hmg_data, hmg_specs, hmg_bottom,
                  hmg_gather, hmg_slice) = build_hmg_dist(
-                    mesh, self.n_shards, P0, self.kappa, dtype,
+                    mesh, self.n_shards, P0, self.kappa_axes, dtype,
                     smoother_iters=smoother_iters, precision=precision,
                     bottom=self.coarse_cfg.get("bottom", "direct"),
                     min_cells=self.coarse_cfg.get("min_cells", 2),
@@ -817,12 +827,12 @@ class DistPMG:
                 # general family (curved hexes / DG-0 kappa) the
                 # rediscretized lattice one (solvers.hmg.build_hmg_general).
                 if (getattr(mesh, "is_axis_aligned", True)
-                        and self.kappa is not None):
+                        and self.kappa_axes is not None):
                     from ..solvers.hmg import build_hmg
                     from ..solvers.pmg import kron_cycle_ops
 
                     hmg_levels, hmg_data, hmg_bottom = build_hmg(
-                        mesh, P0, self.kappa, dtype,
+                        mesh, P0, self.kappa_axes, dtype,
                         smoother_iters=smoother_iters, precision=precision,
                         bottom=self.coarse_cfg.get("bottom", "direct"),
                         min_cells=self.coarse_cfg.get("min_cells", 2),
@@ -1100,7 +1110,8 @@ class DistPMG:
         fine = self.levels[-1]
         Pdeg = self.degrees[-1]
         use_kron64 = (getattr(mesh, "is_axis_aligned", True)
-                      and self.kappa is not None)
+                      and self.kappa_axes is not None)
+        kax = self.kappa_axes
         if getattr(self, "_refine_step", None) is None:
             # f64 state shares the work layout of the f32 cycle: 3D for
             # the kron backends, flat for the general backends.
@@ -1127,9 +1138,9 @@ class DistPMG:
                 mx_dup = duplicate_planes(mx_g, npl, part.n_shards)
                 lv64 = dict(
                     common,
-                    Kx=jnp.asarray(self.kappa * Kx, dtype=jnp.float64),
-                    Ky=jnp.asarray(self.kappa * Ky, dtype=jnp.float64),
-                    Kz=jnp.asarray(self.kappa * Kz, dtype=jnp.float64),
+                    Kx=jnp.asarray(kax[0] * Kx, dtype=jnp.float64),
+                    Ky=jnp.asarray(kax[1] * Ky, dtype=jnp.float64),
+                    Kz=jnp.asarray(kax[2] * Kz, dtype=jnp.float64),
                     mx=jnp.asarray(mx_dup, dtype=jnp.float64),
                     my=jnp.asarray(my, dtype=jnp.float64),
                     mz=jnp.asarray(mz, dtype=jnp.float64),

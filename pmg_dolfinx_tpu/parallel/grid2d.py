@@ -536,8 +536,11 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
 
     Returns ``(levels, data, specs, bottom_mode, gather, unslice)``.
     """
+    from ..fem.assembly import resolve_kappa_axes
     from ..ops.kron import axis_stiffness_mass
     from ..solvers.hmg import build_hmg
+
+    kax = resolve_kappa_axes(mesh, kappa)  # scalar / per-axis / diag tensor
 
     def global_build(sizes):
         _, g_data, g_bottom = build_hmg(
@@ -554,7 +557,7 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
             # the exchange); global axis mass in the duplicated layout.
             Kl, _ = axis_stiffness_mass(p_l.cells_per_shard[a], P0, m.h[a])
             _, mg = axis_stiffness_mass(m.nc[a], P0, m.h[a])
-            lv["K" + name] = jnp.asarray(float(kappa) * Kl, dtype=dtype)
+            lv["K" + name] = jnp.asarray(kax[a] * Kl, dtype=dtype)
             lv["m" + name] = jnp.asarray(
                 duplicate_planes(mg, npls[a], p_l.shards[a]), dtype=dtype
             )
@@ -694,18 +697,22 @@ class GridPMG:
         self.kappa_cells = (self._kappa_fold if self._kappa_fold is not None
                             else self._kc)
         self.kappa = float(self._kc[0]) if _kconst else None
-        if not _kconst and operator in ("kron", "kron_blocked"):
-            raise ValueError(
-                "GridPMG: variable kappa requires operator='lattice', "
-                "'lattice_blocked' or 'dofmap' (the Kronecker sum is "
-                "constant-only)"
-            )
+        # Per-axis coefficient — see DistPMG / fem.assembly.resolve_kappa_axes.
+        from ..fem.assembly import resolve_kappa_axes
+
+        try:
+            self.kappa_axes = resolve_kappa_axes(mesh, kappa)
+        except ValueError:
+            if operator in ("kron", "kron_blocked"):
+                raise
+            self.kappa_axes = None
         if coarse == "fdm":
             require_axis_aligned(mesh, "GridPMG coarse='fdm'")
-            if not _kconst:
+            if self.kappa_axes is None:
                 raise ValueError(
-                    "GridPMG: coarse='fdm' is constant-coefficient only; "
-                    "use 'hmg', 'cg', 'smoother' or 'direct'"
+                    "GridPMG: coarse='fdm' is constant-coefficient "
+                    "(scalar, per-axis or diagonal-tensor) only; use "
+                    "'hmg', 'cg', 'smoother' or 'direct'"
                 )
         self.dtype = dtype
         self.precision = precision
@@ -743,7 +750,7 @@ class GridPMG:
                 from ..solvers.fdm import FastDiagonalizationSolver
 
                 fd = FastDiagonalizationSolver(
-                    mesh, P0, kappa=self.kappa, dtype=dtype,
+                    mesh, P0, kappa=self.kappa_axes, dtype=dtype,
                     precision=precision, sigma=self.sigma,
                 )
                 self._coarse_data = ("fdm", dict(
@@ -784,10 +791,10 @@ class GridPMG:
                     sizes=self.coarse_cfg.get("sizes"),
                 )
                 if (getattr(mesh, "is_axis_aligned", True)
-                        and self.kappa is not None):
+                        and self.kappa_axes is not None):
                     (hmg_levels, hmg_data, hmg_specs, hmg_bottom,
                      hmg_gather, hmg_slice) = build_hmg_grid(
-                        mesh, shards, P0, self.kappa, dtype, **kw)
+                        mesh, shards, P0, self.kappa_axes, dtype, **kw)
                     hmg_core = grid_kron_cycle_ops(shards, precision,
                                                    sigma=self.sigma)
                 else:
@@ -814,12 +821,12 @@ class GridPMG:
                 # h-hierarchy for the general family (curved hexes /
                 # DG-0 kappa) — the scalable BoomerAMG replacement.
                 if (getattr(mesh, "is_axis_aligned", True)
-                        and self.kappa is not None):
+                        and self.kappa_axes is not None):
                     from ..solvers.hmg import build_hmg
                     from ..solvers.pmg import kron_cycle_ops
 
                     hmg_levels, hmg_data, hmg_bottom = build_hmg(
-                        mesh, P0, self.kappa, dtype,
+                        mesh, P0, self.kappa_axes, dtype,
                         smoother_iters=smoother_iters, precision=precision,
                         bottom=self.coarse_cfg.get("bottom", "direct"),
                         min_cells=self.coarse_cfg.get("min_cells", 2),
@@ -1001,6 +1008,7 @@ class GridPMG:
         from ..ops.kron import axis_stiffness_mass
 
         backend = backend or self.operator_kind
+        kax = self.kappa_axes  # per-axis kron coefficient (None = general)
         part, mesh = self.part, self.mesh
         shards = part.shards
         PSHARD = P(*AXES)
@@ -1043,7 +1051,7 @@ class GridPMG:
                 _, mg = axis_stiffness_mass(mesh.nc[a], Pdeg, mesh.h[a])
                 npl = npls[a]
                 ms_dup.append(duplicate_planes(mg, npl, shards[a]))
-                Ks_local.append(self.kappa * Kl)
+                Ks_local.append(kax[a] * Kl)
             kb, kb_axes = grid_symmetrized_mats(Ks_local, ms_dup, shards)
             lv["kb_mats"] = kb
             spec["kb_mats"] = {k: P(*axes_pair)
@@ -1059,7 +1067,7 @@ class GridPMG:
                 _, mg = axis_stiffness_mass(mesh.nc[a], Pdeg, mesh.h[a])
                 npl = npls[a]
                 m_dup = duplicate_planes(mg, npl, shards[a])
-                lv["K" + name] = jnp.asarray(self.kappa * Kl, dtype=dtype)
+                lv["K" + name] = jnp.asarray(kax[a] * Kl, dtype=dtype)
                 lv["m" + name] = jnp.asarray(m_dup, dtype=dtype)
                 spec["K" + name] = P()
                 spec["m" + name] = P(AXES[a])

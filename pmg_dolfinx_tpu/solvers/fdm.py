@@ -104,16 +104,20 @@ class FastDiagonalizationSolver:
             lams.append(lam)
         self.Vs, self.Vts = tuple(Vs), tuple(Vts)
         lx, ly, lz = lams
-        d = float(kappa) * (
-            lx[:, None, None] + ly[None, :, None] + lz[None, None, :]
-        ) + float(sigma)
+        from ..fem.assembly import resolve_kappa_axes
+
+        # Per-axis kappa just scales each axis' generalized eigenvalues
+        # (same V): grid-aligned anisotropic diffusion solved EXACTLY.
+        kx, ky, kz = resolve_kappa_axes(mesh, kappa)
+        d = (kx * lx[:, None, None] + ky * ly[None, :, None]
+             + kz * lz[None, None, :]) + float(sigma)
         self.dinv = jnp.asarray(1.0 / d, dtype=dtype)
         self.bc_marker = jnp.asarray(mesh.boundary_dof_marker(self.P))
         self._solve = jax.jit(
             partial(fdm_solve, precision=precision),
             static_argnames=("shape",),
         )
-        self._kappa = float(kappa)
+        self._kappa = (kx, ky, kz)
 
     def solve(self, b):
         b = jnp.asarray(b, dtype=self.dtype)

@@ -191,6 +191,9 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     )
     from .tridiag import lanczos_eigenvalue_estimates
 
+    from ..fem.assembly import resolve_kappa_axes
+
+    kax = resolve_kappa_axes(mesh, kappa)  # scalar / per-axis / diag tensor
     if sizes is None:
         sizes = coarsenable_levels(mesh.nc, min_cells=min_cells,
                                    max_levels=max_levels)
@@ -203,9 +206,9 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     levels, level_data = [], []
     for m in meshes:
         lv = {}
-        for name, nc_a, h_a in zip("xyz", m.nc, m.h):
+        for name, nc_a, h_a, k_a in zip("xyz", m.nc, m.h, kax):
             K, mass = axis_stiffness_mass(nc_a, P, h_a)
-            lv["K" + name] = jnp.asarray(float(kappa) * K, dtype=dtype)
+            lv["K" + name] = jnp.asarray(k_a * K, dtype=dtype)
             lv["m" + name] = jnp.asarray(mass, dtype=dtype)
         bc = jnp.asarray(m.boundary_dof_marker(P))
         diag = kron_diagonal(
@@ -265,7 +268,8 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     if bottom == "direct":
         from ..fem.assembly import assemble_stiffness, lumped_mass_np
 
-        A0 = assemble_stiffness(meshes[0], P, kappa=float(kappa)).toarray()
+        A0 = assemble_stiffness(meshes[0], P,
+                                kappa=np.diag(kax)).toarray()
         if sigma:
             A0[np.diag_indices_from(A0)] += sigma * lumped_mass_np(
                 meshes[0], P, bc_zero=True

@@ -715,20 +715,25 @@ class PMGHierarchy:
         self.kappa_cells = (self._kappa_fold if self._kappa_fold is not None
                             else self._kc)
         self.kappa = float(self._kc[0]) if kappa_const else None
-        if not kappa_const:
+        # Per-axis kron-family coefficient (kx, ky, kz): set whenever the
+        # coefficient is a constant scalar / per-axis / DIAGONAL tensor —
+        # grid-aligned anisotropy stays on the Kronecker-sum paths
+        # (incl. the EXACT FDM direct coarse/solve). None otherwise.
+        from ..fem.assembly import resolve_kappa_axes
+
+        try:
+            self.kappa_axes = resolve_kappa_axes(mesh, kappa)
+        except ValueError:
             if kron_family:
-                raise ValueError(
-                    "variable (per-cell) kappa requires operator='lattice' "
-                    "or 'dofmap' — the Kronecker-sum factorization only "
-                    "exists for constant coefficients"
-                )
-            if coarse == "fdm":
-                raise ValueError(
-                    "coarse='fdm' is constant-coefficient only; use "
-                    "'hmg', 'cg', 'smoother' or 'direct' with variable "
-                    "kappa (or FDM as an outer FCG preconditioner, "
-                    "solvers/fdm.py)"
-                )
+                raise  # resolver message names lattice/dofmap alternatives
+            self.kappa_axes = None
+        if self.kappa_axes is None and coarse == "fdm":
+            raise ValueError(
+                "coarse='fdm' is constant-coefficient (scalar, per-axis "
+                "or diagonal-tensor) only; use 'hmg', 'cg', 'smoother' "
+                "or 'direct' with variable kappa (or FDM as an outer FCG "
+                "preconditioner, solvers/fdm.py)"
+            )
         self.dtype = dtype
         self.coarse = coarse
         self.coarse_cfg = dict(coarse_cfg or {})
@@ -784,9 +789,10 @@ class PMGHierarchy:
                 from ..ops.kron import axis_stiffness_mass
 
                 lv = {}
-                for name, nc_a, h_a in zip("xyz", mesh.nc, mesh.h):
+                for name, nc_a, h_a, k_a in zip("xyz", mesh.nc,
+                                                mesh.h, self.kappa_axes):
                     K, m = axis_stiffness_mass(nc_a, P, h_a)
-                    lv["K" + name] = jnp.asarray(self.kappa * K, dtype=dtype)
+                    lv["K" + name] = jnp.asarray(k_a * K, dtype=dtype)
                     lv["m" + name] = jnp.asarray(m, dtype=dtype)
                 # Lattice-shaped markers: the kron cycle carries
                 # lattice-shaped vectors end-to-end (see kron_cycle_ops).
@@ -944,8 +950,8 @@ class PMGHierarchy:
             from .fdm import FastDiagonalizationSolver
 
             fd = FastDiagonalizationSolver(
-                mesh, self.degrees[0], kappa=self.kappa, dtype=dtype,
-                precision=precision, sigma=self.sigma,
+                mesh, self.degrees[0], kappa=self.kappa_axes,
+                dtype=dtype, precision=precision, sigma=self.sigma,
             )
             self.data["fdm"] = dict(
                 Vx=fd.Vs[0], Vy=fd.Vs[1], Vz=fd.Vs[2],
@@ -955,11 +961,11 @@ class PMGHierarchy:
             self.coarse_cfg["fdm_shape"] = mesh.lattice_shape(self.degrees[0])
         elif coarse == "hmg":
             if (getattr(mesh, "is_axis_aligned", True)
-                    and self.kappa is not None):
+                    and self.kappa_axes is not None):
                 from .hmg import build_hmg
 
                 hmg_levels, hmg_data, hmg_bottom = build_hmg(
-                    mesh, self.degrees[0], self.kappa, dtype,
+                    mesh, self.degrees[0], self.kappa_axes, dtype,
                     smoother_iters=smoother_iters, precision=precision,
                     bottom=self.coarse_cfg.get("bottom", "direct"),
                     min_cells=self.coarse_cfg.get("min_cells", 2),
@@ -1120,13 +1126,13 @@ class PMGHierarchy:
         fine = self.levels[-1]
         Pf = self.degrees[-1]
         use_kron64 = (getattr(self.mesh, "is_axis_aligned", True)
-                      and self.kappa is not None)
+                      and self.kappa_axes is not None)
         if getattr(self, "_res64", None) is None:
             if use_kron64:
                 from ..ops.kron import KronLaplacian
 
                 op64 = KronLaplacian(
-                    self.mesh, Pf, kappa=self.kappa,
+                    self.mesh, Pf, kappa=self.kappa_axes,
                     dtype=jnp.float64, precision="highest",
                     sigma=self.sigma,
                 )
