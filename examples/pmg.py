@@ -126,11 +126,9 @@ def main():
         # per axis, so the kron family AND the exact FDM direct solve
         # apply unchanged (combine with --fdm for a one-shot solve of
         # the anisotropic system).
-        import numpy as _np
-
         from pmg_dolfinx_tpu.models.poisson import f_rhs_tensor
 
-        kappa = _np.diag([1.0, 1.0, 100.0])
+        kappa = np.diag([1.0, 1.0, 100.0])
         f = f_rhs_tensor(kappa, sigma=args.sigma)
     mesh = None
     if args.mesh == "perturbed":

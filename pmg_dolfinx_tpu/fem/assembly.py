@@ -158,6 +158,12 @@ def resolve_kappa(mesh: BoxMesh, kappa):
     kernel (src/laplacian.hpp:220-241, examples/pmg/main.cpp:253-257).
     ``is_constant`` is only ever True for the scalar-constant case.
     """
+    if (isinstance(kappa, (tuple, list)) and len(kappa) == 3
+            and all(np.ndim(k) == 0 for k in kappa)):
+        # Per-axis spec (kx, ky, kz) — sugar for the diagonal tensor
+        # (kron family extracts the axes back via resolve_kappa_axes;
+        # general backends fold the diagonal into G).
+        kappa = np.diag([float(k) for k in kappa])
     if callable(kappa):
         vals = np.asarray(
             kappa(mesh.cell_centroids().T), dtype=np.float64
@@ -210,7 +216,7 @@ def resolve_kappa_split(mesh: BoxMesh, kappa):
     return kc, None, const
 
 
-def resolve_kappa_axes(mesh: BoxMesh, kappa):
+def resolve_kappa_axes(mesh: BoxMesh, kappa, split=None):
     """Resolve a KRON-FAMILY coefficient to per-axis scalars
     ``(kx, ky, kz)``.
 
@@ -228,13 +234,14 @@ def resolve_kappa_axes(mesh: BoxMesh, kappa):
     if (isinstance(kappa, (tuple, list)) and len(kappa) == 3
             and all(np.ndim(k) == 0 for k in kappa)):
         return tuple(float(k) for k in kappa)
-    kc, kt, const = resolve_kappa_split(mesh, kappa)
+    kc, kt, const = split if split is not None else resolve_kappa_split(
+        mesh, kappa)
     if kt is None:
         if not const:
             raise ValueError(
                 "the Kronecker-sum factorization needs a constant (or "
                 "constant per-axis / diagonal-tensor) kappa; got a "
-                "per-cell field — use operator='lattice' or 'dofmap'"
+                "per-cell field — use operator='lattice', 'lattice_blocked' or 'dofmap'"
             )
         k = float(kc[0])
         return (k, k, k)

@@ -535,7 +535,9 @@ class DistPMG:
         from ..fem.assembly import resolve_kappa_axes
 
         try:
-            self.kappa_axes = resolve_kappa_axes(mesh, kappa)
+            self.kappa_axes = resolve_kappa_axes(
+                mesh, kappa,
+                split=(self._kc, self._kappa_fold, _kconst))
         except ValueError:
             if kron_family:
                 raise
@@ -1101,7 +1103,8 @@ class DistPMG:
         Requires jax_enable_x64."""
         from ..solvers.pmg import warn_tensor_stationary
 
-        warn_tensor_stationary(self._kappa_fold)
+        warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
+                               self.operator_kind)
         from ..ops.kron import axis_stiffness_mass, kron_laplacian_apply
 
         if not jax.config.read("jax_enable_x64"):
@@ -1328,7 +1331,8 @@ class DistPMG:
         warn_high_precision_stationary(
             self.precision, self.mesh.num_dofs(self.degrees[-1])
         )
-        warn_tensor_stationary(self._kappa_fold)
+        warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
+                               self.operator_kind)
         if not hasattr(self, "_solve_scans"):
             self._solve_scans = {}
         if num_cycles not in self._solve_scans:

@@ -701,7 +701,9 @@ class GridPMG:
         from ..fem.assembly import resolve_kappa_axes
 
         try:
-            self.kappa_axes = resolve_kappa_axes(mesh, kappa)
+            self.kappa_axes = resolve_kappa_axes(
+                mesh, kappa,
+                split=(self._kc, self._kappa_fold, _kconst))
         except ValueError:
             if operator in ("kron", "kron_blocked"):
                 raise
@@ -1197,7 +1199,8 @@ class GridPMG:
         warn_high_precision_stationary(
             self.precision, self.mesh.num_dofs(self.degrees[-1])
         )
-        warn_tensor_stationary(self._kappa_fold)
+        warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
+                               self.operator_kind)
         if not hasattr(self, "_solve_scans"):
             self._solve_scans = {}
         if num_cycles not in self._solve_scans:
@@ -1288,7 +1291,8 @@ class GridPMG:
         Requires jax_enable_x64. Works for both operator backends."""
         from ..solvers.pmg import warn_tensor_stationary
 
-        warn_tensor_stationary(self._kappa_fold)
+        warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
+                               self.operator_kind)
         if not jax.config.read("jax_enable_x64"):
             raise RuntimeError("solve_refined requires jax_enable_x64")
         part = self.part

@@ -118,6 +118,7 @@ class FastDiagonalizationSolver:
             static_argnames=("shape",),
         )
         self._kappa = (kx, ky, kz)
+        self._sigma = float(sigma)
 
     def solve(self, b):
         b = jnp.asarray(b, dtype=self.dtype)
@@ -131,8 +132,10 @@ class FastDiagonalizationSolver:
         if not jax.config.read("jax_enable_x64"):
             raise RuntimeError("refine requires jax_enable_x64")
         if getattr(self, "_op64", None) is None:
+            # sigma must ride the f64 residual operator too, or the
+            # refinement converges to the UNSHIFTED system (r3 review).
             self._op64 = KronLaplacian(self.mesh, self.P, kappa=self._kappa,
-                                       dtype=jnp.float64)
+                                       dtype=jnp.float64, sigma=self._sigma)
         op64 = self._op64
         b64 = jnp.asarray(b, dtype=jnp.float64)
         u64 = jnp.zeros_like(b64)

@@ -147,6 +147,12 @@ def validate_hmg_sizes(nc, sizes):
     `coarsen_cell_field` assume; violations otherwise surface as cryptic
     reshape/shape errors deep in setup or at cycle trace time)."""
     sizes = [tuple(int(c) for c in s) for s in sizes]
+    for lvl in sizes:
+        if len(lvl) != 3:
+            raise ValueError(
+                f"hmg sizes levels must be (ncx, ncy, ncz) triples, got "
+                f"{lvl}"
+            )
     if len(sizes) < 2:
         raise ValueError(f"hmg sizes needs >= 2 levels, got {sizes}")
     if sizes[0] != tuple(nc):
@@ -268,8 +274,11 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     if bottom == "direct":
         from ..fem.assembly import assemble_stiffness, lumped_mass_np
 
-        A0 = assemble_stiffness(meshes[0], P,
-                                kappa=np.diag(kax)).toarray()
+        # Scalar kappa keeps the historical per-cell post-multiply
+        # (bit-identical coarse factor); true per-axis goes tensor-fold.
+        kb0 = (float(kax[0]) if kax[0] == kax[1] == kax[2]
+               else np.diag(kax))
+        A0 = assemble_stiffness(meshes[0], P, kappa=kb0).toarray()
         if sigma:
             A0[np.diag_indices_from(A0)] += sigma * lumped_mass_np(
                 meshes[0], P, bc_zero=True

@@ -77,7 +77,7 @@ def warn_high_precision_stationary(precision, ndofs_global):
         )
 
 
-def warn_tensor_stationary(kappa_fold):
+def warn_tensor_stationary(kappa_fold, kappa_axes=None, operator=""):
     """Runtime guard shared by every stationary-solve entry point:
     with a strongly anisotropic tensor kappa the rediscretized coarse
     correction need not be a contraction (non-Galerkin coarsening +
@@ -85,7 +85,11 @@ def warn_tensor_stationary(kappa_fold):
     V-cycle iteration can diverge — measured: rotated 100:1 anisotropy
     diverges stationary while FCG(V) converges in 10 iterations with
     discretization-level L2 error. The Krylov outer loop is the robust
-    path for this family."""
+    path for this family. Diagonal tensors on the KRON family are
+    exempt (the per-axis Kronecker structure is exact at every level;
+    verified convergent with the fdm coarse)."""
+    if kappa_axes is not None and operator in ("kron", "kron_blocked"):
+        return
     if kappa_fold is not None:
         import warnings
 
@@ -722,7 +726,9 @@ class PMGHierarchy:
         from ..fem.assembly import resolve_kappa_axes
 
         try:
-            self.kappa_axes = resolve_kappa_axes(mesh, kappa)
+            self.kappa_axes = resolve_kappa_axes(
+                mesh, kappa,
+                split=(self._kc, self._kappa_fold, kappa_const))
         except ValueError:
             if kron_family:
                 raise  # resolver message names lattice/dofmap alternatives
@@ -1120,7 +1126,8 @@ class PMGHierarchy:
         problems, the f64 lattice apply otherwise (general hexes,
         variable DG-0 kappa). Requires ``jax_enable_x64``.
         """
-        warn_tensor_stationary(self._kappa_fold)
+        warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
+                               self.operator_kind)
         if not jax.config.read("jax_enable_x64"):
             raise RuntimeError("solve_refined requires jax_enable_x64")
         fine = self.levels[-1]
@@ -1260,7 +1267,8 @@ class PMGHierarchy:
         TPU tunnel, vs ~2 ms of compute per cycle)."""
         warn_high_precision_stationary(self.precision,
                                        self.levels[-1].ndofs)
-        warn_tensor_stationary(self._kappa_fold)
+        warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
+                               self.operator_kind)
         b = self._to_work(jnp.asarray(b, dtype=self.dtype))
         if u0 is None:
             u = self._fmg_guess(b) if fmg else jnp.zeros_like(b)

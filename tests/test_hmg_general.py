@@ -296,3 +296,10 @@ def test_semicoarsen_axes_autodetect():
                             2.0) == ()
     # two strong axes
     assert semicoarsen_axes(mesh, np.diag([1.0, 50.0, 64.0])) == (1, 2)
+
+
+def test_hmg_sizes_rejects_short_tuples():
+    from pmg_dolfinx_tpu.solvers.hmg import validate_hmg_sizes
+
+    with pytest.raises(ValueError, match="triples"):
+        validate_hmg_sizes((8, 8, 8), [(8, 8, 8), (4, 4)])
