@@ -81,6 +81,19 @@ grid_h = GridPMG(mesh_h, shards=(2, 2, 2), degrees=(1, 3), kappa=kappa,
                  coarse="hmg", coarse_cfg=dict(dist=True))
 _, rn_hmg = grid_h.solve(b_h, num_cycles=5)
 
+# Per-axis (diagonal-tensor) anisotropic kappa on the exact FDM coarse
+# + semi-coarsened dist-hmg: the round-3 anisotropy features under
+# multi-process SPMD.
+import numpy as np  # noqa: E402
+
+from pmg_dolfinx_tpu.models.poisson import f_rhs_tensor  # noqa: E402
+
+kdiag = (1.0, 2.0, 8.0)
+b_t = assemble_rhs(mesh, 3, f_rhs_tensor(np.diag(kdiag)))
+dist_t = DistPMG(mesh, n_devices=8, degrees=(1, 3), kappa=kdiag,
+                 coarse="fdm", operator="kron")
+_, rn_aniso = dist_t.solve(b_t, num_cycles=5)
+
 with open(out_path, "w") as f:
     json.dump({
         "pid": pid,
@@ -89,6 +102,7 @@ with open(out_path, "w") as f:
         "rn_lat": rn_lat,
         "rn_kb": rn_kb,
         "rn_hmg": rn_hmg,
+        "rn_aniso": rn_aniso,
         "u_d_norm": float((u_d ** 2).sum() ** 0.5),
         "u_g_norm": float((u_g ** 2).sum() ** 0.5),
     }, f)

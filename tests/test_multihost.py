@@ -76,6 +76,7 @@ def test_two_processes_match_each_other(two_process_results):
         assert np.allclose(r0["rn_lat"], r1["rn_lat"], rtol=1e-12)
         assert np.allclose(r0["rn_kb"], r1["rn_kb"], rtol=1e-12)
         assert np.allclose(r0["rn_hmg"], r1["rn_hmg"], rtol=1e-12)
+        assert np.allclose(r0["rn_aniso"], r1["rn_aniso"], rtol=1e-12)
         assert np.isclose(r0["u_d_norm"], r1["u_d_norm"], rtol=1e-12)
 
 
@@ -127,3 +128,13 @@ def test_two_processes_match_single_process(two_process_results):
     _, rn_hmg = grid_h.solve(b_h, num_cycles=5)
     assert np.allclose(r0["rn_hmg"], rn_hmg, rtol=1e-10), (
         r0["rn_hmg"], rn_hmg)
+
+    from pmg_dolfinx_tpu.models.poisson import f_rhs_tensor
+
+    kdiag = (1.0, 2.0, 8.0)
+    b_t = assemble_rhs(mesh, 3, f_rhs_tensor(np.diag(kdiag)))
+    dist_t = DistPMG(mesh, n_devices=8, degrees=(1, 3), kappa=kdiag,
+                     coarse="fdm", operator="kron")
+    _, rn_aniso = dist_t.solve(b_t, num_cycles=5)
+    assert np.allclose(r0["rn_aniso"], rn_aniso, rtol=1e-10), (
+        r0["rn_aniso"], rn_aniso)
