@@ -27,9 +27,11 @@ hit, in which case the spread is reported honestly in the JSON line).
 Prints exactly ONE JSON line.
 """
 
+import os
 import sys
 import json
 import time
+import threading
 from functools import partial
 
 import jax
@@ -37,6 +39,41 @@ import jax.numpy as jnp
 
 SPREAD_TARGET = 0.10
 MAX_SAMPLES = 25
+
+# The remote TPU worker goes down spontaneously (CLAUDE.md: observed
+# multi-hour outages with zero client activity); device ENUMERATION
+# still works while EXECUTION hangs forever. A hung bench leaves no
+# artifact at all, which is strictly worse than an honest error line —
+# so main() probes execution up-front (bounded retries) and arms a
+# wall-clock watchdog for mid-run hangs. Both emit the single JSON
+# line with value 0.0 + an "error" field instead of wedging.
+PROBE_DEADLINE_S = float(os.environ.get("BENCH_PROBE_DEADLINE_S", 1800))
+WALL_DEADLINE_S = float(os.environ.get("BENCH_WALL_DEADLINE_S", 7200))
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp\n"
+    "print(float(jnp.sum(jnp.arange(8.0))), flush=True)\n"
+)
+
+
+def _tpu_alive(timeout=240):
+    """True iff a tiny device EXECUTION completes, probed in a
+    subprocess so a worker-outage hang times out here instead of
+    wedging the bench process itself."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            timeout=timeout, capture_output=True, text=True,
+        )
+        return r.returncode == 0 and "28.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _emit(payload):
+    print(json.dumps(payload), flush=True)
 
 
 def _measure(run, lo, hi, min_samples=7):
@@ -224,18 +261,68 @@ def _bench_fdm_solve_2m():
     return per_solve * 1e3, spread
 
 
-def main():
-    # 2.05M dofs: enough reps that the slope dwarfs tunnel jitter.
-    # The headline number runs first and unguarded; every extra is
-    # independently fault-tolerant so one flaky remote compile (the
-    # tunnel's TPU worker restarts spontaneously, CLAUDE.md) cannot
-    # wipe the whole round artifact.
-    nd_s, gdofs_s, spread_s, kern_s, det_s = _bench_size(21, 200, 1000)
-    extra = {
-        "ndofs": nd_s,
-        "kernel": kern_s,
-        "per_kernel_2M": {k: round(v[0], 2) for k, v in det_s.items()},
+def _fallback(extra, error):
+    return {
+        "metric": "matfree_laplacian_apply_p6_f32_kron",
+        "value": 0.0,
+        "unit": "GDOF/s",
+        "vs_baseline": 0.0,
+        "error": error,
+        "extra": extra,
     }
+
+
+def main():
+    extra = {}
+
+    # Gate on device EXECUTION before any real work: if the worker is
+    # down, retry within PROBE_DEADLINE_S, then record the outage
+    # honestly rather than hang on the first jit.
+    t0 = time.time()
+    while not _tpu_alive():
+        waited = time.time() - t0
+        if waited > PROBE_DEADLINE_S:
+            _emit(_fallback(extra, (
+                f"TPU worker unreachable for {int(waited)}s (execution "
+                "probe hung; spontaneous worker outage — CLAUDE.md)"
+            )))
+            return
+        print(f"bench: TPU execution probe failed after {int(waited)}s; "
+              "retrying in 60s", file=sys.stderr, flush=True)
+        time.sleep(60)
+    if time.time() - t0 > 5:
+        extra["probe_wait_s"] = round(time.time() - t0, 1)
+
+    # Mid-run hang guard: the worker can die between the probe and the
+    # last extra (remote compiles alone vary 2-5x between sessions).
+    # The watchdog emits the partial extras and hard-exits.
+    def _watchdog():
+        _emit(_fallback(extra, (
+            f"watchdog: wall deadline {int(WALL_DEADLINE_S)}s exceeded "
+            "(worker hang mid-bench); extras collected so far included"
+        )))
+        os._exit(0)
+
+    wd = threading.Timer(WALL_DEADLINE_S, _watchdog)
+    wd.daemon = True
+    wd.start()
+
+    # 2.05M dofs: enough reps that the slope dwarfs tunnel jitter.
+    # The headline number runs first; every extra is independently
+    # fault-tolerant so one flaky remote compile (the tunnel's TPU
+    # worker restarts spontaneously, CLAUDE.md) cannot wipe the whole
+    # round artifact.
+    try:
+        nd_s, gdofs_s, spread_s, kern_s, det_s = _bench_size(21, 200, 1000)
+    except Exception as e:  # noqa: BLE001 — record, don't wipe the line
+        wd.cancel()
+        _emit(_fallback(extra, f"headline: {type(e).__name__}: {e}"[:300]))
+        return
+    extra.update(
+        ndofs=nd_s,
+        kernel=kern_s,
+        per_kernel_2M={k: round(v[0], 2) for k, v in det_s.items()},
+    )
 
     def guarded(label, fn):
         import traceback
@@ -288,17 +375,16 @@ def main():
     guarded("16M", bench_16m)
     guarded("30M", bench_30m)
     guarded("vcycle_16M", bench_vcycle)
-    print(
-        json.dumps(
-            {
-                "metric": "matfree_laplacian_apply_p6_f32_kron",
-                "value": round(gdofs_s, 3),
-                "unit": "GDOF/s",
-                "vs_baseline": round(gdofs_s / 1.0, 3),
-                "spread": round(spread_s, 3),
-                "extra": extra,
-            }
-        )
+    wd.cancel()
+    _emit(
+        {
+            "metric": "matfree_laplacian_apply_p6_f32_kron",
+            "value": round(gdofs_s, 3),
+            "unit": "GDOF/s",
+            "vs_baseline": round(gdofs_s / 1.0, 3),
+            "spread": round(spread_s, 3),
+            "extra": extra,
+        }
     )
 
 

@@ -30,6 +30,7 @@ def test_guarded_main_survives_subbench_failures(monkeypatch):
     monkeypatch.setattr(bench, "_bench_lattice_blocked_2m",
                         lambda: (2048383, {"highest": (4.13, 0.05)}))
     monkeypatch.setattr(bench, "_bench_fdm_solve_2m", lambda: (0.135, 0.01))
+    monkeypatch.setattr(bench, "_tpu_alive", lambda timeout=240: True)
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -45,6 +46,53 @@ def test_guarded_main_survives_subbench_failures(monkeypatch):
     assert d["extra"]["fdm_solve_2M_ms"] == 0.135
     assert d["extra"]["vcycle_16M_p136_fdm_ms"] == {"kron_blocked": 13.0}
     assert d["extra"]["lattice_blocked_2M_gdofs"] == {"highest": 4.13}
+
+
+def test_main_emits_error_line_when_worker_down(monkeypatch):
+    """A dead TPU worker (execution probe never succeeds) must yield ONE
+    honest JSON line with value 0.0 + an error field — never a hang: the
+    worker goes down spontaneously for hours (CLAUDE.md) and a wedged
+    bench leaves the round with no artifact at all."""
+    import bench
+
+    monkeypatch.setattr(bench, "_tpu_alive", lambda timeout=240: False)
+    monkeypatch.setattr(bench, "PROBE_DEADLINE_S", 0.0)
+
+    def boom(*a, **k):  # the probe gate must keep us away from real work
+        raise AssertionError("bench ran past a failed TPU probe")
+
+    monkeypatch.setattr(bench, "_bench_size", boom)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.main()
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    assert len(lines) == 1
+    d = json.loads(lines[0])
+    assert d["value"] == 0.0 and d["vs_baseline"] == 0.0
+    assert "unreachable" in d["error"]
+
+
+def test_main_emits_error_line_when_headline_raises(monkeypatch):
+    """A crash in the headline bench itself (worker died between the
+    probe and the first measurement) still prints the single JSON line."""
+    import bench
+
+    monkeypatch.setattr(bench, "_tpu_alive", lambda timeout=240: True)
+
+    def boom(*a, **k):
+        raise RuntimeError("worker crashed mid-headline")
+
+    monkeypatch.setattr(bench, "_bench_size", boom)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.main()
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    assert len(lines) == 1
+    d = json.loads(lines[0])
+    assert d["value"] == 0.0
+    assert "worker crashed mid-headline" in d["error"]
 
 
 def test_measure_rejects_pure_jitter(monkeypatch):
