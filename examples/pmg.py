@@ -31,6 +31,12 @@ def main():
                         "coarsen the strongly-coupled axes first — the "
                         "BoomerAMG strength-of-connection analogue; "
                         "solvers.hmg.semicoarsen_sizes)")
+    p.add_argument("--smoother-iters", type=int, default=2,
+                   help="Chebyshev iterations per smoothing pass "
+                        "(default 2, the reference's setting; raising "
+                        "to 3-4 restores STATIONARY contraction under "
+                        "strong off-axis tensor anisotropy — measured, "
+                        "see warn_tensor_stationary)")
     p.add_argument("--gamma", type=int, default=1,
                    help="cycle index: 1 = V-cycle (default), 2 = W-cycle "
                         "(each level visits its coarse sub-hierarchy "
@@ -174,6 +180,7 @@ def main():
             coarse=args.coarse, operator=args.operator, f=f,
             precision=args.precision, mesh=mesh, sigma=args.sigma,
             coarse_cfg=coarse_cfg or None,
+            smoother_iters=args.smoother_iters,
         )
     ndofs = [prob.mesh.num_dofs(P) for P in args.degrees]
     print("hierarchy:", " -> ".join(f"p={P}: {n}" for P, n in zip(args.degrees, ndofs)))

@@ -79,15 +79,29 @@ def warn_high_precision_stationary(precision, ndofs_global):
 
 def warn_tensor_stationary(kappa_fold, kappa_axes=None, operator=""):
     """Runtime guard shared by every stationary-solve entry point:
-    with a strongly anisotropic tensor kappa the rediscretized coarse
-    correction need not be a contraction (non-Galerkin coarsening +
-    point smoothers, standard multigrid theory), and the STATIONARY
-    V-cycle iteration can diverge — measured: rotated 100:1 anisotropy
-    diverges stationary while FCG(V) converges in 10 iterations with
-    discretization-level L2 error. The Krylov outer loop is the robust
-    path for this family. Diagonal tensors on the KRON family are
-    exempt (the per-axis Kronecker structure is exact at every level;
-    verified convergent with the fdm coarse)."""
+    with a strongly anisotropic tensor kappa the STATIONARY V-cycle
+    iteration can diverge — measured: rotated 100:1 anisotropy, three
+    levels (1,3,6), diverges with the default 2 Chebyshev iterations
+    while FCG(V) converges in 10 iterations with discretization-level
+    L2 error. Two measured remedies (tests/test_tensor_kappa.py):
+
+    - Raising ``smoother_iters`` restores contraction; the threshold
+      is problem-dependent (3 on the cubic 6x6x6 mesh, 4 on an
+      elongated 3x7x10 box whose cell aspect ratios compound the
+      tensor anisotropy). The divergence lives at the HIGH-p levels:
+      the default 2 point-Jacobi-Chebyshev sweeps leave too much
+      strongly-coupled error for the p-coarse correction.
+    - coarse-OPERATOR quality is NOT the issue: a true Galerkin
+      (I^T A I, whole chain) and an exactly-integrated Q1 coarse both
+      diverge identically to the GLL rediscretization at
+      smoother_iters=2 (two-level (1,3) cycles converge for all three
+      — the p=3 GLL rule already integrates Q1 gradients exactly, so
+      Galerkin == exact Q1 there).
+
+    The Krylov outer loop (solve_pcg) remains the robust default.
+    Diagonal tensors on the KRON family are exempt (the per-axis
+    Kronecker structure is exact at every level; verified convergent
+    with the fdm coarse)."""
     if kappa_axes is not None and operator in ("kron", "kron_blocked"):
         return
     if kappa_fold is not None:
@@ -95,10 +109,13 @@ def warn_tensor_stationary(kappa_fold, kappa_axes=None, operator=""):
 
         warnings.warn(
             "stationary V-cycle iteration with a tensor (anisotropic) "
-            "kappa can diverge for strong off-axis anisotropy (the "
-            "rediscretized coarse correction is not necessarily a "
-            "contraction); prefer solve_pcg, which is robust "
-            "(measured: rotated 100:1 anisotropy, FCG(V) 10 iterations)",
+            "kappa can diverge for strong off-axis anisotropy; prefer "
+            "solve_pcg, which is robust (measured: rotated 100:1 "
+            "anisotropy, FCG(V) 10 iterations), or raise "
+            "smoother_iters (3-4 measured to restore stationary "
+            "contraction, threshold problem-dependent; a better coarse "
+            "operator does not help — the divergence lives at the "
+            "high-p smoothing levels)",
             stacklevel=3,
         )
 

@@ -166,6 +166,40 @@ def test_tensor_kappa_sharded_matches_single_device():
     assert np.allclose(np.asarray(u_g), np.asarray(u_s), atol=1e-11)
 
 
+def test_rotated_tensor_stationary_smoother_iters():
+    """Pins the measured stationary-divergence facts behind
+    `warn_tensor_stationary`: the three-level (1,3,6) cycle with the
+    rotated 100:1 tensor DIVERGES at the default smoother_iters=2 and
+    CONVERGES at smoother_iters=3. The divergence lives at the high-p
+    smoothing levels, not in the coarse operator — a true-Galerkin
+    (I^T A I whole-chain) and an exactly-integrated Q1 coarse were both
+    measured to diverge identically at smoother_iters=2 (standalone f64
+    scipy twin), so a 'better' coarse is NOT the remedy the warning
+    should point to. The threshold is problem-dependent: on an
+    elongated (3,7,10) box, whose cell aspect ratios compound the
+    tensor anisotropy, si=3 still diverges and si=4 contracts
+    (measured; not pinned here for runtime)."""
+    import warnings
+
+    from pmg_dolfinx_tpu.models.poisson import kappa_aniso
+
+    mesh = BoxMesh((6, 6, 6))
+    K = kappa_aniso()  # pi/6 off-grid rotation, 100:1
+    b = jnp.asarray(np.asarray(assemble_rhs(mesh, 6, f_rhs(1.0))))
+    rels = {}
+    for si in (2, 3):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            hier = PMGHierarchy(mesh, degrees=(1, 3, 6), kappa=K,
+                                dtype=jnp.float64, coarse="direct",
+                                operator="lattice", smoother_iters=si)
+            _, rn = hier.solve(b, num_cycles=10)
+        rn = np.asarray(rn)
+        rels[si] = rn[-1] / rn[0]
+    assert rels[2] > 1.0, rels  # diverged (measured 1.22)
+    assert rels[3] < 0.1, rels  # contracting (measured 4.9e-2)
+
+
 def test_pmg_hmg_coarse_tensor_field_curved():
     """The general-family h-MG coarse solver threads tensor kappa through
     the rediscretized h-levels (volume-averaged tensors): FCG converges
