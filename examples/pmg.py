@@ -31,6 +31,23 @@ def main():
                         "coarsen the strongly-coupled axes first — the "
                         "BoomerAMG strength-of-connection analogue; "
                         "solvers.hmg.semicoarsen_sizes)")
+    p.add_argument("--smoother", type=str, default="cheb",
+                   choices=["cheb", "line", "line-x", "line-y", "line-z"],
+                   help="p-level smoother preconditioner: point Jacobi "
+                        "(default) or line relaxation along the strongly-"
+                        "coupled axis ('line' = auto by kappa_aa/h_a^2) — "
+                        "restores stationary contraction under strong "
+                        "anisotropy at the default smoother-iters "
+                        "(solvers/line.py; moderate sizes: dense per-line "
+                        "blocks)")
+    p.add_argument("--hmg-smoother", type=str, default="cheb",
+                   choices=["cheb", "line", "line-x", "line-y", "line-z"],
+                   help="h-level smoother preconditioner (with --coarse "
+                        "hmg): point Jacobi (default) or line relaxation "
+                        "along the strongly-coupled axis ('line' = auto "
+                        "by kappa_aa/h_a^2) — the anisotropy remedy that "
+                        "keeps plain isotropic coarsening effective "
+                        "(solvers/line.py)")
     p.add_argument("--smoother-iters", type=int, default=2,
                    help="Chebyshev iterations per smoothing pass "
                         "(default 2, the reference's setting; raising "
@@ -156,6 +173,10 @@ def main():
         coarse_cfg = {}
         if args.gamma > 1:
             coarse_cfg["gamma"] = args.gamma
+        if args.hmg_smoother != "cheb":
+            if args.coarse != "hmg":
+                raise SystemExit("--hmg-smoother requires --coarse hmg")
+            coarse_cfg["smoother"] = args.hmg_smoother
         if args.semicoarsen:
             from pmg_dolfinx_tpu.solvers.hmg import (
                 semicoarsen_axes,
@@ -181,6 +202,7 @@ def main():
             precision=args.precision, mesh=mesh, sigma=args.sigma,
             coarse_cfg=coarse_cfg or None,
             smoother_iters=args.smoother_iters,
+            smoother=args.smoother,
         )
     ndofs = [prob.mesh.num_dofs(P) for P in args.degrees]
     print("hierarchy:", " -> ".join(f"p={P}: {n}" for P, n in zip(args.degrees, ndofs)))

@@ -150,7 +150,7 @@ class PoissonProblem:
     def __init__(self, nc=(10, 10, 10), degrees=(1, 3), kappa=2.0,
                  dtype=jnp.float64, coarse="smoother", coarse_cfg=None,
                  smoother_iters=2, operator="kron", precision="highest",
-                 f=None, mesh=None, sigma=0.0):
+                 f=None, mesh=None, sigma=0.0, smoother="cheb"):
         """``kappa`` may be a scalar, a per-cell DG-0 array, or a callable
         (see `PMGHierarchy`). For non-scalar kappa pass the matching
         source term ``f`` (e.g. `f_rhs_variable`). ``mesh`` (optional)
@@ -163,6 +163,7 @@ class PoissonProblem:
             self.mesh, degrees=self.degrees, kappa=kappa, dtype=dtype,
             coarse=coarse, coarse_cfg=coarse_cfg, smoother_iters=smoother_iters,
             operator=operator, precision=precision, sigma=sigma,
+            smoother=smoother,
         )
         if f is None:
             if self.hierarchy.kappa is None:

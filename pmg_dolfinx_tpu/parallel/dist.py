@@ -486,7 +486,8 @@ class DistPMG:
                  dtype=jnp.float64, smoother_iters=DEFAULT_SMOOTHER_ITERS,
                  coarse="cg", coarse_cfg=None, devices=None,
                  calibration_iters=DEFAULT_CALIBRATION_ITERS,
-                 operator="dofmap", precision="highest", sigma=0.0):
+                 operator="dofmap", precision="highest", sigma=0.0,
+                 smoother="cheb"):
         from ..fem.assembly import stiffness_diagonal_np
         from ..ops.lattice import (
             axis_interpolation_matrix,
@@ -503,6 +504,21 @@ class DistPMG:
         from ..fem.mesh import require_axis_aligned
 
         self.sigma = float(sigma)
+        # p-level LINE-relaxation smoother (solvers/line.py): lines along
+        # y or z are shard-local on the x-slab layout, so the batched
+        # block matvec needs no communication; the block inverses are
+        # built globally and sharded in the duplicated-plane layout
+        # (both owners of an interface plane hold identical blocks, so
+        # the "duplicates equal" invariant is preserved).
+        from ..solvers.line import line_block_inverses, parse_line_smoother
+
+        self._line_axis = parse_line_smoother(smoother, mesh, kappa)
+        if self._line_axis == 0:
+            raise ValueError(
+                "DistPMG smoother='line' cannot relax along x — the "
+                "sharded axis (lines would span shards); use 'line-y'/"
+                "'line-z', or GridPMG with an x-unsharded layout"
+            )
         if operator not in ("kron", "kron_blocked", "lattice", "dofmap"):
             raise ValueError(
                 f"DistPMG: unknown operator backend {operator!r} (choose "
@@ -593,6 +609,26 @@ class DistPMG:
             )
             common_spec = dict(bc_marker=P(AXIS), weights=P(AXIS),
                                diag_inv=P(AXIS))
+            if self._line_axis is not None:
+                # Global within-line block inverses -> duplicated-plane
+                # slab layout. Block order after the moveaxis in
+                # line_precond_apply is lex over the non-line axes with x
+                # leading, so the leading block axis IS the x-plane axis.
+                gshape = mesh.lattice_shape(Pdeg)
+                nline = gshape[self._line_axis]
+                lead = tuple(sz for a, sz in enumerate(gshape)
+                             if a != self._line_axis)
+                blocks = line_block_inverses(
+                    mesh, Pdeg, self._kappa_raw, self._line_axis,
+                    sigma=self.sigma,
+                ).reshape(lead + (nline, nline))
+                blocks = duplicate_planes(
+                    blocks, part.local_planes(Pdeg), part.n_shards
+                )
+                common["line_inv"] = jnp.asarray(
+                    blocks.reshape(-1, nline, nline), dtype=dtype
+                )
+                common_spec["line_inv"] = P(AXIS)
             if self.sigma and not kron_family:
                 from ..fem.assembly import lumped_mass_np
 
@@ -697,6 +733,8 @@ class DistPMG:
                 ndofs=part.local_ndofs(Pdeg),
                 smoother_iters=smoother_iters,
                 shape=part.local_shape(Pdeg),
+                line_axis=(self._line_axis
+                           if self._line_axis is not None else 2),
             )
             level_data.append(lv)
             level_specs.append(spec)
@@ -786,6 +824,12 @@ class DistPMG:
                     jnp.asarray(np.linalg.cholesky(A0), dtype=dtype),
                 )
             elif self.coarse_cfg.get("dist"):
+                if self.coarse_cfg.get("smoother", "cheb") != "cheb":
+                    raise ValueError(
+                        "line smoothers are not supported on the "
+                        "distributed (dist=True) h-MG hierarchy yet; "
+                        "use the gathered hmg coarse (omit dist=True)"
+                    )
                 # Non-gathered h-MG coarse: every h-level stays in the
                 # slab layout (see `build_hmg_dist`); only the coarsest
                 # bottom solve gathers. Constant-kappa boxes only (the
@@ -840,6 +884,7 @@ class DistPMG:
                         min_cells=self.coarse_cfg.get("min_cells", 2),
                         sigma=self.sigma,
                         sizes=self.coarse_cfg.get("sizes"),
+                        smoother=self.coarse_cfg.get("smoother", "cheb"),
                     )
                     hmg_core = kron_cycle_ops(precision, sigma=self.sigma)
                 else:
@@ -854,6 +899,8 @@ class DistPMG:
                             min_cells=self.coarse_cfg.get("min_cells", 2),
                             sigma=self.sigma,
                             sizes=self.coarse_cfg.get("sizes"),
+                            smoother=self.coarse_cfg.get(
+                                "smoother", "cheb"),
                         )
                     )
                 hmg_ops = dict(
@@ -889,12 +936,22 @@ class DistPMG:
                 # examples/pmg/main.cpp:303-330, with psum reductions).
                 def _calib(lv_, b_, x0_):
                     A = lambda x: ops["apply"](lv_, x, level)
+                    # Same preconditioned operator the smoother iterates
+                    # on (shard-local line blocks or point Jacobi).
+                    pre = None
+                    if "line_inv" in lv_:
+                        from ..solvers.line import line_precond_apply
+
+                        pre = lambda r: line_precond_apply(
+                            lv_["line_inv"], r, level.shape,
+                            level.line_axis)
                     return cg_solve(
                         A, b_, x0_, lv_["diag_inv"],
                         rtol=DEFAULT_CALIBRATION_RTOL,
                         maxiter=calibration_iters,
                         record=True,
                         dot=lambda u, v: ops["dot"](u, v, lv_),
+                        precond=pre,
                     )
                 calib_fn = jax.jit(
                     jax.shard_map(

@@ -660,7 +660,8 @@ class GridPMG:
                  dtype=jnp.float64, smoother_iters=DEFAULT_SMOOTHER_ITERS,
                  coarse="cg", coarse_cfg=None, devices=None,
                  calibration_iters=DEFAULT_CALIBRATION_ITERS,
-                 operator="kron", precision="highest", sigma=0.0):
+                 operator="kron", precision="highest", sigma=0.0,
+                 smoother="cheb"):
         from ..ops.lattice import axis_interpolation_matrix
 
         self.part = GridPartition(mesh, shards)
@@ -673,6 +674,21 @@ class GridPMG:
         from ..fem.mesh import require_axis_aligned
 
         self.sigma = float(sigma)
+        # p-level LINE-relaxation smoother (solvers/line.py): the line
+        # axis must be UNSHARDED (lines stay within one shard); the
+        # block inverses are built globally and laid out with the same
+        # per-axis duplicated planes as the vectors, so duplicated lines
+        # hold identical blocks ("duplicates equal" preserved).
+        from ..solvers.line import parse_line_smoother
+
+        self._line_axis = parse_line_smoother(smoother, mesh, kappa)
+        if self._line_axis is not None and shards[self._line_axis] != 1:
+            raise ValueError(
+                f"GridPMG smoother='line' along {'xyz'[self._line_axis]} "
+                f"needs shards[{self._line_axis}]==1 (lines must not span "
+                f"shards); got shards={shards} — pick an explicit "
+                "'line-x|y|z' along an unsharded axis or re-layout"
+            )
         if operator not in ("kron", "kron_blocked", "lattice",
                             "lattice_blocked", "dofmap"):
             raise ValueError(
@@ -778,6 +794,12 @@ class GridPMG:
                     jnp.asarray(np.linalg.cholesky(A0), dtype=dtype),
                 )
             elif self.coarse_cfg.get("dist"):
+                if self.coarse_cfg.get("smoother", "cheb") != "cheb":
+                    raise ValueError(
+                        "line smoothers are not supported on the "
+                        "distributed (dist=True) h-MG hierarchy yet; "
+                        "use the gathered hmg coarse (omit dist=True)"
+                    )
                 # Non-gathered h-MG coarse: every h-level stays in the
                 # multi-axis duplicated-plane layout; only the coarsest
                 # bottom solve gathers. Constant-kappa boxes ride the
@@ -834,6 +856,7 @@ class GridPMG:
                         min_cells=self.coarse_cfg.get("min_cells", 2),
                         sigma=self.sigma,
                         sizes=self.coarse_cfg.get("sizes"),
+                        smoother=self.coarse_cfg.get("smoother", "cheb"),
                     )
                     hmg_core = kron_cycle_ops(precision, sigma=self.sigma)
                 else:
@@ -848,6 +871,8 @@ class GridPMG:
                             min_cells=self.coarse_cfg.get("min_cells", 2),
                             sigma=self.sigma,
                             sizes=self.coarse_cfg.get("sizes"),
+                            smoother=self.coarse_cfg.get(
+                                "smoother", "cheb"),
                         )
                     )
                 hmg_ops = dict(
@@ -870,7 +895,10 @@ class GridPMG:
                 lv, spec = self._build_level(Pdeg, dtype)
                 level = Level(P=Pdeg, ndofs=part.local_ndofs(Pdeg),
                               smoother_iters=smoother_iters,
-                              shape=part.local_shape(Pdeg))
+                              shape=part.local_shape(Pdeg),
+                              line_axis=(self._line_axis
+                                         if self._line_axis is not None
+                                         else 2))
                 level_data.append(lv)
                 level_specs.append(spec)
                 levels.append(level)
@@ -892,11 +920,21 @@ class GridPMG:
 
                 def _calib(lv_, b_, x0_, _level=level):
                     A = lambda x: ops["apply"](lv_, x, _level)
+                    # Same preconditioned operator the smoother iterates
+                    # on (shard-local line blocks or point Jacobi).
+                    pre = None
+                    if "line_inv" in lv_:
+                        from ..solvers.line import line_precond_apply
+
+                        pre = lambda r: line_precond_apply(
+                            lv_["line_inv"], r, _level.shape,
+                            _level.line_axis)
                     _, info = cg_solve(
                         A, b_, x0_, lv_["diag_inv"],
                         rtol=DEFAULT_CALIBRATION_RTOL,
                         maxiter=calibration_iters, record=True,
                         dot=lambda u, v: ops["dot"](u, v, lv_),
+                        precond=pre,
                     )
                     return info  # scalars only (replicated via psum dots)
 
@@ -1033,6 +1071,28 @@ class GridPMG:
                 dtype=dtype,
             )
             spec["diag_inv"] = PSHARD
+        if include_diag and self._line_axis is not None:
+            from ..solvers.line import line_block_inverses
+
+            axis = self._line_axis
+            gshape = mesh.lattice_shape(Pdeg)
+            nline = gshape[axis]
+            others = [a for a in range(3) if a != axis]
+            lead = tuple(gshape[a] for a in others)
+            blocks = line_block_inverses(
+                mesh, Pdeg, self._kappa_raw, axis, sigma=self.sigma
+            ).reshape(lead + (nline, nline))
+            # Duplicated-plane layout along each (possibly sharded)
+            # non-line axis, matching GridPartition.to_dist.
+            for i, a in enumerate(others):
+                starts, npl = part._axis_starts(Pdeg, a)
+                blocks = np.concatenate(
+                    [np.take(blocks, range(x0, x0 + npl), axis=i)
+                     for x0 in starts],
+                    axis=i,
+                )
+            lv["line_inv"] = jnp.asarray(blocks, dtype=dtype)
+            spec["line_inv"] = P(AXES[others[0]], AXES[others[1]])
         if self.sigma and backend not in ("kron", "kron_blocked"):
             from ..fem.assembly import lumped_mass_np
 

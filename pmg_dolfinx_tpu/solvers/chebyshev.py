@@ -28,9 +28,13 @@ def chebyshev4_solve(A, b, x, diag_inv, lmax, num_iters):
 
     ``lmax`` is the (inflated) upper eigenvalue bound of ``M^-1 A`` —
     the drivers use 1.1 * lambda_max_estimate (examples/pmg/main.cpp:327).
+    ``diag_inv`` is either the inverse-diagonal array (point Jacobi) or a
+    callable ``r -> M^-1 r`` for block preconditioners (line relaxation,
+    solvers/line.py).
     """
+    M = diag_inv if callable(diag_inv) else (lambda r: diag_inv * r)
     r = b - A(x)
-    z = (4.0 / (3.0 * lmax)) * diag_inv * r
+    z = (4.0 / (3.0 * lmax)) * M(r)
 
     def body(i, state):
         x, r, z = state
@@ -39,7 +43,7 @@ def chebyshev4_solve(A, b, x, diag_inv, lmax, num_iters):
         kf = jnp.asarray(i + 1, dtype=r.dtype)  # reference index runs 1..num_iters
         z = z * (2.0 * kf - 1.0) / (2.0 * kf + 3.0) + (
             (8.0 * kf + 4.0) / ((2.0 * kf + 3.0) * lmax)
-        ) * diag_inv * r
+        ) * M(r)
         return x, r, z
 
     x, r, z = jax.lax.fori_loop(0, num_iters, body, (x, r, z))

@@ -28,6 +28,7 @@ import numpy as np
 from ..fem.gll import gauss_lobatto, lagrange_tabulate
 from ..ops.blas import inner_product
 from ..fem.mesh import BoxMesh
+from .line import line_block_inverses, line_precond_apply, parse_line_smoother
 
 
 def axis_h_interpolation(nc_coarse: int, P: int = 1, factor: int = 2,
@@ -117,17 +118,13 @@ def semicoarsen_sizes(nc, axes, min_cells=2, max_levels=10):
     return out
 
 
-def semicoarsen_axes(mesh, kappa, threshold=4.0):
-    """Detect the strongly-coupled axes for `semicoarsen_sizes`.
-
-    Per-axis effective coupling ``c_a = mean(kappa_aa) / h_a^2`` — the
-    scale on which point smoothers act (large c_a = strong direction,
-    damped well; the h-MG hierarchy should coarsen it first). Sources of
-    anisotropy both count: a tensor coefficient's diagonal AND stretched
-    cells (h_a from the mesh extent / cell counts). Returns the axes
-    whose coupling exceeds ``threshold`` times the weakest — empty when
-    the problem is (near-)isotropic, which `semicoarsen_sizes` treats as
-    plain full coarsening."""
+def axis_coupling(mesh, kappa):
+    """Per-axis effective coupling ``c_a = mean(kappa_aa) / h_a^2`` — the
+    scale on which point smoothers act (large c_a = strong direction).
+    Sources of anisotropy both count: a tensor coefficient's diagonal AND
+    stretched cells (h_a from the mesh extent / cell counts). Shared by
+    `semicoarsen_axes` and the line-smoother auto axis
+    (solvers/line.py)."""
     from ..fem.assembly import resolve_kappa_split
 
     kc, kt, _ = resolve_kappa_split(mesh, kappa)
@@ -135,7 +132,16 @@ def semicoarsen_axes(mesh, kappa, threshold=4.0):
         kaa = np.diagonal(kt.mean(axis=0))
     else:
         kaa = np.full(3, float(np.mean(kc)))
-    c = kaa / np.asarray(mesh.h, dtype=float) ** 2
+    return kaa / np.asarray(mesh.h, dtype=float) ** 2
+
+
+def semicoarsen_axes(mesh, kappa, threshold=4.0):
+    """Detect the strongly-coupled axes for `semicoarsen_sizes` (the
+    h-MG hierarchy should coarsen them first). Returns the axes whose
+    `axis_coupling` exceeds ``threshold`` times the weakest — empty when
+    the problem is (near-)isotropic, which `semicoarsen_sizes` treats as
+    plain full coarsening."""
+    c = axis_coupling(mesh, kappa)
     return tuple(a for a in range(3) if c[a] > threshold * c.min())
 
 
@@ -174,7 +180,7 @@ def validate_hmg_sizes(nc, sizes):
 def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
               max_levels=10, precision="highest",
               calibration_iters=20, bottom="direct", sigma=0.0,
-              sizes=None):
+              sizes=None, smoother="cheb"):
     """Construct (levels, data, bottom) for the generic `v_cycle`.
 
     Levels are ordered coarse->fine like the p-hierarchy. Smoother
@@ -184,6 +190,10 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     ``sigma`` rediscretizes the shifted operator ``A + sigma M`` on every
     h-level (the shift uses each level's OWN lumped mass — the natural
     geometric-MG hierarchy for the reaction-diffusion family).
+    ``smoother`` picks the per-level Chebyshev preconditioner: 'cheb'
+    (point Jacobi, default) or 'line'/'line-x|y|z' (line relaxation
+    along the strongly-coupled axis, solvers/line.py — the anisotropy
+    remedy that keeps plain isotropic coarsening effective).
     """
     import jax
 
@@ -208,10 +218,20 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     sizes = list(sizes)[::-1]  # coarse->fine
     meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes]
     ops = kron_cycle_ops(precision, sigma=sigma)
+    # Scalar kappa keeps the historical scalar form (bit-identical
+    # assembled blocks/bottom factor); true per-axis goes diagonal-tensor.
+    kassemble = (float(kax[0]) if kax[0] == kax[1] == kax[2]
+                 else np.diag(kax))
+    line_axis = parse_line_smoother(smoother, mesh, np.diag(kax))
 
     levels, level_data = [], []
     for m in meshes:
         lv = {}
+        if line_axis is not None:
+            lv["line_inv"] = jnp.asarray(
+                line_block_inverses(m, P, kassemble, line_axis, sigma=sigma),
+                dtype=dtype,
+            )
         for name, nc_a, h_a, k_a in zip("xyz", m.nc, m.h, kax):
             K, mass = axis_stiffness_mass(nc_a, P, h_a)
             lv["K" + name] = jnp.asarray(k_a * K, dtype=dtype)
@@ -225,14 +245,19 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         lv["bc_marker"] = bc.reshape(m.lattice_shape(P))
         lv["diag_inv"] = (1.0 / diag).reshape(m.lattice_shape(P))
         level = Level(P=P, ndofs=m.num_dofs(P), smoother_iters=smoother_iters,
-                      shape=m.lattice_shape(P))
+                      shape=m.lattice_shape(P),
+                      line_axis=line_axis if line_axis is not None else 2)
 
         def _calib(lv_, b_, x0_, _level=level):
             A = lambda x: ops["apply"](lv_, x, _level)
+            # Calibrate lmax for the SAME preconditioned operator the
+            # smoother will iterate on (M_line^-1 A vs D^-1 A).
+            pre = (None if line_axis is None else (lambda r: line_precond_apply(
+                lv_["line_inv"], r, _level.shape, line_axis)))
             return cg_solve(
                 A, b_, x0_, lv_["diag_inv"],
                 rtol=DEFAULT_CALIBRATION_RTOL, maxiter=calibration_iters,
-                record=True, dot=inner_product,
+                record=True, dot=inner_product, precond=pre,
             )
 
         _, info = jax.jit(_calib)(
@@ -274,11 +299,7 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     if bottom == "direct":
         from ..fem.assembly import assemble_stiffness, lumped_mass_np
 
-        # Scalar kappa keeps the historical per-cell post-multiply
-        # (bit-identical coarse factor); true per-axis goes tensor-fold.
-        kb0 = (float(kax[0]) if kax[0] == kax[1] == kax[2]
-               else np.diag(kax))
-        A0 = assemble_stiffness(meshes[0], P, kappa=kb0).toarray()
+        A0 = assemble_stiffness(meshes[0], P, kappa=kassemble).toarray()
         if sigma:
             A0[np.diag_indices_from(A0)] += sigma * lumped_mass_np(
                 meshes[0], P, bc_zero=True
@@ -303,7 +324,7 @@ def coarsen_cell_field(vals, nc_fine, nc_coarse):
 def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
                       max_levels=10, precision="highest",
                       calibration_iters=20, bottom="direct", sigma=0.0,
-                      sizes=None):
+                      sizes=None, smoother="cheb"):
     """Geometric h-multigrid for the GENERAL model family: curved
     (perturbed) hexes and variable DG-0 coefficients — the scalable
     coarse solver the reference gets from hypre BoomerAMG
@@ -360,6 +381,7 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes]
     kappa_fine, _ = resolve_kappa(mesh, kappa)
     ops = lattice_cycle_ops(precision, sigma=sigma)
+    line_axis = parse_line_smoother(smoother, mesh, kappa)
 
     levels, level_data = [], []
     for m in meshes:
@@ -390,16 +412,25 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
             lv["m3"] = jnp.asarray(m3, dtype=dtype)
             diag = diag + sigma * m3
         lv["diag_inv"] = jnp.asarray(1.0 / diag, dtype=dtype)
+        if line_axis is not None:
+            lv["line_inv"] = jnp.asarray(
+                line_block_inverses(m, P, kc, line_axis, sigma=sigma),
+                dtype=dtype,
+            )
         level = Level(P=P, ndofs=m.num_dofs(P),
                       smoother_iters=smoother_iters,
-                      shape=m.lattice_shape(P))
+                      shape=m.lattice_shape(P),
+                      line_axis=line_axis if line_axis is not None else 2)
 
         def _calib(lv_, b_, x0_, _level=level):
             A = lambda x: ops["apply"](lv_, x, _level)
+            # Same preconditioned operator the smoother iterates on.
+            pre = (None if line_axis is None else (lambda r: line_precond_apply(
+                lv_["line_inv"], r, _level.shape, line_axis)))
             return cg_solve(
                 A, b_, x0_, lv_["diag_inv"],
                 rtol=DEFAULT_CALIBRATION_RTOL, maxiter=calibration_iters,
-                record=True, dot=inner_product,
+                record=True, dot=inner_product, precond=pre,
             )
 
         _, info = jax.jit(_calib)(

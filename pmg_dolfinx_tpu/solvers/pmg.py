@@ -31,6 +31,7 @@ Jacobi-CG iterations on ``A x = 1``, Lanczos eigenvalue estimates, then
 """
 
 from dataclasses import dataclass
+import dataclasses
 from functools import partial
 
 import jax
@@ -83,7 +84,8 @@ def warn_tensor_stationary(kappa_fold, kappa_axes=None, operator=""):
     iteration can diverge — measured: rotated 100:1 anisotropy, three
     levels (1,3,6), diverges with the default 2 Chebyshev iterations
     while FCG(V) converges in 10 iterations with discretization-level
-    L2 error. Two measured remedies (tests/test_tensor_kappa.py):
+    L2 error. Three measured remedies (tests/test_tensor_kappa.py,
+    tests/test_line.py):
 
     - Raising ``smoother_iters`` restores contraction; the threshold
       is problem-dependent (3 on the cubic 6x6x6 mesh, 4 on an
@@ -97,6 +99,10 @@ def warn_tensor_stationary(kappa_fold, kappa_axes=None, operator=""):
       smoother_iters=2 (two-level (1,3) cycles converge for all three
       — the p=3 GLL rule already integrates Q1 gradients exactly, so
       Galerkin == exact Q1 there).
+    - ``smoother='line'`` (line relaxation along the dominant axis,
+      solvers/line.py) restores stationary contraction at the default
+      smoother_iters AND cuts FCG counts (diag(1,1,64): 80+ -> 7
+      iterations); moderate sizes only (dense per-line blocks).
 
     The Krylov outer loop (solve_pcg) remains the robust default.
     Diagonal tensors on the KRON family are exempt (the per-axis
@@ -113,9 +119,10 @@ def warn_tensor_stationary(kappa_fold, kappa_axes=None, operator=""):
             "solve_pcg, which is robust (measured: rotated 100:1 "
             "anisotropy, FCG(V) 10 iterations), or raise "
             "smoother_iters (3-4 measured to restore stationary "
-            "contraction, threshold problem-dependent; a better coarse "
+            "contraction, threshold problem-dependent) or use "
+            "smoother='line' at moderate sizes; a better coarse "
             "operator does not help — the divergence lives at the "
-            "high-p smoothing levels)",
+            "high-p smoothing levels",
             stacklevel=3,
         )
 
@@ -145,6 +152,9 @@ class Level:
     ndofs: int
     smoother_iters: int = DEFAULT_SMOOTHER_ITERS
     shape: tuple | None = None
+    # Line-relaxation axis when the level's data carries "line_inv"
+    # blocks (solvers/line.py); ignored for point-Jacobi levels.
+    line_axis: int = 2
 
 
 def _level_operator(lv, sigma=0.0):
@@ -172,10 +182,20 @@ def _level_operator(lv, sigma=0.0):
 
 def _generic_calibration(lv, b, x0, *, ops, level, maxiter):
     A = lambda x: ops["apply"](lv, x, level)
+    # Calibrate lmax for the SAME preconditioned operator the smoother
+    # will iterate on: M_line^-1 A when the level carries line-relaxation
+    # blocks (solvers/line.py), D^-1 A otherwise.
+    pre = None
+    if "line_inv" in lv:
+        from .line import line_precond_apply
+
+        pre = lambda r: line_precond_apply(
+            lv["line_inv"], r, level.shape, level.line_axis)
     return cg_solve(
         A, b, x0, lv["diag_inv"],
         rtol=DEFAULT_CALIBRATION_RTOL, maxiter=maxiter, record=True,
         dot=lambda u, v: ops["dot"](u, v, lv),
+        precond=pre,
     )
 
 
@@ -452,14 +472,24 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
                     lambda level, dtype: jnp.zeros(level.ndofs, dtype=dtype))
     # Smoother hook: backends may fuse the Chebyshev update into their
     # operator kernels (ops['smooth']); the default composes the generic
-    # fourth-kind recurrence over ops['apply'].
-    smooth = ops.get(
-        "smooth",
-        lambda lv, b, x, level: chebyshev4_solve(
+    # fourth-kind recurrence over ops['apply'], with the preconditioner
+    # picked per level: point Jacobi, or line relaxation when the level
+    # carries "line_inv" blocks (solvers/line.py; the dict-key check is
+    # pytree-static under jit).
+    def _default_smooth(lv, b, x, level):
+        if "line_inv" in lv:
+            from .line import line_precond_apply
+
+            minv = lambda r: line_precond_apply(
+                lv["line_inv"], r, level.shape, level.line_axis)
+        else:
+            minv = lv["diag_inv"]
+        return chebyshev4_solve(
             lambda t: ops["apply"](lv, t, level), b, x,
-            lv["diag_inv"], lv["lmax"], level.smoother_iters,
-        ),
-    )
+            minv, lv["lmax"], level.smoother_iters,
+        )
+
+    smooth = ops.get("smooth", _default_smooth)
     residual = ops.get(
         "residual",
         lambda lv, b, u, level: b - ops["apply"](lv, u, level),
@@ -681,7 +711,8 @@ class PMGHierarchy:
                  coarse_cfg=None,
                  calibration_iters=DEFAULT_CALIBRATION_ITERS,
                  operator="dofmap", precision="highest", sigma=0.0,
-                 fuse_smoother=False, fuse_transfers=False):
+                 fuse_smoother=False, fuse_transfers=False,
+                 smoother="cheb"):
         """``operator`` selects the kernel backend: 'dofmap' (general,
         oracle-parity path), 'lattice' (banded-matmul MXU path, general
         hexes) or 'kron' (Kronecker-sum path, axis-aligned meshes — the
@@ -711,6 +742,20 @@ class PMGHierarchy:
                 "'kron_blocked' (Mosaic kernel epilogues/transfers)"
             )
         self.sigma = float(sigma)
+        # Smoother preconditioner for every p-level: point Jacobi
+        # ('cheb', default) or LINE relaxation along the strongly-coupled
+        # axis ('line' auto / 'line-x|y|z' explicit, solvers/line.py) —
+        # the anisotropy remedy for tensor kappa / stretched cells
+        # (measured: diag(1,1,64) FCG 80+ -> 7 iters; the rotated-100:1
+        # stationary divergence at smoother_iters=2 turns contracting).
+        from .line import line_block_inverses, parse_line_smoother
+
+        self._line_axis = parse_line_smoother(smoother, mesh, kappa)
+        if self._line_axis is not None and fuse_smoother:
+            raise ValueError(
+                "smoother='line' is incompatible with fuse_smoother=True "
+                "(the fused Mosaic epilogue hard-codes point Jacobi)"
+            )
         kron_family = operator in ("kron", "kron_blocked")
         if kron_family:
             require_axis_aligned(mesh, f"operator='{operator}'")
@@ -906,6 +951,18 @@ class PMGHierarchy:
             lv["diag_inv"] = 1.0 / diag
             if kron_family:
                 lv["diag_inv"] = lv["diag_inv"].reshape(level.shape)
+            if self._line_axis is not None:
+                # Dense within-line block inverses of the assembled
+                # (bc-applied, sigma-shifted) operator; applied as one
+                # batched MXU matvec per smoother sweep (solvers/line.py).
+                lv["line_inv"] = jnp.asarray(
+                    line_block_inverses(mesh, P, kappa, self._line_axis,
+                                        sigma=self.sigma),
+                    dtype=dtype,
+                )
+                level = dataclasses.replace(
+                    level, line_axis=self._line_axis,
+                    shape=mesh.lattice_shape(P))
             vshape = level.shape if kron_family else (ndofs,)
             # Smoother calibration: 20 recorded CG iterations on A x = 1,
             # Lanczos estimate, lmax inflated by 1.1 (main.cpp:303-330).
@@ -994,6 +1051,7 @@ class PMGHierarchy:
                     min_cells=self.coarse_cfg.get("min_cells", 2),
                     sigma=self.sigma,
                     sizes=self.coarse_cfg.get("sizes"),
+                    smoother=self.coarse_cfg.get("smoother", "cheb"),
                 )
                 hmg_ops = kron_cycle_ops(precision, sigma=self.sigma)
             else:
@@ -1011,6 +1069,7 @@ class PMGHierarchy:
                         min_cells=self.coarse_cfg.get("min_cells", 2),
                         sigma=self.sigma,
                         sizes=self.coarse_cfg.get("sizes"),
+                        smoother=self.coarse_cfg.get("smoother", "cheb"),
                     )
                 )
             self.data["hmg"] = hmg_data
