@@ -138,7 +138,7 @@ def dist_cycle_ops(n_shards, sigma=0.0):
 
 def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
                    precision="highest", bottom="direct", min_cells=2,
-                   sigma=0.0, divisors=None, sizes=None):
+                   sigma=0.0, divisors=None, sizes=None, smoother="cheb"):
     """Distributed (non-gathered) geometric h-multigrid coarse hierarchy.
 
     The gathered hmg coarse solves the FULL p=1 problem redundantly on
@@ -175,8 +175,20 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
     )
 
     from ..fem.assembly import resolve_kappa_axes
+    from ..solvers.line import parse_line_smoother
 
     kax = resolve_kappa_axes(mesh, kappa)  # scalar / per-axis / diag tensor
+    # Line-relaxation smoother on the distributed h-levels: the global
+    # `build_hmg` pass computes the blocks (and line-preconditioned
+    # lmax); each level's blocks are re-laid-out into the
+    # duplicated-plane slab layout below (lines along y/z are
+    # shard-local, zero extra communication).
+    line_axis = parse_line_smoother(smoother, mesh, np.diag(kax))
+    if line_axis == 0:
+        raise ValueError(
+            "distributed (dist=True) h-MG line smoother cannot relax "
+            "along x — the slab axis; use 'line-y'/'line-z'"
+        )
     # ``divisors`` (coarse_cfg['divisors']) pins the alignment constraint
     # across shard counts (the hierarchy depth depends on it), keeping
     # scaling-sweep trajectories rank-count-invariant; must be a
@@ -214,7 +226,7 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
     g_levels, g_data, g_bottom = build_hmg(
         mesh, P0, kappa, dtype, smoother_iters=smoother_iters,
         precision=precision, bottom=bottom, min_cells=min_cells,
-        sigma=sigma, sizes=sizes,
+        sigma=sigma, sizes=sizes, smoother=smoother,
     )
     sizes_cf = sizes[::-1]  # coarse -> fine, matching g_data["levels"]
     meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes_cf]
@@ -248,9 +260,22 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
         spec = dict(Kx=P(), Ky=P(), Kz=P(), mx=P(AXIS), my=P(), mz=P(),
                     bc_marker=P(AXIS), diag_inv=P(AXIS), weights=P(AXIS),
                     lmax=P())
+        if line_axis is not None:
+            # Global (nlines, n, n) blocks -> lead dims (non-line axes,
+            # x first) -> duplicated-plane layout along x.
+            gshape = m.lattice_shape(P0)
+            nline = gshape[line_axis]
+            lead = tuple(gshape[a] for a in range(3) if a != line_axis)
+            blocks = np.asarray(g_lv["line_inv"]).reshape(
+                lead + (nline, nline))
+            lv["line_inv"] = jnp.asarray(
+                duplicate_planes(blocks, npl, n_shards), dtype=dtype)
+            spec["line_inv"] = P(AXIS)
         levels.append(Level(P=P0, ndofs=p_l.local_ndofs(P0),
                             smoother_iters=smoother_iters,
-                            shape=p_l.local_shape(P0)))
+                            shape=p_l.local_shape(P0),
+                            line_axis=(line_axis if line_axis is not None
+                                       else 2)))
         level_data.append(lv)
         level_specs.append(spec)
 
@@ -824,12 +849,6 @@ class DistPMG:
                     jnp.asarray(np.linalg.cholesky(A0), dtype=dtype),
                 )
             elif self.coarse_cfg.get("dist"):
-                if self.coarse_cfg.get("smoother", "cheb") != "cheb":
-                    raise ValueError(
-                        "line smoothers are not supported on the "
-                        "distributed (dist=True) h-MG hierarchy yet; "
-                        "use the gathered hmg coarse (omit dist=True)"
-                    )
                 # Non-gathered h-MG coarse: every h-level stays in the
                 # slab layout (see `build_hmg_dist`); only the coarsest
                 # bottom solve gathers. Constant-kappa boxes only (the
@@ -854,6 +873,7 @@ class DistPMG:
                     sigma=self.sigma,
                     divisors=self.coarse_cfg.get("divisors"),
                     sizes=self.coarse_cfg.get("sizes"),
+                    smoother=self.coarse_cfg.get("smoother", "cheb"),
                 )
                 hmg_ops = dict(
                     dist_kron_cycle_ops(self.n_shards, precision,

@@ -406,7 +406,7 @@ def grid_lattice_blocked_cycle_ops(shards, precision="highest", sigma=0.0):
 
 def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
                        min_cells, divisors, global_build, make_mesh,
-                       fill_level, sizes=None):
+                       fill_level, sizes=None, line_axis=None):
     """Shared frame of `build_hmg_grid` / `build_hmg_grid_general`:
     divisors validation, shard-aligned level sizing, the global
     calibration pass, per-level base data (bc/diag/weights/lmax), the
@@ -454,6 +454,12 @@ def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
             "gathered hmg coarse (coarse_cfg without dist=True) or a "
             "shard-friendlier mesh"
         )
+    if line_axis is not None and shards[line_axis] != 1:
+        raise ValueError(
+            f"distributed (dist=True) h-MG line smoother along "
+            f"{'xyz'[line_axis]} needs shards[{line_axis}]==1 (lines "
+            f"must not span shards); got shards={shards}"
+        )
     g_data, g_bottom = global_build(sizes)
     sizes_cf = sizes[::-1]  # coarse -> fine, matching g_data["levels"]
     meshes = [make_mesh(nc) for nc in sizes_cf]
@@ -475,10 +481,30 @@ def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
         )
         spec = dict(bc_marker=PSHARD, diag_inv=PSHARD, weights=PSHARD,
                     lmax=P())
+        if line_axis is not None:
+            # Global (nlines, n, n) blocks from the global build ->
+            # lead dims (the non-line axes, in order) -> per-axis
+            # duplicated-plane layout matching GridPartition.to_dist.
+            gshape = m.lattice_shape(P0)
+            nline = gshape[line_axis]
+            others = [a for a in range(3) if a != line_axis]
+            blocks = np.asarray(g_lv["line_inv"]).reshape(
+                tuple(gshape[a] for a in others) + (nline, nline))
+            for i, a in enumerate(others):
+                starts, npl_a = p_l._axis_starts(P0, a)
+                blocks = np.concatenate(
+                    [np.take(blocks, range(x0, x0 + npl_a), axis=i)
+                     for x0 in starts],
+                    axis=i,
+                )
+            lv["line_inv"] = jnp.asarray(blocks, dtype=dtype)
+            spec["line_inv"] = P(AXES[others[0]], AXES[others[1]])
         fill_level(lv, spec, m, p_l, g_lv)
         levels.append(Level(P=P0, ndofs=p_l.local_ndofs(P0),
                             smoother_iters=smoother_iters,
-                            shape=p_l.local_shape(P0)))
+                            shape=p_l.local_shape(P0),
+                            line_axis=(line_axis if line_axis is not None
+                                       else 2)))
         level_data.append(lv)
         level_specs.append(spec)
 
@@ -512,7 +538,7 @@ def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
 
 def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
                    precision="highest", bottom="direct", min_cells=2,
-                   sigma=0.0, divisors=None, sizes=None):
+                   sigma=0.0, divisors=None, sizes=None, smoother="cheb"):
     """Distributed (non-gathered) h-MG coarse hierarchy on the 2D/3D box
     partition — the multi-axis generalization of
     `parallel.dist.build_hmg_dist`.
@@ -540,13 +566,16 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
     from ..ops.kron import axis_stiffness_mass
     from ..solvers.hmg import build_hmg
 
+    from ..solvers.line import parse_line_smoother
+
     kax = resolve_kappa_axes(mesh, kappa)  # scalar / per-axis / diag tensor
+    line_axis = parse_line_smoother(smoother, mesh, np.diag(kax))
 
     def global_build(sizes):
         _, g_data, g_bottom = build_hmg(
             mesh, P0, kappa, dtype, smoother_iters=smoother_iters,
             precision=precision, bottom=bottom, min_cells=min_cells,
-            sigma=sigma, sizes=sizes,
+            sigma=sigma, sizes=sizes, smoother=smoother,
         )
         return g_data, g_bottom
 
@@ -567,14 +596,14 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
     return _hmg_grid_scaffold(
         mesh, shards, P0, dtype, smoother_iters, min_cells, divisors,
         global_build, lambda nc: BoxMesh(nc, extent=mesh.extent),
-        fill_level, sizes=sizes,
+        fill_level, sizes=sizes, line_axis=line_axis,
     )
 
 
 def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
                            smoother_iters=2, precision="highest",
                            bottom="direct", min_cells=2, sigma=0.0,
-                           divisors=None, sizes=None):
+                           divisors=None, sizes=None, smoother="cheb"):
     """Distributed h-MG coarse for the GENERAL family (curved hexes /
     DG-0 kappa) on the 2D/3D box partition — the lattice-backend twin
     of `build_hmg_grid`, rediscretizing the curved operator per h-level
@@ -599,11 +628,15 @@ def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
     from ..ops.lattice import axis_matrices
     from ..solvers.hmg import build_hmg_general
 
+    from ..solvers.line import parse_line_smoother
+
+    line_axis = parse_line_smoother(smoother, mesh, kappa)
+
     def global_build(sizes):
         _, g_data, g_bottom, _core = build_hmg_general(
             mesh, P0, kappa, dtype, smoother_iters=smoother_iters,
             precision=precision, bottom=bottom, min_cells=min_cells,
-            sigma=sigma, sizes=sizes,
+            sigma=sigma, sizes=sizes, smoother=smoother,
         )
         return g_data, g_bottom
 
@@ -638,6 +671,7 @@ def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
     return _hmg_grid_scaffold(
         mesh, shards, P0, dtype, smoother_iters, min_cells, divisors,
         global_build, make_mesh, fill_level, sizes=sizes,
+        line_axis=line_axis,
     )
 
 
@@ -794,12 +828,6 @@ class GridPMG:
                     jnp.asarray(np.linalg.cholesky(A0), dtype=dtype),
                 )
             elif self.coarse_cfg.get("dist"):
-                if self.coarse_cfg.get("smoother", "cheb") != "cheb":
-                    raise ValueError(
-                        "line smoothers are not supported on the "
-                        "distributed (dist=True) h-MG hierarchy yet; "
-                        "use the gathered hmg coarse (omit dist=True)"
-                    )
                 # Non-gathered h-MG coarse: every h-level stays in the
                 # multi-axis duplicated-plane layout; only the coarsest
                 # bottom solve gathers. Constant-kappa boxes ride the
@@ -813,6 +841,7 @@ class GridPMG:
                     sigma=self.sigma,
                     divisors=self.coarse_cfg.get("divisors"),
                     sizes=self.coarse_cfg.get("sizes"),
+                    smoother=self.coarse_cfg.get("smoother", "cheb"),
                 )
                 if (getattr(mesh, "is_axis_aligned", True)
                         and self.kappa_axes is not None):

@@ -216,14 +216,68 @@ def test_hmg_line_smoother_sharded_matches_single():
     assert np.allclose(rn_g, rn_s, rtol=1e-10), (rn_s, rn_g)
 
 
-def test_dist_hmg_line_rejected():
-    """The DISTRIBUTED (dist=True) h-MG hierarchy has no line-block
-    layout yet — must fail fast, not silently fall back to Jacobi."""
+def test_dist_hmg_line_matches_single():
+    """Line smoother on the DISTRIBUTED (dist=True) h-MG hierarchies:
+    the global build's blocks ride the duplicated-plane layouts of every
+    h-level (slab AND multi-axis grid), trajectory-exact vs the
+    single-device gathered hierarchy."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    K = np.diag([1.0, 1.0, 16.0])
+    mesh = BoxMesh((8, 4, 8))
+    b = jnp.asarray(assemble_rhs(mesh, 2, f_rhs_tensor(K)))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        hier = PMGHierarchy(mesh, degrees=(1, 2), kappa=K, coarse="hmg",
+                            operator="kron", dtype=jnp.float64,
+                            smoother="line",
+                            coarse_cfg=dict(smoother="line"))
+        u_s, rn_s = hier.solve(b, num_cycles=4)
+        dist = DistPMG(mesh, n_devices=4, degrees=(1, 2), kappa=K,
+                       coarse="hmg", operator="kron", dtype=jnp.float64,
+                       smoother="line",
+                       coarse_cfg=dict(dist=True, smoother="line"))
+        u_d, rn_d = dist.solve(np.asarray(b), num_cycles=4)
+        grid = GridPMG(mesh, shards=(2, 2, 1), degrees=(1, 2), kappa=K,
+                       coarse="hmg", operator="kron", dtype=jnp.float64,
+                       smoother="line",
+                       coarse_cfg=dict(dist=True, smoother="line"))
+        u_g, rn_g = grid.solve(np.asarray(b), num_cycles=4)
+    assert np.allclose(rn_d, rn_s, rtol=1e-10), (rn_s, rn_d)
+    assert np.allclose(rn_g, rn_s, rtol=1e-10), (rn_s, rn_g)
+
+
+def test_dist_hmg_line_general_family_matches_single():
+    """Same for the GENERAL family (curved hexes + variable DG-0 kappa):
+    build_hmg_grid_general threads the line blocks through the
+    rediscretized multi-axis h-levels."""
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    mesh = PerturbedBoxMesh((8, 4, 8))
+    b = jnp.asarray(np.asarray(
+        assemble_rhs(mesh, 2, f_rhs_variable(kappa_linear))))
+    hier = PMGHierarchy(mesh, degrees=(1, 2), kappa=kappa_linear,
+                        coarse="hmg", operator="lattice",
+                        dtype=jnp.float64, smoother="line-z",
+                        coarse_cfg=dict(smoother="line-z"))
+    u_s, rn_s = hier.solve(b, num_cycles=4)
+    grid = GridPMG(mesh, shards=(2, 2, 1), degrees=(1, 2),
+                   kappa=kappa_linear, coarse="hmg", operator="lattice",
+                   dtype=jnp.float64, smoother="line-z",
+                   coarse_cfg=dict(dist=True, smoother="line-z"))
+    u_g, rn_g = grid.solve(np.asarray(b), num_cycles=4)
+    assert np.allclose(rn_g, rn_s, rtol=1e-10), (rn_s, rn_g)
+
+
+def test_dist_hmg_line_x_rejected():
+    """dist=True line relaxation along the slab axis must fail fast."""
     from pmg_dolfinx_tpu.parallel.dist import DistPMG
 
     mesh = BoxMesh((8, 4, 4))
-    with pytest.raises(ValueError, match="line smoothers"):
-        DistPMG(mesh, n_devices=4, degrees=(1, 2), kappa=2.0,
+    K = np.diag([16.0, 1.0, 1.0])
+    with pytest.raises(ValueError, match="along x"):
+        DistPMG(mesh, n_devices=4, degrees=(1, 2), kappa=K,
                 coarse="hmg", operator="kron", dtype=jnp.float64,
                 coarse_cfg=dict(dist=True, smoother="line"))
 
