@@ -29,10 +29,13 @@ builders fail fast past `LINE_BLOCK_DOF_LIMIT`).
 import numpy as np
 
 # Cap on line_inv floats (= ndofs * line length): the dense blocks are
-# the smoother's dominant memory (f32: 2e8 = 800 MB on device) and the
-# setup inverts ndofs/n blocks of (n, n) on host. ~2M dofs at p=6 line
-# length ~100 fits; production 16M+ problems should keep line smoothing
-# to the coarse p-levels / h-MG levels.
+# the smoother's dominant device memory (f32: 2e8 = 800 MB) and the
+# setup inverts ndofs/n blocks of (n, n) on host. In practice SETUP is
+# the binding constraint before this cap: the blocks are extracted from
+# the assembled global matrix, ndofs*(2P+1)^3 nonzeros — fine through
+# ~500k dofs at p=3 (1.7e8 nnz) or ~2M at p=1 h-levels, hopeless at
+# p=6/2M+. Production large-N problems keep line smoothing to the
+# coarse p-levels / h-MG levels (which is where it pays anyway).
 LINE_BLOCK_DOF_LIMIT = 200_000_000
 
 
@@ -67,12 +70,16 @@ def line_block_inverses(mesh, P, kappa, axis, sigma=0.0):
             "at this size"
         )
     # Permute dofs so `axis` is fastest: lines become contiguous and the
-    # blocks are the size-n diagonal blocks of the permuted matrix.
+    # blocks are the size-n diagonal blocks of the permuted matrix —
+    # extracted in one vectorized pass over the COO entries whose row
+    # and column fall in the same line (the per-line CSR slicing loop
+    # was ~10x slower at 500k dofs).
     order = np.moveaxis(np.arange(N).reshape(shape), axis, -1).ravel()
-    Ap = A[order][:, order].tocsr()
-    blocks = np.empty((N // n, n, n))
-    for li in range(N // n):
-        blocks[li] = Ap[li * n:(li + 1) * n, li * n:(li + 1) * n].toarray()
+    Ap = A[order][:, order].tocoo()
+    same_line = (Ap.row // n) == (Ap.col // n)
+    r, c, v = Ap.row[same_line], Ap.col[same_line], Ap.data[same_line]
+    blocks = np.zeros((N // n, n, n))
+    blocks[r // n, r % n, c % n] = v
     return np.linalg.inv(blocks)
 
 

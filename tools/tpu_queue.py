@@ -56,15 +56,17 @@ ITEMS = [
     ("vcycle_100m", [sys.executable, os.path.join(REPO, "tools",
                                                   "vcycle100m.py")],
      7200, None),
-    # Line-relaxation smoother at scale (solvers/line.py): 2.05M-dof
-    # p=(1,3,6) per-axis 100:1 anisotropy, line blocks ~800 MB f32 HBM —
-    # measures the batched block-matvec cost + FCG count on real TPU.
-    ("line_aniso_2m", [sys.executable, os.path.join(REPO, "examples",
-                                                    "pmg.py"),
-                       "--ndofs", "2000000", "--degrees", "1", "3", "6",
-                       "--kappa-field", "aniso-diag", "--coarse", "hmg",
-                       "--operator", "kron", "--smoother", "line",
-                       "--hmg-smoother", "line", "--pcg", "--warm"],
+    # Line-relaxation smoother on real TPU (solvers/line.py): 500k-dof
+    # p=(1,3) per-axis 100:1 anisotropy — measures the batched
+    # block-matvec cost in the V-cycle + FCG count. (Setup assembles
+    # the global matrix on host for the blocks: ndofs*(2P+1)^3 nnz
+    # bounds the feasible size, ~1.7e8 here; p=6 at 2M+ is infeasible.)
+    ("line_aniso_500k", [sys.executable, os.path.join(REPO, "examples",
+                                                      "pmg.py"),
+                         "--ndofs", "500000", "--degrees", "1", "3",
+                         "--kappa-field", "aniso-diag", "--coarse", "hmg",
+                         "--operator", "kron", "--smoother", "line",
+                         "--hmg-smoother", "line", "--pcg", "--warm"],
      5400, None),
     # Full bench last: self-limiting (own probe gate + watchdog), and a
     # fresh successful run validates the round-end artifact path early.
