@@ -94,6 +94,19 @@ dist_t = DistPMG(mesh, n_devices=8, degrees=(1, 3), kappa=kdiag,
                  coarse="fdm", operator="kron")
 _, rn_aniso = dist_t.solve(b_t, num_cycles=5)
 
+# LINE-relaxation smoother across processes (solvers/line.py): the
+# shard-local block matvecs ride the duplicated-plane layout; the only
+# cross-process traffic stays the usual exchanges.
+import warnings  # noqa: E402
+
+kline = np.diag([1.0, 1.0, 16.0])
+b_ln = assemble_rhs(mesh, 3, f_rhs_tensor(kline))
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore")
+    dist_ln = DistPMG(mesh, n_devices=8, degrees=(1, 3), kappa=kline,
+                      coarse="cg", operator="lattice", smoother="line")
+    _, rn_line = dist_ln.solve(b_ln, num_cycles=5)
+
 with open(out_path, "w") as f:
     json.dump({
         "pid": pid,
@@ -103,6 +116,7 @@ with open(out_path, "w") as f:
         "rn_kb": rn_kb,
         "rn_hmg": rn_hmg,
         "rn_aniso": rn_aniso,
+        "rn_line": rn_line,
         "u_d_norm": float((u_d ** 2).sum() ** 0.5),
         "u_g_norm": float((u_g ** 2).sum() ** 0.5),
     }, f)

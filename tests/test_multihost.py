@@ -77,6 +77,7 @@ def test_two_processes_match_each_other(two_process_results):
         assert np.allclose(r0["rn_kb"], r1["rn_kb"], rtol=1e-12)
         assert np.allclose(r0["rn_hmg"], r1["rn_hmg"], rtol=1e-12)
         assert np.allclose(r0["rn_aniso"], r1["rn_aniso"], rtol=1e-12)
+        assert np.allclose(r0["rn_line"], r1["rn_line"], rtol=1e-12)
         assert np.isclose(r0["u_d_norm"], r1["u_d_norm"], rtol=1e-12)
 
 
@@ -138,3 +139,16 @@ def test_two_processes_match_single_process(two_process_results):
     _, rn_aniso = dist_t.solve(b_t, num_cycles=5)
     assert np.allclose(r0["rn_aniso"], rn_aniso, rtol=1e-10), (
         r0["rn_aniso"], rn_aniso)
+
+    import warnings
+
+    kline = np.diag([1.0, 1.0, 16.0])
+    b_ln = assemble_rhs(mesh, 3, f_rhs_tensor(kline))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        dist_ln = DistPMG(mesh, n_devices=8, degrees=(1, 3), kappa=kline,
+                          coarse="cg", operator="lattice",
+                          smoother="line")
+        _, rn_line = dist_ln.solve(b_ln, num_cycles=5)
+    assert np.allclose(r0["rn_line"], rn_line, rtol=1e-10), (
+        r0["rn_line"], rn_line)
