@@ -183,7 +183,8 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
     # lmax); each level's blocks are re-laid-out into the
     # duplicated-plane slab layout below (lines along y/z are
     # shard-local, zero extra communication).
-    line_axis = parse_line_smoother(smoother, mesh, np.diag(kax))
+    line_axis = parse_line_smoother(smoother, mesh, np.diag(kax),
+                                    allowed=(1, 2))
     if line_axis == 0:
         raise ValueError(
             "distributed (dist=True) h-MG line smoother cannot relax "
@@ -261,15 +262,15 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
                     bc_marker=P(AXIS), diag_inv=P(AXIS), weights=P(AXIS),
                     lmax=P())
         if line_axis is not None:
-            # Global (nlines, n, n) blocks -> lead dims (non-line axes,
-            # x first) -> duplicated-plane layout along x.
-            gshape = m.lattice_shape(P0)
-            nline = gshape[line_axis]
-            lead = tuple(gshape[a] for a in range(3) if a != line_axis)
-            blocks = np.asarray(g_lv["line_inv"]).reshape(
-                lead + (nline, nline))
+            from ..solvers.line import shard_line_blocks
+
+            # x is the leading lead axis (line axis is y or z): only it
+            # gets the duplicated-plane layout.
+            starts_x = [sh * (npl - 1) for sh in range(n_shards)]
             lv["line_inv"] = jnp.asarray(
-                duplicate_planes(blocks, npl, n_shards), dtype=dtype)
+                shard_line_blocks(g_lv["line_inv"], m.lattice_shape(P0),
+                                  line_axis, [(starts_x, npl), None]),
+                dtype=dtype)
             spec["line_inv"] = P(AXIS)
         levels.append(Level(P=P0, ndofs=p_l.local_ndofs(P0),
                             smoother_iters=smoother_iters,
@@ -537,7 +538,8 @@ class DistPMG:
         # the "duplicates equal" invariant is preserved).
         from ..solvers.line import line_block_inverses, parse_line_smoother
 
-        self._line_axis = parse_line_smoother(smoother, mesh, kappa)
+        self._line_axis = parse_line_smoother(smoother, mesh, kappa,
+                                              allowed=(1, 2))
         if self._line_axis == 0:
             raise ValueError(
                 "DistPMG smoother='line' cannot relax along x — the "
@@ -635,23 +637,23 @@ class DistPMG:
             common_spec = dict(bc_marker=P(AXIS), weights=P(AXIS),
                                diag_inv=P(AXIS))
             if self._line_axis is not None:
+                from ..solvers.line import shard_line_blocks
+
                 # Global within-line block inverses -> duplicated-plane
-                # slab layout. Block order after the moveaxis in
-                # line_precond_apply is lex over the non-line axes with x
-                # leading, so the leading block axis IS the x-plane axis.
-                gshape = mesh.lattice_shape(Pdeg)
-                nline = gshape[self._line_axis]
-                lead = tuple(sz for a, sz in enumerate(gshape)
-                             if a != self._line_axis)
-                blocks = line_block_inverses(
-                    mesh, Pdeg, self._kappa_raw, self._line_axis,
-                    sigma=self.sigma,
-                ).reshape(lead + (nline, nline))
-                blocks = duplicate_planes(
-                    blocks, part.local_planes(Pdeg), part.n_shards
-                )
+                # slab layout (x is the leading lead axis; the line axis
+                # is y or z).
+                npl_x = part.local_planes(Pdeg)
+                starts_x = [sh * (npl_x - 1)
+                            for sh in range(part.n_shards)]
                 common["line_inv"] = jnp.asarray(
-                    blocks.reshape(-1, nline, nline), dtype=dtype
+                    shard_line_blocks(
+                        line_block_inverses(mesh, Pdeg, self._kappa_raw,
+                                            self._line_axis,
+                                            sigma=self.sigma),
+                        mesh.lattice_shape(Pdeg), self._line_axis,
+                        [(starts_x, npl_x), None],
+                    ),
+                    dtype=dtype,
                 )
                 common_spec["line_inv"] = P(AXIS)
             if self.sigma and not kron_family:
@@ -1181,7 +1183,8 @@ class DistPMG:
         from ..solvers.pmg import warn_tensor_stationary
 
         warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
-                               self.operator_kind)
+                               self.operator_kind,
+                               line=self._line_axis is not None)
         from ..ops.kron import axis_stiffness_mass, kron_laplacian_apply
 
         if not jax.config.read("jax_enable_x64"):
@@ -1409,7 +1412,8 @@ class DistPMG:
             self.precision, self.mesh.num_dofs(self.degrees[-1])
         )
         warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
-                               self.operator_kind)
+                               self.operator_kind,
+                               line=self._line_axis is not None)
         if not hasattr(self, "_solve_scans"):
             self._solve_scans = {}
         if num_cycles not in self._solve_scans:

@@ -482,22 +482,17 @@ def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
         spec = dict(bc_marker=PSHARD, diag_inv=PSHARD, weights=PSHARD,
                     lmax=P())
         if line_axis is not None:
-            # Global (nlines, n, n) blocks from the global build ->
-            # lead dims (the non-line axes, in order) -> per-axis
-            # duplicated-plane layout matching GridPartition.to_dist.
-            gshape = m.lattice_shape(P0)
-            nline = gshape[line_axis]
+            from ..solvers.line import shard_line_blocks
+
+            # Per-axis duplicated-plane layout on both lead (non-line)
+            # axes, matching GridPartition.to_dist.
             others = [a for a in range(3) if a != line_axis]
-            blocks = np.asarray(g_lv["line_inv"]).reshape(
-                tuple(gshape[a] for a in others) + (nline, nline))
-            for i, a in enumerate(others):
-                starts, npl_a = p_l._axis_starts(P0, a)
-                blocks = np.concatenate(
-                    [np.take(blocks, range(x0, x0 + npl_a), axis=i)
-                     for x0 in starts],
-                    axis=i,
-                )
-            lv["line_inv"] = jnp.asarray(blocks, dtype=dtype)
+            lv["line_inv"] = jnp.asarray(
+                shard_line_blocks(g_lv["line_inv"], m.lattice_shape(P0),
+                                  line_axis,
+                                  [p_l._axis_starts(P0, a)
+                                   for a in others]),
+                dtype=dtype)
             spec["line_inv"] = P(AXES[others[0]], AXES[others[1]])
         fill_level(lv, spec, m, p_l, g_lv)
         levels.append(Level(P=P0, ndofs=p_l.local_ndofs(P0),
@@ -569,7 +564,10 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
     from ..solvers.line import parse_line_smoother
 
     kax = resolve_kappa_axes(mesh, kappa)  # scalar / per-axis / diag tensor
-    line_axis = parse_line_smoother(smoother, mesh, np.diag(kax))
+    line_axis = parse_line_smoother(
+        smoother, mesh, np.diag(kax),
+        allowed=tuple(a for a, sh in enumerate(_norm_shards(shards))
+                      if sh == 1))
 
     def global_build(sizes):
         _, g_data, g_bottom = build_hmg(
@@ -630,7 +628,10 @@ def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
 
     from ..solvers.line import parse_line_smoother
 
-    line_axis = parse_line_smoother(smoother, mesh, kappa)
+    line_axis = parse_line_smoother(
+        smoother, mesh, kappa,
+        allowed=tuple(a for a, sh in enumerate(_norm_shards(shards))
+                      if sh == 1))
 
     def global_build(sizes):
         _, g_data, g_bottom, _core = build_hmg_general(
@@ -715,7 +716,9 @@ class GridPMG:
         # hold identical blocks ("duplicates equal" preserved).
         from ..solvers.line import parse_line_smoother
 
-        self._line_axis = parse_line_smoother(smoother, mesh, kappa)
+        self._line_axis = parse_line_smoother(
+            smoother, mesh, kappa,
+            allowed=tuple(a for a in range(3) if shards[a] == 1))
         if self._line_axis is not None and shards[self._line_axis] != 1:
             raise ValueError(
                 f"GridPMG smoother='line' along {'xyz'[self._line_axis]} "
@@ -1101,26 +1104,18 @@ class GridPMG:
             )
             spec["diag_inv"] = PSHARD
         if include_diag and self._line_axis is not None:
-            from ..solvers.line import line_block_inverses
+            from ..solvers.line import line_block_inverses, shard_line_blocks
 
             axis = self._line_axis
-            gshape = mesh.lattice_shape(Pdeg)
-            nline = gshape[axis]
             others = [a for a in range(3) if a != axis]
-            lead = tuple(gshape[a] for a in others)
-            blocks = line_block_inverses(
-                mesh, Pdeg, self._kappa_raw, axis, sigma=self.sigma
-            ).reshape(lead + (nline, nline))
-            # Duplicated-plane layout along each (possibly sharded)
-            # non-line axis, matching GridPartition.to_dist.
-            for i, a in enumerate(others):
-                starts, npl = part._axis_starts(Pdeg, a)
-                blocks = np.concatenate(
-                    [np.take(blocks, range(x0, x0 + npl), axis=i)
-                     for x0 in starts],
-                    axis=i,
-                )
-            lv["line_inv"] = jnp.asarray(blocks, dtype=dtype)
+            lv["line_inv"] = jnp.asarray(
+                shard_line_blocks(
+                    line_block_inverses(mesh, Pdeg, self._kappa_raw,
+                                        axis, sigma=self.sigma),
+                    mesh.lattice_shape(Pdeg), axis,
+                    [part._axis_starts(Pdeg, a) for a in others],
+                ),
+                dtype=dtype)
             spec["line_inv"] = P(AXES[others[0]], AXES[others[1]])
         if self.sigma and backend not in ("kron", "kron_blocked"):
             from ..fem.assembly import lumped_mass_np
@@ -1289,7 +1284,8 @@ class GridPMG:
             self.precision, self.mesh.num_dofs(self.degrees[-1])
         )
         warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
-                               self.operator_kind)
+                               self.operator_kind,
+                               line=self._line_axis is not None)
         if not hasattr(self, "_solve_scans"):
             self._solve_scans = {}
         if num_cycles not in self._solve_scans:
@@ -1381,7 +1377,8 @@ class GridPMG:
         from ..solvers.pmg import warn_tensor_stationary
 
         warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
-                               self.operator_kind)
+                               self.operator_kind,
+                               line=self._line_axis is not None)
         if not jax.config.read("jax_enable_x64"):
             raise RuntimeError("solve_refined requires jax_enable_x64")
         part = self.part

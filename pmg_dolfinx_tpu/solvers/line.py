@@ -55,10 +55,8 @@ def line_block_inverses(mesh, P, kappa, axis, sigma=0.0):
 
     from ..fem.assembly import assemble_stiffness, lumped_mass_np
 
-    A = assemble_stiffness(mesh, P, kappa=kappa).tocsr()
-    if sigma:
-        A = (A + sp.diags(sigma * lumped_mass_np(mesh, P, bc_zero=True))
-             ).tocsr()
+    # Size guard FIRST: it needs only the lattice shape, and the global
+    # assembly below is exactly the cost an oversized config must not pay.
     shape = mesh.lattice_shape(P)
     N = int(np.prod(shape))
     n = shape[axis]
@@ -69,6 +67,10 @@ def line_block_inverses(mesh, P, kappa, axis, sigma=0.0):
             "keep line relaxation to the coarse p-levels / h-MG levels "
             "at this size"
         )
+    A = assemble_stiffness(mesh, P, kappa=kappa).tocsr()
+    if sigma:
+        A = (A + sp.diags(sigma * lumped_mass_np(mesh, P, bc_zero=True))
+             ).tocsr()
     # Permute dofs so `axis` is fastest: lines become contiguous and the
     # blocks are the size-n diagonal blocks of the permuted matrix —
     # extracted in one vectorized pass over the COO entries whose row
@@ -104,7 +106,35 @@ def line_precond_apply(line_inv, r, shape, axis):
     return jnp.moveaxis(y.reshape(mshape), -1, axis).reshape(r.shape)
 
 
-def parse_line_smoother(smoother, mesh, kappa):
+def shard_line_blocks(blocks, gshape, axis, starts_per_lead):
+    """Global ``(nlines, n, n)`` block inverses -> the duplicated-plane
+    lead layout of a sharded class (the single definition for the four
+    distributed call sites: DistPMG/GridPMG p-levels, build_hmg_dist and
+    the grid h-MG scaffold).
+
+    ``gshape`` is the GLOBAL lattice shape; the blocks' lead dims are
+    the two non-line axes in order. ``starts_per_lead`` gives, per lead
+    axis, either ``None`` (unsharded: keep global) or ``(starts, npl)``
+    — each shard's ``npl`` planes starting at ``starts[s]`` (interface
+    planes appear on BOTH shards, so duplicated lines hold identical
+    blocks and the "duplicates equal" invariant is preserved).
+    """
+    n = gshape[axis]
+    lead = tuple(gshape[a] for a in range(3) if a != axis)
+    blocks = np.asarray(blocks).reshape(lead + (n, n))
+    for i, sp in enumerate(starts_per_lead):
+        if sp is None:
+            continue
+        starts, npl = sp
+        blocks = np.concatenate(
+            [np.take(blocks, range(x0, x0 + npl), axis=i)
+             for x0 in starts],
+            axis=i,
+        )
+    return blocks
+
+
+def parse_line_smoother(smoother, mesh, kappa, allowed=None):
     """Resolve a builder ``smoother`` spec to a line axis (or None).
 
     'cheb' -> None (point-Jacobi Chebyshev, the default);
@@ -112,13 +142,27 @@ def parse_line_smoother(smoother, mesh, kappa):
     ``mean(kappa_aa)/h_a^2`` (the `semicoarsen_axes` metric — tensor
     diagonal AND stretched cells both count);
     'line-x' / 'line-y' / 'line-z' -> that axis.
+
+    ``allowed`` (sharded classes: the unsharded axes) only affects
+    auto mode TIE-BREAKING: among axes whose coupling ties the maximum
+    (isotropic problems), prefer an allowed one instead of erroring on
+    the arbitrary argmax. A strictly strongest disallowed axis is still
+    returned — the caller's layout error is the right answer there
+    (auto silently picking a weaker axis would break the
+    single-vs-sharded trajectory contract).
     """
     if smoother in (None, "cheb"):
         return None
     if smoother == "line":
         from .hmg import axis_coupling
 
-        return int(np.argmax(axis_coupling(mesh, kappa)))
+        c = axis_coupling(mesh, kappa)
+        best = int(np.argmax(c))
+        if allowed is not None and best not in allowed:
+            ties = [a for a in allowed if c[a] == c[best]]
+            if ties:
+                return ties[0]
+        return best
     if smoother in ("line-x", "line-y", "line-z"):
         return "xyz".index(smoother[-1])
     raise ValueError(

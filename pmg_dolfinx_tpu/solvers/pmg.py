@@ -78,7 +78,8 @@ def warn_high_precision_stationary(precision, ndofs_global):
         )
 
 
-def warn_tensor_stationary(kappa_fold, kappa_axes=None, operator=""):
+def warn_tensor_stationary(kappa_fold, kappa_axes=None, operator="",
+                           line=False):
     """Runtime guard shared by every stationary-solve entry point:
     with a strongly anisotropic tensor kappa the STATIONARY V-cycle
     iteration can diverge — measured: rotated 100:1 anisotropy, three
@@ -107,7 +108,10 @@ def warn_tensor_stationary(kappa_fold, kappa_axes=None, operator=""):
     The Krylov outer loop (solve_pcg) remains the robust default.
     Diagonal tensors on the KRON family are exempt (the per-axis
     Kronecker structure is exact at every level; verified convergent
-    with the fdm coarse)."""
+    with the fdm coarse), as are hierarchies already running the line
+    smoother (``line=True`` — the remedy this warning recommends)."""
+    if line:
+        return
     if kappa_axes is not None and operator in ("kron", "kron_blocked"):
         return
     if kappa_fold is not None:
@@ -1203,7 +1207,8 @@ class PMGHierarchy:
         variable DG-0 kappa). Requires ``jax_enable_x64``.
         """
         warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
-                               self.operator_kind)
+                               self.operator_kind,
+                               line=self._line_axis is not None)
         if not jax.config.read("jax_enable_x64"):
             raise RuntimeError("solve_refined requires jax_enable_x64")
         fine = self.levels[-1]
@@ -1344,7 +1349,8 @@ class PMGHierarchy:
         warn_high_precision_stationary(self.precision,
                                        self.levels[-1].ndofs)
         warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
-                               self.operator_kind)
+                               self.operator_kind,
+                               line=self._line_axis is not None)
         b = self._to_work(jnp.asarray(b, dtype=self.dtype))
         if u0 is None:
             u = self._fmg_guess(b) if fmg else jnp.zeros_like(b)
