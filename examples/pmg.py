@@ -32,16 +32,19 @@ def main():
                         "BoomerAMG strength-of-connection analogue; "
                         "solvers.hmg.semicoarsen_sizes)")
     p.add_argument("--smoother", type=str, default="cheb",
-                   choices=["cheb", "line", "line-x", "line-y", "line-z"],
+                   choices=["cheb", "line", "line-x", "line-y", "line-z",
+                            "schwarz"],
                    help="p-level smoother preconditioner: point Jacobi "
-                        "(default) or line relaxation along the strongly-"
-                        "coupled axis ('line' = auto by kappa_aa/h_a^2) — "
-                        "restores stationary contraction under strong "
-                        "anisotropy at the default smoother-iters "
-                        "(solvers/line.py; moderate sizes: dense per-line "
-                        "blocks)")
+                        "(default), line relaxation along the strongly-"
+                        "coupled axis ('line' = auto by kappa_aa/h_a^2; "
+                        "moderate sizes, solvers/line.py), or 'schwarz' — "
+                        "cell-wise FDM Schwarz (any size, O(ndofs) "
+                        "memory, solvers/schwarz.py); both restore "
+                        "stationary contraction under strong anisotropy "
+                        "at the default smoother-iters")
     p.add_argument("--hmg-smoother", type=str, default="cheb",
-                   choices=["cheb", "line", "line-x", "line-y", "line-z"],
+                   choices=["cheb", "line", "line-x", "line-y", "line-z",
+                            "schwarz"],
                    help="h-level smoother preconditioner (with --coarse "
                         "hmg): point Jacobi (default) or line relaxation "
                         "along the strongly-coupled axis ('line' = auto "

@@ -538,6 +538,12 @@ class DistPMG:
         # the "duplicates equal" invariant is preserved).
         from ..solvers.line import line_block_inverses, parse_line_smoother
 
+        if smoother == "schwarz":
+            raise ValueError(
+                "smoother='schwarz' is not distributed yet (the cell "
+                "overlap-add needs the interface partial-sum exchange); "
+                "use it on PMGHierarchy, or 'line-y'/'line-z' here"
+            )
         self._line_axis = parse_line_smoother(smoother, mesh, kappa,
                                               allowed=(1, 2))
         if self._line_axis == 0:

@@ -716,6 +716,13 @@ class GridPMG:
         # hold identical blocks ("duplicates equal" preserved).
         from ..solvers.line import parse_line_smoother
 
+        if smoother == "schwarz":
+            raise ValueError(
+                "smoother='schwarz' is not distributed yet (the cell "
+                "overlap-add needs the interface partial-sum exchange); "
+                "use it on PMGHierarchy, or a line smoother along an "
+                "unsharded axis here"
+            )
         self._line_axis = parse_line_smoother(
             smoother, mesh, kappa,
             allowed=tuple(a for a in range(3) if shards[a] == 1))

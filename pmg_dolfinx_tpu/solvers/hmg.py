@@ -222,7 +222,9 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     # assembled blocks/bottom factor); true per-axis goes diagonal-tensor.
     kassemble = (float(kax[0]) if kax[0] == kax[1] == kax[2]
                  else np.diag(kax))
-    line_axis = parse_line_smoother(smoother, mesh, np.diag(kax))
+    schwarz = smoother == "schwarz"
+    line_axis = (None if schwarz
+                 else parse_line_smoother(smoother, mesh, np.diag(kax)))
 
     levels, level_data = [], []
     for m in meshes:
@@ -232,6 +234,11 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
                 line_block_inverses(m, P, kassemble, line_axis, sigma=sigma),
                 dtype=dtype,
             )
+        elif schwarz:
+            from .schwarz import build_schwarz
+
+            lv["schwarz"] = build_schwarz(m, P, kassemble, dtype,
+                                          sigma=sigma)
         for name, nc_a, h_a, k_a in zip("xyz", m.nc, m.h, kax):
             K, mass = axis_stiffness_mass(nc_a, P, h_a)
             lv["K" + name] = jnp.asarray(k_a * K, dtype=dtype)
@@ -251,9 +258,16 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         def _calib(lv_, b_, x0_, _level=level):
             A = lambda x: ops["apply"](lv_, x, _level)
             # Calibrate lmax for the SAME preconditioned operator the
-            # smoother will iterate on (M_line^-1 A vs D^-1 A).
-            pre = (None if line_axis is None else (lambda r: line_precond_apply(
-                lv_["line_inv"], r, _level.shape, line_axis)))
+            # smoother will iterate on (M^-1 A: line / schwarz / Jacobi).
+            pre = None
+            if line_axis is not None:
+                pre = lambda r: line_precond_apply(
+                    lv_["line_inv"], r, _level.shape, line_axis)
+            elif schwarz:
+                from .schwarz import schwarz_precond_apply
+
+                pre = lambda r: schwarz_precond_apply(
+                    lv_["schwarz"], r, _level.shape, _level.P)
             return cg_solve(
                 A, b_, x0_, lv_["diag_inv"],
                 rtol=DEFAULT_CALIBRATION_RTOL, maxiter=calibration_iters,
@@ -381,7 +395,9 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes]
     kappa_fine, _ = resolve_kappa(mesh, kappa)
     ops = lattice_cycle_ops(precision, sigma=sigma)
-    line_axis = parse_line_smoother(smoother, mesh, kappa)
+    schwarz = smoother == "schwarz"
+    line_axis = (None if schwarz
+                 else parse_line_smoother(smoother, mesh, kappa))
 
     levels, level_data = [], []
     for m in meshes:
@@ -417,6 +433,12 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
                 line_block_inverses(m, P, kc, line_axis, sigma=sigma),
                 dtype=dtype,
             )
+        elif schwarz:
+            from .schwarz import build_schwarz
+
+            # Separable approximation on the general family: per-cell
+            # (volume-averaged) coefficients, nominal box geometry.
+            lv["schwarz"] = build_schwarz(m, P, kc, dtype, sigma=sigma)
         level = Level(P=P, ndofs=m.num_dofs(P),
                       smoother_iters=smoother_iters,
                       shape=m.lattice_shape(P),
@@ -425,8 +447,15 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         def _calib(lv_, b_, x0_, _level=level):
             A = lambda x: ops["apply"](lv_, x, _level)
             # Same preconditioned operator the smoother iterates on.
-            pre = (None if line_axis is None else (lambda r: line_precond_apply(
-                lv_["line_inv"], r, _level.shape, line_axis)))
+            pre = None
+            if line_axis is not None:
+                pre = lambda r: line_precond_apply(
+                    lv_["line_inv"], r, _level.shape, line_axis)
+            elif schwarz:
+                from .schwarz import schwarz_precond_apply
+
+                pre = lambda r: schwarz_precond_apply(
+                    lv_["schwarz"], r, _level.shape, _level.P)
             return cg_solve(
                 A, b_, x0_, lv_["diag_inv"],
                 rtol=DEFAULT_CALIBRATION_RTOL, maxiter=calibration_iters,

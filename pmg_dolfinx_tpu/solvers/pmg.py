@@ -111,7 +111,7 @@ def warn_tensor_stationary(kappa_fold, kappa_axes=None, operator="",
     with the fdm coarse), as are hierarchies already running the line
     smoother (``line=True`` — the remedy this warning recommends)."""
     if line:
-        return
+        return  # line or schwarz smoother active — the remedies themselves
     if kappa_axes is not None and operator in ("kron", "kron_blocked"):
         return
     if kappa_fold is not None:
@@ -195,6 +195,11 @@ def _generic_calibration(lv, b, x0, *, ops, level, maxiter):
 
         pre = lambda r: line_precond_apply(
             lv["line_inv"], r, level.shape, level.line_axis)
+    elif "schwarz" in lv:
+        from .schwarz import schwarz_precond_apply
+
+        pre = lambda r: schwarz_precond_apply(
+            lv["schwarz"], r, level.shape, level.P)
     return cg_solve(
         A, b, x0, lv["diag_inv"],
         rtol=DEFAULT_CALIBRATION_RTOL, maxiter=maxiter, record=True,
@@ -486,6 +491,11 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
 
             minv = lambda r: line_precond_apply(
                 lv["line_inv"], r, level.shape, level.line_axis)
+        elif "schwarz" in lv:
+            from .schwarz import schwarz_precond_apply
+
+            minv = lambda r: schwarz_precond_apply(
+                lv["schwarz"], r, level.shape, level.P)
         else:
             minv = lv["diag_inv"]
         return chebyshev4_solve(
@@ -754,11 +764,17 @@ class PMGHierarchy:
         # stationary divergence at smoother_iters=2 turns contracting).
         from .line import line_block_inverses, parse_line_smoother
 
-        self._line_axis = parse_line_smoother(smoother, mesh, kappa)
-        if self._line_axis is not None and fuse_smoother:
+        # 'schwarz' = cell-wise FDM Schwarz (solvers/schwarz.py): the
+        # O(ndofs)-memory robust smoother that runs at ANY size (the
+        # line blocks' production-scale sibling).
+        self._schwarz = smoother == "schwarz"
+        self._line_axis = (None if self._schwarz
+                           else parse_line_smoother(smoother, mesh, kappa))
+        if (self._line_axis is not None or self._schwarz) and fuse_smoother:
             raise ValueError(
-                "smoother='line' is incompatible with fuse_smoother=True "
-                "(the fused Mosaic epilogue hard-codes point Jacobi)"
+                f"smoother={smoother!r} is incompatible with "
+                "fuse_smoother=True (the fused Mosaic epilogue "
+                "hard-codes point Jacobi)"
             )
         kron_family = operator in ("kron", "kron_blocked")
         if kron_family:
@@ -967,6 +983,13 @@ class PMGHierarchy:
                 level = dataclasses.replace(
                     level, line_axis=self._line_axis,
                     shape=mesh.lattice_shape(P))
+            elif self._schwarz:
+                from .schwarz import build_schwarz
+
+                lv["schwarz"] = build_schwarz(mesh, P, kappa, dtype,
+                                              sigma=self.sigma)
+                level = dataclasses.replace(
+                    level, shape=mesh.lattice_shape(P))
             vshape = level.shape if kron_family else (ndofs,)
             # Smoother calibration: 20 recorded CG iterations on A x = 1,
             # Lanczos estimate, lmax inflated by 1.1 (main.cpp:303-330).
@@ -1208,7 +1231,8 @@ class PMGHierarchy:
         """
         warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
                                self.operator_kind,
-                               line=self._line_axis is not None)
+                               line=(self._line_axis is not None
+                                     or getattr(self, "_schwarz", False)))
         if not jax.config.read("jax_enable_x64"):
             raise RuntimeError("solve_refined requires jax_enable_x64")
         fine = self.levels[-1]
@@ -1350,7 +1374,8 @@ class PMGHierarchy:
                                        self.levels[-1].ndofs)
         warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
                                self.operator_kind,
-                               line=self._line_axis is not None)
+                               line=(self._line_axis is not None
+                                     or getattr(self, "_schwarz", False)))
         b = self._to_work(jnp.asarray(b, dtype=self.dtype))
         if u0 is None:
             u = self._fmg_guess(b) if fmg else jnp.zeros_like(b)

@@ -92,6 +92,10 @@ def main():
          dict(smoother="line", cfg=dict(smoother="line"))),
         ("LINE everywhere + semi-coarsening",
          dict(smoother="line", cfg=dict(smoother="line", **semi))),
+        ("SCHWARZ everywhere, isotropic h-MG",
+         dict(smoother="schwarz", cfg=dict(smoother="schwarz"))),
+        ("SCHWARZ everywhere + semi-coarsening",
+         dict(smoother="schwarz", cfg=dict(smoother="schwarz", **semi))),
         ("point Jacobi, EXACT dense coarse (bar)",
          dict()),  # coarse override below
     ]
@@ -117,6 +121,7 @@ def main():
         ("point Jacobi, si=2 (default)", 2, "cheb"),
         ("point Jacobi, si=3", 3, "cheb"),
         ("LINE, si=2", 2, "line"),
+        ("SCHWARZ (cell-FDM), si=2", 2, "schwarz"),
     ):
         rel = stationary_rel(mesh_b, (1, 3, 6), Kr, b_b, si, sm)
         _, niter = fcg(mesh_b, (1, 3, 6), Kr, b_b, "direct", si=si,
@@ -142,6 +147,8 @@ def main():
         ("point Jacobi, SEMI-coarsened", dict(cfg=dict(semi_c))),
         ("LINE auto (x), isotropic h-MG",
          dict(smoother="line", cfg=dict(smoother="line"))),
+        ("SCHWARZ (cell-FDM), isotropic h-MG",
+         dict(smoother="schwarz", cfg=dict(smoother="schwarz"))),
     ):
         u, niter = fcg(mesh_c, (1, 3), 2.0, b_c, "hmg", **kw)
         err = np.abs(u - u_ref_c).max()

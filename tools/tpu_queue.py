@@ -68,6 +68,15 @@ ITEMS = [
                          "--operator", "kron", "--smoother", "line",
                          "--hmg-smoother", "line", "--pcg", "--warm"],
      5400, None),
+    # Cell-FDM Schwarz smoother at production size (solvers/schwarz.py;
+    # no assembly in setup — scales): isotropic 2.05M p=(1,3,6) FCG,
+    # measures the V+Vt batched-matmul smoother cost vs point Jacobi.
+    ("schwarz_iso_2m", [sys.executable, os.path.join(REPO, "examples",
+                                                     "pmg.py"),
+                        "--ndofs", "2000000", "--degrees", "1", "3", "6",
+                        "--operator", "kron", "--coarse", "fdm",
+                        "--smoother", "schwarz", "--pcg", "--warm"],
+     5400, None),
     # Full bench last: self-limiting (own probe gate + watchdog), and a
     # fresh successful run validates the round-end artifact path early.
     ("bench_full", [sys.executable, os.path.join(REPO, "bench.py")],
