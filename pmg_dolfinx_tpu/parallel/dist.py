@@ -133,6 +133,7 @@ def dist_cycle_ops(n_shards, sigma=0.0):
     return dict(
         apply=apply_op, restrict=restrict_op, prolong=prolong_op, dot=dot,
         pvary=pvary,
+        exchange=lambda lat: _exchange_partials(lat, n_shards),
     )
 
 
@@ -183,8 +184,10 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
     # lmax); each level's blocks are re-laid-out into the
     # duplicated-plane slab layout below (lines along y/z are
     # shard-local, zero extra communication).
-    line_axis = parse_line_smoother(smoother, mesh, np.diag(kax),
-                                    allowed=(1, 2))
+    schwarz = smoother == "schwarz"
+    line_axis = (None if schwarz
+                 else parse_line_smoother(smoother, mesh, np.diag(kax),
+                                          allowed=(1, 2)))
     if line_axis == 0:
         raise ValueError(
             "distributed (dist=True) h-MG line smoother cannot relax "
@@ -272,6 +275,23 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
                                   line_axis, [(starts_x, npl), None]),
                 dtype=dtype)
             spec["line_inv"] = P(AXIS)
+        if schwarz:
+            # Global build_hmg pass already built this level's Schwarz
+            # data (and the schwarz-preconditioned lmax); re-lay the
+            # lattice-shaped w/bc into the duplicated-plane slab layout,
+            # Vx/ginv slice cell-contiguously (x-cells stay divisible by
+            # n_shards at every h-level by the alignment constraint).
+            g_sw = g_lv["schwarz"]
+            lv["schwarz"] = dict(
+                Vx=g_sw["Vx"], Vy=g_sw["Vy"], Vz=g_sw["Vz"],
+                ginv=g_sw["ginv"],
+                w=jnp.asarray(p_l.to_dist(P0, np.asarray(g_sw["w"])),
+                              dtype=dtype),
+                bc=jnp.asarray(p_l.to_dist(
+                    P0, np.asarray(g_sw["bc"], np.float64)) > 0.5),
+            )
+            spec["schwarz"] = dict(Vx=P(AXIS), Vy=P(), Vz=P(),
+                                   ginv=P(AXIS), w=P(AXIS), bc=P(AXIS))
         levels.append(Level(P=P0, ndofs=p_l.local_ndofs(P0),
                             smoother_iters=smoother_iters,
                             shape=p_l.local_shape(P0),
@@ -384,6 +404,7 @@ def dist_kron_cycle_ops(n_shards, precision="highest", sigma=0.0):
         apply=apply_op, restrict=restrict_op, prolong=prolong_op, dot=dot,
         pvary=pvary,
         zeros=lambda level, dtype: jnp.zeros(level.shape, dtype=dtype),
+        exchange=lambda lat: _exchange_partials(lat, n_shards),
     )
 
 
@@ -441,6 +462,7 @@ def dist_kron_blocked_cycle_ops(n_shards, precision="highest", sigma=0.0):
         dot=lambda u, v, lv: dist_inner_product(u, v, lv["weights"], AXIS),
         pvary=lambda v: pcast_varying(v, (AXIS,)),
         zeros=lambda level, dtype: jnp.zeros(level.shape, dtype=dtype),
+        exchange=ex,
     )
 
 
@@ -496,6 +518,7 @@ def dist_lattice_cycle_ops(n_shards, precision="highest", sigma=0.0):
     return dict(
         apply=apply_op, restrict=restrict_op, prolong=prolong_op, dot=dot,
         pvary=pvary,
+        exchange=lambda lat: _exchange_partials(lat, n_shards),
     )
 
 
@@ -538,14 +561,14 @@ class DistPMG:
         # the "duplicates equal" invariant is preserved).
         from ..solvers.line import line_block_inverses, parse_line_smoother
 
-        if smoother == "schwarz":
-            raise ValueError(
-                "smoother='schwarz' is not distributed yet (the cell "
-                "overlap-add needs the interface partial-sum exchange); "
-                "use it on PMGHierarchy, or 'line-y'/'line-z' here"
-            )
-        self._line_axis = parse_line_smoother(smoother, mesh, kappa,
-                                              allowed=(1, 2))
+        # 'schwarz' = cell-wise FDM Schwarz (solvers/schwarz.py): the
+        # blocks are cell-local, so only the overlap-add touches shard
+        # interfaces — reconciled by the same partial-sum ppermute as
+        # the operator applies (ops['exchange'] inside the smoother).
+        self._schwarz = smoother == "schwarz"
+        self._line_axis = (None if self._schwarz
+                           else parse_line_smoother(smoother, mesh, kappa,
+                                                    allowed=(1, 2)))
         if self._line_axis == 0:
             raise ValueError(
                 "DistPMG smoother='line' cannot relax along x — the "
@@ -662,6 +685,28 @@ class DistPMG:
                     dtype=dtype,
                 )
                 common_spec["line_inv"] = P(AXIS)
+            if self._schwarz:
+                from ..solvers.schwarz import build_schwarz_np
+
+                # Global host build, then the slab layout: Vx/ginv are
+                # cell-contiguous along x (the PartitionSpec slices
+                # them — nx % n_shards == 0 by SlabPartition), w/bc are
+                # dof-lattice-shaped and get duplicated interface
+                # planes like every other lattice-shaped level array.
+                swg = build_schwarz_np(mesh, Pdeg, self._kappa_raw,
+                                       sigma=self.sigma)
+                common["schwarz"] = dict(
+                    {k: jnp.asarray(swg[k], dtype=dtype)
+                     for k in ("Vx", "Vy", "Vz", "ginv")},
+                    w=jnp.asarray(part.to_dist(Pdeg, swg["w"]),
+                                  dtype=dtype),
+                    bc=jnp.asarray(part.to_dist(
+                        Pdeg, np.asarray(swg["bc"], np.float64)) > 0.5),
+                )
+                common_spec["schwarz"] = dict(
+                    Vx=P(AXIS), Vy=P(), Vz=P(), ginv=P(AXIS),
+                    w=P(AXIS), bc=P(AXIS),
+                )
             if self.sigma and not kron_family:
                 from ..fem.assembly import lumped_mass_np
 
@@ -965,7 +1010,8 @@ class DistPMG:
                 def _calib(lv_, b_, x0_):
                     A = lambda x: ops["apply"](lv_, x, level)
                     # Same preconditioned operator the smoother iterates
-                    # on (shard-local line blocks or point Jacobi).
+                    # on (shard-local line blocks, exchange-reconciled
+                    # Schwarz cell blocks, or point Jacobi).
                     pre = None
                     if "line_inv" in lv_:
                         from ..solvers.line import line_precond_apply
@@ -973,6 +1019,12 @@ class DistPMG:
                         pre = lambda r: line_precond_apply(
                             lv_["line_inv"], r, level.shape,
                             level.line_axis)
+                    elif "schwarz" in lv_:
+                        from ..solvers.schwarz import schwarz_precond_apply
+
+                        pre = lambda r: schwarz_precond_apply(
+                            lv_["schwarz"], r, level.shape, level.P,
+                            exchange=ops.get("exchange"))
                     return cg_solve(
                         A, b_, x0_, lv_["diag_inv"],
                         rtol=DEFAULT_CALIBRATION_RTOL,
@@ -1190,7 +1242,8 @@ class DistPMG:
 
         warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
                                self.operator_kind,
-                               line=self._line_axis is not None)
+                               line=(self._line_axis is not None
+                                     or self._schwarz))
         from ..ops.kron import axis_stiffness_mass, kron_laplacian_apply
 
         if not jax.config.read("jax_enable_x64"):
@@ -1419,7 +1472,8 @@ class DistPMG:
         )
         warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
                                self.operator_kind,
-                               line=self._line_axis is not None)
+                               line=(self._line_axis is not None
+                                     or self._schwarz))
         if not hasattr(self, "_solve_scans"):
             self._solve_scans = {}
         if num_cycles not in self._solve_scans:

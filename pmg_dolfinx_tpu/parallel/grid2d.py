@@ -291,10 +291,18 @@ def _grid_common_ops(shards, precision):
         # replicated w.r.t. every axis — keeps vma tracking consistent.
         return dist_inner_product(u, v, lv["weights"], AXES)
 
+    def exchange(lat):
+        # Interface partial-sum reconciliation over every sharded axis
+        # (the generic hook smoothers use, e.g. the Schwarz cell fold).
+        for a in range(3):
+            lat = _exchange_axis(lat, shards[a], AXES[a], a)
+        return lat
+
     return dict(
         restrict=restrict_op, prolong=prolong_op, dot=dot,
         pvary=lambda v: pcast_varying(v, AXES),
         zeros=lambda level, dtype: jnp.zeros(level.shape, dtype=dtype),
+        exchange=exchange,
     )
 
 
@@ -494,6 +502,24 @@ def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
                                    for a in others]),
                 dtype=dtype)
             spec["line_inv"] = P(AXES[others[0]], AXES[others[1]])
+        if "schwarz" in g_lv:
+            # Global build already computed this level's Schwarz data
+            # (and the schwarz-preconditioned lmax); V_a/ginv slice
+            # cell-contiguously per axis, lattice-shaped w/bc ride the
+            # per-axis duplicated-plane layout.
+            g_sw = g_lv["schwarz"]
+            lv["schwarz"] = dict(
+                Vx=g_sw["Vx"], Vy=g_sw["Vy"], Vz=g_sw["Vz"],
+                ginv=g_sw["ginv"],
+                w=jnp.asarray(p_l.to_dist(P0, np.asarray(g_sw["w"])),
+                              dtype=dtype),
+                bc=jnp.asarray(p_l.to_dist(
+                    P0, np.asarray(g_sw["bc"], np.float64)) > 0.5),
+            )
+            spec["schwarz"] = dict(
+                Vx=P(AXES[0]), Vy=P(AXES[1]), Vz=P(AXES[2]),
+                ginv=PSHARD, w=PSHARD, bc=PSHARD,
+            )
         fill_level(lv, spec, m, p_l, g_lv)
         levels.append(Level(P=P0, ndofs=p_l.local_ndofs(P0),
                             smoother_iters=smoother_iters,
@@ -564,10 +590,10 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
     from ..solvers.line import parse_line_smoother
 
     kax = resolve_kappa_axes(mesh, kappa)  # scalar / per-axis / diag tensor
-    line_axis = parse_line_smoother(
+    line_axis = (None if smoother == "schwarz" else parse_line_smoother(
         smoother, mesh, np.diag(kax),
         allowed=tuple(a for a, sh in enumerate(_norm_shards(shards))
-                      if sh == 1))
+                      if sh == 1)))
 
     def global_build(sizes):
         _, g_data, g_bottom = build_hmg(
@@ -628,10 +654,10 @@ def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
 
     from ..solvers.line import parse_line_smoother
 
-    line_axis = parse_line_smoother(
+    line_axis = (None if smoother == "schwarz" else parse_line_smoother(
         smoother, mesh, kappa,
         allowed=tuple(a for a, sh in enumerate(_norm_shards(shards))
-                      if sh == 1))
+                      if sh == 1)))
 
     def global_build(sizes):
         _, g_data, g_bottom, _core = build_hmg_general(
@@ -716,16 +742,15 @@ class GridPMG:
         # hold identical blocks ("duplicates equal" preserved).
         from ..solvers.line import parse_line_smoother
 
-        if smoother == "schwarz":
-            raise ValueError(
-                "smoother='schwarz' is not distributed yet (the cell "
-                "overlap-add needs the interface partial-sum exchange); "
-                "use it on PMGHierarchy, or a line smoother along an "
-                "unsharded axis here"
-            )
-        self._line_axis = parse_line_smoother(
+        # 'schwarz' = cell-wise FDM Schwarz (solvers/schwarz.py): the
+        # blocks are cell-local, so only the overlap-add touches shard
+        # interfaces — reconciled by one partial-sum ppermute pair per
+        # sharded axis (ops['exchange'] inside the smoother). Any axis
+        # layout works — cells never span shards.
+        self._schwarz = smoother == "schwarz"
+        self._line_axis = (None if self._schwarz else parse_line_smoother(
             smoother, mesh, kappa,
-            allowed=tuple(a for a in range(3) if shards[a] == 1))
+            allowed=tuple(a for a in range(3) if shards[a] == 1)))
         if self._line_axis is not None and shards[self._line_axis] != 1:
             raise ValueError(
                 f"GridPMG smoother='line' along {'xyz'[self._line_axis]} "
@@ -960,7 +985,8 @@ class GridPMG:
                 def _calib(lv_, b_, x0_, _level=level):
                     A = lambda x: ops["apply"](lv_, x, _level)
                     # Same preconditioned operator the smoother iterates
-                    # on (shard-local line blocks or point Jacobi).
+                    # on (shard-local line blocks, exchange-reconciled
+                    # Schwarz cell blocks, or point Jacobi).
                     pre = None
                     if "line_inv" in lv_:
                         from ..solvers.line import line_precond_apply
@@ -968,6 +994,12 @@ class GridPMG:
                         pre = lambda r: line_precond_apply(
                             lv_["line_inv"], r, _level.shape,
                             _level.line_axis)
+                    elif "schwarz" in lv_:
+                        from ..solvers.schwarz import schwarz_precond_apply
+
+                        pre = lambda r: schwarz_precond_apply(
+                            lv_["schwarz"], r, _level.shape, _level.P,
+                            exchange=ops.get("exchange"))
                     _, info = cg_solve(
                         A, b_, x0_, lv_["diag_inv"],
                         rtol=DEFAULT_CALIBRATION_RTOL,
@@ -1124,6 +1156,27 @@ class GridPMG:
                 ),
                 dtype=dtype)
             spec["line_inv"] = P(AXES[others[0]], AXES[others[1]])
+        if include_diag and getattr(self, "_schwarz", False):
+            from ..solvers.schwarz import build_schwarz_np
+
+            # Global host build, then the grid layout: V_a/ginv are
+            # cell-contiguous along every axis (PartitionSpecs slice
+            # them — nc[a] % shards[a] == 0 by GridPartition), w/bc are
+            # dof-lattice-shaped and ride the per-axis duplicated-plane
+            # layout like every other lattice-shaped level array.
+            swg = build_schwarz_np(mesh, Pdeg, self._kappa_raw,
+                                   sigma=self.sigma)
+            lv["schwarz"] = dict(
+                {k: jnp.asarray(swg[k], dtype=dtype)
+                 for k in ("Vx", "Vy", "Vz", "ginv")},
+                w=jnp.asarray(part.to_dist(Pdeg, swg["w"]), dtype=dtype),
+                bc=jnp.asarray(part.to_dist(
+                    Pdeg, np.asarray(swg["bc"], np.float64)) > 0.5),
+            )
+            spec["schwarz"] = dict(
+                Vx=P(AXES[0]), Vy=P(AXES[1]), Vz=P(AXES[2]),
+                ginv=PSHARD, w=PSHARD, bc=PSHARD,
+            )
         if self.sigma and backend not in ("kron", "kron_blocked"):
             from ..fem.assembly import lumped_mass_np
 
@@ -1292,7 +1345,8 @@ class GridPMG:
         )
         warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
                                self.operator_kind,
-                               line=self._line_axis is not None)
+                               line=(self._line_axis is not None
+                                     or self._schwarz))
         if not hasattr(self, "_solve_scans"):
             self._solve_scans = {}
         if num_cycles not in self._solve_scans:
@@ -1385,7 +1439,8 @@ class GridPMG:
 
         warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
                                self.operator_kind,
-                               line=self._line_axis is not None)
+                               line=(self._line_axis is not None
+                                     or self._schwarz))
         if not jax.config.read("jax_enable_x64"):
             raise RuntimeError("solve_refined requires jax_enable_x64")
         part = self.part

@@ -199,7 +199,8 @@ def _generic_calibration(lv, b, x0, *, ops, level, maxiter):
         from .schwarz import schwarz_precond_apply
 
         pre = lambda r: schwarz_precond_apply(
-            lv["schwarz"], r, level.shape, level.P)
+            lv["schwarz"], r, level.shape, level.P,
+            exchange=ops.get("exchange"))
     return cg_solve(
         A, b, x0, lv["diag_inv"],
         rtol=DEFAULT_CALIBRATION_RTOL, maxiter=maxiter, record=True,
@@ -495,7 +496,8 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
             from .schwarz import schwarz_precond_apply
 
             minv = lambda r: schwarz_precond_apply(
-                lv["schwarz"], r, level.shape, level.P)
+                lv["schwarz"], r, level.shape, level.P,
+                exchange=ops.get("exchange"))
         else:
             minv = lv["diag_inv"]
         return chebyshev4_solve(

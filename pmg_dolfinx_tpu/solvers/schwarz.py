@@ -40,6 +40,15 @@ per-axis product: each axis builds its eigenbasis on the 1D interior
 nodes and embeds identity on the bc node(s), inputs are bc-zeroed, and
 the global ``y[bc] = r[bc]`` epilogue restores the identity — the same
 invariant as the point-Jacobi ``diag_inv`` and line blocks.
+
+Distributed: the blocks are cell-local and cells never span shards, so
+the smoother runs under ANY axis decomposition (unlike the line
+smoother, whose line axis must be unsharded). The only communication
+is the interface partial-sum exchange after the cell overlap-add —
+the same per-axis ppermute pair the operator applies use, passed in as
+``exchange=`` (``ops['exchange']`` of the dist/grid cycle-ops dicts).
+Trajectory-exact vs single-device on the slab, 2D/3D grids, and the
+``dist=True`` h-MG hierarchies (tests/test_schwarz.py).
 """
 
 import numpy as np
@@ -88,17 +97,24 @@ def axis_multiplicity(nca, P):
     return m
 
 
-def build_schwarz(mesh, P, kappa, dtype, sigma=0.0):
-    """Device arrays for `schwarz_precond_apply` (dict pytree).
+def build_schwarz_np(mesh, P, kappa, sigma=0.0):
+    """Host (NumPy, f64) global Schwarz data for `schwarz_precond_apply`.
 
     ``kappa`` in any resolvable form; per-cell diagonal coefficients
     come from `resolve_kappa_split` (full tensors keep their diagonal —
     the separable approximation; measured effective even for rotated
     anisotropy). ``sigma`` adds the lumped-mass shift exactly
     (``V^T M V = I`` per axis makes it a pure eigenvalue offset).
-    """
-    import jax.numpy as jnp
 
+    Keys: per-axis eigenvector stacks ``Vx/Vy/Vz`` (cell-indexed on
+    their leading axis), the cell-expanded inverse eigenvalue grid
+    ``ginv``, the multiplicity weight ``w`` and bc marker ``bc`` (both
+    dof-lattice-shaped). The distributed builders slice ``Vx``/``ginv``
+    cell-contiguously per shard and re-lay ``w``/``bc`` out with
+    duplicated interface planes (`SlabPartition.to_dist` and the grid
+    analogue) — all arrays shard cleanly because cells are
+    shard-contiguous along every decomposed axis.
+    """
     from ..fem.assembly import resolve_kappa_split
 
     kc, kt, _ = resolve_kappa_split(mesh, kappa)
@@ -129,18 +145,29 @@ def build_schwarz(mesh, P, kappa, dtype, sigma=0.0):
         axis_multiplicity(ncz, P),
     )
     return dict(
-        Vx=jnp.asarray(Vs[0], dtype=dtype),
-        Vy=jnp.asarray(Vs[1], dtype=dtype),
-        Vz=jnp.asarray(Vs[2], dtype=dtype),
-        ginv=jnp.asarray(
-            1.0 / lsum.reshape(ncx * n, ncy * n, ncz * n), dtype=dtype
-        ),
-        w=jnp.asarray(1.0 / np.sqrt(mult), dtype=dtype),
-        bc=jnp.asarray(mesh.boundary_dof_marker(P).reshape(mult.shape)),
+        Vx=Vs[0],
+        Vy=Vs[1],
+        Vz=Vs[2],
+        ginv=1.0 / lsum.reshape(ncx * n, ncy * n, ncz * n),
+        w=1.0 / np.sqrt(mult),
+        bc=mesh.boundary_dof_marker(P).reshape(mult.shape),
     )
 
 
-def schwarz_precond_apply(sw, r, shape, P, precision="highest"):
+def build_schwarz(mesh, P, kappa, dtype, sigma=0.0):
+    """Device arrays for `schwarz_precond_apply` (dict pytree)."""
+    import jax.numpy as jnp
+
+    sw = build_schwarz_np(mesh, P, kappa, sigma=sigma)
+    return dict(
+        {k: jnp.asarray(sw[k], dtype=dtype)
+         for k in ("Vx", "Vy", "Vz", "ginv", "w")},
+        bc=jnp.asarray(sw["bc"] > 0.5),
+    )
+
+
+def schwarz_precond_apply(sw, r, shape, P, precision="highest",
+                          exchange=None):
     """Apply the Schwarz preconditioner ``r -> M^-1 r`` (jit-traceable).
 
     ``M^-1 = W [sum_cells R_c^T B_c^-1 R_c] W`` with ``W`` the symmetric
@@ -148,6 +175,14 @@ def schwarz_precond_apply(sw, r, shape, P, precision="highest"):
     zero-FLOP cell expansion, V^T per axis, eigenvalue scale, V per
     axis, overlap-add, identity on bc dofs. ``r`` flat or
     lattice-shaped; result keeps its shape.
+
+    Distributed (shard_map) use: ``shape`` is the LOCAL lattice shape
+    and ``exchange`` the layout's interface partial-sum exchange
+    (``ops['exchange']`` of the dist/grid cycle-ops dicts). The cell
+    sum then runs exactly as on one device — local cells overlap-add
+    locally, the duplicated interface planes hold one cell's partial
+    per shard, and the exchange reconciles them before the multiplicity
+    weighting (pointwise ``W`` commutes with the plane add).
     """
     import jax.numpy as jnp
 
@@ -175,6 +210,9 @@ def schwarz_precond_apply(sw, r, shape, P, precision="highest"):
     t = t.reshape(ncx, n, -1)
     t = jnp.einsum("cab,cbq->caq", sw["Vx"], t, precision=precision)
     t = t.reshape(ncx * n, ncy * n, ncz * n)
-    y = _fold(_fold(_fold(t, 0, ncx, P), 1, ncy, P), 2, ncz, P) * sw["w"]
+    y = _fold(_fold(_fold(t, 0, ncx, P), 1, ncy, P), 2, ncz, P)
+    if exchange is not None:
+        y = exchange(y)
+    y = y * sw["w"]
     y = jnp.where(sw["bc"], x, y)
     return y.reshape(r.shape)

@@ -171,21 +171,129 @@ def test_schwarz_sigma_shifted():
                        atol=1e-7 * max(1.0, np.abs(u_ref).max()))
 
 
-def test_schwarz_sharded_rejected():
-    """Not distributed yet: fail fast with guidance, never silently fall
-    back to Jacobi."""
+def test_schwarz_sharded_matches_single():
+    """DistPMG (x-slab) / GridPMG (3D grid) with the p-level Schwarz
+    smoother: residual trajectories match the single device exactly.
+    The cell blocks are shard-local (cells never span shards); the only
+    communication is the interface partial-sum exchange after the cell
+    overlap-add (ops['exchange'] inside the smoother), so ANY axis
+    layout works — unlike the line smoother, which needs its line axis
+    unsharded."""
     from pmg_dolfinx_tpu.parallel.dist import DistPMG
     from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
 
-    mesh = BoxMesh((8, 4, 4))
-    with pytest.raises(ValueError, match="not distributed yet"):
-        DistPMG(mesh, n_devices=4, degrees=(1, 2), kappa=2.0,
-                coarse="cg", operator="lattice", dtype=jnp.float64,
-                smoother="schwarz")
-    with pytest.raises(ValueError, match="not distributed yet"):
-        GridPMG(mesh, shards=(2, 2, 1), degrees=(1, 2), kappa=2.0,
-                coarse="cg", operator="lattice", dtype=jnp.float64,
-                smoother="schwarz")
+    K = np.diag([1.0, 2.0, 16.0])
+    mesh = BoxMesh((8, 4, 8))
+    b = jnp.asarray(assemble_rhs(mesh, 2, f_rhs_tensor(K)))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        hier = PMGHierarchy(mesh, degrees=(1, 2), kappa=K, coarse="cg",
+                            operator="lattice", dtype=jnp.float64,
+                            smoother="schwarz")
+        u_s, rn_s = hier.solve(b, num_cycles=4)
+        dist = DistPMG(mesh, n_devices=4, degrees=(1, 2), kappa=K,
+                       coarse="cg", operator="lattice",
+                       dtype=jnp.float64, smoother="schwarz")
+        u_d, rn_d = dist.solve(np.asarray(b), num_cycles=4)
+        # x sharded too — the layout the line smoother must reject.
+        grid = GridPMG(mesh, shards=(2, 2, 2), degrees=(1, 2), kappa=K,
+                       coarse="cg", operator="lattice",
+                       dtype=jnp.float64, smoother="schwarz")
+        u_g, rn_g = grid.solve(np.asarray(b), num_cycles=4)
+    assert np.allclose(rn_d, rn_s, rtol=1e-10), (rn_s, rn_d)
+    assert np.allclose(rn_g, rn_s, rtol=1e-10), (rn_s, rn_g)
+    assert np.allclose(np.asarray(u_d), np.asarray(u_s), atol=1e-11)
+    assert np.allclose(np.asarray(u_g), np.asarray(u_s), atol=1e-11)
+
+
+def test_schwarz_kron_sharded_matches_single():
+    """Same invariance on the kron backend (lattice-shaped vectors) with
+    the FDM coarse, and on the curved-hex general family (GridPMG
+    lattice backend + hmg coarse) — the meshes Schwarz is for."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    K = np.diag([1.0, 2.0, 16.0])
+    mesh = BoxMesh((8, 4, 8))
+    b = jnp.asarray(assemble_rhs(mesh, 2, f_rhs_tensor(K)))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        hier = PMGHierarchy(mesh, degrees=(1, 2), kappa=K, coarse="fdm",
+                            operator="kron", dtype=jnp.float64,
+                            smoother="schwarz")
+        u_s, rn_s = hier.solve(b, num_cycles=4)
+        dist = DistPMG(mesh, n_devices=4, degrees=(1, 2), kappa=K,
+                       coarse="fdm", operator="kron", dtype=jnp.float64,
+                       smoother="schwarz")
+        u_d, rn_d = dist.solve(np.asarray(b), num_cycles=4)
+    assert np.allclose(rn_d, rn_s, rtol=1e-10), (rn_s, rn_d)
+
+    mesh_c = PerturbedBoxMesh((8, 4, 8))
+    b_c = jnp.asarray(np.asarray(
+        assemble_rhs(mesh_c, 2, f_rhs_variable(kappa_linear))))
+    hier = PMGHierarchy(mesh_c, degrees=(1, 2), kappa=kappa_linear,
+                        coarse="cg", operator="lattice",
+                        dtype=jnp.float64, smoother="schwarz")
+    u_s, rn_s = hier.solve(b_c, num_cycles=4)
+    grid = GridPMG(mesh_c, shards=(2, 1, 2), degrees=(1, 2),
+                   kappa=kappa_linear, coarse="cg", operator="lattice",
+                   dtype=jnp.float64, smoother="schwarz")
+    u_g, rn_g = grid.solve(np.asarray(b_c), num_cycles=4)
+    assert np.allclose(rn_g, rn_s, rtol=1e-10), (rn_s, rn_g)
+
+
+def test_dist_hmg_schwarz_matches_single():
+    """Schwarz on the DISTRIBUTED (dist=True) h-MG hierarchies: the
+    global build's per-level cell blocks ride the duplicated-plane
+    layouts of every h-level (slab AND multi-axis grid),
+    trajectory-exact vs the single-device gathered hierarchy."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    K = np.diag([1.0, 1.0, 16.0])
+    mesh = BoxMesh((8, 4, 8))
+    b = jnp.asarray(assemble_rhs(mesh, 2, f_rhs_tensor(K)))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        hier = PMGHierarchy(mesh, degrees=(1, 2), kappa=K, coarse="hmg",
+                            operator="kron", dtype=jnp.float64,
+                            smoother="schwarz",
+                            coarse_cfg=dict(smoother="schwarz"))
+        u_s, rn_s = hier.solve(b, num_cycles=4)
+        dist = DistPMG(mesh, n_devices=4, degrees=(1, 2), kappa=K,
+                       coarse="hmg", operator="kron", dtype=jnp.float64,
+                       smoother="schwarz",
+                       coarse_cfg=dict(dist=True, smoother="schwarz"))
+        u_d, rn_d = dist.solve(np.asarray(b), num_cycles=4)
+        grid = GridPMG(mesh, shards=(2, 2, 2), degrees=(1, 2), kappa=K,
+                       coarse="hmg", operator="kron", dtype=jnp.float64,
+                       smoother="schwarz",
+                       coarse_cfg=dict(dist=True, smoother="schwarz"))
+        u_g, rn_g = grid.solve(np.asarray(b), num_cycles=4)
+    assert np.allclose(rn_d, rn_s, rtol=1e-10), (rn_s, rn_d)
+    assert np.allclose(rn_g, rn_s, rtol=1e-10), (rn_s, rn_g)
+
+
+def test_dist_hmg_schwarz_general_family_matches_single():
+    """Same for the GENERAL family (curved hexes + variable DG-0 kappa):
+    build_hmg_grid_general threads the Schwarz blocks through the
+    rediscretized multi-axis h-levels."""
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    mesh = PerturbedBoxMesh((8, 4, 8))
+    b = jnp.asarray(np.asarray(
+        assemble_rhs(mesh, 2, f_rhs_variable(kappa_linear))))
+    hier = PMGHierarchy(mesh, degrees=(1, 2), kappa=kappa_linear,
+                        coarse="hmg", operator="lattice",
+                        dtype=jnp.float64, smoother="schwarz",
+                        coarse_cfg=dict(smoother="schwarz"))
+    u_s, rn_s = hier.solve(b, num_cycles=4)
+    grid = GridPMG(mesh, shards=(2, 2, 1), degrees=(1, 2),
+                   kappa=kappa_linear, coarse="hmg", operator="lattice",
+                   dtype=jnp.float64, smoother="schwarz",
+                   coarse_cfg=dict(dist=True, smoother="schwarz"))
+    u_g, rn_g = grid.solve(np.asarray(b), num_cycles=4)
+    assert np.allclose(rn_g, rn_s, rtol=1e-10), (rn_s, rn_g)
 
 
 def test_schwarz_fuse_smoother_rejected():
