@@ -193,6 +193,17 @@ def _kernel_lattice_zg(xg_ref, g_ref, EzTb_ref, Ezb_ref, DzTb_ref,
     # cut at 16.2M (ncz=42, zb=14). All group arrays live in their own
     # (sublane, lane) tiles, so no in-kernel relayouts; the group
     # overlap-add rides the XLA epilogue like the cell-level folds.
+    #
+    # MEASURED NEGATIVE RESULT (v5e, r3): parity-exact (rel 5.7e-8 vs
+    # the assembled oracle at 380k), but SLOWER than the production
+    # variants everywhere it fits — 16.2M: 1.65 GDOF/s 'highest' vs
+    # yexp 2.14, 1.75 'high' vs v1 2.78 (the grouped (Q, 6*ngz, Qy,
+    # zbn) layout inflates the input/output windows; the MXU saving
+    # never shows because the kernel is VPU/window-bound, consistent
+    # with the bcells finding) — and the fatter windows VMEM-OOM at
+    # 30.4M (zb=19: a (329,18,364,133) f32 input). Kept opt-in
+    # (variant='zgrp') as a measured design datapoint; the auto-select
+    # never picks it.
     dot = _mk_dot(high)
     EzTb, Ezb = EzTb_ref[:], Ezb_ref[:]
     DzTb, Dzb = DzTb_ref[:], Dzb_ref[:]
