@@ -107,6 +107,17 @@ with warnings.catch_warnings():
                       coarse="cg", operator="lattice", smoother="line")
     _, rn_line = dist_ln.solve(b_ln, num_cycles=5)
 
+# Cell-wise FDM SCHWARZ smoother across processes (solvers/schwarz.py):
+# the cell overlap-add's interface partial-sum exchange crosses the
+# process boundary on EVERY sharded axis of the (2,2,2) grid.
+b_sw = assemble_rhs(mesh_g, 3, f_rhs_tensor(kline))
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore")
+    grid_sw = GridPMG(mesh_g, shards=(2, 2, 2), degrees=(1, 3),
+                      kappa=kline, coarse="cg", operator="kron",
+                      smoother="schwarz")
+    _, rn_schwarz = grid_sw.solve(b_sw, num_cycles=5)
+
 with open(out_path, "w") as f:
     json.dump({
         "pid": pid,
@@ -117,6 +128,7 @@ with open(out_path, "w") as f:
         "rn_hmg": rn_hmg,
         "rn_aniso": rn_aniso,
         "rn_line": rn_line,
+        "rn_schwarz": rn_schwarz,
         "u_d_norm": float((u_d ** 2).sum() ** 0.5),
         "u_g_norm": float((u_g ** 2).sum() ** 0.5),
     }, f)
