@@ -242,6 +242,36 @@ def test_schwarz_kron_sharded_matches_single():
     assert np.allclose(rn_g, rn_s, rtol=1e-10), (rn_s, rn_g)
 
 
+def test_hmg_schwarz_gathered_sharded_matches_single():
+    """coarse_cfg['smoother']='schwarz' on the GATHERED (redundant-
+    global) hmg coarse under sharding: the replicated h-levels smooth
+    with the global Schwarz data and no exchange (the ops dict of the
+    inner hierarchy has none) — trajectory-exact vs single device."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    K = np.diag([1.0, 1.0, 16.0])
+    mesh = BoxMesh((8, 4, 8))
+    b = jnp.asarray(assemble_rhs(mesh, 2, f_rhs_tensor(K)))
+    cfg = dict(smoother="schwarz")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        hier = PMGHierarchy(mesh, degrees=(1, 2), kappa=K, coarse="hmg",
+                            operator="lattice", coarse_cfg=dict(cfg),
+                            dtype=jnp.float64)
+        u_s, rn_s = hier.solve(b, num_cycles=4)
+        dist = DistPMG(mesh, n_devices=4, degrees=(1, 2), kappa=K,
+                       coarse="hmg", operator="lattice",
+                       coarse_cfg=dict(cfg), dtype=jnp.float64)
+        u_d, rn_d = dist.solve(np.asarray(b), num_cycles=4)
+        grid = GridPMG(mesh, shards=(2, 2, 1), degrees=(1, 2), kappa=K,
+                       coarse="hmg", operator="lattice",
+                       coarse_cfg=dict(cfg), dtype=jnp.float64)
+        u_g, rn_g = grid.solve(np.asarray(b), num_cycles=4)
+    assert np.allclose(rn_d, rn_s, rtol=1e-10), (rn_s, rn_d)
+    assert np.allclose(rn_g, rn_s, rtol=1e-10), (rn_s, rn_g)
+
+
 def test_dist_hmg_schwarz_matches_single():
     """Schwarz on the DISTRIBUTED (dist=True) h-MG hierarchies: the
     global build's per-level cell blocks ride the duplicated-plane
