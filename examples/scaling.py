@@ -31,6 +31,10 @@ def main():
     p.add_argument("--dist-coarse", action="store_true",
                    help="with --coarse hmg: the distributed (non-"
                         "gathered) h-MG coarse (coarse_cfg dist=True)")
+    p.add_argument("--smoother", type=str, default="cheb",
+                   help="p-level smoother preconditioner: 'cheb' (point "
+                        "Jacobi), 'line'/'line-x|y|z' (unsharded axis "
+                        "only), or 'schwarz' (any layout)")
     args = p.parse_args()
     dtype = setup_jax(args, n_cpu_devices=args.max_devices or 8)
 
@@ -73,7 +77,8 @@ def main():
                 if args.dist_coarse else None)
         dist = DistPMG(mesh, n_devices=nd, degrees=tuple(args.degrees),
                        kappa=args.kappa, dtype=dtype, coarse=args.coarse,
-                       coarse_cfg=ccfg, operator=args.operator)
+                       coarse_cfg=ccfg, operator=args.operator,
+                       smoother=args.smoother)
         setup = time.time() - t0
         b = assemble_rhs(mesh, pmax, f_rhs(args.kappa))
         bd = dist.to_dist(b)
@@ -144,7 +149,8 @@ def _grid_sweep(args, dtype):
                 else None)
         grid = GridPMG(mesh, shards=shards, degrees=tuple(args.degrees),
                        kappa=args.kappa, dtype=dtype, coarse=args.coarse,
-                       coarse_cfg=ccfg, operator=op)
+                       coarse_cfg=ccfg, operator=op,
+                       smoother=args.smoother)
         setup = time.time() - t0
         grid.solve(b, num_cycles=1)  # compile
         t0 = time.time()
