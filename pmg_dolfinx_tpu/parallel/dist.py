@@ -281,9 +281,16 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
             # lattice-shaped w/bc into the duplicated-plane slab layout,
             # Vx/ginv slice cell-contiguously (x-cells stay divisible by
             # n_shards at every h-level by the alignment constraint).
+            from ..solvers.schwarz import shard_dense_axis
+
             g_sw = g_lv["schwarz"]
+            starts_sw = [sh * (npl - 1) for sh in range(n_shards)]
             lv["schwarz"] = dict(
                 Vx=g_sw["Vx"], Vy=g_sw["Vy"], Vz=g_sw["Vz"],
+                Ux=jnp.asarray(
+                    shard_dense_axis(g_sw["Ux"], P0, starts_sw, npl),
+                    dtype=dtype),
+                Uy=g_sw["Uy"], Uz=g_sw["Uz"],
                 ginv=g_sw["ginv"],
                 w=jnp.asarray(p_l.to_dist(P0, np.asarray(g_sw["w"])),
                               dtype=dtype),
@@ -291,6 +298,7 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
                     P0, np.asarray(g_sw["bc"], np.float64)) > 0.5),
             )
             spec["schwarz"] = dict(Vx=P(AXIS), Vy=P(), Vz=P(),
+                                   Ux=P(AXIS), Uy=P(), Uz=P(),
                                    ginv=P(AXIS), w=P(AXIS), bc=P(AXIS))
         levels.append(Level(P=P0, ndofs=p_l.local_ndofs(P0),
                             smoother_iters=smoother_iters,
@@ -686,18 +694,29 @@ class DistPMG:
                 )
                 common_spec["line_inv"] = P(AXIS)
             if self._schwarz:
-                from ..solvers.schwarz import build_schwarz_np
+                from ..solvers.schwarz import (build_schwarz_np,
+                                               shard_dense_axis)
 
                 # Global host build, then the slab layout: Vx/ginv are
                 # cell-contiguous along x (the PartitionSpec slices
                 # them — nx % n_shards == 0 by SlabPartition), w/bc are
                 # dof-lattice-shaped and get duplicated interface
                 # planes like every other lattice-shaped level array.
+                # The dense-form Ux re-lays as row-stacked per-shard
+                # diagonal blocks (local nodes incl. duplicated planes
+                # -> local cells); Uy/Uz are replicated whole.
                 swg = build_schwarz_np(mesh, Pdeg, self._kappa_raw,
                                        sigma=self.sigma)
+                npl_sw = part.local_planes(Pdeg)
+                starts_sw = [sh * (npl_sw - 1)
+                             for sh in range(part.n_shards)]
                 common["schwarz"] = dict(
                     {k: jnp.asarray(swg[k], dtype=dtype)
-                     for k in ("Vx", "Vy", "Vz", "ginv")},
+                     for k in ("Vx", "Vy", "Vz", "Uy", "Uz", "ginv")},
+                    Ux=jnp.asarray(
+                        shard_dense_axis(swg["Ux"], Pdeg, starts_sw,
+                                         npl_sw),
+                        dtype=dtype),
                     w=jnp.asarray(part.to_dist(Pdeg, swg["w"]),
                                   dtype=dtype),
                     bc=jnp.asarray(part.to_dist(
@@ -705,6 +724,7 @@ class DistPMG:
                 )
                 common_spec["schwarz"] = dict(
                     Vx=P(AXIS), Vy=P(), Vz=P(), ginv=P(AXIS),
+                    Ux=P(AXIS), Uy=P(), Uz=P(),
                     w=P(AXIS), bc=P(AXIS),
                 )
             if self.sigma and not kron_family:

@@ -507,6 +507,8 @@ def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
             # (and the schwarz-preconditioned lmax); V_a/ginv slice
             # cell-contiguously per axis, lattice-shaped w/bc ride the
             # per-axis duplicated-plane layout.
+            from ..solvers.schwarz import shard_dense_axis
+
             g_sw = g_lv["schwarz"]
             lv["schwarz"] = dict(
                 Vx=g_sw["Vx"], Vy=g_sw["Vy"], Vz=g_sw["Vz"],
@@ -515,9 +517,17 @@ def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
                               dtype=dtype),
                 bc=jnp.asarray(p_l.to_dist(
                     P0, np.asarray(g_sw["bc"], np.float64)) > 0.5),
+                **{
+                    k: jnp.asarray(
+                        shard_dense_axis(g_sw[k], P0,
+                                         *p_l._axis_starts(P0, a)),
+                        dtype=dtype)
+                    for a, k in enumerate(("Ux", "Uy", "Uz"))
+                },
             )
             spec["schwarz"] = dict(
                 Vx=P(AXES[0]), Vy=P(AXES[1]), Vz=P(AXES[2]),
+                Ux=P(AXES[0]), Uy=P(AXES[1]), Uz=P(AXES[2]),
                 ginv=PSHARD, w=PSHARD, bc=PSHARD,
             )
         fill_level(lv, spec, m, p_l, g_lv)
@@ -1157,13 +1167,16 @@ class GridPMG:
                 dtype=dtype)
             spec["line_inv"] = P(AXES[others[0]], AXES[others[1]])
         if include_diag and getattr(self, "_schwarz", False):
-            from ..solvers.schwarz import build_schwarz_np
+            from ..solvers.schwarz import build_schwarz_np, shard_dense_axis
 
             # Global host build, then the grid layout: V_a/ginv are
             # cell-contiguous along every axis (PartitionSpecs slice
             # them — nc[a] % shards[a] == 0 by GridPartition), w/bc are
             # dof-lattice-shaped and ride the per-axis duplicated-plane
-            # layout like every other lattice-shaped level array.
+            # layout like every other lattice-shaped level array. The
+            # dense-form U_a re-lay as row-stacked per-shard diagonal
+            # blocks along their own axis (local nodes incl. duplicated
+            # planes -> local cells).
             swg = build_schwarz_np(mesh, Pdeg, self._kappa_raw,
                                    sigma=self.sigma)
             lv["schwarz"] = dict(
@@ -1172,9 +1185,17 @@ class GridPMG:
                 w=jnp.asarray(part.to_dist(Pdeg, swg["w"]), dtype=dtype),
                 bc=jnp.asarray(part.to_dist(
                     Pdeg, np.asarray(swg["bc"], np.float64)) > 0.5),
+                **{
+                    k: jnp.asarray(
+                        shard_dense_axis(swg[k], Pdeg,
+                                         *part._axis_starts(Pdeg, a)),
+                        dtype=dtype)
+                    for a, k in enumerate(("Ux", "Uy", "Uz"))
+                },
             )
             spec["schwarz"] = dict(
                 Vx=P(AXES[0]), Vy=P(AXES[1]), Vz=P(AXES[2]),
+                Ux=P(AXES[0]), Uy=P(AXES[1]), Uz=P(AXES[2]),
                 ginv=PSHARD, w=PSHARD, bc=PSHARD,
             )
         if self.sigma and backend not in ("kron", "kron_blocked"):

@@ -97,6 +97,57 @@ def axis_multiplicity(nca, P):
     return m
 
 
+def _axis_dense(V, P, left_bc=True, right_bc=True):
+    """Dense per-axis forward-transform matrix ``U`` (f64).
+
+    ``U = blockdiag(V_c^T) @ E @ diag(w * (1 - bc))`` of shape
+    ``(nca*n, N)``: cell expansion E, the (separable) multiplicity
+    weight ``w = 1/sqrt(mult)`` and the per-axis Dirichlet zero-mask
+    folded into the per-cell eigenvector transposes. The whole Schwarz
+    preconditioner then reads ``M^-1 = U_x^T U_y^T U_z^T [ginv *
+    (U_x U_y U_z r)]`` + identity on bc — six dense rectangular axis
+    contractions, the same MXU-friendly shape as the FDM direct solver
+    (solvers/fdm.py), instead of batched (P+1)x(P+1) matmuls whose
+    K=P+1 starves the 128x128 systolic array and whose trailing-dim-n
+    intermediates pad to 128 lanes (measured 88.7 ms/cycle at 16.2M,
+    ARTIFACTS/smoother16m_r3.md — the dense form is the fix).
+    """
+    nca, n = V.shape[0], P + 1
+    N = nca * P + 1
+    s = 1.0 / np.sqrt(axis_multiplicity(nca, P))
+    if left_bc:
+        s[0] = 0.0
+    if right_bc:
+        s[-1] = 0.0
+    U = np.zeros((nca * n, N))
+    for c in range(nca):
+        U[c * n:(c + 1) * n, c * P:c * P + n] = (
+            V[c].T * s[c * P:c * P + n][None, :])
+    return U
+
+
+def shard_dense_axis(U, P, starts, npl):
+    """Per-shard diagonal blocks of a dense axis matrix, row-stacked.
+
+    ``U`` is the global ``(nca*n, N)`` matrix from `_axis_dense`;
+    ``starts``/``npl`` the duplicated-plane layout's per-shard node
+    starts and local plane count (`SlabPartition`/`GridPartition.
+    _axis_starts`). Each shard's block maps its LOCAL nodes (incl. the
+    duplicated interface planes) to its LOCAL cells — cells never span
+    shards, so the block is an exact slice; stacking along rows makes
+    the result evenly shardable with a dim-0 PartitionSpec. Interface
+    partials produced by the transposed (fold) contraction are
+    reconciled by the layout's partial-sum exchange, exactly like the
+    batched form's `_fold`.
+    """
+    U = np.asarray(U)
+    n = U.shape[0] // ((U.shape[1] - 1) // P)
+    ncl = (npl - 1) // P
+    return np.concatenate(
+        [U[(s0 // P) * n:(s0 // P + ncl) * n, s0:s0 + npl]
+         for s0 in starts], axis=0)
+
+
 def build_schwarz_np(mesh, P, kappa, sigma=0.0):
     """Host (NumPy, f64) global Schwarz data for `schwarz_precond_apply`.
 
@@ -148,6 +199,9 @@ def build_schwarz_np(mesh, P, kappa, sigma=0.0):
         Vx=Vs[0],
         Vy=Vs[1],
         Vz=Vs[2],
+        Ux=_axis_dense(Vs[0], P),
+        Uy=_axis_dense(Vs[1], P),
+        Uz=_axis_dense(Vs[2], P),
         ginv=1.0 / lsum.reshape(ncx * n, ncy * n, ncz * n),
         w=1.0 / np.sqrt(mult),
         bc=mesh.boundary_dof_marker(P).reshape(mult.shape),
@@ -161,20 +215,31 @@ def build_schwarz(mesh, P, kappa, dtype, sigma=0.0):
     sw = build_schwarz_np(mesh, P, kappa, sigma=sigma)
     return dict(
         {k: jnp.asarray(sw[k], dtype=dtype)
-         for k in ("Vx", "Vy", "Vz", "ginv", "w")},
+         for k in ("Vx", "Vy", "Vz", "Ux", "Uy", "Uz", "ginv", "w")},
         bc=jnp.asarray(sw["bc"] > 0.5),
     )
 
 
 def schwarz_precond_apply(sw, r, shape, P, precision="highest",
-                          exchange=None):
+                          exchange=None, form=None):
     """Apply the Schwarz preconditioner ``r -> M^-1 r`` (jit-traceable).
 
     ``M^-1 = W [sum_cells R_c^T B_c^-1 R_c] W`` with ``W`` the symmetric
-    multiplicity weighting and ``B_c^-1`` the separable FDM inverse:
-    zero-FLOP cell expansion, V^T per axis, eigenvalue scale, V per
-    axis, overlap-add, identity on bc dofs. ``r`` flat or
-    lattice-shaped; result keeps its shape.
+    multiplicity weighting and ``B_c^-1`` the separable FDM inverse.
+    Two mathematically identical forms (parity-tested to roundoff):
+
+    - ``'dense'`` (default when the ``Ux/Uy/Uz`` matrices are present):
+      six dense rectangular axis contractions around the pointwise
+      eigenvalue scale — the FDM-solver shape that keeps the MXU full
+      (see `_axis_dense`). W, cell expansion and the per-axis bc
+      zero-mask are folded into the matrices.
+    - ``'batched'``: zero-FLOP cell expansion, batched per-cell V^T/V
+      matmuls, overlap-add. Kept as the independent reference
+      implementation; on TPU its K=P+1 matmuls and 128-lane-padded
+      intermediates are ~an order of magnitude slower at production
+      sizes (ARTIFACTS/smoother16m_r3.md).
+
+    ``r`` flat or lattice-shaped; result keeps its shape.
 
     Distributed (shard_map) use: ``shape`` is the LOCAL lattice shape
     and ``exchange`` the layout's interface partial-sum exchange
@@ -182,7 +247,9 @@ def schwarz_precond_apply(sw, r, shape, P, precision="highest",
     sum then runs exactly as on one device — local cells overlap-add
     locally, the duplicated interface planes hold one cell's partial
     per shard, and the exchange reconciles them before the multiplicity
-    weighting (pointwise ``W`` commutes with the plane add).
+    weighting (pointwise ``W`` commutes with the plane add; in the
+    dense form W rides the matrices, applied per shard to each
+    partial — same commutation).
     """
     import jax.numpy as jnp
 
@@ -192,6 +259,20 @@ def schwarz_precond_apply(sw, r, shape, P, precision="highest",
     NX, NY, NZ = shape
     ncx, ncy, ncz = (NX - 1) // P, (NY - 1) // P, (NZ - 1) // P
     x = r.reshape(shape)
+    if form is None:
+        form = "dense" if "Ux" in sw else "batched"
+    if form == "dense":
+        t = jnp.einsum("ax,xyz->ayz", sw["Ux"], x, precision=precision)
+        t = jnp.einsum("by,ayz->abz", sw["Uy"], t, precision=precision)
+        t = jnp.einsum("cz,abz->abc", sw["Uz"], t, precision=precision)
+        t = t * sw["ginv"]
+        t = jnp.einsum("cz,abc->abz", sw["Uz"], t, precision=precision)
+        t = jnp.einsum("by,abz->ayz", sw["Uy"], t, precision=precision)
+        y = jnp.einsum("ax,ayz->xyz", sw["Ux"], t, precision=precision)
+        if exchange is not None:
+            y = exchange(y)
+        y = jnp.where(sw["bc"], x, y)
+        return y.reshape(r.shape)
     xb = jnp.where(sw["bc"], jnp.zeros_like(x), x) * sw["w"]
     t = _expand(_expand(_expand(xb, 2, ncz, P), 1, ncy, P), 0, ncx, P)
     # V^T transforms (per-cell-position eigenbases, batched matmuls)
