@@ -170,13 +170,15 @@ def _bench_size(nc, lo, hi):
     return nd, detail[best][0], detail[best][1], best, detail
 
 
-def _bench_vcycle_16m():
+def _bench_vcycle_16m(smoother="cheb"):
     """16.2M-dof p=(1,3,6) V-cycle wall time (fdm coarse, f32 'highest')
     for the production kron_blocked backend, timed as the slope of the
     jitted cycle scan. (The XLA-kron twin measured 14.38 ms under the
     same harness — dropped from the routine run to keep the bench within
     its wall-time budget: each 16.2M hierarchy costs ~5 min of remote
-    compiles, which the TPU plugin cannot cache.)"""
+    compiles, which the TPU plugin cannot cache.) ``smoother='schwarz'``
+    pins the dense-form cell-wise FDM Schwarz cycle (the robustness
+    smoother, ARTIFACTS/smoother16m_r3.md)."""
     import jax.numpy as jnp
 
     from pmg_dolfinx_tpu.models.poisson import PoissonProblem
@@ -184,7 +186,8 @@ def _bench_vcycle_16m():
     out = {}
     for op in ("kron_blocked",):
         prob = PoissonProblem(nc=(42, 42, 42), degrees=(1, 3, 6), kappa=2.0,
-                              dtype=jnp.float32, coarse="fdm", operator=op)
+                              dtype=jnp.float32, coarse="fdm", operator=op,
+                              smoother=smoother)
         # The residual readback forces the host sync (block_until_ready
         # does not synchronize under the axon tunnel — CLAUDE.md).
         run = lambda n: float(prob.solve(num_cycles=n)[1][-1])
@@ -368,6 +371,12 @@ def main():
         fdm_ms, _ = _bench_fdm_solve_2m()
         extra["fdm_solve_2M_ms"] = round(fdm_ms, 3)
 
+    def bench_vcycle_schwarz():
+        vcycle = _bench_vcycle_16m(smoother="schwarz")
+        extra["vcycle_16M_p136_schwarz_ms"] = {
+            k: round(v[0], 2) for k, v in vcycle.items()
+        }
+
     # Cheapest-compile extras first: a mid-run worker outage still
     # leaves the most numbers on the table.
     guarded("fdm_solve_2M", bench_fdm)
@@ -375,6 +384,7 @@ def main():
     guarded("16M", bench_16m)
     guarded("30M", bench_30m)
     guarded("vcycle_16M", bench_vcycle)
+    guarded("vcycle_16M_schwarz", bench_vcycle_schwarz)
     wd.cancel()
     _emit(
         {
