@@ -16,6 +16,10 @@ Discipline (CLAUDE.md environment gotchas):
 
 State in /tmp/tpu_q/state.json, per-item logs /tmp/tpu_q/<name>.log.
 Run from the repo root: `nohup python tools/tpu_queue.py &`.
+
+A follow-up queue can be supplied as JSON (list of
+``[name, argv, cap_s, depends_on]``): `python tools/tpu_queue.py
+--items tools/queue_r3b.json --dir /tmp/tpu_q_r3b`.
 """
 
 import json
@@ -141,6 +145,21 @@ def run_item(name, argv, cap):
 
 
 def main():
+    global QDIR, STATE, ITEMS
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--items", default=None,
+                    help="JSON file: list of [name, argv, cap_s, dep]")
+    ap.add_argument("--dir", default=QDIR,
+                    help="state/log directory (default /tmp/tpu_q)")
+    args = ap.parse_args()
+    QDIR, STATE = args.dir, os.path.join(args.dir, "state.json")
+    if args.items:
+        with open(args.items) as f:
+            ITEMS = [(n, [a if a != "PYTHON" else sys.executable
+                          for a in argv], cap, dep)
+                     for n, argv, cap, dep in json.load(f)]
     os.makedirs(QDIR, exist_ok=True)
     st = load_state()
     while True:
