@@ -178,7 +178,10 @@ def _bench_vcycle_16m(smoother="cheb"):
     its wall-time budget: each 16.2M hierarchy costs ~5 min of remote
     compiles, which the TPU plugin cannot cache.) ``smoother='schwarz'``
     pins the dense-form cell-wise FDM Schwarz cycle (the robustness
-    smoother, ARTIFACTS/smoother16m_r3.md)."""
+    smoother, ARTIFACTS/smoother16m_r3.md) — a deliberate second 16.2M
+    hierarchy spend (~5 min), accepted within the 2 h watchdog budget
+    because the dense-form claim is round-artifact-worthy; it runs LAST
+    so an outage costs only this number."""
     import jax.numpy as jnp
 
     from pmg_dolfinx_tpu.models.poisson import PoissonProblem

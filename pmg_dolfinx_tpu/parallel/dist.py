@@ -269,10 +269,9 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
 
             # x is the leading lead axis (line axis is y or z): only it
             # gets the duplicated-plane layout.
-            starts_x = [sh * (npl - 1) for sh in range(n_shards)]
             lv["line_inv"] = jnp.asarray(
                 shard_line_blocks(g_lv["line_inv"], m.lattice_shape(P0),
-                                  line_axis, [(starts_x, npl), None]),
+                                  line_axis, [p_l.axis_starts(P0), None]),
                 dtype=dtype)
             spec["line_inv"] = P(AXIS)
         if schwarz:
@@ -284,22 +283,18 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
             from ..solvers.schwarz import shard_dense_axis
 
             g_sw = g_lv["schwarz"]
-            starts_sw = [sh * (npl - 1) for sh in range(n_shards)]
             lv["schwarz"] = dict(
-                Vx=g_sw["Vx"], Vy=g_sw["Vy"], Vz=g_sw["Vz"],
                 Ux=jnp.asarray(
-                    shard_dense_axis(g_sw["Ux"], P0, starts_sw, npl),
+                    shard_dense_axis(g_sw["Ux"], P0,
+                                     *p_l.axis_starts(P0)),
                     dtype=dtype),
                 Uy=g_sw["Uy"], Uz=g_sw["Uz"],
                 ginv=g_sw["ginv"],
-                w=jnp.asarray(p_l.to_dist(P0, np.asarray(g_sw["w"])),
-                              dtype=dtype),
                 bc=jnp.asarray(p_l.to_dist(
                     P0, np.asarray(g_sw["bc"], np.float64)) > 0.5),
             )
-            spec["schwarz"] = dict(Vx=P(AXIS), Vy=P(), Vz=P(),
-                                   Ux=P(AXIS), Uy=P(), Uz=P(),
-                                   ginv=P(AXIS), w=P(AXIS), bc=P(AXIS))
+            spec["schwarz"] = dict(Ux=P(AXIS), Uy=P(), Uz=P(),
+                                   ginv=P(AXIS), bc=P(AXIS))
         levels.append(Level(P=P0, ndofs=p_l.local_ndofs(P0),
                             smoother_iters=smoother_iters,
                             shape=p_l.local_shape(P0),
@@ -679,16 +674,13 @@ class DistPMG:
                 # Global within-line block inverses -> duplicated-plane
                 # slab layout (x is the leading lead axis; the line axis
                 # is y or z).
-                npl_x = part.local_planes(Pdeg)
-                starts_x = [sh * (npl_x - 1)
-                            for sh in range(part.n_shards)]
                 common["line_inv"] = jnp.asarray(
                     shard_line_blocks(
                         line_block_inverses(mesh, Pdeg, self._kappa_raw,
                                             self._line_axis,
                                             sigma=self.sigma),
                         mesh.lattice_shape(Pdeg), self._line_axis,
-                        [(starts_x, npl_x), None],
+                        [part.axis_starts(Pdeg), None],
                     ),
                     dtype=dtype,
                 )
@@ -697,35 +689,28 @@ class DistPMG:
                 from ..solvers.schwarz import (build_schwarz_np,
                                                shard_dense_axis)
 
-                # Global host build, then the slab layout: Vx/ginv are
+                # Global host build, then the slab layout: ginv is
                 # cell-contiguous along x (the PartitionSpec slices
-                # them — nx % n_shards == 0 by SlabPartition), w/bc are
-                # dof-lattice-shaped and get duplicated interface
+                # it — nx % n_shards == 0 by SlabPartition), bc is
+                # dof-lattice-shaped and gets duplicated interface
                 # planes like every other lattice-shaped level array.
                 # The dense-form Ux re-lays as row-stacked per-shard
                 # diagonal blocks (local nodes incl. duplicated planes
                 # -> local cells); Uy/Uz are replicated whole.
                 swg = build_schwarz_np(mesh, Pdeg, self._kappa_raw,
                                        sigma=self.sigma)
-                npl_sw = part.local_planes(Pdeg)
-                starts_sw = [sh * (npl_sw - 1)
-                             for sh in range(part.n_shards)]
                 common["schwarz"] = dict(
                     {k: jnp.asarray(swg[k], dtype=dtype)
-                     for k in ("Vx", "Vy", "Vz", "Uy", "Uz", "ginv")},
+                     for k in ("Uy", "Uz", "ginv")},
                     Ux=jnp.asarray(
-                        shard_dense_axis(swg["Ux"], Pdeg, starts_sw,
-                                         npl_sw),
+                        shard_dense_axis(swg["Ux"], Pdeg,
+                                         *part.axis_starts(Pdeg)),
                         dtype=dtype),
-                    w=jnp.asarray(part.to_dist(Pdeg, swg["w"]),
-                                  dtype=dtype),
                     bc=jnp.asarray(part.to_dist(
                         Pdeg, np.asarray(swg["bc"], np.float64)) > 0.5),
                 )
                 common_spec["schwarz"] = dict(
-                    Vx=P(AXIS), Vy=P(), Vz=P(), ginv=P(AXIS),
-                    Ux=P(AXIS), Uy=P(), Uz=P(),
-                    w=P(AXIS), bc=P(AXIS),
+                    ginv=P(AXIS), Ux=P(AXIS), Uy=P(), Uz=P(), bc=P(AXIS),
                 )
             if self.sigma and not kron_family:
                 from ..fem.assembly import lumped_mass_np

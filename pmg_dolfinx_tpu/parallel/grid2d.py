@@ -511,10 +511,7 @@ def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
 
             g_sw = g_lv["schwarz"]
             lv["schwarz"] = dict(
-                Vx=g_sw["Vx"], Vy=g_sw["Vy"], Vz=g_sw["Vz"],
                 ginv=g_sw["ginv"],
-                w=jnp.asarray(p_l.to_dist(P0, np.asarray(g_sw["w"])),
-                              dtype=dtype),
                 bc=jnp.asarray(p_l.to_dist(
                     P0, np.asarray(g_sw["bc"], np.float64)) > 0.5),
                 **{
@@ -526,9 +523,8 @@ def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
                 },
             )
             spec["schwarz"] = dict(
-                Vx=P(AXES[0]), Vy=P(AXES[1]), Vz=P(AXES[2]),
                 Ux=P(AXES[0]), Uy=P(AXES[1]), Uz=P(AXES[2]),
-                ginv=PSHARD, w=PSHARD, bc=PSHARD,
+                ginv=PSHARD, bc=PSHARD,
             )
         fill_level(lv, spec, m, p_l, g_lv)
         levels.append(Level(P=P0, ndofs=p_l.local_ndofs(P0),
@@ -1169,10 +1165,10 @@ class GridPMG:
         if include_diag and getattr(self, "_schwarz", False):
             from ..solvers.schwarz import build_schwarz_np, shard_dense_axis
 
-            # Global host build, then the grid layout: V_a/ginv are
+            # Global host build, then the grid layout: ginv is
             # cell-contiguous along every axis (PartitionSpecs slice
-            # them — nc[a] % shards[a] == 0 by GridPartition), w/bc are
-            # dof-lattice-shaped and ride the per-axis duplicated-plane
+            # it — nc[a] % shards[a] == 0 by GridPartition), bc is
+            # dof-lattice-shaped and rides the per-axis duplicated-plane
             # layout like every other lattice-shaped level array. The
             # dense-form U_a re-lay as row-stacked per-shard diagonal
             # blocks along their own axis (local nodes incl. duplicated
@@ -1180,9 +1176,7 @@ class GridPMG:
             swg = build_schwarz_np(mesh, Pdeg, self._kappa_raw,
                                    sigma=self.sigma)
             lv["schwarz"] = dict(
-                {k: jnp.asarray(swg[k], dtype=dtype)
-                 for k in ("Vx", "Vy", "Vz", "ginv")},
-                w=jnp.asarray(part.to_dist(Pdeg, swg["w"]), dtype=dtype),
+                ginv=jnp.asarray(swg["ginv"], dtype=dtype),
                 bc=jnp.asarray(part.to_dist(
                     Pdeg, np.asarray(swg["bc"], np.float64)) > 0.5),
                 **{
@@ -1194,9 +1188,8 @@ class GridPMG:
                 },
             )
             spec["schwarz"] = dict(
-                Vx=P(AXES[0]), Vy=P(AXES[1]), Vz=P(AXES[2]),
                 Ux=P(AXES[0]), Uy=P(AXES[1]), Uz=P(AXES[2]),
-                ginv=PSHARD, w=PSHARD, bc=PSHARD,
+                ginv=PSHARD, bc=PSHARD,
             )
         if self.sigma and backend not in ("kron", "kron_blocked"):
             from ..fem.assembly import lumped_mass_np

@@ -58,6 +58,13 @@ class SlabPartition:
         """Number of x-planes stored per shard (owned + 1 shared)."""
         return self.cells_per_shard_x * P + 1
 
+    def axis_starts(self, P: int):
+        """Per-shard x-plane starts + local plane count of the
+        duplicated-plane layout (the slab twin of
+        `GridPartition._axis_starts`)."""
+        npl = self.local_planes(P)
+        return [s * (npl - 1) for s in range(self.n_shards)], npl
+
     def local_shape(self, P: int):
         _, NY, NZ = self.mesh.lattice_shape(P)
         return (self.local_planes(P), NY, NZ)

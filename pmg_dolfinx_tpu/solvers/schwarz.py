@@ -195,6 +195,23 @@ def build_schwarz_np(mesh, P, kappa, sigma=0.0):
         axis_multiplicity(ncy, P),
         axis_multiplicity(ncz, P),
     )
+    # Both forms assume the full-box (6-face) Dirichlet set: the dense
+    # matrices hard-fold the per-axis end masks and `_axis_eigs` embeds
+    # identity at the per-axis ends. Fail fast if the mesh's marker ever
+    # stops being that separable union (a partial-Dirichlet subclass
+    # would silently desync the two forms otherwise).
+    bc = np.asarray(mesh.boundary_dof_marker(P)).reshape(mult.shape) > 0.5
+    sep = np.zeros(bc.shape, bool)
+    for a in range(3):
+        sl = [slice(None)] * 3
+        for end in (0, -1):
+            sl[a] = end
+            sep[tuple(sl)] = True
+    if not np.array_equal(bc, sep):
+        raise ValueError(
+            "schwarz smoother assumes the full 6-face Dirichlet marker; "
+            "got a non-separable boundary_dof_marker"
+        )
     return dict(
         Vx=Vs[0],
         Vy=Vs[1],
@@ -204,19 +221,32 @@ def build_schwarz_np(mesh, P, kappa, sigma=0.0):
         Uz=_axis_dense(Vs[2], P),
         ginv=1.0 / lsum.reshape(ncx * n, ncy * n, ncz * n),
         w=1.0 / np.sqrt(mult),
-        bc=mesh.boundary_dof_marker(P).reshape(mult.shape),
+        bc=bc,
     )
 
 
-def build_schwarz(mesh, P, kappa, dtype, sigma=0.0):
-    """Device arrays for `schwarz_precond_apply` (dict pytree)."""
+# Device-dict keys per apply form. Production builders ship 'dense'
+# only: the batched form's w is a full lattice-sized array (~65 MB f32
+# per level at 16.2M) that the dense path never reads — dead HBM.
+_FORM_KEYS = {
+    "dense": ("Ux", "Uy", "Uz", "ginv"),
+    "batched": ("Vx", "Vy", "Vz", "ginv", "w"),
+    "both": ("Vx", "Vy", "Vz", "Ux", "Uy", "Uz", "ginv", "w"),
+}
+
+
+def build_schwarz(mesh, P, kappa, dtype, sigma=0.0, form="dense"):
+    """Device arrays for `schwarz_precond_apply` (dict pytree).
+
+    ``form='dense'`` (production default) ships only the dense-path
+    arrays; ``'batched'``/``'both'`` include the reference-form ones
+    (parity tests)."""
     import jax.numpy as jnp
 
     sw = build_schwarz_np(mesh, P, kappa, sigma=sigma)
     return dict(
-        {k: jnp.asarray(sw[k], dtype=dtype)
-         for k in ("Vx", "Vy", "Vz", "Ux", "Uy", "Uz", "ginv", "w")},
-        bc=jnp.asarray(sw["bc"] > 0.5),
+        {k: jnp.asarray(sw[k], dtype=dtype) for k in _FORM_KEYS[form]},
+        bc=jnp.asarray(sw["bc"]),
     )
 
 
@@ -261,6 +291,8 @@ def schwarz_precond_apply(sw, r, shape, P, precision="highest",
     x = r.reshape(shape)
     if form is None:
         form = "dense" if "Ux" in sw else "batched"
+    if form not in ("dense", "batched"):
+        raise ValueError(f"form must be 'dense' or 'batched', got {form!r}")
     if form == "dense":
         t = jnp.einsum("ax,xyz->ayz", sw["Ux"], x, precision=precision)
         t = jnp.einsum("by,ayz->abz", sw["Uy"], t, precision=precision)

@@ -52,7 +52,8 @@ def test_schwarz_dense_matches_batched():
         (PerturbedBoxMesh((4, 3, 4)), 2.0, 11.0),
     ):
         P = 3
-        sw = build_schwarz(mesh, P, kappa, jnp.float64, sigma=sigma)
+        sw = build_schwarz(mesh, P, kappa, jnp.float64, sigma=sigma,
+                           form="both")
         r = jnp.asarray(rng.standard_normal(mesh.num_dofs(P)))
         shape = mesh.lattice_shape(P)
         dense = schwarz_precond_apply(sw, r, shape, P, form="dense")

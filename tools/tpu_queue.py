@@ -151,9 +151,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--items", default=None,
                     help="JSON file: list of [name, argv, cap_s, dep]")
-    ap.add_argument("--dir", default=QDIR,
-                    help="state/log directory (default /tmp/tpu_q)")
+    ap.add_argument("--dir", default=None,
+                    help="state/log directory (default /tmp/tpu_q, or "
+                         "/tmp/tpu_q_<items-stem> when --items is given "
+                         "so a follow-up queue never shares state — a "
+                         "name collision would mark its items done "
+                         "without running them)")
     args = ap.parse_args()
+    if args.dir is None:
+        args.dir = ("/tmp/tpu_q_" + os.path.splitext(
+            os.path.basename(args.items))[0] if args.items else QDIR)
     QDIR, STATE = args.dir, os.path.join(args.dir, "state.json")
     if args.items:
         with open(args.items) as f:
