@@ -163,9 +163,12 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
     BoomerAMG coarse solve (src/amg.hpp:11-119) for shard counts where
     redundant-global solving stops scaling.
 
-    Returns ``(levels, data, specs, bottom_mode, gather, unslice)``:
-    the `v_cycle`-shaped data pytree with per-leaf PartitionSpecs, and
-    the coarsest-level gather/slice hooks for the bottom solve.
+    Returns ``(levels, data, specs, bottom_mode, gather, unslice,
+    bottom_solve)``: the `v_cycle`-shaped data pytree with per-leaf
+    PartitionSpecs, the coarsest-level gather/slice hooks for the
+    gathered bottom solves, and — for ``bottom='fdm'`` — the
+    distributed-FDM bottom hook (``hmg_ops['fdm_dist']``), which makes
+    the hierarchy fully gather-free.
     """
     from ..fem.mesh import BoxMesh
     from ..ops.kron import axis_stiffness_mass
@@ -229,7 +232,11 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
         )
     g_levels, g_data, g_bottom = build_hmg(
         mesh, P0, kappa, dtype, smoother_iters=smoother_iters,
-        precision=precision, bottom=bottom, min_cells=min_cells,
+        precision=precision,
+        # 'fdm' bottoms are dist-only (attached below); the global
+        # calibration pass never runs a bottom solve.
+        bottom=("smoother" if bottom == "fdm" else bottom),
+        min_cells=min_cells,
         sigma=sigma, sizes=sizes, smoother=smoother,
     )
     sizes_cf = sizes[::-1]  # coarse -> fine, matching g_data["levels"]
@@ -334,6 +341,21 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
     if "coarse_chol" in g_data:
         data["coarse_chol"] = g_data["coarse_chol"]
         specs["coarse_chol"] = P()
+    bottom_solve = None
+    if bottom == "fdm":
+        # Distributed-FDM bottom (parallel/fdm_dist.py): the hierarchy
+        # becomes FULLY gather-free — the coarsest h-level is solved
+        # exactly via pencil all_to_all transposes instead of the
+        # gathered redundant solve below.
+        from .fdm_dist import make_fdm_dist
+
+        fd_data, fd_spec, bottom_solve = make_fdm_dist(
+            meshes[0], P0, parts[0],
+            ((AXIS, n_shards) if n_shards > 1 else None, None, None),
+            P(AXIS), kappa, dtype, precision=precision, sigma=sigma,
+        )
+        data["fdm"], specs["fdm"] = fd_data, fd_spec
+        g_bottom = "fdm"
 
     # Bottom-solve gather/slice at the coarsest h-level.
     p0 = parts[0]
@@ -354,7 +376,8 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
                                            axis=0)
         return loc if ug.ndim == 3 else loc.reshape(-1)
 
-    return tuple(levels), data, specs, g_bottom, hmg_gather, hmg_slice
+    return (tuple(levels), data, specs, g_bottom, hmg_gather, hmg_slice,
+            bottom_solve)
 
 
 def dist_kron_cycle_ops(n_shards, precision="highest", sigma=0.0):
@@ -874,7 +897,22 @@ class DistPMG:
             ops = dict(ops, coarse_gather=coarse_gather,
                        coarse_slice=coarse_slice)
 
-            if coarse == "fdm":
+            if coarse == "fdm" and self.coarse_cfg.get("dist"):
+                # Non-gathered form: pencil all_to_all transposes on the
+                # sharded x axis (parallel/fdm_dist.py) — the hooks above
+                # go unused on this branch.
+                from .fdm_dist import make_fdm_dist
+
+                fd_data, fd_spec, fd_solve = make_fdm_dist(
+                    mesh, P0, part,
+                    ((AXIS, n_sh) if n_sh > 1 else None, None, None),
+                    P(AXIS), self.kappa_axes, dtype,
+                    precision=precision, sigma=self.sigma,
+                )
+                self._coarse_data = ("fdm", fd_data)
+                self._coarse_spec = fd_spec
+                ops = dict(ops, fdm_dist=fd_solve)
+            elif coarse == "fdm":
                 from ..solvers.fdm import FastDiagonalizationSolver
 
                 fd = FastDiagonalizationSolver(
@@ -923,7 +961,7 @@ class DistPMG:
                         "the 1D-slab layout"
                     )
                 (hmg_levels, hmg_data, hmg_specs, hmg_bottom,
-                 hmg_gather, hmg_slice) = build_hmg_dist(
+                 hmg_gather, hmg_slice, hmg_bottom_solve) = build_hmg_dist(
                     mesh, self.n_shards, P0, self.kappa_axes, dtype,
                     smoother_iters=smoother_iters, precision=precision,
                     bottom=self.coarse_cfg.get("bottom", "direct"),
@@ -939,6 +977,9 @@ class DistPMG:
                     coarse_gather=hmg_gather,
                     coarse_slice=hmg_slice,
                 )
+                if hmg_bottom_solve is not None:
+                    # bottom='fdm': gather-free exact bottom solve.
+                    hmg_ops["fdm_dist"] = hmg_bottom_solve
                 self.coarse_cfg.update(
                     hmg_levels=hmg_levels, hmg_ops=hmg_ops,
                     hmg_bottom=hmg_bottom, hmg_dist=True,

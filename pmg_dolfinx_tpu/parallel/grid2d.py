@@ -414,14 +414,17 @@ def grid_lattice_blocked_cycle_ops(shards, precision="highest", sigma=0.0):
 
 def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
                        min_cells, divisors, global_build, make_mesh,
-                       fill_level, sizes=None, line_axis=None):
+                       fill_level, sizes=None, line_axis=None,
+                       bottom_fdm=None):
     """Shared frame of `build_hmg_grid` / `build_hmg_grid_general`:
     divisors validation, shard-aligned level sizing, the global
     calibration pass, per-level base data (bc/diag/weights/lmax), the
     per-axis h-transfer loop, and the bottom-solve hook wiring. The
     backend-specific operator arrays come from ``fill_level(lv, spec, m,
     p_l, g_lv)``; the global hierarchy from ``global_build(sizes) ->
-    (g_data, g_bottom)``."""
+    (g_data, g_bottom)``. ``bottom_fdm`` (kron builder, bottom='fdm'):
+    kwargs dict for a distributed-FDM bottom at the coarsest h-level —
+    the hierarchy then never gathers (parallel/fdm_dist.py)."""
     from ..solvers.hmg import axis_h_interpolation, coarsenable_levels
 
     shards = _norm_shards(shards)
@@ -558,9 +561,27 @@ def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
     if "coarse_chol" in g_data:
         data["coarse_chol"] = g_data["coarse_chol"]
         specs["coarse_chol"] = P()
+    bottom_solve = None
+    if bottom_fdm is not None:
+        # Distributed-FDM bottom: exact direct solve at the coarsest
+        # h-level via per-axis pencil transposes — no gather anywhere
+        # in the hierarchy.
+        from .fdm_dist import make_fdm_dist
+
+        fd_data, fd_spec, bottom_solve = make_fdm_dist(
+            meshes[0], P0, parts[0],
+            tuple(
+                (AXES[a], shards[a]) if shards[a] > 1 else None
+                for a in range(3)
+            ),
+            PSHARD, dtype=dtype, **bottom_fdm,
+        )
+        data["fdm"], specs["fdm"] = fd_data, fd_spec
+        g_bottom = "fdm"
 
     hmg_gather, hmg_slice = grid_coarse_hooks(parts[0], P0)
-    return tuple(levels), data, specs, g_bottom, hmg_gather, hmg_slice
+    return (tuple(levels), data, specs, g_bottom, hmg_gather, hmg_slice,
+            bottom_solve)
 
 
 def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
@@ -587,7 +608,8 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
     under multi-axis rank layouts where redundant-global solving stops
     scaling.
 
-    Returns ``(levels, data, specs, bottom_mode, gather, unslice)``.
+    Returns ``(levels, data, specs, bottom_mode, gather, unslice,
+    bottom_solve)`` — see `parallel.dist.build_hmg_dist`.
     """
     from ..fem.assembly import resolve_kappa_axes
     from ..ops.kron import axis_stiffness_mass
@@ -604,7 +626,11 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
     def global_build(sizes):
         _, g_data, g_bottom = build_hmg(
             mesh, P0, kappa, dtype, smoother_iters=smoother_iters,
-            precision=precision, bottom=bottom, min_cells=min_cells,
+            precision=precision,
+            # 'fdm' bottoms are dist-only (scaffold attaches them); the
+            # global calibration pass never runs a bottom solve.
+            bottom=("smoother" if bottom == "fdm" else bottom),
+            min_cells=min_cells,
             sigma=sigma, sizes=sizes, smoother=smoother,
         )
         return g_data, g_bottom
@@ -627,6 +653,8 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
         mesh, shards, P0, dtype, smoother_iters, min_cells, divisors,
         global_build, lambda nc: BoxMesh(nc, extent=mesh.extent),
         fill_level, sizes=sizes, line_axis=line_axis,
+        bottom_fdm=(dict(kappa=kappa, precision=precision, sigma=sigma)
+                    if bottom == "fdm" else None),
     )
 
 
@@ -651,7 +679,8 @@ def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
     BoomerAMG replacement (src/amg.hpp:11-119) for the meshes where the
     constant-kappa kron hierarchy refuses.
 
-    Returns ``(levels, data, specs, bottom_mode, gather, unslice)``.
+    Returns ``(levels, data, specs, bottom_mode, gather, unslice,
+    bottom_solve)`` — see `parallel.dist.build_hmg_dist`.
     """
     from ..fem.assembly import lumped_mass_np
     from ..fem.mesh import PerturbedBoxMesh
@@ -839,7 +868,25 @@ class GridPMG:
             coarse_gather, coarse_slice = grid_coarse_hooks(part, P0)
             ops = dict(ops, coarse_gather=coarse_gather,
                        coarse_slice=coarse_slice)
-            if coarse == "fdm":
+            if coarse == "fdm" and self.coarse_cfg.get("dist"):
+                # Non-gathered form: pencil all_to_all transposes per
+                # sharded axis (parallel/fdm_dist.py) — the hooks above
+                # go unused on this branch.
+                from .fdm_dist import make_fdm_dist
+
+                fd_data, fd_spec, fd_solve = make_fdm_dist(
+                    mesh, P0, part,
+                    tuple(
+                        (AXES[a], shards[a]) if shards[a] > 1 else None
+                        for a in range(3)
+                    ),
+                    P(*AXES), self.kappa_axes, dtype,
+                    precision=precision, sigma=self.sigma,
+                )
+                self._coarse_data = ("fdm", fd_data)
+                self._coarse_spec = fd_spec
+                ops = dict(ops, fdm_dist=fd_solve)
+            elif coarse == "fdm":
                 from ..solvers.fdm import FastDiagonalizationSolver
 
                 fd = FastDiagonalizationSolver(
@@ -887,13 +934,15 @@ class GridPMG:
                 if (getattr(mesh, "is_axis_aligned", True)
                         and self.kappa_axes is not None):
                     (hmg_levels, hmg_data, hmg_specs, hmg_bottom,
-                     hmg_gather, hmg_slice) = build_hmg_grid(
+                     hmg_gather, hmg_slice,
+                     hmg_bottom_solve) = build_hmg_grid(
                         mesh, shards, P0, self.kappa_axes, dtype, **kw)
                     hmg_core = grid_kron_cycle_ops(shards, precision,
                                                    sigma=self.sigma)
                 else:
                     (hmg_levels, hmg_data, hmg_specs, hmg_bottom,
-                     hmg_gather, hmg_slice) = build_hmg_grid_general(
+                     hmg_gather, hmg_slice,
+                     hmg_bottom_solve) = build_hmg_grid_general(
                         mesh, shards, P0, self._kappa_raw, dtype, **kw)
                     hmg_core = grid_lattice_cycle_ops(shards, precision,
                                                       sigma=self.sigma)
@@ -902,6 +951,9 @@ class GridPMG:
                     coarse_gather=hmg_gather,
                     coarse_slice=hmg_slice,
                 )
+                if hmg_bottom_solve is not None:
+                    # bottom='fdm': gather-free exact bottom solve.
+                    hmg_ops["fdm_dist"] = hmg_bottom_solve
                 self.coarse_cfg.update(
                     hmg_levels=hmg_levels, hmg_ops=hmg_ops,
                     hmg_bottom=hmg_bottom, hmg_dist=True,

@@ -305,6 +305,15 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         transfer.append(tr)
 
     data = dict(levels=tuple(level_data), transfer=tuple(transfer))
+    if bottom not in ("direct", "cg", "smoother"):
+        # 'fdm' bottoms exist on the DISTRIBUTED builders only
+        # (build_hmg_dist / build_hmg_grid, coarse_cfg['bottom']='fdm'
+        # with dist=True) — here the gathered direct solve is already
+        # exact and cheaper to set up.
+        raise ValueError(
+            f"build_hmg: unsupported bottom '{bottom}' "
+            "(choose from direct, cg, smoother)"
+        )
     if bottom == "direct" and meshes[0].num_dofs(P) > 4096:
         # A dense factor at this size would dwarf the cycle; fall back to
         # a Krylov bottom solve (the coarse-grid role hypre's own nested
@@ -491,6 +500,12 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         transfer.append(tr)
 
     data = dict(levels=tuple(level_data), transfer=tuple(transfer))
+    if bottom not in ("direct", "cg", "smoother"):
+        raise ValueError(
+            f"build_hmg_general: unsupported bottom '{bottom}' "
+            "(choose from direct, cg, smoother; 'fdm' is "
+            "constant-coefficient only — kron hierarchies)"
+        )
     if bottom == "direct" and meshes[0].num_dofs(P) > 4096:
         bottom = "cg"
     if bottom == "direct":

@@ -590,16 +590,22 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
         # Exact fast-diagonalization coarse solve (solvers/fdm.py): six
         # small per-axis matmuls — both cheaper and more accurate than
         # any iterative coarse option on constant-coefficient boxes.
-        from .fdm import fdm_solve
-
         fd = data["fdm"]
-        b0g = gather(b0)
-        u0g = fdm_solve(
-            b0g, (fd["Vx"], fd["Vy"], fd["Vz"]),
-            (fd["Vxt"], fd["Vyt"], fd["Vzt"]), fd["dinv"], fd["bc_global"],
-            coarse_cfg["fdm_shape"],
-        )
-        u0 = unslice(u0g)
+        if "fdm_dist" in ops:
+            # Distributed form (parallel/fdm_dist.py): pencil
+            # all_to_all transposes on the sharded axes — never
+            # gathers, O(N0/n) memory per shard.
+            u0 = ops["fdm_dist"](fd, b0)
+        else:
+            from .fdm import fdm_solve
+
+            b0g = gather(b0)
+            u0g = fdm_solve(
+                b0g, (fd["Vx"], fd["Vy"], fd["Vz"]),
+                (fd["Vxt"], fd["Vyt"], fd["Vzt"]), fd["dinv"],
+                fd["bc_global"], coarse_cfg["fdm_shape"],
+            )
+            u0 = unslice(u0g)
     elif coarse == "hmg":
         # Nested geometric h-multigrid V-cycles (the AMG replacement,
         # solvers/hmg.py) — recursion of this same function over the
