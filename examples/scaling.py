@@ -29,8 +29,15 @@ def main():
     p.add_argument("--coarse", choices=["cg", "smoother", "fdm", "direct",
                                         "hmg"], default="cg")
     p.add_argument("--dist-coarse", action="store_true",
-                   help="with --coarse hmg: the distributed (non-"
-                        "gathered) h-MG coarse (coarse_cfg dist=True)")
+                   help="with --coarse hmg/fdm: the distributed (non-"
+                        "gathered) coarse solve (coarse_cfg dist=True; "
+                        "fdm = pencil-transpose distributed direct "
+                        "solve, parallel/fdm_dist.py)")
+    p.add_argument("--bottom", choices=["direct", "cg", "smoother", "fdm"],
+                   default="direct",
+                   help="h-MG bottom solve (coarse_cfg['bottom']); "
+                        "'fdm' needs --dist-coarse and makes the whole "
+                        "hierarchy gather-free")
     p.add_argument("--smoother", type=str, default="cheb",
                    help="p-level smoother preconditioner: 'cheb' (point "
                         "Jacobi), 'line'/'line-x|y|z' (unsharded axis "
@@ -62,7 +69,7 @@ def main():
         target = args.ndofs * (nd if args.mode == "weak" else 1)
         nc = fit_box_cells(target, pmax)
         div = lcm if args.mode == "strong" else nd
-        if args.dist_coarse:
+        if args.dist_coarse and args.coarse == "hmg":
             # The pinned h-hierarchy needs one factor-2 coarsening with
             # x-cells still divisible by max(counts), and even y/z cells
             # (fit_box_cells often picks primes).
@@ -73,8 +80,12 @@ def main():
         t0 = time.time()
         # Pin the h-hierarchy across device counts (its depth depends on
         # the shard-alignment constraint) so trajectories stay invariant.
-        ccfg = (dict(dist=True, divisors=(max(counts), 1, 1))
-                if args.dist_coarse else None)
+        ccfg = (dict(dist=True, bottom=args.bottom,
+                     divisors=(max(counts), 1, 1))
+                if args.dist_coarse and args.coarse == "hmg"
+                else dict(dist=True) if args.dist_coarse
+                else dict(bottom=args.bottom) if args.coarse == "hmg"
+                else None)
         dist = DistPMG(mesh, n_devices=nd, degrees=tuple(args.degrees),
                        kappa=args.kappa, dtype=dtype, coarse=args.coarse,
                        coarse_cfg=ccfg, operator=args.operator,
@@ -128,7 +139,7 @@ def _grid_sweep(args, dtype):
     pmax = max(args.degrees)
     nc = fit_box_cells(args.ndofs, pmax)
     div_all = tuple(max(s[a] for s in layouts) for a in range(3))
-    if args.dist_coarse:
+    if args.dist_coarse and args.coarse == "hmg":
         # One factor-2 coarsening must stay divisible by every layout.
         per_axis = tuple(2 * d for d in div_all)
     else:
@@ -145,7 +156,10 @@ def _grid_sweep(args, dtype):
         op = args.operator
         t0 = time.time()
         # Pin the h-hierarchy across layouts (see the slab sweep note).
-        ccfg = (dict(dist=True, divisors=div_all) if args.dist_coarse
+        ccfg = (dict(dist=True, bottom=args.bottom, divisors=div_all)
+                if args.dist_coarse and args.coarse == "hmg"
+                else dict(dist=True) if args.dist_coarse
+                else dict(bottom=args.bottom) if args.coarse == "hmg"
                 else None)
         grid = GridPMG(mesh, shards=shards, degrees=tuple(args.degrees),
                        kappa=args.kappa, dtype=dtype, coarse=args.coarse,
