@@ -107,6 +107,13 @@ with warnings.catch_warnings():
                       coarse="cg", operator="lattice", smoother="line")
     _, rn_line = dist_ln.solve(b_ln, num_cycles=5)
 
+# Distributed FDM coarse across processes (parallel/fdm_dist.py): the
+# pencil all_to_all transposes cross the process boundary on every
+# sharded axis of the (2,2,2) grid — no gather anywhere.
+grid_fd = GridPMG(mesh_g, shards=(2, 2, 2), degrees=(1, 3), kappa=kappa,
+                  coarse="fdm", coarse_cfg=dict(dist=True))
+_, rn_fdmdist = grid_fd.solve(b_g, num_cycles=5)
+
 # Cell-wise FDM SCHWARZ smoother across processes (solvers/schwarz.py):
 # the cell overlap-add's interface partial-sum exchange crosses the
 # process boundary on EVERY sharded axis of the (2,2,2) grid.
@@ -128,6 +135,7 @@ with open(out_path, "w") as f:
         "rn_hmg": rn_hmg,
         "rn_aniso": rn_aniso,
         "rn_line": rn_line,
+        "rn_fdmdist": rn_fdmdist,
         "rn_schwarz": rn_schwarz,
         "u_d_norm": float((u_d ** 2).sum() ** 0.5),
         "u_g_norm": float((u_g ** 2).sum() ** 0.5),

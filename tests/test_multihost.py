@@ -78,6 +78,7 @@ def test_two_processes_match_each_other(two_process_results):
         assert np.allclose(r0["rn_hmg"], r1["rn_hmg"], rtol=1e-12)
         assert np.allclose(r0["rn_aniso"], r1["rn_aniso"], rtol=1e-12)
         assert np.allclose(r0["rn_line"], r1["rn_line"], rtol=1e-12)
+        assert np.allclose(r0["rn_fdmdist"], r1["rn_fdmdist"], rtol=1e-12)
         assert np.allclose(r0["rn_schwarz"], r1["rn_schwarz"], rtol=1e-12)
         assert np.isclose(r0["u_d_norm"], r1["u_d_norm"], rtol=1e-12)
 
@@ -153,6 +154,13 @@ def test_two_processes_match_single_process(two_process_results):
         _, rn_line = dist_ln.solve(b_ln, num_cycles=5)
     assert np.allclose(r0["rn_line"], rn_line, rtol=1e-10), (
         r0["rn_line"], rn_line)
+
+    grid_fd = GridPMG(mesh_g, shards=(2, 2, 2), degrees=(1, 3),
+                      kappa=kappa, coarse="fdm",
+                      coarse_cfg=dict(dist=True))
+    _, rn_fdmdist = grid_fd.solve(b_g, num_cycles=5)
+    assert np.allclose(r0["rn_fdmdist"], rn_fdmdist, rtol=1e-10), (
+        r0["rn_fdmdist"], rn_fdmdist)
 
     b_sw = assemble_rhs(mesh_g, 3, f_rhs_tensor(kline))
     with warnings.catch_warnings():
