@@ -117,6 +117,7 @@ class FastDiagonalizationSolver:
             partial(fdm_solve, precision=precision),
             static_argnames=("shape",),
         )
+        self._precision = precision
         self._kappa = (kx, ky, kz)
         self._sigma = float(sigma)
 
@@ -124,6 +125,20 @@ class FastDiagonalizationSolver:
         b = jnp.asarray(b, dtype=self.dtype)
         return self._solve(b, self.Vs, self.Vts, self.dinv, self.bc_marker,
                            self.shape)
+
+    def solve_many(self, B):
+        """Batched direct solve over a leading RHS axis (one jitted
+        vmap program: the RHS axis rides the MXU batch dimension —
+        k exact solves for far less than k times one)."""
+        if getattr(self, "_solve_many", None) is None:
+            self._solve_many = jax.jit(jax.vmap(
+                partial(fdm_solve, shape=self.shape,
+                        precision=self._precision),
+                in_axes=(0, None, None, None, None),
+            ))
+        B = jnp.asarray(B, dtype=self.dtype)
+        return self._solve_many(B, self.Vs, self.Vts, self.dinv,
+                                self.bc_marker)
 
     def refine(self, b, cycles=3):
         """f64 iterative refinement around the f32 direct solve."""

@@ -1366,6 +1366,87 @@ class PMGHierarchy:
                 break
         return u64.reshape(-1), rnorms
 
+    def solve_many(self, B, num_cycles=10):
+        """Batched stationary solve over a leading RHS axis.
+
+        ``B`` is ``(nrhs, ndofs)``; returns ``(U, rnorms)`` with ``U`` of
+        the same shape and ``rnorms`` ``(nrhs, num_cycles)``. The whole
+        batch runs as ONE jitted program (`jax.vmap` of the single-RHS
+        scan): the RHS axis becomes an extra contraction batch dimension
+        on the MXU, so k systems cost far less than k sequential solves
+        wherever a single RHS does not saturate the chip — the
+        multiple-load-case / implicit-multi-field production pattern.
+        Beyond the reference (one RHS per run, examples/pmg/main.cpp).
+        """
+        warn_high_precision_stationary(self.precision,
+                                       self.levels[-1].ndofs)
+        warn_tensor_stationary(self._kappa_fold, self.kappa_axes,
+                               self.operator_kind,
+                               line=(self._line_axis is not None
+                                     or getattr(self, "_schwarz", False)))
+        B = jnp.asarray(B, dtype=self.dtype)
+        nrhs = B.shape[0]
+        Bw = B.reshape((nrhs,) + tuple(self._to_work(B[0]).shape))
+        if getattr(self, "_solve_many_scan", None) is None:
+            vc = partial(
+                v_cycle, levels=self.levels, coarse=self.coarse,
+                coarse_cfg=self.coarse_cfg, ops=self._ops,
+            )
+            ops = self._ops
+            fine = self.levels[-1]
+
+            def _run1(data, b, u, num_cycles):
+                def body(uc, _):
+                    uc = vc(data, b, uc)
+                    r = b - ops["apply"](data["levels"][-1], uc, fine)
+                    return uc, jnp.sqrt(ops["dot"](r, r, data["levels"][-1]))
+
+                return jax.lax.scan(body, u, None, length=num_cycles)
+
+            self._solve_many_scan = jax.jit(
+                jax.vmap(_run1, in_axes=(None, 0, 0, None)),
+                static_argnums=(3,),
+            )
+        U, rnorms = self._solve_many_scan(self.data, Bw,
+                                          jnp.zeros_like(Bw), num_cycles)
+        return U.reshape(B.shape), np.asarray(rnorms)
+
+    def solve_pcg_many(self, B, rtol=1e-8, maxiter=50):
+        """Batched V-cycle-preconditioned FCG (`solve_pcg` over a leading
+        RHS axis, one jitted program). Returns ``(U, niters)`` with
+        per-RHS iteration counts — `lax.while_loop` batching freezes
+        converged columns, so each column's trajectory and count are
+        exactly its single-RHS ones."""
+        from .cg import fcg_solve
+
+        if getattr(self, "_pcg_many", None) is None:
+            ops = self._ops
+            fine = self.levels[-1]
+            vc = partial(
+                v_cycle, levels=self.levels, coarse=self.coarse,
+                coarse_cfg=self.coarse_cfg, ops=ops,
+            )
+
+            def _run1(data, b, u0, rtol_, maxiter_):
+                A = lambda x: ops["apply"](data["levels"][-1], x, fine)
+                M = lambda r: vc(data, r, jnp.zeros_like(r))
+                return fcg_solve(A, b, u0, M,
+                                 rtol=rtol_, maxiter=maxiter_,
+                                 dot=lambda u_, v_: ops["dot"](
+                                     u_, v_, data["levels"][-1]),
+                                 )
+
+            self._pcg_many = jax.jit(
+                jax.vmap(_run1, in_axes=(None, 0, 0, None, None)),
+                static_argnums=(3, 4),
+            )
+        B = jnp.asarray(B, dtype=self.dtype)
+        nrhs = B.shape[0]
+        Bw = B.reshape((nrhs,) + tuple(self._to_work(B[0]).shape))
+        U, info = self._pcg_many(self.data, Bw, jnp.zeros_like(Bw),
+                                 float(rtol), int(maxiter))
+        return U.reshape(B.shape), np.asarray(info["niter"])
+
     def solve(self, b, num_cycles=10, u0=None, residuals=True, fmg=False):
         """Stationary V-cycle iteration (the reference driver loop,
         examples/pmg/main.cpp:362-367). Returns (u, residual_norms).
