@@ -34,15 +34,21 @@ import numpy as np
 from ..ops.kron import axis_stiffness_mass
 
 
-def _axis_eig(nc, P, h):
-    """Interior generalized eigenpairs of the 1D (K, M) pencil.
+def _axis_eig(nc, P, h, ends=(True, True)):
+    """Free-node generalized eigenpairs of the 1D (K, M) pencil.
 
-    Returns ``V[(Ni, Ni)]`` with ``V^T M V = I`` and eigenvalues
-    ``lam[(Ni,)]``; Ni = nc*P - 1 interior nodes.
+    ``ends`` are the per-end Dirichlet flags: flagged end nodes are
+    trimmed (identity rows); an unflagged end is a natural-Neumann node
+    and stays a free unknown (the assembled 1D matrices already carry
+    the correct half-stencil rows there). Returns ``V[(Ni, Ni)]`` with
+    ``V^T M V = I`` and eigenvalues ``lam[(Ni,)]``;
+    Ni = nc*P + 1 - sum(ends).
     """
     K, m = axis_stiffness_mass(nc, P, h)
-    Ki = K[1:-1, 1:-1]
-    mi = m[1:-1]
+    lo = 1 if ends[0] else 0
+    hi = -1 if ends[1] else None
+    Ki = K[lo:hi, lo:hi]
+    mi = m[lo:hi]
     s = 1.0 / np.sqrt(mi)
     T = (s[:, None] * Ki) * s[None, :]
     lam, Q = np.linalg.eigh((T + T.T) / 2.0)
@@ -50,18 +56,23 @@ def _axis_eig(nc, P, h):
     return V, lam
 
 
-def fdm_solve(b, Vs, Vts, dinv, bc_marker, shape, precision="highest"):
+_ALL_DIRICHLET_TRIMS = ((1, 1), (1, 1), (1, 1))
+
+
+def fdm_solve(b, Vs, Vts, dinv, bc_marker, shape, precision="highest",
+              trims=_ALL_DIRICHLET_TRIMS):
     """Direct solve ``u = A^{-1} b`` (jittable, shape-preserving).
 
     ``Vs``/``Vts`` are per-axis eigenvector matrices and transposes
-    (interior sizes), ``dinv`` the reciprocal eigenvalue-sum lattice,
-    ``shape`` the full lattice shape. ``b`` may be flat or
+    (free-node sizes), ``dinv`` the reciprocal eigenvalue-sum lattice,
+    ``shape`` the full lattice shape, ``trims`` the per-axis (lo, hi)
+    Dirichlet-plane trim counts (all-ones for the default 6-face
+    Dirichlet marker; 0 at natural-Neumann faces). ``b`` may be flat or
     lattice-shaped; the output matches. bc rows return ``u[bc] = b[bc]``
     (identity rows, consistent with all operator backends).
     """
-    NX, NY, NZ = shape
-    b3 = b.reshape(NX, NY, NZ)
-    t = b3[1:-1, 1:-1, 1:-1]
+    b3 = b.reshape(shape)
+    t = b3[tuple(slice(lo, n - hi) for n, (lo, hi) in zip(shape, trims))]
     Vx, Vy, Vz = Vs
     Vxt, Vyt, Vzt = Vts
     t = jnp.einsum("ax,xyz->ayz", Vxt, t, precision=precision)
@@ -71,7 +82,7 @@ def fdm_solve(b, Vs, Vts, dinv, bc_marker, shape, precision="highest"):
     t = jnp.einsum("ax,xyz->ayz", Vx, t, precision=precision)
     t = jnp.einsum("by,xyz->xbz", Vy, t, precision=precision)
     t = jnp.einsum("cz,xyz->xyc", Vz, t, precision=precision)
-    u = jnp.pad(t, ((1, 1), (1, 1), (1, 1))).reshape(jnp.shape(b))
+    u = jnp.pad(t, tuple(trims)).reshape(jnp.shape(b))
     return jnp.where(bc_marker.reshape(jnp.shape(b)), b, u)
 
 
@@ -96,9 +107,13 @@ class FastDiagonalizationSolver:
         self.P = int(P)
         self.dtype = dtype
         self.shape = mesh.lattice_shape(self.P)
+        faces = getattr(mesh, "dirichlet_faces", ((True, True),) * 3)
+        self.trims = tuple(
+            (int(lo), int(hi)) for lo, hi in faces
+        )
         Vs, Vts, lams = [], [], []
-        for nc_a, h_a in zip(mesh.nc, mesh.h):
-            V, lam = _axis_eig(nc_a, self.P, h_a)
+        for nc_a, h_a, ends in zip(mesh.nc, mesh.h, faces):
+            V, lam = _axis_eig(nc_a, self.P, h_a, ends=ends)
             Vs.append(jnp.asarray(V, dtype=dtype))
             Vts.append(jnp.asarray(V.T.copy(), dtype=dtype))
             lams.append(lam)
@@ -111,10 +126,18 @@ class FastDiagonalizationSolver:
         kx, ky, kz = resolve_kappa_axes(mesh, kappa)
         d = (kx * lx[:, None, None] + ky * ly[None, :, None]
              + kz * lz[None, None, :]) + float(sigma)
+        if d.size and float(d.min()) <= 1e-14 * max(1.0, float(d.max())):
+            # All-Neumann with sigma=0: the constant mode makes the
+            # operator singular — a direct inverse does not exist.
+            raise ValueError(
+                "FDM: singular operator (no Dirichlet face and sigma=0 "
+                "leaves the constant nullspace); add a Dirichlet face or "
+                "a positive sigma shift"
+            )
         self.dinv = jnp.asarray(1.0 / d, dtype=dtype)
         self.bc_marker = jnp.asarray(mesh.boundary_dof_marker(self.P))
         self._solve = jax.jit(
-            partial(fdm_solve, precision=precision),
+            partial(fdm_solve, precision=precision, trims=self.trims),
             static_argnames=("shape",),
         )
         self._precision = precision
@@ -128,12 +151,15 @@ class FastDiagonalizationSolver:
 
     def solve_many(self, B):
         """Batched direct solve over a leading RHS axis (one jitted
-        vmap program: the RHS axis rides the MXU batch dimension —
-        k exact solves for far less than k times one)."""
+        vmap program: the RHS axis rides the MXU batch dimension).
+        NOTE: at 2M dofs the single-RHS solve already saturates the
+        chip — batch-8 measured 35% MORE per RHS on v5e
+        (tools/batched_bench.py); this is a convenience/one-dispatch
+        API, not a throughput multiplier at large N."""
         if getattr(self, "_solve_many", None) is None:
             self._solve_many = jax.jit(jax.vmap(
                 partial(fdm_solve, shape=self.shape,
-                        precision=self._precision),
+                        precision=self._precision, trims=self.trims),
                 in_axes=(0, None, None, None, None),
             ))
         B = jnp.asarray(B, dtype=self.dtype)

@@ -604,6 +604,7 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
                 b0g, (fd["Vx"], fd["Vy"], fd["Vz"]),
                 (fd["Vxt"], fd["Vyt"], fd["Vzt"]), fd["dinv"],
                 fd["bc_global"], coarse_cfg["fdm_shape"],
+                trims=coarse_cfg.get("fdm_trims", ((1, 1),) * 3),
             )
             u0 = unslice(u0g)
     elif coarse == "hmg":
@@ -764,6 +765,14 @@ class PMGHierarchy:
                 "'kron_blocked' (Mosaic kernel epilogues/transfers)"
             )
         self.sigma = float(sigma)
+        if (not any(any(f) for f in getattr(mesh, "dirichlet_faces",
+                                            ((True, True),) * 3))
+                and self.sigma == 0.0):
+            raise ValueError(
+                "pure-Neumann problem (no Dirichlet face) with sigma=0 is "
+                "singular (constant nullspace); add a Dirichlet face or a "
+                "positive sigma shift"
+            )
         # Smoother preconditioner for every p-level: point Jacobi
         # ('cheb', default) or LINE relaxation along the strongly-coupled
         # axis ('line' auto / 'line-x|y|z' explicit, solvers/line.py) —
@@ -1074,6 +1083,7 @@ class PMGHierarchy:
                 dinv=fd.dinv, bc_global=fd.bc_marker,
             )
             self.coarse_cfg["fdm_shape"] = mesh.lattice_shape(self.degrees[0])
+            self.coarse_cfg["fdm_trims"] = fd.trims
         elif coarse == "hmg":
             if (getattr(mesh, "is_axis_aligned", True)
                     and self.kappa_axes is not None):
@@ -1373,10 +1383,12 @@ class PMGHierarchy:
         the same shape and ``rnorms`` ``(nrhs, num_cycles)``. The whole
         batch runs as ONE jitted program (`jax.vmap` of the single-RHS
         scan): the RHS axis becomes an extra contraction batch dimension
-        on the MXU, so k systems cost far less than k sequential solves
-        wherever a single RHS does not saturate the chip — the
-        multiple-load-case / implicit-multi-field production pattern.
-        Beyond the reference (one RHS per run, examples/pmg/main.cpp).
+        on the MXU — the multiple-load-case / implicit-multi-field
+        production pattern, beyond the reference (one RHS per run,
+        examples/pmg/main.cpp). Measured per-RHS gains are modest (v5e:
+        +13% for the 227k-dof V-cycle at batch 8, saturated-parity or
+        worse at millions of dofs — tools/batched_bench.py); the main
+        value is one program + one dispatch for the whole batch.
         """
         warn_high_precision_stationary(self.precision,
                                        self.levels[-1].ndofs)
