@@ -109,6 +109,13 @@ def main():
                    help="'perturbed': smoothly deformed GENERAL hexahedra "
                         "(non-affine cells; the full geometry pipeline + "
                         "lattice backends)")
+    p.add_argument("--neumann", type=str, default="",
+                   help="axes whose BOTH faces carry the homogeneous "
+                        "Neumann (natural) condition instead of "
+                        "Dirichlet, e.g. 'x' or 'xy' (mixed-BC model "
+                        "family, beyond reference parity; constant kappa "
+                        "drivers only — the manufactured solution "
+                        "switches to the matching sin/cos product)")
     args = p.parse_args()
     dtype = setup_jax(args)
 
@@ -156,11 +163,31 @@ def main():
 
         kappa = np.diag([1.0, 1.0, 100.0])
         f = f_rhs_tensor(kappa, sigma=args.sigma)
+    u_exact_override = None
+    faces = True
+    if args.neumann:
+        if args.kappa_field != "const":
+            raise SystemExit("--neumann supports --kappa-field const only "
+                             "(the manufactured mixed-BC solution is "
+                             "constant-kappa)")
+        from pmg_dolfinx_tpu.models.poisson import (
+            f_rhs_mixed,
+            u_exact_mixed,
+        )
+
+        faces = tuple(
+            (False, False) if "xyz"[a] in args.neumann else (True, True)
+            for a in range(3)
+        )
+        f = f_rhs_mixed(args.kappa, faces, sigma=args.sigma)
+        u_exact_override = u_exact_mixed(faces)
+        print(f"Neumann faces on axes '{args.neumann}': dirichlet_faces="
+              f"{faces}")
     mesh = None
     if args.mesh == "perturbed":
         from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
 
-        mesh = PerturbedBoxMesh(nc)
+        mesh = PerturbedBoxMesh(nc, dirichlet_faces=faces)
         if args.operator in ("kron", "kron_blocked"):
             args.operator = ("lattice_blocked" if args.dtype == "f32"
                              else "lattice")
@@ -171,6 +198,10 @@ def main():
             print("perturbed mesh: switching coarse solver to 'hmg' "
                   "(fdm is axis-aligned only; hmg rediscretizes the "
                   "curved operator per h-level)")
+    elif faces is not True:
+        from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+
+        mesh = BoxMesh(nc, dirichlet_faces=faces)
 
     with Timer("setup (operators+calibration+rhs)"):
         coarse_cfg = {}
@@ -206,6 +237,7 @@ def main():
             coarse_cfg=coarse_cfg or None,
             smoother_iters=args.smoother_iters,
             smoother=args.smoother,
+            u_exact=u_exact_override,
         )
     ndofs = [prob.mesh.num_dofs(P) for P in args.degrees]
     print("hierarchy:", " -> ".join(f"p={P}: {n}" for P, n in zip(args.degrees, ndofs)))

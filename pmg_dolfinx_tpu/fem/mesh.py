@@ -25,6 +25,19 @@ import numpy as np
 from .gll import gauss_lobatto
 
 
+def _norm_dirichlet_faces(faces):
+    """Normalize to a 3x2 nested bool tuple ((x0,x1),(y0,y1),(z0,z1))."""
+    if faces is True or faces is None:
+        return ((True, True),) * 3
+    out = tuple(tuple(bool(e) for e in pair) for pair in faces)
+    if len(out) != 3 or any(len(p) != 2 for p in out):
+        raise ValueError(
+            "dirichlet_faces must be a 3x2 nested sequence of bools "
+            "((x0,x1),(y0,y1),(z0,z1))"
+        )
+    return out
+
+
 class BoxMesh:
     """Structured box mesh of ``nx x ny x nz`` hexahedral cells.
 
@@ -35,15 +48,24 @@ class BoxMesh:
     extent : (float, float, float)
         Physical box size; cells are axis-aligned and uniform (the same
         geometry `create_box` produces in the reference drivers).
+    dirichlet_faces : 3x2 nested bools, optional
+        Per-axis (low-face, high-face) Dirichlet flags; unflagged faces
+        carry the homogeneous NEUMANN (natural) condition — those dofs
+        are ordinary unknowns and the cell-based assembly already
+        produces the correct variational rows (no surface term for the
+        homogeneous case). Default: all six faces Dirichlet (the
+        reference's only configuration, examples/pmg/main.cpp:173-185);
+        the mixed case is beyond-reference model-family coverage.
     """
 
-    def __init__(self, nc, extent=(1.0, 1.0, 1.0)):
+    def __init__(self, nc, extent=(1.0, 1.0, 1.0), dirichlet_faces=True):
         self.nc = tuple(int(v) for v in nc)
         self.extent = tuple(float(v) for v in extent)
         if any(v < 1 for v in self.nc):
             raise ValueError("need at least one cell per direction")
         self.ncells = self.nc[0] * self.nc[1] * self.nc[2]
         self.h = tuple(e / n for e, n in zip(self.extent, self.nc))
+        self.dirichlet_faces = _norm_dirichlet_faces(dirichlet_faces)
 
     # ------------------------------------------------------------------
     # Geometry (Q1 coordinate element: 8 corner nodes per cell)
@@ -134,17 +156,22 @@ class BoxMesh:
 
     @lru_cache(maxsize=None)
     def boundary_dof_marker(self, P: int) -> np.ndarray:
-        """Boolean marker of dofs on the 6 exterior faces, shape ``(ndofs,)``.
+        """Boolean marker of the DIRICHLET dofs, shape ``(ndofs,)``.
 
         Equivalent of the `active_bc_dofs` array built from
         ``locate_dofs_topological`` on exterior facets at reference
-        examples/pmg/main.cpp:173-185.
+        examples/pmg/main.cpp:173-185; honors ``dirichlet_faces``
+        (unflagged faces are natural-Neumann: not marked).
         """
-        NX, NY, NZ = self.lattice_shape(P)
-        m = np.zeros((NX, NY, NZ), dtype=bool)
-        m[0, :, :] = m[-1, :, :] = True
-        m[:, 0, :] = m[:, -1, :] = True
-        m[:, :, 0] = m[:, :, -1] = True
+        m = np.zeros(self.lattice_shape(P), dtype=bool)
+        for a, (lo, hi) in enumerate(self.dirichlet_faces):
+            sl = [slice(None)] * 3
+            if lo:
+                sl[a] = 0
+                m[tuple(sl)] = True
+            if hi:
+                sl[a] = -1
+                m[tuple(sl)] = True
         out = m.ravel()
         out.setflags(write=False)
         return out
@@ -233,8 +260,9 @@ class PerturbedBoxMesh(BoxMesh):
 
     is_axis_aligned = False
 
-    def __init__(self, nc, extent=(1.0, 1.0, 1.0), warp=None):
-        super().__init__(nc, extent)
+    def __init__(self, nc, extent=(1.0, 1.0, 1.0), warp=None,
+                 dirichlet_faces=True):
+        super().__init__(nc, extent, dirichlet_faces=dirichlet_faces)
         self._warp = warp if warp is not None else default_warp()
 
     @lru_cache(maxsize=1)

@@ -32,6 +32,54 @@ def f_rhs(kappa, sigma=0.0):
     return f
 
 
+def u_exact_mixed(dirichlet_faces):
+    """Manufactured solution honoring a per-face Dirichlet/Neumann set
+    (`BoxMesh(dirichlet_faces=...)`, unit extent): per axis,
+
+    - (D, D): ``sin(pi t)``            (both ends zero)
+    - (N, N): ``cos(pi t)``            (both end derivatives zero)
+    - (D, N): ``sin(pi t / 2)``        (zero at 0, flat at 1)
+    - (N, D): ``cos(pi t / 2)``        (flat at 0, zero at 1)
+
+    Every factor is a 1D Laplace eigenfunction of the matching BC pair,
+    so ``-lap u = (sum_a w_a^2) u`` stays separable (`f_rhs_mixed`).
+    """
+    facs = _mixed_axis_factors(dirichlet_faces)
+
+    def u(x):
+        return facs[0][0](x[0]) * facs[1][0](x[1]) * facs[2][0](x[2])
+
+    return u
+
+
+def _mixed_axis_factors(dirichlet_faces):
+    """Per axis: (factor function, angular frequency w_a)."""
+    out = []
+    for lo, hi in dirichlet_faces:
+        if lo and hi:
+            out.append((lambda t: np.sin(np.pi * t), np.pi))
+        elif not lo and not hi:
+            out.append((lambda t: np.cos(np.pi * t), np.pi))
+        elif lo:  # Dirichlet low, Neumann high
+            out.append((lambda t: np.sin(0.5 * np.pi * t), 0.5 * np.pi))
+        else:  # Neumann low, Dirichlet high
+            out.append((lambda t: np.cos(0.5 * np.pi * t), 0.5 * np.pi))
+    return out
+
+
+def f_rhs_mixed(kappa, dirichlet_faces, sigma=0.0):
+    """Source for `u_exact_mixed`:
+    ``f = (kappa sum_a w_a^2 + sigma) u_e``."""
+    facs = _mixed_axis_factors(dirichlet_faces)
+    lam = sum(w * w for _, w in facs)
+    u = u_exact_mixed(dirichlet_faces)
+
+    def f(x):
+        return (kappa * lam + sigma) * u(x)
+
+    return f
+
+
 def f_gauss(x):
     """The reference amg driver's Gaussian point source
     (examples/amg/main.cpp:110-121): ``1000 exp(-((x-.5)^2+(y-.5)^2)/.02)``.
@@ -150,15 +198,20 @@ class PoissonProblem:
     def __init__(self, nc=(10, 10, 10), degrees=(1, 3), kappa=2.0,
                  dtype=jnp.float64, coarse="smoother", coarse_cfg=None,
                  smoother_iters=2, operator="kron", precision="highest",
-                 f=None, mesh=None, sigma=0.0, smoother="cheb"):
+                 f=None, mesh=None, sigma=0.0, smoother="cheb",
+                 u_exact=None):
         """``kappa`` may be a scalar, a per-cell DG-0 array, or a callable
         (see `PMGHierarchy`). For non-scalar kappa pass the matching
         source term ``f`` (e.g. `f_rhs_variable`). ``mesh`` (optional)
         supplies a prebuilt mesh (e.g. `fem.mesh.PerturbedBoxMesh` for
-        the general-hex family) instead of ``BoxMesh(nc)``."""
+        the general-hex family) instead of ``BoxMesh(nc)``. ``u_exact``
+        overrides the manufactured solution used by `error_l2` /
+        `interpolate_exact` (e.g. `u_exact_mixed` for a
+        ``dirichlet_faces`` mesh — pass the matching `f_rhs_mixed`)."""
         self.mesh = mesh if mesh is not None else BoxMesh(nc)
         self.degrees = tuple(degrees)
         self.kappa = kappa
+        self._u_exact = u_exact if u_exact is not None else globals()["u_exact"]
         self.hierarchy = PMGHierarchy(
             self.mesh, degrees=self.degrees, kappa=kappa, dtype=dtype,
             coarse=coarse, coarse_cfg=coarse_cfg, smoother_iters=smoother_iters,
@@ -191,13 +244,13 @@ class PoissonProblem:
         the geometry-general collocated GLL rule instead."""
         if getattr(self.mesh, "is_axis_aligned", True):
             return l2_error(self.mesh, self.degrees[-1], np.asarray(u),
-                            u_exact)
+                            self._u_exact)
         from ..fem.assembly import l2_error_collocated
 
         return l2_error_collocated(self.mesh, self.degrees[-1],
-                                   np.asarray(u), u_exact)
+                                   np.asarray(u), self._u_exact)
 
     def interpolate_exact(self):
         """u_e sampled at the fine-space dofs (for initial guesses/tests)."""
         coords = self.mesh.dof_coords(self.degrees[-1])
-        return u_exact(coords.T)
+        return self._u_exact(coords.T)

@@ -240,7 +240,9 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
         sigma=sigma, sizes=sizes, smoother=smoother,
     )
     sizes_cf = sizes[::-1]  # coarse -> fine, matching g_data["levels"]
-    meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes_cf]
+    meshes = [BoxMesh(nc, extent=mesh.extent,
+                      dirichlet_faces=mesh.dirichlet_faces)
+              for nc in sizes_cf]
     parts = [SlabPartition(m, n_shards) for m in meshes]
 
     levels, level_data, level_specs = [], [], []
@@ -579,6 +581,14 @@ class DistPMG:
         from ..fem.mesh import require_axis_aligned
 
         self.sigma = float(sigma)
+        if (not any(any(f) for f in getattr(mesh, "dirichlet_faces",
+                                            ((True, True),) * 3))
+                and self.sigma == 0.0):
+            raise ValueError(
+                "pure-Neumann problem (no Dirichlet face) with sigma=0 is "
+                "singular (constant nullspace); add a Dirichlet face or a "
+                "positive sigma shift"
+            )
         # p-level LINE-relaxation smoother (solvers/line.py): lines along
         # y or z are shard-local on the x-slab layout, so the batched
         # block matvec needs no communication; the block inverses are
@@ -925,6 +935,7 @@ class DistPMG:
                     dinv=fd.dinv, bc_global=fd.bc_marker,
                 ))
                 self.coarse_cfg["fdm_shape"] = mesh.lattice_shape(P0)
+                self.coarse_cfg["fdm_trims"] = fd.trims
             elif coarse == "direct":
                 from ..fem.assembly import assemble_stiffness
 

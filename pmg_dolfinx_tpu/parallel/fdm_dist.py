@@ -53,11 +53,13 @@ from ..solvers.fdm import _axis_eig
 _AXIS_EINSUM = ("ax,xyz->ayz", "by,xyz->xbz", "cz,xyz->xyc")
 
 
-def _embed_boundary(V):
-    """Interior-node matrix -> full-size with zero Dirichlet rows/cols."""
+def _embed_boundary(V, ends=(True, True)):
+    """Free-node matrix -> full-size with zero rows/cols at the
+    Dirichlet-flagged ends (natural-Neumann ends are free nodes)."""
     n = V.shape[0]
-    M = np.zeros((n + 2, n + 2), dtype=V.dtype)
-    M[1:-1, 1:-1] = V
+    lo, hi = int(ends[0]), int(ends[1])
+    M = np.zeros((n + lo + hi, n + lo + hi), dtype=V.dtype)
+    M[lo:lo + n, lo:lo + n] = V
     return M
 
 
@@ -160,19 +162,29 @@ def make_fdm_dist(mesh, Pdeg, part, axes_spec, lat_spec, kappa, dtype,
     from ..fem.mesh import require_axis_aligned
 
     require_axis_aligned(mesh, "distributed FDM")
+    faces = getattr(mesh, "dirichlet_faces", ((True, True),) * 3)
     Vs, lams = [], []
-    for nc_a, h_a in zip(mesh.nc, mesh.h):
-        V, lam = _axis_eig(nc_a, Pdeg, h_a)
+    for nc_a, h_a, ends in zip(mesh.nc, mesh.h, faces):
+        V, lam = _axis_eig(nc_a, Pdeg, h_a, ends=ends)
         Vs.append(V)
         lams.append(lam)
     kx, ky, kz = resolve_kappa_axes(mesh, kappa)
-    # Boundary slots carry eigenvalue 1.0: the embedded transforms zero
+    dmin = (kx * float(lams[0].min()) + ky * float(lams[1].min())
+            + kz * float(lams[2].min())) + float(sigma)
+    if dmin <= 1e-14:
+        raise ValueError(
+            "distributed FDM: singular operator (no Dirichlet face and "
+            "sigma=0 leaves the constant nullspace); add a Dirichlet "
+            "face or a positive sigma shift"
+        )
+    # Dirichlet slots carry eigenvalue 1.0: the embedded transforms zero
     # those rows, so the value is arbitrary — it only must keep 1/d
     # finite.
     le = []
-    for lam in lams:
-        e = np.ones(lam.shape[0] + 2)
-        e[1:-1] = lam
+    for lam, ends in zip(lams, faces):
+        lo, hi = int(ends[0]), int(ends[1])
+        e = np.ones(lam.shape[0] + lo + hi)
+        e[lo:lo + lam.shape[0]] = lam
         le.append(e)
     d = (
         kx * le[0][:, None, None]
@@ -181,12 +193,12 @@ def make_fdm_dist(mesh, Pdeg, part, axes_spec, lat_spec, kappa, dtype,
     ) + float(sigma)
     bc = np.asarray(mesh.boundary_dof_marker(Pdeg), dtype=np.float64)
     data = dict(
-        Vx=jnp.asarray(_embed_boundary(Vs[0]), dtype=dtype),
-        Vy=jnp.asarray(_embed_boundary(Vs[1]), dtype=dtype),
-        Vz=jnp.asarray(_embed_boundary(Vs[2]), dtype=dtype),
-        Vxt=jnp.asarray(_embed_boundary(Vs[0].T), dtype=dtype),
-        Vyt=jnp.asarray(_embed_boundary(Vs[1].T), dtype=dtype),
-        Vzt=jnp.asarray(_embed_boundary(Vs[2].T), dtype=dtype),
+        Vx=jnp.asarray(_embed_boundary(Vs[0], faces[0]), dtype=dtype),
+        Vy=jnp.asarray(_embed_boundary(Vs[1], faces[1]), dtype=dtype),
+        Vz=jnp.asarray(_embed_boundary(Vs[2], faces[2]), dtype=dtype),
+        Vxt=jnp.asarray(_embed_boundary(Vs[0].T, faces[0]), dtype=dtype),
+        Vyt=jnp.asarray(_embed_boundary(Vs[1].T, faces[1]), dtype=dtype),
+        Vzt=jnp.asarray(_embed_boundary(Vs[2].T, faces[2]), dtype=dtype),
         dinv=jnp.asarray(part.to_dist(Pdeg, 1.0 / d), dtype=dtype),
         bc=jnp.asarray(part.to_dist(Pdeg, bc)) > 0.5,
     )

@@ -651,7 +651,9 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
 
     return _hmg_grid_scaffold(
         mesh, shards, P0, dtype, smoother_iters, min_cells, divisors,
-        global_build, lambda nc: BoxMesh(nc, extent=mesh.extent),
+        global_build,
+        lambda nc: BoxMesh(nc, extent=mesh.extent,
+                           dirichlet_faces=mesh.dirichlet_faces),
         fill_level, sizes=sizes, line_axis=line_axis,
         bottom_fdm=(dict(kappa=kappa, precision=precision, sigma=sigma)
                     if bottom == "fdm" else None),
@@ -703,10 +705,13 @@ def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
         return g_data, g_bottom
 
     if isinstance(mesh, PerturbedBoxMesh):
-        make_mesh = lambda nc: PerturbedBoxMesh(nc, extent=mesh.extent,
-                                                warp=mesh._warp)
+        make_mesh = lambda nc: PerturbedBoxMesh(
+            nc, extent=mesh.extent, warp=mesh._warp,
+            dirichlet_faces=mesh.dirichlet_faces)
     else:
-        make_mesh = lambda nc: BoxMesh(nc, extent=mesh.extent)
+        make_mesh = lambda nc: BoxMesh(
+            nc, extent=mesh.extent,
+            dirichlet_faces=mesh.dirichlet_faces)
     PSHARD = P(*AXES)
 
     def fill_level(lv, spec, m, p_l, g_lv):
@@ -770,6 +775,14 @@ class GridPMG:
         from ..fem.mesh import require_axis_aligned
 
         self.sigma = float(sigma)
+        if (not any(any(f) for f in getattr(mesh, "dirichlet_faces",
+                                            ((True, True),) * 3))
+                and self.sigma == 0.0):
+            raise ValueError(
+                "pure-Neumann problem (no Dirichlet face) with sigma=0 is "
+                "singular (constant nullspace); add a Dirichlet face or a "
+                "positive sigma shift"
+            )
         # p-level LINE-relaxation smoother (solvers/line.py): the line
         # axis must be UNSHARDED (lines stay within one shard); the
         # block inverses are built globally and laid out with the same
@@ -899,6 +912,7 @@ class GridPMG:
                     dinv=fd.dinv, bc_global=fd.bc_marker,
                 ))
                 self.coarse_cfg["fdm_shape"] = mesh.lattice_shape(P0)
+                self.coarse_cfg["fdm_trims"] = fd.trims
             elif coarse == "direct":
                 from ..fem.assembly import assemble_stiffness
 

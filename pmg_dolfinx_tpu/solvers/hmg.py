@@ -216,7 +216,9 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     else:
         sizes = validate_hmg_sizes(mesh.nc, sizes)
     sizes = list(sizes)[::-1]  # coarse->fine
-    meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes]
+    meshes = [BoxMesh(nc, extent=mesh.extent,
+                      dirichlet_faces=mesh.dirichlet_faces)
+              for nc in sizes]
     ops = kron_cycle_ops(precision, sigma=sigma)
     # Scalar kappa keeps the historical scalar form (bit-identical
     # assembled blocks/bottom factor); true per-axis goes diagonal-tensor.
@@ -398,10 +400,13 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         sizes = validate_hmg_sizes(mesh.nc, sizes)
     sizes = list(sizes)[::-1]  # coarse->fine
     if isinstance(mesh, PerturbedBoxMesh):
-        meshes = [PerturbedBoxMesh(nc, extent=mesh.extent, warp=mesh._warp)
+        meshes = [PerturbedBoxMesh(nc, extent=mesh.extent, warp=mesh._warp,
+                                   dirichlet_faces=mesh.dirichlet_faces)
                   for nc in sizes]
     else:
-        meshes = [BoxMesh(nc, extent=mesh.extent) for nc in sizes]
+        meshes = [BoxMesh(nc, extent=mesh.extent,
+                          dirichlet_faces=mesh.dirichlet_faces)
+                  for nc in sizes]
     kappa_fine, _ = resolve_kappa(mesh, kappa)
     ops = lattice_cycle_ops(precision, sigma=sigma)
     schwarz = smoother == "schwarz"

@@ -177,9 +177,11 @@ def build_schwarz_np(mesh, P, kappa, sigma=0.0):
             np.asarray(kc, np.float64).reshape(ncx, ncy, ncz)[..., None],
             (ncx, ncy, ncz, 3),
         )
+    faces = getattr(mesh, "dirichlet_faces", ((True, True),) * 3)
     Vs, lams = [], []
     for a, (nca, ha) in enumerate(zip(mesh.nc, mesh.h)):
-        V, lam = _axis_eigs(nca, P, ha)
+        V, lam = _axis_eigs(nca, P, ha, left_bc=faces[a][0],
+                            right_bc=faces[a][1])
         Vs.append(V)
         lams.append(lam)
     n = P + 1
@@ -195,30 +197,32 @@ def build_schwarz_np(mesh, P, kappa, sigma=0.0):
         axis_multiplicity(ncy, P),
         axis_multiplicity(ncz, P),
     )
-    # Both forms assume the full-box (6-face) Dirichlet set: the dense
+    # Both forms assume the per-axis SEPARABLE Dirichlet set (the union
+    # of whole flagged faces — `mesh.dirichlet_faces`): the dense
     # matrices hard-fold the per-axis end masks and `_axis_eigs` embeds
-    # identity at the per-axis ends. Fail fast if the mesh's marker ever
-    # stops being that separable union (a partial-Dirichlet subclass
-    # would silently desync the two forms otherwise).
+    # identity at the flagged ends. Fail fast if the mesh's marker ever
+    # stops matching that union (a partial-face subclass would silently
+    # desync the two forms otherwise).
     bc = np.asarray(mesh.boundary_dof_marker(P)).reshape(mult.shape) > 0.5
     sep = np.zeros(bc.shape, bool)
     for a in range(3):
         sl = [slice(None)] * 3
-        for end in (0, -1):
-            sl[a] = end
-            sep[tuple(sl)] = True
+        for end, flagged in zip((0, -1), faces[a]):
+            if flagged:
+                sl[a] = end
+                sep[tuple(sl)] = True
     if not np.array_equal(bc, sep):
         raise ValueError(
-            "schwarz smoother assumes the full 6-face Dirichlet marker; "
-            "got a non-separable boundary_dof_marker"
+            "schwarz smoother assumes a per-axis separable (whole-face) "
+            "Dirichlet marker; got a non-separable boundary_dof_marker"
         )
     return dict(
         Vx=Vs[0],
         Vy=Vs[1],
         Vz=Vs[2],
-        Ux=_axis_dense(Vs[0], P),
-        Uy=_axis_dense(Vs[1], P),
-        Uz=_axis_dense(Vs[2], P),
+        Ux=_axis_dense(Vs[0], P, *faces[0]),
+        Uy=_axis_dense(Vs[1], P, *faces[1]),
+        Uz=_axis_dense(Vs[2], P, *faces[2]),
         ginv=1.0 / lsum.reshape(ncx * n, ncy * n, ncz * n),
         w=1.0 / np.sqrt(mult),
         bc=bc,
