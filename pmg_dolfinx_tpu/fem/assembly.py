@@ -120,6 +120,33 @@ def assemble_rhs(mesh: BoxMesh, P: int, f, bc: bool = True) -> np.ndarray:
     return b
 
 
+def lifted_rhs(mesh: BoxMesh, P: int, kappa, f, g):
+    """Inhomogeneous Dirichlet data ``u = g`` on the flagged faces:
+    classic lifting. Returns ``(b_hom, u_g)`` — solve the homogeneous
+    system ``A w = b_hom`` with any solver in the stack, then
+    ``u = w + u_g``.
+
+    ``u_g`` is ``g`` evaluated at the Dirichlet dofs, zero elsewhere;
+    ``b_hom = b_raw - A_raw u_g`` with its Dirichlet rows zeroed — the
+    reference's `apply_lifting` + `set_bc` step (examples/pmg/
+    main.cpp:289-301, a no-op there because its g is 0; nonzero data is
+    beyond-reference coverage). Host NumPy/scipy setup path (one raw
+    assembled matvec), like the reference's host-side rhs assembly.
+    The sigma (lumped-mass) shift needs NO extra term here: the lumped
+    M is diagonal, so ``M u_g`` is supported on the Dirichlet rows the
+    lifting zeroes anyway.
+    """
+    bc = np.asarray(mesh.boundary_dof_marker(P))
+    u_g = np.zeros(mesh.num_dofs(P))
+    coords = mesh.dof_coords(P)
+    u_g[bc] = np.asarray(g(coords[bc].T), dtype=np.float64)
+    b = assemble_rhs(mesh, P, f, bc=False)
+    A = assemble_stiffness(mesh, P, kappa=kappa, bc=False)
+    b = b - A @ u_g
+    b[bc] = 0.0
+    return b, u_g
+
+
 def lumped_mass_np(mesh: BoxMesh, P: int, bc_zero: bool = False) -> np.ndarray:
     """GLL-lumped mass vector ``m[(ndofs,)]`` on ANY hex mesh (float64).
 
