@@ -1423,12 +1423,11 @@ class PMGHierarchy:
                                           jnp.zeros_like(Bw), num_cycles)
         return U.reshape(B.shape), np.asarray(rnorms)
 
-    def solve_pcg_many(self, B, rtol=1e-8, maxiter=50):
-        """Batched V-cycle-preconditioned FCG (`solve_pcg` over a leading
-        RHS axis, one jitted program). Returns ``(U, niters)`` with
-        per-RHS iteration counts — `lax.while_loop` batching freezes
-        converged columns, so each column's trajectory and count are
-        exactly its single-RHS ones."""
+    def _pcg_many_fn(self):
+        """The cached jitted batched-FCG program
+        ``(data, Bw, U0w, rtol, maxiter) -> (Uw, info)`` — trace-safe
+        (no host conversions), for callers embedding the batched solve
+        inside an outer traced loop (e.g. `solvers.eig`)."""
         from .cg import fcg_solve
 
         if getattr(self, "_pcg_many", None) is None:
@@ -1452,11 +1451,20 @@ class PMGHierarchy:
                 jax.vmap(_run1, in_axes=(None, 0, 0, None, None)),
                 static_argnums=(3, 4),
             )
+        return self._pcg_many
+
+    def solve_pcg_many(self, B, rtol=1e-8, maxiter=50):
+        """Batched V-cycle-preconditioned FCG (`solve_pcg` over a leading
+        RHS axis, one jitted program). Returns ``(U, niters)`` with
+        per-RHS iteration counts — `lax.while_loop` batching freezes
+        converged columns, so each column's trajectory and count are
+        exactly its single-RHS ones."""
+        fn = self._pcg_many_fn()
         B = jnp.asarray(B, dtype=self.dtype)
         nrhs = B.shape[0]
         Bw = B.reshape((nrhs,) + tuple(self._to_work(B[0]).shape))
-        U, info = self._pcg_many(self.data, Bw, jnp.zeros_like(Bw),
-                                 float(rtol), int(maxiter))
+        U, info = fn(self.data, Bw, jnp.zeros_like(Bw),
+                     float(rtol), int(maxiter))
         return U.reshape(B.shape), np.asarray(info["niter"])
 
     def solve(self, b, num_cycles=10, u0=None, residuals=True, fmg=False):
