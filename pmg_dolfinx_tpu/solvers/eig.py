@@ -73,11 +73,13 @@ def lowest_eigenpairs(mesh, P, kappa=2.0, k=4, sigma=0.0,
 
         hier = hierarchy
         if hier is None:
+            # This branch is only reached for the GENERAL family (curved
+            # mesh, or axis-aligned with tensor/field kappa — anything
+            # the FDM's resolve_kappa_axes rejected), so the lattice
+            # backend is the right default.
             hier = PMGHierarchy(
                 mesh, degrees=tuple(degrees or (1, P)), kappa=kappa,
-                dtype=jnp.float64, coarse="cg",
-                operator=("kron" if getattr(mesh, "is_axis_aligned", True)
-                          else "lattice"),
+                dtype=jnp.float64, coarse="cg", operator="lattice",
                 sigma=sigma,
             )
 
