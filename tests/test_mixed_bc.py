@@ -186,6 +186,23 @@ def test_dist_fdm_mixed_matches_single():
     assert err < 1e-13, err
 
 
+def test_kron_blocked_mixed_parity():
+    """The fused Mosaic pair inherits mixed BCs through the 3D marker
+    (the 1D axis matrices are raw/no-bc): parity vs the assembled
+    system in interpret mode."""
+    from pmg_dolfinx_tpu.ops.pallas_kron_blocked import PallasKronBlocked
+
+    mesh = BoxMesh((3, 4, 3), dirichlet_faces=MIXED)
+    P, kappa = 3, 2.0
+    op = PallasKronBlocked(mesh, P, kappa=kappa, interpret=True)
+    A = assemble_stiffness(mesh, P, kappa=kappa)
+    u = np.random.default_rng(8).standard_normal(mesh.num_dofs(P))
+    y = np.asarray(op(jnp.asarray(u, jnp.float32)))
+    ref = A @ u
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, rel  # f32 matmul rounding
+
+
 def test_curved_mixed_bc_lattice():
     """General family: curved hexes + mixed faces through the lattice
     backend (marker-generic) — oracle parity + FCG convergence."""
