@@ -54,6 +54,10 @@ def main():
                    default="const")
     args = p.parse_args()
     args.dtype = "f64"  # modal analysis runs in f64
+    # ALWAYS CPU: an f64 LOBPCG at 2M dofs crashed the remote TPU worker
+    # ("kernel fault" class — CLAUDE.md). Modal analysis is a setup-time
+    # computation; the CPU path is the validated one.
+    args.cpu = True
     setup_jax(args)
 
     import jax

@@ -120,6 +120,31 @@ def assemble_rhs(mesh: BoxMesh, P: int, f, bc: bool = True) -> np.ndarray:
     return b
 
 
+def resolve_sigma(sigma):
+    """Split the reaction coefficient into ``(ops_scalar, field)``.
+
+    A scalar passes through (``field=None``). A CALLABLE ``sigma(x)``
+    (pointwise reaction field, evaluated at dof coordinates) returns
+    ``(1.0, sigma)``: the field is baked into every level's ``m3``
+    lumped-mass vector by `shifted_mass_np`, so the apply's
+    ``ops_sigma * m3 * x`` term needs no changes anywhere — general
+    backends only (the Kronecker/FDM paths need a separable shift).
+    """
+    if callable(sigma):
+        return 1.0, sigma
+    return float(sigma), None
+
+
+def shifted_mass_np(mesh: BoxMesh, P: int, sigma_field=None,
+                    bc_zero: bool = True) -> np.ndarray:
+    """GLL-lumped mass, optionally scaled pointwise by the reaction
+    field — the baked ``m3`` vector of the variable-sigma family."""
+    m = lumped_mass_np(mesh, P, bc_zero=bc_zero)
+    if sigma_field is not None:
+        m = m * np.asarray(sigma_field(mesh.dof_coords(P).T), np.float64)
+    return m
+
+
 def lifted_rhs(mesh: BoxMesh, P: int, kappa, f, g):
     """Inhomogeneous Dirichlet data ``u = g`` on the flagged faces:
     classic lifting. Returns ``(b_hom, u_g)`` — solve the homogeneous

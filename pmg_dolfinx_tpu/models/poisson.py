@@ -219,9 +219,10 @@ class PoissonProblem:
             smoother=smoother,
         )
         if f is None:
-            if self.hierarchy.kappa is None:
+            if self.hierarchy.kappa is None or callable(sigma):
                 raise ValueError(
-                    "non-constant kappa: pass the matching source term f "
+                    "non-constant kappa or a sigma field: pass the "
+                    "matching source term f "
                     "(e.g. models.poisson.f_rhs_variable(...))"
                 )
             f = f_rhs(self.hierarchy.kappa, sigma=sigma)

@@ -56,15 +56,16 @@ from .partition import SlabPartition, duplicate_planes
 AXIS = "x"
 
 
-def _shifted_diag_np(mesh, Pdeg, kappa_cells, sigma):
+def _shifted_diag_np(mesh, Pdeg, kappa_cells, sigma, sigma_field=None):
     """Global operator diagonal incl. the optional lumped-mass shift
     (general meshes: the GLL-lumped mass, `fem.assembly.lumped_mass_np`;
-    reduces to the tensor-product axis masses on axis-aligned boxes)."""
-    from ..fem.assembly import lumped_mass_np, stiffness_diagonal_np
+    reduces to the tensor-product axis masses on axis-aligned boxes).
+    A sigma FIELD is baked into the mass (`shifted_mass_np`)."""
+    from ..fem.assembly import shifted_mass_np, stiffness_diagonal_np
 
     d = stiffness_diagonal_np(mesh, Pdeg, kappa_cells)
     if sigma:
-        d = d + sigma * lumped_mass_np(mesh, Pdeg, bc_zero=True)
+        d = d + sigma * shifted_mass_np(mesh, Pdeg, sigma_field)
     return d
 
 
@@ -580,7 +581,26 @@ class DistPMG:
         self.degrees = tuple(int(p) for p in degrees)
         from ..fem.mesh import require_axis_aligned
 
-        self.sigma = float(sigma)
+        from ..fem.assembly import resolve_sigma
+
+        self.sigma, self._sigma_field = resolve_sigma(sigma)
+        if self._sigma_field is not None:
+            if operator in ("kron", "kron_blocked"):
+                raise ValueError(
+                    "a sigma FIELD (callable) requires a general backend "
+                    "— the Kronecker paths carry only a separable scalar "
+                    "shift"
+                )
+            if coarse == "fdm" or (coarse_cfg or {}).get("dist"):
+                raise ValueError(
+                    "a sigma FIELD supports the gathered coarse solvers "
+                    "(cg/smoother/direct/hmg) only"
+                )
+            if smoother != "cheb" or (coarse_cfg or {}).get(
+                    "smoother", "cheb") != "cheb":
+                raise ValueError(
+                    "line/schwarz smoothers support a scalar sigma only"
+                )
         if (not any(any(f) for f in getattr(mesh, "dirichlet_faces",
                                             ((True, True),) * 3))
                 and self.sigma == 0.0):
@@ -693,8 +713,9 @@ class DistPMG:
                 diag_inv=jnp.asarray(
                     conform(part.to_dist(
                         Pdeg,
-                        1.0 / _shifted_diag_np(mesh, Pdeg, self.kappa_cells,
-                                               self.sigma),
+                        1.0 / _shifted_diag_np(
+                            mesh, Pdeg, self.kappa_cells, self.sigma,
+                            sigma_field=self._sigma_field),
                     )),
                     dtype=dtype,
                 ),
@@ -746,11 +767,12 @@ class DistPMG:
                     ginv=P(AXIS), Ux=P(AXIS), Uy=P(), Uz=P(), bc=P(AXIS),
                 )
             if self.sigma and not kron_family:
-                from ..fem.assembly import lumped_mass_np
+                from ..fem.assembly import shifted_mass_np
 
                 common["m3"] = jnp.asarray(
                     conform(part.to_dist(
-                        Pdeg, lumped_mass_np(mesh, Pdeg, bc_zero=True)
+                        Pdeg, shifted_mass_np(mesh, Pdeg,
+                                              self._sigma_field)
                     )),
                     dtype=dtype,
                 )
@@ -944,12 +966,14 @@ class DistPMG:
                 ).toarray()
                 if self.sigma:
                     # Shifted coarse operator A0 + sigma*M (lumped mass,
-                    # bc rows zeroed) — must match the sharded apply or
-                    # the coarse correction solves the wrong operator.
-                    from ..fem.assembly import lumped_mass_np
+                    # bc rows zeroed; a sigma FIELD is baked in) — must
+                    # match the sharded apply or the coarse correction
+                    # solves the wrong operator.
+                    from ..fem.assembly import shifted_mass_np
 
                     A0[np.diag_indices_from(A0)] += (
-                        self.sigma * lumped_mass_np(mesh, P0, bc_zero=True)
+                        self.sigma * shifted_mass_np(mesh, P0,
+                                                     self._sigma_field)
                     )
                 self._coarse_data = (
                     "coarse_chol",
@@ -1003,7 +1027,8 @@ class DistPMG:
                 # general family (curved hexes / DG-0 kappa) the
                 # rediscretized lattice one (solvers.hmg.build_hmg_general).
                 if (getattr(mesh, "is_axis_aligned", True)
-                        and self.kappa_axes is not None):
+                        and self.kappa_axes is not None
+                        and self._sigma_field is None):
                     from ..solvers.hmg import build_hmg
                     from ..solvers.pmg import kron_cycle_ops
 
@@ -1028,6 +1053,7 @@ class DistPMG:
                             bottom=self.coarse_cfg.get("bottom", "direct"),
                             min_cells=self.coarse_cfg.get("min_cells", 2),
                             sigma=self.sigma,
+                            sigma_field=self._sigma_field,
                             sizes=self.coarse_cfg.get("sizes"),
                             smoother=self.coarse_cfg.get(
                                 "smoother", "cheb"),
@@ -1309,7 +1335,9 @@ class DistPMG:
         fine = self.levels[-1]
         Pdeg = self.degrees[-1]
         use_kron64 = (getattr(mesh, "is_axis_aligned", True)
-                      and self.kappa_axes is not None)
+                      and self.kappa_axes is not None
+                      # a sigma field needs the m3-baked lattice path
+                      and self._sigma_field is None)
         kax = self.kappa_axes
         if getattr(self, "_refine_step", None) is None:
             # f64 state shares the work layout of the f32 cycle: 3D for
@@ -1372,10 +1400,11 @@ class DistPMG:
                 )
                 lv64_spec = dict(common_spec, G=P(AXIS))
                 if self.sigma:
-                    from ..fem.assembly import lumped_mass_np
+                    from ..fem.assembly import shifted_mass_np
 
                     m3d = part.to_dist(
-                        Pdeg, lumped_mass_np(mesh, Pdeg, bc_zero=True)
+                        Pdeg, shifted_mass_np(mesh, Pdeg,
+                                              self._sigma_field)
                     )
                     if self.operator_kind not in ("kron", "kron_blocked"):
                         m3d = m3d.reshape(-1)

@@ -663,7 +663,8 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
 def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
                            smoother_iters=2, precision="highest",
                            bottom="direct", min_cells=2, sigma=0.0,
-                           divisors=None, sizes=None, smoother="cheb"):
+                           divisors=None, sizes=None, smoother="cheb",
+                           sigma_field=None):
     """Distributed h-MG coarse for the GENERAL family (curved hexes /
     DG-0 kappa) on the 2D/3D box partition — the lattice-backend twin
     of `build_hmg_grid`, rediscretizing the curved operator per h-level
@@ -700,7 +701,8 @@ def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
         _, g_data, g_bottom, _core = build_hmg_general(
             mesh, P0, kappa, dtype, smoother_iters=smoother_iters,
             precision=precision, bottom=bottom, min_cells=min_cells,
-            sigma=sigma, sizes=sizes, smoother=smoother,
+            sigma=sigma, sigma_field=sigma_field, sizes=sizes,
+            smoother=smoother,
         )
         return g_data, g_bottom
 
@@ -774,7 +776,26 @@ class GridPMG:
         self.degrees = tuple(int(p) for p in degrees)
         from ..fem.mesh import require_axis_aligned
 
-        self.sigma = float(sigma)
+        from ..fem.assembly import resolve_sigma
+
+        self.sigma, self._sigma_field = resolve_sigma(sigma)
+        if self._sigma_field is not None:
+            if operator in ("kron", "kron_blocked"):
+                raise ValueError(
+                    "a sigma FIELD (callable) requires a general backend "
+                    "— the Kronecker paths carry only a separable scalar "
+                    "shift"
+                )
+            if coarse == "fdm":
+                raise ValueError(
+                    "a sigma FIELD supports cg/smoother/direct/hmg "
+                    "coarse solvers only"
+                )
+            if smoother != "cheb" or (coarse_cfg or {}).get(
+                    "smoother", "cheb") != "cheb":
+                raise ValueError(
+                    "line/schwarz smoothers support a scalar sigma only"
+                )
         if (not any(any(f) for f in getattr(mesh, "dirichlet_faces",
                                             ((True, True),) * 3))
                 and self.sigma == 0.0):
@@ -920,10 +941,11 @@ class GridPMG:
                     mesh, P0, kappa=self.kappa_cells
                 ).toarray()
                 if self.sigma:
-                    from ..fem.assembly import lumped_mass_np
+                    from ..fem.assembly import shifted_mass_np
 
                     A0[np.diag_indices_from(A0)] += (
-                        self.sigma * lumped_mass_np(mesh, P0, bc_zero=True)
+                        self.sigma * shifted_mass_np(mesh, P0,
+                                                     self._sigma_field)
                     )
                 self._coarse_data = (
                     "coarse_chol",
@@ -946,7 +968,8 @@ class GridPMG:
                     smoother=self.coarse_cfg.get("smoother", "cheb"),
                 )
                 if (getattr(mesh, "is_axis_aligned", True)
-                        and self.kappa_axes is not None):
+                        and self.kappa_axes is not None
+                        and self._sigma_field is None):
                     (hmg_levels, hmg_data, hmg_specs, hmg_bottom,
                      hmg_gather, hmg_slice,
                      hmg_bottom_solve) = build_hmg_grid(
@@ -957,7 +980,8 @@ class GridPMG:
                     (hmg_levels, hmg_data, hmg_specs, hmg_bottom,
                      hmg_gather, hmg_slice,
                      hmg_bottom_solve) = build_hmg_grid_general(
-                        mesh, shards, P0, self._kappa_raw, dtype, **kw)
+                        mesh, shards, P0, self._kappa_raw, dtype,
+                        sigma_field=self._sigma_field, **kw)
                     hmg_core = grid_lattice_cycle_ops(shards, precision,
                                                       sigma=self.sigma)
                 hmg_ops = dict(
@@ -981,7 +1005,8 @@ class GridPMG:
                 # h-hierarchy for the general family (curved hexes /
                 # DG-0 kappa) — the scalable BoomerAMG replacement.
                 if (getattr(mesh, "is_axis_aligned", True)
-                        and self.kappa_axes is not None):
+                        and self.kappa_axes is not None
+                        and self._sigma_field is None):
                     from ..solvers.hmg import build_hmg
                     from ..solvers.pmg import kron_cycle_ops
 
@@ -1006,6 +1031,7 @@ class GridPMG:
                             bottom=self.coarse_cfg.get("bottom", "direct"),
                             min_cells=self.coarse_cfg.get("min_cells", 2),
                             sigma=self.sigma,
+                            sigma_field=self._sigma_field,
                             sizes=self.coarse_cfg.get("sizes"),
                             smoother=self.coarse_cfg.get(
                                 "smoother", "cheb"),
@@ -1208,8 +1234,9 @@ class GridPMG:
             lv["diag_inv"] = jnp.asarray(
                 part.to_dist(
                     Pdeg,
-                    1.0 / _shifted_diag_np(mesh, Pdeg, self.kappa_cells,
-                                           self.sigma),
+                    1.0 / _shifted_diag_np(
+                        mesh, Pdeg, self.kappa_cells, self.sigma,
+                        sigma_field=self._sigma_field),
                 ),
                 dtype=dtype,
             )
@@ -1258,10 +1285,11 @@ class GridPMG:
                 ginv=PSHARD, bc=PSHARD,
             )
         if self.sigma and backend not in ("kron", "kron_blocked"):
-            from ..fem.assembly import lumped_mass_np
+            from ..fem.assembly import shifted_mass_np
 
             lv["m3"] = jnp.asarray(
-                part.to_dist(Pdeg, lumped_mass_np(mesh, Pdeg, bc_zero=True)),
+                part.to_dist(Pdeg, shifted_mass_np(mesh, Pdeg,
+                                                   self._sigma_field)),
                 dtype=dtype,
             )
             spec["m3"] = PSHARD

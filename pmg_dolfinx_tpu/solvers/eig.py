@@ -22,6 +22,12 @@ sidesteps that, and the framework owns fast inverses):
 
 Dirichlet rows are masked to eigenvalue 0 in the inverse action so the
 identity rows never pollute the top-k block.
+
+RUN THIS ON CPU (modal analysis is a setup-time computation and the
+routine requires x64 anyway): an f64 LOBPCG at 2M dofs CRASHED the
+remote TPU worker outright ("kernel fault" class — CLAUDE.md round-3
+notes). The CPU path is validated against scipy shift-invert `eigsh`
+to 1e-8 on every model family (tests/test_eig.py).
 """
 
 from functools import partial

@@ -349,7 +349,7 @@ def coarsen_cell_field(vals, nc_fine, nc_coarse):
 def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
                       max_levels=10, precision="highest",
                       calibration_iters=20, bottom="direct", sigma=0.0,
-                      sizes=None, smoother="cheb"):
+                      sizes=None, smoother="cheb", sigma_field=None):
     """Geometric h-multigrid for the GENERAL model family: curved
     (perturbed) hexes and variable DG-0 coefficients — the scalable
     coarse solver the reference gets from hypre BoomerAMG
@@ -438,7 +438,11 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
             lv["D" + name] = jnp.asarray(Dg, dtype=dtype)
         diag = stiffness_diagonal_np(m, P, kc)
         if sigma:
-            m3 = lumped_mass_np(m, P, bc_zero=True)
+            # A sigma FIELD (sigma_field) is baked into m3, re-evaluated
+            # at THIS level's dof coordinates (rediscretized shift).
+            from ..fem.assembly import shifted_mass_np
+
+            m3 = shifted_mass_np(m, P, sigma_field)
             lv["m3"] = jnp.asarray(m3, dtype=dtype)
             diag = diag + sigma * m3
         lv["diag_inv"] = jnp.asarray(1.0 / diag, dtype=dtype)
@@ -522,8 +526,10 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
             kc0 = coarsen_cell_field(kappa_fine, mesh.nc, meshes[0].nc)
         A0 = assemble_stiffness(meshes[0], P, kappa=kc0).toarray()
         if sigma:
-            A0[np.diag_indices_from(A0)] += sigma * lumped_mass_np(
-                meshes[0], P, bc_zero=True
+            from ..fem.assembly import shifted_mass_np
+
+            A0[np.diag_indices_from(A0)] += sigma * shifted_mass_np(
+                meshes[0], P, sigma_field
             )
         data["coarse_chol"] = jnp.asarray(np.linalg.cholesky(A0),
                                           dtype=dtype)

@@ -764,7 +764,32 @@ class PMGHierarchy:
                 "fuse_smoother/fuse_transfers require operator="
                 "'kron_blocked' (Mosaic kernel epilogues/transfers)"
             )
-        self.sigma = float(sigma)
+        from ..fem.assembly import resolve_sigma
+
+        # A callable sigma(x) (variable reaction coefficient) is baked
+        # into every level's m3 vector with the ops-level scalar set to
+        # 1.0 — general backends only (see fem.assembly.resolve_sigma).
+        self.sigma, self._sigma_field = resolve_sigma(sigma)
+        if self._sigma_field is not None:
+            if operator in ("kron", "kron_blocked"):
+                raise ValueError(
+                    "a sigma FIELD (callable) requires a general backend "
+                    "('lattice', 'lattice_blocked', 'dofmap') — the "
+                    "Kronecker paths carry only a separable scalar shift"
+                )
+            if coarse == "fdm":
+                raise ValueError(
+                    "coarse='fdm' supports a scalar sigma only (the "
+                    "shift must stay a pure eigenvalue offset); use "
+                    "'hmg', 'cg', 'direct' or 'smoother'"
+                )
+            if smoother != "cheb" or (coarse_cfg or {}).get(
+                    "smoother", "cheb") != "cheb":
+                raise ValueError(
+                    "line/schwarz smoothers support a scalar sigma only "
+                    "(their block builders fold a uniform shift); use "
+                    "smoother='cheb' with a sigma field"
+                )
         if (not any(any(f) for f in getattr(mesh, "dirichlet_faces",
                                             ((True, True),) * 3))
                 and self.sigma == 0.0):
@@ -980,9 +1005,10 @@ class PMGHierarchy:
                     # General lumped-mass shift (curved hexes / DG-0
                     # kappa): bc-zeroed mass vector added pointwise in the
                     # apply (cycle-ops sigma) and to the Jacobi diagonal.
-                    from ..fem.assembly import lumped_mass_np
+                    # A sigma FIELD is baked into m3 (self.sigma is 1.0).
+                    from ..fem.assembly import shifted_mass_np
 
-                    m3 = lumped_mass_np(mesh, P, bc_zero=True)
+                    m3 = shifted_mass_np(mesh, P, self._sigma_field)
                     lv["m3"] = jnp.asarray(m3, dtype=dtype)
                     diag = diag + self.sigma * lv["m3"]
             lv["diag_inv"] = 1.0 / diag
@@ -1063,10 +1089,10 @@ class PMGHierarchy:
                 mesh, self.degrees[0], kappa=self.kappa_cells
             ).toarray()
             if self.sigma:
-                from ..fem.assembly import lumped_mass_np
+                from ..fem.assembly import shifted_mass_np
 
-                A0[np.diag_indices_from(A0)] += self.sigma * lumped_mass_np(
-                    mesh, self.degrees[0], bc_zero=True
+                A0[np.diag_indices_from(A0)] += self.sigma * shifted_mass_np(
+                    mesh, self.degrees[0], self._sigma_field
                 )
             chol = np.linalg.cholesky(A0)
             self.data["coarse_chol"] = jnp.asarray(chol, dtype=dtype)
@@ -1086,7 +1112,8 @@ class PMGHierarchy:
             self.coarse_cfg["fdm_trims"] = fd.trims
         elif coarse == "hmg":
             if (getattr(mesh, "is_axis_aligned", True)
-                    and self.kappa_axes is not None):
+                    and self.kappa_axes is not None
+                    and self._sigma_field is None):
                 from .hmg import build_hmg
 
                 hmg_levels, hmg_data, hmg_bottom = build_hmg(
@@ -1113,6 +1140,7 @@ class PMGHierarchy:
                         bottom=self.coarse_cfg.get("bottom", "direct"),
                         min_cells=self.coarse_cfg.get("min_cells", 2),
                         sigma=self.sigma,
+                        sigma_field=self._sigma_field,
                         sizes=self.coarse_cfg.get("sizes"),
                         smoother=self.coarse_cfg.get("smoother", "cheb"),
                     )
@@ -1256,7 +1284,10 @@ class PMGHierarchy:
         fine = self.levels[-1]
         Pf = self.degrees[-1]
         use_kron64 = (getattr(self.mesh, "is_axis_aligned", True)
-                      and self.kappa_axes is not None)
+                      and self.kappa_axes is not None
+                      # a sigma field needs the m3-baked lattice path
+                      # (the kron f64 apply shifts by a scalar only)
+                      and self._sigma_field is None)
         if getattr(self, "_res64", None) is None:
             if use_kron64:
                 from ..ops.kron import KronLaplacian
@@ -1302,10 +1333,10 @@ class PMGHierarchy:
                     bc=jnp.asarray(self.mesh.boundary_dof_marker(Pf)),
                 )
                 if self.sigma:
-                    from ..fem.assembly import lumped_mass_np
+                    from ..fem.assembly import shifted_mass_np
 
                     self._res64["m3"] = jnp.asarray(
-                        lumped_mass_np(self.mesh, Pf, bc_zero=True),
+                        shifted_mass_np(self.mesh, Pf, self._sigma_field),
                         jnp.float64,
                     )
                 self._b64shape = (-1,)
