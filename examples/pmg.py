@@ -105,6 +105,11 @@ def main():
                         "problem -div(kappa grad u) + sigma u = f (all "
                         "operator backends incl. curved hexes / variable "
                         "kappa; beyond reference parity)")
+    p.add_argument("--sigma-field", action="store_true",
+                   help="spatially varying reaction coefficient "
+                        "sigma(x) = 10(1+x+y) (models.poisson."
+                        "sigma_linear; general backends, baked into the "
+                        "per-level lumped mass — beyond reference parity)")
     p.add_argument("--mesh", choices=["box", "perturbed"], default="box",
                    help="'perturbed': smoothly deformed GENERAL hexahedra "
                         "(non-affine cells; the full geometry pipeline + "
@@ -137,8 +142,27 @@ def main():
           f"backend {jax.default_backend()}, dtype {args.dtype}")
 
     kappa, f = args.kappa, None
+    sigma = args.sigma
     # sigma needs no backend override: every operator backend carries
     # the lumped-mass shift (README model-family matrix).
+    if args.sigma_field:
+        from pmg_dolfinx_tpu.models.poisson import (
+            f_rhs_sigma_field,
+            sigma_linear,
+        )
+
+        if (args.sigma or args.kappa_field != "const" or args.neumann
+                or args.fdm):
+            raise SystemExit("--sigma-field: use alone (constant kappa, "
+                             "no --sigma/--neumann/--fdm — the "
+                             "manufactured source is built for that "
+                             "combination, and the FDM shift must be "
+                             "separable)")
+        sigma = sigma_linear
+        f = f_rhs_sigma_field(args.kappa)
+        if args.operator in ("kron", "kron_blocked"):
+            args.operator = "lattice"
+            print("sigma field: switching operator backend to 'lattice'")
     if args.kappa_field == "linear":
         kappa, f = kappa_linear, f_rhs_variable(sigma=args.sigma)
         if args.operator in ("kron", "kron_blocked"):
@@ -233,7 +257,7 @@ def main():
         prob = PoissonProblem(
             nc=nc, degrees=tuple(args.degrees), kappa=kappa, dtype=dtype,
             coarse=args.coarse, operator=args.operator, f=f,
-            precision=args.precision, mesh=mesh, sigma=args.sigma,
+            precision=args.precision, mesh=mesh, sigma=sigma,
             coarse_cfg=coarse_cfg or None,
             smoother_iters=args.smoother_iters,
             smoother=args.smoother,

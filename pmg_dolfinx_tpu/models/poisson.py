@@ -103,6 +103,23 @@ def kappa_linear(x):
     return 1.0 + x[0]
 
 
+def sigma_linear(x):
+    """Smooth model reaction field ``sigma = 10 (1 + x + y)`` (the
+    variable-sigma family; pointwise at dof coordinates — see
+    `fem.assembly.resolve_sigma`)."""
+    return 10.0 * (1.0 + x[0] + x[1])
+
+
+def f_rhs_sigma_field(kappa, sigma_fn=sigma_linear):
+    """Source for constant kappa + a reaction FIELD:
+    ``f = 3 pi^2 kappa u_e + sigma(x) u_e``."""
+
+    def f(x):
+        return (3.0 * np.pi**2 * kappa + sigma_fn(x)) * u_exact(x)
+
+    return f
+
+
 def grad_kappa_linear(x):
     return np.stack([np.ones_like(x[0]), np.zeros_like(x[0]),
                      np.zeros_like(x[0])])
