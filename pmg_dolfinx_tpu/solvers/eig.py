@@ -62,7 +62,9 @@ def lowest_eigenpairs(mesh, P, kappa=2.0, k=4, sigma=0.0,
     bc = jnp.asarray(np.asarray(mesh.boundary_dof_marker(P)))
     sm = jnp.asarray(np.sqrt(lumped_mass_np(mesh, P)))
 
-    use_fdm = getattr(mesh, "is_axis_aligned", True) and hierarchy is None
+    use_fdm = (getattr(mesh, "is_axis_aligned", True)
+               and hierarchy is None
+               and not callable(sigma))  # sigma FIELD: general inverse
     if use_fdm:
         try:
             resolve_kappa_axes(mesh, kappa)

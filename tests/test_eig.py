@@ -54,6 +54,25 @@ def test_lowest_modes_mixed_bc_and_sigma():
     assert np.allclose(lams, ref, rtol=1e-8), (lams, ref)
 
 
+def test_lowest_modes_sigma_field():
+    """A sigma(x) reaction FIELD routes to the general (FCG) inverse
+    even on an axis-aligned constant-kappa mesh — vs scipy."""
+    from pmg_dolfinx_tpu.models.poisson import sigma_linear
+
+    mesh = BoxMesh((5, 5, 5))
+    P, k = 2, 3
+    lams, _, _ = lowest_eigenpairs(mesh, P, kappa=2.0, k=k,
+                                   sigma=sigma_linear)
+    bc = np.asarray(mesh.boundary_dof_marker(P))
+    free = ~bc
+    K = assemble_stiffness(mesh, P, kappa=2.0, bc=False).tocsr()
+    m = lumped_mass_np(mesh, P)
+    K = K + sp.diags(m * sigma_linear(mesh.dof_coords(P).T))
+    ref = np.sort(spla.eigsh(K[free][:, free], k=k, M=sp.diags(m[free]),
+                             sigma=0.0, which="LM")[0])
+    assert np.allclose(lams, ref, rtol=1e-8), (lams, ref)
+
+
 def test_lowest_modes_general_family():
     """Curved hexes + variable DG-0 kappa: the FCG(V) inverse drives
     the same LOBPCG — matches scipy shift-invert."""
