@@ -92,11 +92,110 @@ def assemble_stiffness(
     for c in range(ncells):
         vals[c] = element_stiffness(G[c], P, kc[c])
     A = sp.coo_matrix((vals.ravel(), (rows, cols)), shape=(ndofs, ndofs)).tocsr()
+    if getattr(mesh, "has_robin", False):
+        # Robin boundary mass (diagonal under GLL collocation) is part
+        # of the bilinear form — include it in the raw operator too.
+        A = A + sp.diags(robin_mass_np(mesh, P, bc_zero=False))
     if bc:
         marker = mesh.boundary_dof_marker(P)
         keep = sp.diags((~marker).astype(np.float64))
         A = keep @ A @ keep + sp.diags(marker.astype(np.float64))
     return A.tocsr()
+
+
+def _face_surface_quadrature(mesh: BoxMesh, P: int, axis: int, side: int):
+    """Collocated GLL surface rule on one boundary face of the mesh.
+
+    Returns ``(dofs, wts, pts)``: global dof ids ``(nfc, n, n)`` of the
+    face nodes of every boundary-layer cell, the surface quadrature
+    weights ``w_j w_k |t_u x t_v|`` at those nodes (Q1 face metric —
+    exact for the trilinear geometry of both `BoxMesh` and
+    `PerturbedBoxMesh`), and the physical node coordinates
+    ``(nfc, n, n, 3)``. Shared-edge nodes appear once per adjacent cell;
+    scatter-add with ``np.add.at`` to assemble (the surface analogue of
+    `lumped_mass_np`).
+    """
+    n = P + 1
+    xg, w1 = gauss_lobatto(n)
+    nx, ny, nz = mesh.nc
+    # Boundary-layer cells and their face corners (Q1 bilinear face map).
+    corners = mesh.geometry_x[mesh.geometry_dofmap].reshape(
+        nx, ny, nz, 2, 2, 2, 3
+    )
+    csl = [slice(None)] * 3
+    csl[axis] = 0 if side == 0 else -1
+    fsl = [slice(None)] * 3
+    fsl[axis] = 0 if side == 0 else 1
+    # (nfc, 2, 2, 3) with axes (u_corner, v_corner) = the two in-face axes.
+    C = corners[tuple(csl) + tuple(fsl)].reshape(-1, 2, 2, 3)
+    phi = np.stack([1.0 - xg, xg], axis=1)  # (n, 2)
+    # Tangents of the bilinear face map X(u, v) = sum_ab phi_a(u)
+    # phi_b(v) C[a, b]: d/du depends on v only, d/dv on u only.
+    Xu = np.einsum("kb,cbD->ckD", phi, C[:, 1] - C[:, 0])  # at v = xg_k
+    Xv = np.einsum("ja,caD->cjD", phi, C[:, :, 1] - C[:, :, 0])  # at u = xg_j
+    # Broadcast to the (n_u, n_v) grid: Xu varies with v only, Xv with u.
+    Tu = np.broadcast_to(Xu[:, None, :, :], (C.shape[0], n, n, 3))
+    Tv = np.broadcast_to(Xv[:, :, None, :], (C.shape[0], n, n, 3))
+    nrm = np.cross(Tu, Tv)
+    dS = np.sqrt((nrm**2).sum(axis=-1))  # (nfc, n, n)
+    wts = w1[None, :, None] * w1[None, None, :] * dS
+    # Face dofs: boundary cell layer, face-local slice of the dofmap.
+    dm = mesh.dofmap(P).reshape(nx, ny, nz, n, n, n)
+    dsl = [slice(None)] * 3
+    dsl[axis] = 0 if side == 0 else -1
+    lsl = [slice(None)] * 3
+    lsl[axis] = 0 if side == 0 else -1
+    dofs = dm[tuple(dsl) + tuple(lsl)].reshape(-1, n, n)
+    pts = mesh.dof_coords(P)[dofs]  # (nfc, n, n, 3)
+    return dofs, wts, pts
+
+
+def robin_mass_np(mesh: BoxMesh, P: int, bc_zero: bool = True) -> np.ndarray:
+    """Diagonal Robin boundary mass ``b[(ndofs,)]`` (float64, host).
+
+    ``b_i = sum_{Robin faces F ∋ i} alpha_F w_i^F`` with the collocated
+    GLL surface rule — the boundary term ``integral_Gamma alpha u v ds``
+    of the Robin condition ``kappa du/dn + alpha u = g``
+    (`BoxMesh(robin=...)`). Diagonal because GLL collocation lumps the
+    surface mass exactly (same mechanism as `lumped_mass_np`). On an
+    axis-aligned box it equals the per-axis Kronecker end-point form
+    ``alpha e_end e_end^T (x) M (x) M`` (verified in tests), which is how
+    the kron/FDM family carries it. With ``bc_zero=True`` entries on
+    Dirichlet-marked dofs (Robin-face edges meeting a Dirichlet face)
+    are zeroed — those rows are identity rows everywhere.
+    """
+    b = np.zeros(mesh.num_dofs(P))
+    for axis in range(3):
+        for side in range(2):
+            alpha = float(mesh.robin_alpha[axis, side])
+            if alpha == 0.0:
+                continue
+            dofs, wts, _ = _face_surface_quadrature(mesh, P, axis, side)
+            np.add.at(b, dofs.ravel(), alpha * wts.ravel())
+    if bc_zero:
+        b[mesh.boundary_dof_marker(P)] = 0.0
+    return b
+
+
+def robin_rhs_np(mesh: BoxMesh, P: int, g) -> np.ndarray:
+    """Robin data contribution ``integral_Gamma g v ds`` to the load
+    vector (float64, host). ``g`` is a callable over points
+    ``x[(3, npts)]`` applied on every Robin face, or a dict keyed by
+    ``(axis, side)`` of callables/scalars for per-face data. Dirichlet-
+    marked entries are zeroed (identity rows). Add to `assemble_rhs`'s
+    volume term."""
+    b = np.zeros(mesh.num_dofs(P))
+    for axis in range(3):
+        for side in range(2):
+            if float(mesh.robin_alpha[axis, side]) == 0.0:
+                continue
+            gf = g.get((axis, side), 0.0) if isinstance(g, dict) else g
+            dofs, wts, pts = _face_surface_quadrature(mesh, P, axis, side)
+            gv = (gf(pts.reshape(-1, 3).T).reshape(wts.shape)
+                  if callable(gf) else float(gf))
+            np.add.at(b, dofs.ravel(), (gv * wts).ravel())
+    b[mesh.boundary_dof_marker(P)] = 0.0
+    return b
 
 
 def assemble_rhs(mesh: BoxMesh, P: int, f, bc: bool = True) -> np.ndarray:

@@ -25,6 +25,32 @@ import numpy as np
 from .gll import gauss_lobatto
 
 
+def _norm_robin_alpha(robin, dirichlet_faces):
+    """Normalize the Robin spec to a read-only 3x2 float64 array of
+    per-face coefficients ``alpha`` (0 = no Robin term on that face)."""
+    if robin is None:
+        out = np.zeros((3, 2))
+    else:
+        out = np.asarray(robin, dtype=np.float64)
+        if out.shape != (3, 2):
+            raise ValueError(
+                "robin must be a 3x2 nested sequence of per-face alpha "
+                "coefficients ((x0,x1),(y0,y1),(z0,z1)); 0 disables a face"
+            )
+        if np.any(out < 0.0):
+            raise ValueError("robin alpha coefficients must be >= 0")
+        for a in range(3):
+            for s in range(2):
+                if out[a, s] > 0.0 and dirichlet_faces[a][s]:
+                    raise ValueError(
+                        f"face (axis={a}, side={s}) is flagged Dirichlet "
+                        "AND Robin; a Robin face must be non-Dirichlet "
+                        "(drop it from dirichlet_faces)"
+                    )
+    out.setflags(write=False)
+    return out
+
+
 def _norm_dirichlet_faces(faces):
     """Normalize to a 3x2 nested bool tuple ((x0,x1),(y0,y1),(z0,z1))."""
     if faces is True or faces is None:
@@ -58,7 +84,8 @@ class BoxMesh:
         the mixed case is beyond-reference model-family coverage.
     """
 
-    def __init__(self, nc, extent=(1.0, 1.0, 1.0), dirichlet_faces=True):
+    def __init__(self, nc, extent=(1.0, 1.0, 1.0), dirichlet_faces=True,
+                 robin=None):
         self.nc = tuple(int(v) for v in nc)
         self.extent = tuple(float(v) for v in extent)
         if any(v < 1 for v in self.nc):
@@ -66,6 +93,15 @@ class BoxMesh:
         self.ncells = self.nc[0] * self.nc[1] * self.nc[2]
         self.h = tuple(e / n for e, n in zip(self.extent, self.nc))
         self.dirichlet_faces = _norm_dirichlet_faces(dirichlet_faces)
+        # Robin boundary condition ``kappa du/dn + alpha u = g`` on the
+        # faces with alpha > 0 (weak form adds the boundary mass
+        # ``integral_face alpha u v ds``; g enters the rhs via
+        # `fem.assembly.robin_rhs_np`). Beyond-reference model-family
+        # coverage; on the axis-aligned box the term is a per-axis 1D
+        # stiffness END-POINT update (K[0,0] += alpha etc.), so the whole
+        # Kronecker/FDM fast family — including the exact direct solver —
+        # carries it natively.
+        self.robin_alpha = _norm_robin_alpha(robin, self.dirichlet_faces)
 
     # ------------------------------------------------------------------
     # Geometry (Q1 coordinate element: 8 corner nodes per cell)
@@ -203,6 +239,11 @@ class BoxMesh:
         # trilinear geometry; reduces to (i+1/2)h on the axis-aligned box).
         return self.geometry_x[self.geometry_dofmap].mean(axis=1)
 
+    @property
+    def has_robin(self) -> bool:
+        """True when any face carries a Robin term (alpha > 0)."""
+        return bool(np.any(self.robin_alpha > 0.0))
+
     # True when every cell Jacobian is diagonal-constant (the Kronecker /
     # FDM fast paths require this; general hexes use the lattice/dofmap
     # backends).
@@ -261,8 +302,9 @@ class PerturbedBoxMesh(BoxMesh):
     is_axis_aligned = False
 
     def __init__(self, nc, extent=(1.0, 1.0, 1.0), warp=None,
-                 dirichlet_faces=True):
-        super().__init__(nc, extent, dirichlet_faces=dirichlet_faces)
+                 dirichlet_faces=True, robin=None):
+        super().__init__(nc, extent, dirichlet_faces=dirichlet_faces,
+                         robin=robin)
         self._warp = warp if warp is not None else default_warp()
 
     @lru_cache(maxsize=1)

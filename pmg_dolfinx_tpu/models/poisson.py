@@ -53,17 +53,58 @@ def u_exact_mixed(dirichlet_faces):
 
 
 def _mixed_axis_factors(dirichlet_faces):
-    """Per axis: (factor function, angular frequency w_a)."""
+    """Per axis: (factor function, angular frequency w_a, derivative)."""
     out = []
     for lo, hi in dirichlet_faces:
         if lo and hi:
-            out.append((lambda t: np.sin(np.pi * t), np.pi))
+            out.append((lambda t: np.sin(np.pi * t), np.pi,
+                        lambda t: np.pi * np.cos(np.pi * t)))
         elif not lo and not hi:
-            out.append((lambda t: np.cos(np.pi * t), np.pi))
+            out.append((lambda t: np.cos(np.pi * t), np.pi,
+                        lambda t: -np.pi * np.sin(np.pi * t)))
         elif lo:  # Dirichlet low, Neumann high
-            out.append((lambda t: np.sin(0.5 * np.pi * t), 0.5 * np.pi))
+            out.append((lambda t: np.sin(0.5 * np.pi * t), 0.5 * np.pi,
+                        lambda t: 0.5 * np.pi * np.cos(0.5 * np.pi * t)))
         else:  # Neumann low, Dirichlet high
-            out.append((lambda t: np.cos(0.5 * np.pi * t), 0.5 * np.pi))
+            out.append((lambda t: np.cos(0.5 * np.pi * t), 0.5 * np.pi,
+                        lambda t: -0.5 * np.pi * np.sin(0.5 * np.pi * t)))
+    return out
+
+
+def grad_u_exact_mixed(dirichlet_faces):
+    """Gradient of `u_exact_mixed` at points ``x[(3, npts)]``."""
+    facs = _mixed_axis_factors(dirichlet_faces)
+
+    def grad(x):
+        v = [f(x[a]) for a, (f, _, _) in enumerate(facs)]
+        d = [df(x[a]) for a, (_, _, df) in enumerate(facs)]
+        return np.stack([d[0] * v[1] * v[2], v[0] * d[1] * v[2],
+                         v[0] * v[1] * d[2]])
+
+    return grad
+
+
+def robin_data(kappa, u, grad_u, robin_alpha):
+    """Robin boundary data ``g = kappa du/dn + alpha u`` per Robin face
+    for a manufactured solution ``u`` with gradient ``grad_u`` on an
+    axis-aligned box (outward normal ``-/+ e_axis``). ``kappa`` is a
+    scalar or per-axis ``(kx, ky, kz)``. Returns the per-face dict
+    `fem.assembly.robin_rhs_np` consumes."""
+    ra = np.asarray(robin_alpha, dtype=np.float64)
+    kax = (kappa if isinstance(kappa, (tuple, list))
+           else (kappa, kappa, kappa))
+    out = {}
+    for axis in range(3):
+        for side in range(2):
+            a = float(ra[axis, side])
+            if a == 0.0:
+                continue
+            sgn = -1.0 if side == 0 else 1.0
+
+            def g(x, axis=axis, sgn=sgn, a=a, k=float(kax[axis])):
+                return k * sgn * grad_u(x)[axis] + a * u(x)
+
+            out[(axis, side)] = g
     return out
 
 
@@ -71,7 +112,7 @@ def f_rhs_mixed(kappa, dirichlet_faces, sigma=0.0):
     """Source for `u_exact_mixed`:
     ``f = (kappa sum_a w_a^2 + sigma) u_e``."""
     facs = _mixed_axis_factors(dirichlet_faces)
-    lam = sum(w * w for _, w in facs)
+    lam = sum(w * w for _, w, _ in facs)
     u = u_exact_mixed(dirichlet_faces)
 
     def f(x):
@@ -216,7 +257,7 @@ class PoissonProblem:
                  dtype=jnp.float64, coarse="smoother", coarse_cfg=None,
                  smoother_iters=2, operator="kron", precision="highest",
                  f=None, mesh=None, sigma=0.0, smoother="cheb",
-                 u_exact=None):
+                 u_exact=None, robin_g=None):
         """``kappa`` may be a scalar, a per-cell DG-0 array, or a callable
         (see `PMGHierarchy`). For non-scalar kappa pass the matching
         source term ``f`` (e.g. `f_rhs_variable`). ``mesh`` (optional)
@@ -243,9 +284,15 @@ class PoissonProblem:
                     "(e.g. models.poisson.f_rhs_variable(...))"
                 )
             f = f_rhs(self.hierarchy.kappa, sigma=sigma)
-        self.b = jnp.asarray(
-            assemble_rhs(self.mesh, self.degrees[-1], f), dtype=dtype,
-        )
+        b = assemble_rhs(self.mesh, self.degrees[-1], f)
+        if robin_g is not None:
+            # Robin boundary data g enters the load vector as the
+            # surface term ``integral_Gamma g v ds`` (robin_rhs_np);
+            # pass the dict `robin_data` builds for a manufactured u.
+            from ..fem.assembly import robin_rhs_np
+
+            b = b + robin_rhs_np(self.mesh, self.degrees[-1], robin_g)
+        self.b = jnp.asarray(b, dtype=dtype)
 
     def solve(self, num_cycles=10, residuals=True, u0=None, fmg=False):
         """Run the stationary V-cycle iteration (reference main loop).

@@ -34,12 +34,21 @@ from ..fem.gll import gauss_lobatto
 from .lattice import axis_matrices
 
 
-def axis_stiffness_mass(nc: int, P: int, h) -> tuple[np.ndarray, np.ndarray]:
+def axis_stiffness_mass(nc: int, P: int, h,
+                        robin=(0.0, 0.0)) -> tuple[np.ndarray, np.ndarray]:
     """1D GLL stiffness ``K[(N, N)]`` and lumped mass ``m[(N,)]`` on an
     ``nc``-cell 1D mesh with per-cell spacings ``h`` (scalar or (nc,)).
 
     K = Dg^T diag(w_q / h_c) Dg ;  m = E^T (w_q * h_c)  — the 1D
     reductions of the 3D geometry pipeline for diagonal Jacobians.
+
+    ``robin=(alpha_lo, alpha_hi)`` adds the Robin boundary-condition
+    end-point terms ``alpha * e_end e_end^T`` to K: on the axis-aligned
+    box the 3D Robin boundary mass ``alpha integral_face u v ds``
+    factors EXACTLY as ``alpha e0 e0^T (x) M (x) M`` (GLL surface
+    lumping), so a scalar end update carries the whole Robin family
+    through every Kronecker-structured consumer — kron/kron_blocked
+    applies, the FDM direct solver, h-MG rebuilds, line/Schwarz blocks.
     """
     h = np.broadcast_to(np.asarray(h, dtype=np.float64), (nc,))
     E, Dg = axis_matrices(nc, P)
@@ -48,7 +57,23 @@ def axis_stiffness_mass(nc: int, P: int, h) -> tuple[np.ndarray, np.ndarray]:
     hq = np.repeat(h, P + 1)
     K = Dg.T @ ((w / hq)[:, None] * Dg)
     m = E.T @ (w * hq)
+    if robin[0]:
+        K[0, 0] += float(robin[0])
+    if robin[1]:
+        K[-1, -1] += float(robin[1])
     return K, m
+
+
+def robin_axis_ends(mesh, axis: int, scale: float = 1.0):
+    """Per-axis Robin end coefficients ``(alpha_lo, alpha_hi) * scale``
+    for `axis_stiffness_mass(robin=...)`. NOTE the kappa interplay: the
+    Robin boundary mass is NOT scaled by kappa, so a caller that later
+    multiplies K by ``k_a`` must pass ``scale=1/k_a`` here (the FDM
+    eigenvalue path), or fold robin AFTER the kappa multiply."""
+    ra = getattr(mesh, "robin_alpha", None)
+    if ra is None:
+        return (0.0, 0.0)
+    return (float(ra[axis, 0]) * scale, float(ra[axis, 1]) * scale)
 
 
 def kron_laplacian_apply(x, Ks, ms, bc_marker, precision="highest",
@@ -149,11 +174,14 @@ class KronLaplacian:
         kax = resolve_kappa_axes(mesh, kappa)
         self.kappa_axes = kax
         Ks, ms = [], []
-        for nc_a, h_a, k_a in zip(mesh.nc, mesh.h, kax):
-            K, m = axis_stiffness_mass(nc_a, self.P, h_a)
+        for a, (nc_a, h_a, k_a) in enumerate(zip(mesh.nc, mesh.h, kax)):
             # kappa folded into the stiffness factors (one K per term;
             # a per-axis / diagonal-tensor kappa scales each term by its
-            # own k_a — grid-aligned anisotropic diffusion).
+            # own k_a — grid-aligned anisotropic diffusion). The Robin
+            # end terms are kappa-free: scale=1/k_a pre-divides them so
+            # the k_a multiply restores alpha exactly.
+            K, m = axis_stiffness_mass(
+                nc_a, self.P, h_a, robin=robin_axis_ends(mesh, a, 1.0 / k_a))
             Ks.append(jnp.asarray(k_a * K, dtype=dtype))
             ms.append(jnp.asarray(m, dtype=dtype))
         self.Ks = tuple(Ks)

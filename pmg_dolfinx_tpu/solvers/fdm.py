@@ -34,17 +34,20 @@ import numpy as np
 from ..ops.kron import axis_stiffness_mass
 
 
-def _axis_eig(nc, P, h, ends=(True, True)):
+def _axis_eig(nc, P, h, ends=(True, True), robin=(0.0, 0.0)):
     """Free-node generalized eigenpairs of the 1D (K, M) pencil.
 
     ``ends`` are the per-end Dirichlet flags: flagged end nodes are
     trimmed (identity rows); an unflagged end is a natural-Neumann node
     and stays a free unknown (the assembled 1D matrices already carry
-    the correct half-stencil rows there). Returns ``V[(Ni, Ni)]`` with
-    ``V^T M V = I`` and eigenvalues ``lam[(Ni,)]``;
-    Ni = nc*P + 1 - sum(ends).
+    the correct half-stencil rows there). ``robin`` adds the per-end
+    Robin terms to K before the eigensolve (a Robin end is a free node
+    with a modified stencil — the diagonalization absorbs it exactly;
+    NOTE: the caller scales the eigenvalues by ``k_a``, so pass
+    ``alpha/k_a``). Returns ``V[(Ni, Ni)]`` with ``V^T M V = I`` and
+    eigenvalues ``lam[(Ni,)]``; Ni = nc*P + 1 - sum(ends).
     """
-    K, m = axis_stiffness_mass(nc, P, h)
+    K, m = axis_stiffness_mass(nc, P, h, robin=robin)
     lo = 1 if ends[0] else 0
     hi = -1 if ends[1] else None
     Ki = K[lo:hi, lo:hi]
@@ -111,19 +114,25 @@ class FastDiagonalizationSolver:
         self.trims = tuple(
             (int(lo), int(hi)) for lo, hi in faces
         )
+        from ..fem.assembly import resolve_kappa_axes
+        from ..ops.kron import robin_axis_ends
+
+        # Per-axis kappa just scales each axis' generalized eigenvalues
+        # (same V): grid-aligned anisotropic diffusion solved EXACTLY.
+        kx, ky, kz = resolve_kappa_axes(mesh, kappa)
         Vs, Vts, lams = [], [], []
-        for nc_a, h_a, ends in zip(mesh.nc, mesh.h, faces):
-            V, lam = _axis_eig(nc_a, self.P, h_a, ends=ends)
+        for a, (nc_a, h_a, ends, k_a) in enumerate(
+                zip(mesh.nc, mesh.h, faces, (kx, ky, kz))):
+            # Robin ends pre-divided by k_a: the eigenvalue sums below
+            # multiply back by k_a, restoring the kappa-free alpha term —
+            # the Robin family keeps the EXACT six-matmul direct solve.
+            V, lam = _axis_eig(nc_a, self.P, h_a, ends=ends,
+                               robin=robin_axis_ends(mesh, a, 1.0 / k_a))
             Vs.append(jnp.asarray(V, dtype=dtype))
             Vts.append(jnp.asarray(V.T.copy(), dtype=dtype))
             lams.append(lam)
         self.Vs, self.Vts = tuple(Vs), tuple(Vts)
         lx, ly, lz = lams
-        from ..fem.assembly import resolve_kappa_axes
-
-        # Per-axis kappa just scales each axis' generalized eigenvalues
-        # (same V): grid-aligned anisotropic diffusion solved EXACTLY.
-        kx, ky, kz = resolve_kappa_axes(mesh, kappa)
         d = (kx * lx[:, None, None] + ky * ly[None, :, None]
              + kz * lz[None, None, :]) + float(sigma)
         if d.size and float(d.min()) <= 1e-14 * max(1.0, float(d.max())):

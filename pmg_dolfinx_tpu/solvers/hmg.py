@@ -197,7 +197,7 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     """
     import jax
 
-    from ..ops.kron import axis_stiffness_mass, kron_diagonal
+    from ..ops.kron import axis_stiffness_mass, kron_diagonal, robin_axis_ends
     from .cg import cg_solve
     from .pmg import (
         DEFAULT_CALIBRATION_RTOL,
@@ -216,8 +216,9 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     else:
         sizes = validate_hmg_sizes(mesh.nc, sizes)
     sizes = list(sizes)[::-1]  # coarse->fine
+    robin = mesh.robin_alpha if getattr(mesh, "has_robin", False) else None
     meshes = [BoxMesh(nc, extent=mesh.extent,
-                      dirichlet_faces=mesh.dirichlet_faces)
+                      dirichlet_faces=mesh.dirichlet_faces, robin=robin)
               for nc in sizes]
     ops = kron_cycle_ops(precision, sigma=sigma)
     # Scalar kappa keeps the historical scalar form (bit-identical
@@ -241,8 +242,13 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
 
             lv["schwarz"] = build_schwarz(m, P, kassemble, dtype,
                                           sigma=sigma)
-        for name, nc_a, h_a, k_a in zip("xyz", m.nc, m.h, kax):
-            K, mass = axis_stiffness_mass(nc_a, P, h_a)
+        for a, (name, nc_a, h_a, k_a) in enumerate(
+                zip("xyz", m.nc, m.h, kax)):
+            # Robin end terms are kappa-free and h-independent: the SAME
+            # alpha end update rediscretizes on every coarsened level
+            # (pre-divided by k_a, restored by the multiply below).
+            K, mass = axis_stiffness_mass(
+                nc_a, P, h_a, robin=robin_axis_ends(m, a, 1.0 / k_a))
             lv["K" + name] = jnp.asarray(k_a * K, dtype=dtype)
             lv["m" + name] = jnp.asarray(mass, dtype=dtype)
         bc = jnp.asarray(m.boundary_dof_marker(P))
@@ -399,16 +405,21 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     else:
         sizes = validate_hmg_sizes(mesh.nc, sizes)
     sizes = list(sizes)[::-1]  # coarse->fine
+    robin = mesh.robin_alpha if getattr(mesh, "has_robin", False) else None
     if isinstance(mesh, PerturbedBoxMesh):
         meshes = [PerturbedBoxMesh(nc, extent=mesh.extent, warp=mesh._warp,
-                                   dirichlet_faces=mesh.dirichlet_faces)
+                                   dirichlet_faces=mesh.dirichlet_faces,
+                                   robin=robin)
                   for nc in sizes]
     else:
         meshes = [BoxMesh(nc, extent=mesh.extent,
-                          dirichlet_faces=mesh.dirichlet_faces)
+                          dirichlet_faces=mesh.dirichlet_faces, robin=robin)
                   for nc in sizes]
     kappa_fine, _ = resolve_kappa(mesh, kappa)
-    ops = lattice_cycle_ops(precision, sigma=sigma)
+    # Robin rides the baked pointwise-shift path (rediscretized per
+    # h-level, like a sigma field): ops scalar forced to 1.0.
+    ops_sigma = 1.0 if robin is not None else sigma
+    ops = lattice_cycle_ops(precision, sigma=ops_sigma)
     schwarz = smoother == "schwarz"
     line_axis = (None if schwarz
                  else parse_line_smoother(smoother, mesh, kappa))
@@ -437,14 +448,21 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
             lv["E" + name] = jnp.asarray(E, dtype=dtype)
             lv["D" + name] = jnp.asarray(Dg, dtype=dtype)
         diag = stiffness_diagonal_np(m, P, kc)
-        if sigma:
+        if ops_sigma:
             # A sigma FIELD (sigma_field) is baked into m3, re-evaluated
-            # at THIS level's dof coordinates (rediscretized shift).
-            from ..fem.assembly import shifted_mass_np
+            # at THIS level's dof coordinates (rediscretized shift);
+            # Robin boundary mass bakes the same way (robin_mass_np on
+            # THIS level's faces).
+            from ..fem.assembly import robin_mass_np, shifted_mass_np
 
-            m3 = shifted_mass_np(m, P, sigma_field)
+            if robin is not None:
+                m3 = robin_mass_np(m, P)
+                if sigma:
+                    m3 = m3 + sigma * shifted_mass_np(m, P, sigma_field)
+            else:
+                m3 = shifted_mass_np(m, P, sigma_field)
             lv["m3"] = jnp.asarray(m3, dtype=dtype)
-            diag = diag + sigma * m3
+            diag = diag + ops_sigma * m3
         lv["diag_inv"] = jnp.asarray(1.0 / diag, dtype=dtype)
         if line_axis is not None:
             lv["line_inv"] = jnp.asarray(

@@ -790,13 +790,21 @@ class PMGHierarchy:
                     "(their block builders fold a uniform shift); use "
                     "smoother='cheb' with a sigma field"
                 )
+        self._robin = bool(getattr(mesh, "has_robin", False))
         if (not any(any(f) for f in getattr(mesh, "dirichlet_faces",
                                             ((True, True),) * 3))
-                and self.sigma == 0.0):
+                and self.sigma == 0.0 and not self._robin):
             raise ValueError(
                 "pure-Neumann problem (no Dirichlet face) with sigma=0 is "
-                "singular (constant nullspace); add a Dirichlet face or a "
-                "positive sigma shift"
+                "singular (constant nullspace); add a Dirichlet face, a "
+                "positive sigma shift, or a Robin face"
+            )
+        if self._robin and (smoother != "cheb" or (coarse_cfg or {}).get(
+                "smoother", "cheb") != "cheb"):
+            raise ValueError(
+                "Robin faces currently require smoother='cheb' (the "
+                "line/Schwarz block builders do not yet fold the Robin "
+                "boundary mass)"
             )
         # Smoother preconditioner for every p-level: point Jacobi
         # ('cheb', default) or LINE relaxation along the strongly-coupled
@@ -819,6 +827,15 @@ class PMGHierarchy:
                 "hard-codes point Jacobi)"
             )
         kron_family = operator in ("kron", "kron_blocked")
+        # Robin faces on the GENERAL backends ride the baked pointwise-
+        # shift path: the boundary mass (diagonal under GLL collocation,
+        # fem.assembly.robin_mass_np) folds into every level's m3 vector
+        # with the ops-level sigma scalar forced to 1.0 — the same
+        # mechanism as a sigma FIELD. The kron family instead carries
+        # Robin as per-axis 1D stiffness END updates (ops/kron.py), so
+        # its ops scalar stays the plain sigma.
+        self._ops_sigma = (1.0 if (self._robin and not kron_family)
+                           else self.sigma)
         if kron_family:
             require_axis_aligned(mesh, f"operator='{operator}'")
         if (operator in ("kron_blocked", "lattice_blocked")
@@ -871,9 +888,10 @@ class PMGHierarchy:
         self.precision = precision
         self.eigs = []
         if operator == "lattice":
-            self._ops = lattice_cycle_ops(precision, sigma=self.sigma)
+            self._ops = lattice_cycle_ops(precision, sigma=self._ops_sigma)
         elif operator == "lattice_blocked":
-            self._ops = lattice_blocked_cycle_ops(precision, sigma=self.sigma)
+            self._ops = lattice_blocked_cycle_ops(precision,
+                                                  sigma=self._ops_sigma)
         elif operator == "kron":
             self._ops = kron_cycle_ops(precision, sigma=self.sigma)
         elif operator == "kron_blocked":
@@ -885,7 +903,7 @@ class PMGHierarchy:
                 fuse_transfers=fuse_transfers,
             )
         elif operator == "dofmap":
-            self._ops = default_cycle_ops(sigma=self.sigma)
+            self._ops = default_cycle_ops(sigma=self._ops_sigma)
         else:
             raise ValueError(
                 f"unknown operator backend {operator!r}; expected 'kron', "
@@ -916,12 +934,16 @@ class PMGHierarchy:
             bc = jnp.asarray(mesh.boundary_dof_marker(P))
             ndofs = mesh.num_dofs(P)
             if kron_family:
-                from ..ops.kron import axis_stiffness_mass
+                from ..ops.kron import axis_stiffness_mass, robin_axis_ends
 
                 lv = {}
-                for name, nc_a, h_a, k_a in zip("xyz", mesh.nc,
-                                                mesh.h, self.kappa_axes):
-                    K, m = axis_stiffness_mass(nc_a, P, h_a)
+                for a, (name, nc_a, h_a, k_a) in enumerate(
+                        zip("xyz", mesh.nc, mesh.h, self.kappa_axes)):
+                    # Robin ends pre-divided by k_a: the kappa multiply
+                    # below restores the kappa-free alpha end terms.
+                    K, m = axis_stiffness_mass(
+                        nc_a, P, h_a,
+                        robin=robin_axis_ends(mesh, a, 1.0 / k_a))
                     lv["K" + name] = jnp.asarray(k_a * K, dtype=dtype)
                     lv["m" + name] = jnp.asarray(m, dtype=dtype)
                 # Lattice-shaped markers: the kron cycle carries
@@ -1001,16 +1023,16 @@ class PMGHierarchy:
                     bc,
                     ndofs,
                 )
-                if self.sigma:
+                if self._ops_sigma:
                     # General lumped-mass shift (curved hexes / DG-0
                     # kappa): bc-zeroed mass vector added pointwise in the
                     # apply (cycle-ops sigma) and to the Jacobi diagonal.
-                    # A sigma FIELD is baked into m3 (self.sigma is 1.0).
-                    from ..fem.assembly import shifted_mass_np
-
-                    m3 = shifted_mass_np(mesh, P, self._sigma_field)
+                    # A sigma FIELD is baked into m3 (self.sigma is 1.0);
+                    # Robin faces bake their boundary mass the same way
+                    # (self._ops_sigma is 1.0, _baked_m3_np).
+                    m3 = self._baked_m3_np(mesh, P)
                     lv["m3"] = jnp.asarray(m3, dtype=dtype)
-                    diag = diag + self.sigma * lv["m3"]
+                    diag = diag + self._ops_sigma * lv["m3"]
             lv["diag_inv"] = 1.0 / diag
             if kron_family:
                 lv["diag_inv"] = lv["diag_inv"].reshape(level.shape)
@@ -1178,6 +1200,20 @@ class PMGHierarchy:
     # the kron backend works on lattice-shaped arrays internally, so the
     # boundary methods reshape once per call — never inside hot loops.
 
+    def _baked_m3_np(self, m, P):
+        """Pointwise shift vector (float64, host) for a general-backend
+        level: the plain (field-folded) lumped mass when no Robin faces
+        exist (the cycle-ops scalar carries sigma), else the fully baked
+        ``sigma * m3 + robin boundary mass`` applied with scalar 1.0."""
+        from ..fem.assembly import robin_mass_np, shifted_mass_np
+
+        if not self._robin:
+            return shifted_mass_np(m, P, self._sigma_field)
+        out = robin_mass_np(m, P)
+        if self.sigma:
+            out = out + self.sigma * shifted_mass_np(m, P, self._sigma_field)
+        return out
+
     def _to_work(self, v, level=-1):
         if self.operator_kind in ("kron", "kron_blocked"):
             return v.reshape(self.levels[level].shape)
@@ -1332,12 +1368,9 @@ class PMGHierarchy:
                     ),
                     bc=jnp.asarray(self.mesh.boundary_dof_marker(Pf)),
                 )
-                if self.sigma:
-                    from ..fem.assembly import shifted_mass_np
-
+                if self._ops_sigma:
                     self._res64["m3"] = jnp.asarray(
-                        shifted_mass_np(self.mesh, Pf, self._sigma_field),
-                        jnp.float64,
+                        self._baked_m3_np(self.mesh, Pf), jnp.float64,
                     )
                 self._b64shape = (-1,)
         if getattr(self, "_refine_step", None) is None:
@@ -1363,10 +1396,10 @@ class PMGHierarchy:
                     Au = lattice_laplacian_apply(
                         u64, res64["mats"], res64["G"], res64["bc"],
                         precision="highest",
-                        apply_bc=not self.sigma,
+                        apply_bc=not self._ops_sigma,
                     )
-                    if self.sigma:
-                        Au = Au + self.sigma * res64["m3"] * u64
+                    if self._ops_sigma:
+                        Au = Au + self._ops_sigma * res64["m3"] * u64
                         Au = jnp.where(res64["bc"], u64, Au)
                     r64 = b64 - Au
                 e = v_cycle(
