@@ -244,6 +244,30 @@ def shifted_mass_np(mesh: BoxMesh, P: int, sigma_field=None,
     return m
 
 
+def general_shift_np(mesh: BoxMesh, P: int, sigma, sigma_field=None):
+    """``(ops_sigma, m3)`` — the pointwise shift of a GENERAL-backend
+    level (lattice/lattice_blocked/dofmap applies add ``ops_sigma * m3 *
+    u`` pointwise; the Jacobi diagonal adds the same term).
+
+    Without Robin faces this is the plain sigma mechanism: the scalar
+    rides the cycle-ops closure and ``m3`` is the (field-folded) lumped
+    mass (``None`` when sigma is 0 — no pointwise pass at all). With
+    Robin faces the GLL-diagonal boundary mass (`robin_mass_np`) is baked
+    INTO ``m3`` together with ``sigma * mass`` and the scalar is forced
+    to 1.0 — one fused multiply-add carries both terms. Every consumer
+    (single-device, slab, grid, h-MG levels) shares this policy so
+    sharded trajectories stay bit-identical to the single-device ones.
+    """
+    sigma = float(sigma)
+    if not getattr(mesh, "has_robin", False):
+        return sigma, (shifted_mass_np(mesh, P, sigma_field)
+                       if sigma else None)
+    m3 = robin_mass_np(mesh, P)
+    if sigma:
+        m3 = m3 + sigma * shifted_mass_np(mesh, P, sigma_field)
+    return 1.0, m3
+
+
 def lifted_rhs(mesh: BoxMesh, P: int, kappa, f, g):
     """Inhomogeneous Dirichlet data ``u = g`` on the flagged faces:
     classic lifting. Returns ``(b_hom, u_g)`` — solve the homogeneous

@@ -76,6 +76,48 @@ def robin_axis_ends(mesh, axis: int, scale: float = 1.0):
     return (float(ra[axis, 0]) * scale, float(ra[axis, 1]) * scale)
 
 
+def stacked_local_K(Kl, k_a, robin_ends, n_shards):
+    """Per-shard stacked kappa-folded LOCAL axis stiffness for a SHARDED
+    mesh axis whose global ends carry Robin terms: ``(S * npl, npl)``
+    float64, sharded along rows (each shard sees its own ``(npl, npl)``
+    block inside shard_map — the per-shard apply code is unchanged).
+
+    On a uniform mesh the local stiffness is shard-invariant, so the
+    distributed layouts normally replicate one ``(npl, npl)`` matrix;
+    Robin breaks that symmetry ONLY at the global ends — the kappa-free
+    ``alpha`` updates land on the first shard's ``[0, 0]`` and the last
+    shard's ``[-1, -1]`` entries, which in the row-stacked layout are
+    simply the global ``[0, 0]`` and ``[-1, -1]`` corners.
+    """
+    out = np.tile(k_a * np.asarray(Kl, np.float64), (int(n_shards), 1))
+    out[0, 0] += float(robin_ends[0])
+    out[-1, -1] += float(robin_ends[1])
+    return out
+
+
+def local_axis_K(mesh, a, nc_local, Pdeg, k_a, n_shards_a):
+    """Kappa-folded LOCAL axis stiffness with the mesh's Robin ends for
+    the distributed layouts: ``(K, stacked)``.
+
+    ``stacked=False``: the shard-invariant ``(npl, npl)`` float64 matrix
+    (replicate, spec ``P()``) — the no-Robin form, or an unsharded axis
+    with the Robin ends folded in directly. ``stacked=True``: the
+    per-shard row-stacked `stacked_local_K` form ``(S*npl, npl)`` (shard
+    along rows, spec ``P(axis)``) — a SHARDED axis whose global ends
+    carry Robin terms.
+    """
+    K, _ = axis_stiffness_mass(nc_local, Pdeg, mesh.h[a])
+    ends = robin_axis_ends(mesh, a)
+    if ends == (0.0, 0.0):
+        return k_a * K, False
+    if n_shards_a == 1:
+        K = k_a * K
+        K[0, 0] += ends[0]
+        K[-1, -1] += ends[1]
+        return K, False
+    return stacked_local_K(K, k_a, ends, n_shards_a), True
+
+
 def kron_laplacian_apply(x, Ks, ms, bc_marker, precision="highest",
                          apply_bc=True, exchange=None, sigma=0.0):
     """``y = A x`` via the Kronecker-sum form (jittable, shape-preserving).

@@ -60,12 +60,16 @@ def _shifted_diag_np(mesh, Pdeg, kappa_cells, sigma, sigma_field=None):
     """Global operator diagonal incl. the optional lumped-mass shift
     (general meshes: the GLL-lumped mass, `fem.assembly.lumped_mass_np`;
     reduces to the tensor-product axis masses on axis-aligned boxes).
-    A sigma FIELD is baked into the mass (`shifted_mass_np`)."""
-    from ..fem.assembly import shifted_mass_np, stiffness_diagonal_np
+    A sigma FIELD is baked into the mass (`shifted_mass_np`); Robin
+    faces add their (GLL-diagonal) boundary mass (`robin_mass_np`)."""
+    from ..fem.assembly import (robin_mass_np, shifted_mass_np,
+                                stiffness_diagonal_np)
 
     d = stiffness_diagonal_np(mesh, Pdeg, kappa_cells)
     if sigma:
         d = d + sigma * shifted_mass_np(mesh, Pdeg, sigma_field)
+    if getattr(mesh, "has_robin", False):
+        d = d + robin_mass_np(mesh, Pdeg)
     return d
 
 
@@ -601,13 +605,21 @@ class DistPMG:
                 raise ValueError(
                     "line/schwarz smoothers support a scalar sigma only"
                 )
+        self._robin = bool(getattr(mesh, "has_robin", False))
         if (not any(any(f) for f in getattr(mesh, "dirichlet_faces",
                                             ((True, True),) * 3))
-                and self.sigma == 0.0):
+                and self.sigma == 0.0 and not self._robin):
             raise ValueError(
                 "pure-Neumann problem (no Dirichlet face) with sigma=0 is "
-                "singular (constant nullspace); add a Dirichlet face or a "
-                "positive sigma shift"
+                "singular (constant nullspace); add a Dirichlet face, a "
+                "positive sigma shift, or a Robin face"
+            )
+        if self._robin and (smoother != "cheb" or (coarse_cfg or {}).get(
+                "smoother", "cheb") != "cheb"):
+            raise ValueError(
+                "Robin faces currently require smoother='cheb' (the "
+                "line/Schwarz block builders do not yet fold the Robin "
+                "boundary mass)"
             )
         # p-level LINE-relaxation smoother (solvers/line.py): lines along
         # y or z are shard-local on the x-slab layout, so the batched
@@ -639,6 +651,12 @@ class DistPMG:
                 "slab is shards=(S, 1, 1))"
             )
         kron_family = operator in ("kron", "kron_blocked")
+        # Robin on the GENERAL backends rides the baked pointwise shift
+        # (boundary mass folded into m3, ops scalar forced to 1.0 — see
+        # fem.assembly.general_shift_np); the kron family carries Robin
+        # as per-axis 1D stiffness end updates instead.
+        self._ops_sigma = (1.0 if (self._robin and not kron_family)
+                           else self.sigma)
         if kron_family:
             require_axis_aligned(mesh, f"DistPMG operator='{operator}'")
         if operator == "kron_blocked" and dtype != jnp.float32:
@@ -766,33 +784,52 @@ class DistPMG:
                 common_spec["schwarz"] = dict(
                     ginv=P(AXIS), Ux=P(AXIS), Uy=P(), Uz=P(), bc=P(AXIS),
                 )
-            if self.sigma and not kron_family:
-                from ..fem.assembly import shifted_mass_np
+            if self._ops_sigma and not kron_family:
+                # Pointwise shift vector: sigma * (field-folded) mass,
+                # with any Robin boundary mass baked in (shared policy
+                # fem.assembly.general_shift_np, ops scalar then 1.0).
+                from ..fem.assembly import general_shift_np
 
                 common["m3"] = jnp.asarray(
                     conform(part.to_dist(
-                        Pdeg, shifted_mass_np(mesh, Pdeg,
-                                              self._sigma_field)
+                        Pdeg, general_shift_np(mesh, Pdeg, self.sigma,
+                                               self._sigma_field)[1]
                     )),
                     dtype=dtype,
                 )
                 common_spec["m3"] = P(AXIS)
             if kron_family:
-                from ..ops.kron import axis_stiffness_mass
+                from ..ops.kron import (axis_stiffness_mass, local_axis_K,
+                                        robin_axis_ends)
 
                 lv = dict(common)
                 spec = dict(common_spec)
                 # Local x-axis stiffness (partial sums at interfaces are
-                # reconciled by the exchange); global y/z matrices.
-                Kx, _ = axis_stiffness_mass(
-                    part.cells_per_shard_x, Pdeg, mesh.h[0]
+                # reconciled by the exchange); global y/z matrices. Robin
+                # ends fold into the global y/z matrices directly (the
+                # 1/k_a pre-divide keeps alpha kappa-free after the fold)
+                # and into a per-shard ROW-STACKED x matrix when the
+                # sharded x axis carries Robin faces (spec P(AXIS) — each
+                # shard sees its own block, only the global-end shards
+                # differ).
+                Kxf, x_stacked = local_axis_K(
+                    mesh, 0, part.cells_per_shard_x, Pdeg, kax[0],
+                    part.n_shards,
                 )
-                Ky, my = axis_stiffness_mass(mesh.nc[1], Pdeg, mesh.h[1])
-                Kz, mz = axis_stiffness_mass(mesh.nc[2], Pdeg, mesh.h[2])
+                Ky, my = axis_stiffness_mass(
+                    mesh.nc[1], Pdeg, mesh.h[1],
+                    robin=robin_axis_ends(mesh, 1, 1.0 / kax[1]))
+                Kz, mz = axis_stiffness_mass(
+                    mesh.nc[2], Pdeg, mesh.h[2],
+                    robin=robin_axis_ends(mesh, 2, 1.0 / kax[2]))
                 _, mx_g = axis_stiffness_mass(mesh.nc[0], Pdeg, mesh.h[0])
                 # Global x-mass in the duplicated-plane layout, sharded.
                 npl = part.local_planes(Pdeg)
                 mx_dup = duplicate_planes(mx_g, npl, part.n_shards)
+                Kx_shards = (Kxf.reshape(part.n_shards, npl, npl)
+                             if x_stacked
+                             else np.broadcast_to(
+                                 Kxf, (part.n_shards, npl, npl)))
                 if operator == "kron_blocked":
                     from ..ops.pallas_kron_blocked import symmetrized_mats
 
@@ -803,16 +840,17 @@ class DistPMG:
                     # helper. sx stacking distributes over the outer
                     # products, so the stacked factors are closed-form.
                     kb = symmetrized_mats(
-                        (kax[0] * Kx, kax[1] * Ky, kax[2] * Kz),
+                        (Kx_shards[0], kax[1] * Ky, kax[2] * Kz),
                         (mx_dup[:npl], my, mz),
                     )
                     sx_all = np.sqrt(np.asarray(mx_dup, np.float64))
                     sz = np.sqrt(np.asarray(mz, np.float64))
-                    Kx64 = kax[0] * np.asarray(Kx, np.float64)
                     kb["Ktx"] = jnp.asarray(
                         np.concatenate([
-                            Kx64 / sx_s[:, None] / sx_s[None, :]
-                            for sx_s in sx_all.reshape(part.n_shards, npl)
+                            K_s / sx_s[:, None] / sx_s[None, :]
+                            for K_s, sx_s in zip(
+                                Kx_shards,
+                                sx_all.reshape(part.n_shards, npl))
                         ]),
                         jnp.float32,
                     )
@@ -826,14 +864,15 @@ class DistPMG:
                     )
                 else:
                     lv.update(
-                        Kx=jnp.asarray(kax[0] * Kx, dtype=dtype),
+                        Kx=jnp.asarray(Kxf, dtype=dtype),
                         Ky=jnp.asarray(kax[1] * Ky, dtype=dtype),
                         Kz=jnp.asarray(kax[2] * Kz, dtype=dtype),
                         mx=jnp.asarray(mx_dup, dtype=dtype),
                         my=jnp.asarray(my, dtype=dtype),
                         mz=jnp.asarray(mz, dtype=dtype),
                     )
-                    spec.update(Kx=P(), Ky=P(), Kz=P(),
+                    spec.update(Kx=P(AXIS) if x_stacked else P(),
+                                Ky=P(), Kz=P(),
                                 mx=P(AXIS), my=P(), mz=P())
             elif operator == "lattice":
                 lv = dict(common)
@@ -887,9 +926,9 @@ class DistPMG:
                                               sigma=self.sigma)
         elif operator == "lattice":
             ops = dist_lattice_cycle_ops(self.n_shards, precision,
-                                         sigma=self.sigma)
+                                         sigma=self._ops_sigma)
         else:
-            ops = dist_cycle_ops(self.n_shards, sigma=self.sigma)
+            ops = dist_cycle_ops(self.n_shards, sigma=self._ops_sigma)
 
         if coarse not in ("cg", "smoother", "fdm", "direct", "hmg"):
             raise ValueError(
@@ -1356,23 +1395,33 @@ class DistPMG:
             )
             common_spec = dict(bc_marker=P(AXIS), weights=P(AXIS))
             if use_kron64:
-                Kx, _ = axis_stiffness_mass(part.cells_per_shard_x, Pdeg,
-                                            mesh.h[0])
-                Ky, my = axis_stiffness_mass(mesh.nc[1], Pdeg, mesh.h[1])
-                Kz, mz = axis_stiffness_mass(mesh.nc[2], Pdeg, mesh.h[2])
+                from ..ops.kron import local_axis_K, robin_axis_ends
+
+                Kxf, x_stacked = local_axis_K(
+                    mesh, 0, part.cells_per_shard_x, Pdeg, kax[0],
+                    part.n_shards,
+                )
+                Ky, my = axis_stiffness_mass(
+                    mesh.nc[1], Pdeg, mesh.h[1],
+                    robin=robin_axis_ends(mesh, 1, 1.0 / kax[1]))
+                Kz, mz = axis_stiffness_mass(
+                    mesh.nc[2], Pdeg, mesh.h[2],
+                    robin=robin_axis_ends(mesh, 2, 1.0 / kax[2]))
                 _, mx_g = axis_stiffness_mass(mesh.nc[0], Pdeg, mesh.h[0])
                 npl = part.local_planes(Pdeg)
                 mx_dup = duplicate_planes(mx_g, npl, part.n_shards)
                 lv64 = dict(
                     common,
-                    Kx=jnp.asarray(kax[0] * Kx, dtype=jnp.float64),
+                    Kx=jnp.asarray(Kxf, dtype=jnp.float64),
                     Ky=jnp.asarray(kax[1] * Ky, dtype=jnp.float64),
                     Kz=jnp.asarray(kax[2] * Kz, dtype=jnp.float64),
                     mx=jnp.asarray(mx_dup, dtype=jnp.float64),
                     my=jnp.asarray(my, dtype=jnp.float64),
                     mz=jnp.asarray(mz, dtype=jnp.float64),
                 )
-                lv64_spec = dict(common_spec, Kx=P(), Ky=P(), Kz=P(),
+                lv64_spec = dict(common_spec,
+                                 Kx=P(AXIS) if x_stacked else P(),
+                                 Ky=P(), Kz=P(),
                                  mx=P(AXIS), my=P(), mz=P())
             else:
                 from ..ops.lattice import (
@@ -1399,12 +1448,12 @@ class DistPMG:
                     ),
                 )
                 lv64_spec = dict(common_spec, G=P(AXIS))
-                if self.sigma:
-                    from ..fem.assembly import shifted_mass_np
+                if self._ops_sigma:
+                    from ..fem.assembly import general_shift_np
 
                     m3d = part.to_dist(
-                        Pdeg, shifted_mass_np(mesh, Pdeg,
-                                              self._sigma_field)
+                        Pdeg, general_shift_np(mesh, Pdeg, self.sigma,
+                                               self._sigma_field)[1]
                     )
                     if self.operator_kind not in ("kron", "kron_blocked"):
                         m3d = m3d.reshape(-1)
@@ -1451,8 +1500,8 @@ class DistPMG:
                     )
                     lat = _exchange_partials(raw.reshape(fine.shape), n_sh)
                     y64 = lat.reshape(jnp.shape(u64))
-                    if self.sigma:
-                        y64 = y64 + self.sigma * lv64_["m3"] * u64
+                    if self._ops_sigma:
+                        y64 = y64 + self._ops_sigma * lv64_["m3"] * u64
                     Au = jnp.where(lv64_["bc_marker"], u64, y64)
                 r64 = b64 - Au
                 rn = jnp.sqrt(

@@ -452,15 +452,10 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
             # A sigma FIELD (sigma_field) is baked into m3, re-evaluated
             # at THIS level's dof coordinates (rediscretized shift);
             # Robin boundary mass bakes the same way (robin_mass_np on
-            # THIS level's faces).
-            from ..fem.assembly import robin_mass_np, shifted_mass_np
+            # THIS level's faces) — shared policy: general_shift_np.
+            from ..fem.assembly import general_shift_np
 
-            if robin is not None:
-                m3 = robin_mass_np(m, P)
-                if sigma:
-                    m3 = m3 + sigma * shifted_mass_np(m, P, sigma_field)
-            else:
-                m3 = shifted_mass_np(m, P, sigma_field)
+            m3 = general_shift_np(m, P, sigma, sigma_field)[1]
             lv["m3"] = jnp.asarray(m3, dtype=dtype)
             diag = diag + ops_sigma * m3
         lv["diag_inv"] = jnp.asarray(1.0 / diag, dtype=dtype)

@@ -1204,15 +1204,12 @@ class PMGHierarchy:
         """Pointwise shift vector (float64, host) for a general-backend
         level: the plain (field-folded) lumped mass when no Robin faces
         exist (the cycle-ops scalar carries sigma), else the fully baked
-        ``sigma * m3 + robin boundary mass`` applied with scalar 1.0."""
-        from ..fem.assembly import robin_mass_np, shifted_mass_np
+        ``sigma * m3 + robin boundary mass`` applied with scalar 1.0
+        (`fem.assembly.general_shift_np` — shared with the distributed
+        builders)."""
+        from ..fem.assembly import general_shift_np
 
-        if not self._robin:
-            return shifted_mass_np(m, P, self._sigma_field)
-        out = robin_mass_np(m, P)
-        if self.sigma:
-            out = out + self.sigma * shifted_mass_np(m, P, self._sigma_field)
-        return out
+        return general_shift_np(m, P, self.sigma, self._sigma_field)[1]
 
     def _to_work(self, v, level=-1):
         if self.operator_kind in ("kron", "kron_blocked"):

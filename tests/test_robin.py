@@ -258,6 +258,91 @@ def test_refined_solve_robin():
         assert rnorms[-1] < 1e-9 * rnorms[0], (operator, rnorms)
 
 
+# ---------------- distributed (x-slab) layout ----------------
+#
+# The sharded x axis carries a Robin face at its global high end
+# (ROBIN[0] = (0.0, 2.5)), so these exercise the per-shard ROW-STACKED
+# local stiffness (ops.kron.stacked_local_K — only the end shards
+# differ); y carries Robin at both ends through the global-matrix fold.
+
+
+@pytest.mark.parametrize("operator,kappa", [
+    ("kron", 2.0),
+    ("kron", (2.0, 0.5, 3.0)),
+    ("lattice", 2.0),
+])
+def test_dist_operator_matches_oracle(operator, kappa):
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+
+    mesh = BoxMesh((8, 4, 4), dirichlet_faces=DF, robin=ROBIN)
+    A = assemble_stiffness(mesh, 3, kappa=kappa)
+    dist = DistPMG(mesh, n_devices=4, degrees=(1, 3), kappa=kappa,
+                   dtype=jnp.float64, operator=operator)
+    x = np.random.default_rng(6).standard_normal(mesh.num_dofs(3))
+    yd = dist.from_dist(dist.operator()(dist.to_dist(x)))
+    np.testing.assert_allclose(yd, A @ x, rtol=0, atol=1e-11)
+
+
+@pytest.mark.parametrize("operator,coarse,sigma", [
+    ("kron", "cg", 0.0),
+    ("kron", "fdm", 0.0),
+    ("kron", "hmg", 0.0),
+    ("lattice", "direct", 0.7),
+])
+def test_dist_solve_matches_single(operator, coarse, sigma):
+    """Sharded Robin trajectories == single-device (all coarse modes are
+    rebuilt from the Robin-flagged mesh; lattice bakes sigma*mass +
+    boundary mass into one m3)."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+
+    prob = _robin_problem(nc=(8, 4, 4), coarse=coarse, operator=operator,
+                          sigma=sigma)
+    u_s, rn_s = prob.solve(num_cycles=8)
+    dist = DistPMG(prob.mesh, n_devices=4, degrees=(1, 3), kappa=2.0,
+                   coarse=coarse, operator=operator, sigma=sigma)
+    u_d, rn_d = dist.solve(np.asarray(prob.b), num_cycles=8)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_dist_kron_blocked_robin_matches_single():
+    """The fused Mosaic pair (interpret mode on CPU) carries the Robin
+    end updates through the per-shard stacked Ktx factor."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+
+    prob = _robin_problem(nc=(8, 4, 4), coarse="cg",
+                          operator="kron_blocked", dtype=jnp.float32)
+    u_s, rn_s = prob.solve(num_cycles=5)
+    dist = DistPMG(prob.mesh, n_devices=4, degrees=(1, 3), kappa=2.0,
+                   coarse="cg", operator="kron_blocked",
+                   dtype=jnp.float32)
+    u_d, rn_d = dist.solve(np.asarray(prob.b), num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-4), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-5)
+
+
+@pytest.mark.parametrize("operator", ["kron", "lattice"])
+def test_dist_refined_robin_matches_single(operator):
+    """Sharded mixed-precision refinement on the Robin system: the f64
+    residual operator carries the Robin term (stacked Kx on the kron
+    path, baked m3 on the lattice path)."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+
+    # The all-Robin y axis contracts slower (~0.55/cycle) than the
+    # all-Dirichlet problems — identical single vs sharded either way.
+    prob = _robin_problem(nc=(8, 8, 8), coarse="cg", operator=operator,
+                          dtype=jnp.float32)
+    u_s, rn_s = prob.hierarchy.solve_refined(prob.b, num_cycles=25)
+    dist = DistPMG(prob.mesh, n_devices=8, degrees=(1, 3), kappa=2.0,
+                   coarse="cg", operator=operator, dtype=jnp.float32)
+    b = np.asarray(prob.b)
+    u_d, rn_d = dist.solve_refined(b, num_cycles=25)
+    r0 = np.linalg.norm(b)
+    assert rn_d[-1] / r0 < 1e-6, np.array(rn_d) / r0
+    assert np.allclose(rn_d, rn_s, rtol=1e-3), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-6)
+
+
 def test_validation_guards():
     mesh = _mesh()
     with pytest.raises(ValueError, match="Robin"):
