@@ -245,21 +245,31 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
         sigma=sigma, sizes=sizes, smoother=smoother,
     )
     sizes_cf = sizes[::-1]  # coarse -> fine, matching g_data["levels"]
+    # Robin alphas are resolution-independent boundary data: the
+    # coarsened levels carry the same face flags (rediscretized end
+    # updates per h-level, matching the gathered build_hmg).
+    robin = (mesh.robin_alpha if getattr(mesh, "has_robin", False)
+             else None)
     meshes = [BoxMesh(nc, extent=mesh.extent,
-                      dirichlet_faces=mesh.dirichlet_faces)
+                      dirichlet_faces=mesh.dirichlet_faces, robin=robin)
               for nc in sizes_cf]
     parts = [SlabPartition(m, n_shards) for m in meshes]
 
     levels, level_data, level_specs = [], [], []
     for m, p_l, g_lv in zip(meshes, parts, g_data["levels"]):
-        Kx, _ = axis_stiffness_mass(p_l.cells_per_shard_x, P0, m.h[0])
-        Ky, my = axis_stiffness_mass(m.nc[1], P0, m.h[1])
-        Kz, mz = axis_stiffness_mass(m.nc[2], P0, m.h[2])
+        from ..ops.kron import local_axis_K, robin_axis_ends
+
+        Kxf, x_stacked = local_axis_K(m, 0, p_l.cells_per_shard_x, P0,
+                                      kax[0], n_shards)
+        Ky, my = axis_stiffness_mass(
+            m.nc[1], P0, m.h[1], robin=robin_axis_ends(m, 1, 1.0 / kax[1]))
+        Kz, mz = axis_stiffness_mass(
+            m.nc[2], P0, m.h[2], robin=robin_axis_ends(m, 2, 1.0 / kax[2]))
         _, mx_g = axis_stiffness_mass(m.nc[0], P0, m.h[0])
         npl = p_l.local_planes(P0)
         mx_dup = duplicate_planes(mx_g, npl, n_shards)
         lv = dict(
-            Kx=jnp.asarray(kax[0] * Kx, dtype=dtype),
+            Kx=jnp.asarray(Kxf, dtype=dtype),
             Ky=jnp.asarray(kax[1] * Ky, dtype=dtype),
             Kz=jnp.asarray(kax[2] * Kz, dtype=dtype),
             mx=jnp.asarray(mx_dup, dtype=dtype),
@@ -275,7 +285,8 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
             weights=jnp.asarray(p_l.ownership_weights(P0), dtype=dtype),
             lmax=g_lv["lmax"],
         )
-        spec = dict(Kx=P(), Ky=P(), Kz=P(), mx=P(AXIS), my=P(), mz=P(),
+        spec = dict(Kx=P(AXIS) if x_stacked else P(),
+                    Ky=P(), Kz=P(), mx=P(AXIS), my=P(), mz=P(),
                     bc_marker=P(AXIS), diag_inv=P(AXIS), weights=P(AXIS),
                     lmax=P())
         if line_axis is not None:

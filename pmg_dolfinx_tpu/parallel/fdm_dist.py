@@ -161,14 +161,20 @@ def make_fdm_dist(mesh, Pdeg, part, axes_spec, lat_spec, kappa, dtype,
     """
     from ..fem.mesh import require_axis_aligned
 
+    from ..ops.kron import robin_axis_ends
+
     require_axis_aligned(mesh, "distributed FDM")
     faces = getattr(mesh, "dirichlet_faces", ((True, True),) * 3)
+    kx, ky, kz = resolve_kappa_axes(mesh, kappa)
     Vs, lams = [], []
-    for nc_a, h_a, ends in zip(mesh.nc, mesh.h, faces):
-        V, lam = _axis_eig(nc_a, Pdeg, h_a, ends=ends)
+    for a, (nc_a, h_a, ends, k_a) in enumerate(
+            zip(mesh.nc, mesh.h, faces, (kx, ky, kz))):
+        # Robin end terms ride the kappa-free 1D eigenproblem with the
+        # 1/k_a pre-divide (d sums k_a * lam — same fold as fdm.py).
+        V, lam = _axis_eig(nc_a, Pdeg, h_a, ends=ends,
+                           robin=robin_axis_ends(mesh, a, 1.0 / k_a))
         Vs.append(V)
         lams.append(lam)
-    kx, ky, kz = resolve_kappa_axes(mesh, kappa)
     dmin = (kx * float(lams[0].min()) + ky * float(lams[1].min())
             + kz * float(lams[2].min())) + float(sigma)
     if dmin <= 1e-14:

@@ -343,6 +343,59 @@ def test_dist_refined_robin_matches_single(operator):
     assert np.allclose(u_d, np.asarray(u_s), atol=1e-6)
 
 
+def test_distfdm_robin_matches_single_fdm():
+    """The gather-free distributed FDM (pencil all_to_all transposes)
+    carries the Robin end updates in its embedded per-axis transforms —
+    value-exact vs the single-device exact solver."""
+    from pmg_dolfinx_tpu.parallel.fdm_dist import DistFDM
+
+    mesh = BoxMesh((8, 4, 4), dirichlet_faces=DF, robin=ROBIN)
+    P4, kappa = 4, (2.0, 0.5, 3.0)
+    single = FastDiagonalizationSolver(mesh, P4, kappa=kappa,
+                                       dtype=jnp.float64, sigma=0.3)
+    dist = DistFDM(mesh, P4, 4, kappa=kappa, dtype=jnp.float64, sigma=0.3)
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(mesh.num_dofs(P4))
+    b[mesh.boundary_dof_marker(P4)] = 0.0
+    u_s = np.asarray(single.solve(jnp.asarray(b)))
+    u_d = dist.solve(b)
+    np.testing.assert_allclose(u_d, u_s, rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("cfg", [dict(dist=True),
+                                 dict(dist=True, bottom="fdm")])
+def test_dist_hmg_distributed_robin_matches_single(cfg):
+    """Non-gathered h-MG coarse with Robin: every h-level carries the
+    rediscretized end updates (stacked per-shard x blocks), the 'fdm'
+    bottom makes the whole hierarchy gather-free — trajectory-exact vs
+    the single-device gathered hmg."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+
+    prob = _robin_problem(nc=(8, 4, 4), coarse="hmg", operator="kron")
+    u_s, rn_s = prob.solve(num_cycles=6)
+    dist = DistPMG(prob.mesh, n_devices=4, degrees=(1, 3), kappa=2.0,
+                   coarse="hmg", coarse_cfg=cfg, operator="kron")
+    u_d, rn_d = dist.solve(np.asarray(prob.b), num_cycles=6)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_dist_fdm_dist_coarse_robin_matches_single():
+    """coarse='fdm' with coarse_cfg dist=True (pencil-transposed exact
+    coarse solve, no gather) on the Robin mesh == single-device fdm
+    coarse trajectories."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+
+    prob = _robin_problem(nc=(8, 4, 4), coarse="fdm", operator="kron")
+    u_s, rn_s = prob.solve(num_cycles=6)
+    dist = DistPMG(prob.mesh, n_devices=4, degrees=(1, 3), kappa=2.0,
+                   coarse="fdm", coarse_cfg=dict(dist=True),
+                   operator="kron")
+    u_d, rn_d = dist.solve(np.asarray(prob.b), num_cycles=6)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
 def test_validation_guards():
     mesh = _mesh()
     with pytest.raises(ValueError, match="Robin"):
