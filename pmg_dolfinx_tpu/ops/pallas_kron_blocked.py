@@ -297,26 +297,35 @@ def grid_symmetrized_mats(Ks_local, ms_dup, shards, dtype=jnp.float32):
     """Per-shard symmetrized arrays for the multi-axis grid decomposition,
     stacked along each sharded device axis.
 
-    ``Ks_local``: per-axis LOCAL 1D stiffness ``(npl_a, npl_a)`` (kappa
-    folded in) — identical for every shard along an axis on a uniform
-    mesh. ``ms_dup``: per-axis GLOBAL lumped mass in the duplicated-plane
-    layout ``(S_a * npl_a,)`` — the sqrt-mass scalings differ between
-    boundary and interior shards, so every mass-scaled factor is built
-    per shard and stacked for sharding.
+    ``Ks_local``: per-axis LOCAL 1D stiffness — either ``(npl_a, npl_a)``
+    (kappa folded in; identical for every shard along the axis on a
+    uniform mesh) or a per-shard ROW-STACKED ``(S_a * npl_a, npl_a)``
+    array (a sharded axis whose global ends carry Robin terms — only the
+    end shards differ, `ops.kron.stacked_local_K`). ``ms_dup``: per-axis
+    GLOBAL lumped mass in the duplicated-plane layout ``(S_a * npl_a,)``
+    — the sqrt-mass scalings differ between boundary and interior shards,
+    so every mass-scaled factor is built per shard and stacked for
+    sharding.
 
     Returns ``(mats, axes)``: the array dict plus a parallel dict naming
     the device-mesh axis (or axis pair) each array shards over — the
     caller turns these into PartitionSpecs.
     """
-    Kx, Ky, Kz = (np.asarray(K, np.float64) for K in Ks_local)
     mx, my, mz = (np.asarray(m, np.float64) for m in ms_dup)
     sx, sy, sz = np.sqrt(mx), np.sqrt(my), np.sqrt(mz)
     Sx, Sy, Sz = shards
-    nplx, nply, nplz = Kx.shape[0], Ky.shape[0], Kz.shape[0]
+    Kx, Ky, Kz = (np.asarray(K, np.float64) for K in Ks_local)
+    nplx, nply, nplz = Kx.shape[-1], Ky.shape[-1], Kz.shape[-1]
+    # Normalize to per-shard (S, npl, npl) blocks.
+    Kx, Ky, Kz = (
+        (K.reshape(S, npl, npl) if K.shape[0] == S * npl
+         else np.broadcast_to(K, (S, npl, npl)))
+        for K, S, npl in ((Kx, Sx, nplx), (Ky, Sy, nply), (Kz, Sz, nplz))
+    )
 
-    def stacked(K, s_all, S, npl, pick=None, transpose=False):
+    def stacked(K3, s_all, S, npl, pick=None, transpose=False):
         out = []
-        for sl in s_all.reshape(S, npl):
+        for K, sl in zip(K3, s_all.reshape(S, npl)):
             Kt = K / sl[:, None] / sl[None, :]
             if transpose:
                 Kt = Kt.T.copy()

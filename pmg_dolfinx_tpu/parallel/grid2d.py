@@ -636,24 +636,35 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
         return g_data, g_bottom
 
     def fill_level(lv, spec, m, p_l, g_lv):
+        from ..ops.kron import local_axis_K
+
         npls = p_l.local_shape(P0)
         for a, name in enumerate("xyz"):
             # Local per-shard stiffness (interface partials reconciled by
             # the exchange); global axis mass in the duplicated layout.
-            Kl, _ = axis_stiffness_mass(p_l.cells_per_shard[a], P0, m.h[a])
+            # Robin ends rediscretize per h-level (row-stacked per shard
+            # on a sharded axis — only the global-end shards differ).
+            Kl, stacked = local_axis_K(m, a, p_l.cells_per_shard[a], P0,
+                                       kax[a], p_l.shards[a])
             _, mg = axis_stiffness_mass(m.nc[a], P0, m.h[a])
-            lv["K" + name] = jnp.asarray(kax[a] * Kl, dtype=dtype)
+            lv["K" + name] = jnp.asarray(Kl, dtype=dtype)
             lv["m" + name] = jnp.asarray(
                 duplicate_planes(mg, npls[a], p_l.shards[a]), dtype=dtype
             )
-            spec["K" + name] = P()
+            spec["K" + name] = P(AXES[a]) if stacked else P()
             spec["m" + name] = P(AXES[a])
 
+    # Robin alphas are resolution-independent boundary data: coarsened
+    # levels carry the same face flags (rediscretized end updates per
+    # h-level, matching the gathered build_hmg).
+    robin = (mesh.robin_alpha if getattr(mesh, "has_robin", False)
+             else None)
     return _hmg_grid_scaffold(
         mesh, shards, P0, dtype, smoother_iters, min_cells, divisors,
         global_build,
         lambda nc: BoxMesh(nc, extent=mesh.extent,
-                           dirichlet_faces=mesh.dirichlet_faces),
+                           dirichlet_faces=mesh.dirichlet_faces,
+                           robin=robin),
         fill_level, sizes=sizes, line_axis=line_axis,
         bottom_fdm=(dict(kappa=kappa, precision=precision, sigma=sigma)
                     if bottom == "fdm" else None),
@@ -706,14 +717,16 @@ def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
         )
         return g_data, g_bottom
 
+    robin = (mesh.robin_alpha if getattr(mesh, "has_robin", False)
+             else None)
     if isinstance(mesh, PerturbedBoxMesh):
         make_mesh = lambda nc: PerturbedBoxMesh(
             nc, extent=mesh.extent, warp=mesh._warp,
-            dirichlet_faces=mesh.dirichlet_faces)
+            dirichlet_faces=mesh.dirichlet_faces, robin=robin)
     else:
         make_mesh = lambda nc: BoxMesh(
             nc, extent=mesh.extent,
-            dirichlet_faces=mesh.dirichlet_faces)
+            dirichlet_faces=mesh.dirichlet_faces, robin=robin)
     PSHARD = P(*AXES)
 
     def fill_level(lv, spec, m, p_l, g_lv):
@@ -722,10 +735,12 @@ def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
         # already computed — reuse instead of recomputing the host-side
         # geometry pipeline (it dominates setup at the finest h-level,
         # the FULL p=1 mesh); the PSHARD spec partitions the global
-        # array at placement.
+        # array at placement. With Robin faces the boundary mass is
+        # baked into the global pass's m3 (ops scalar 1.0 —
+        # `general_shift_np`), re-evaluated on THIS level's faces.
         lv["G"] = g_lv["G"]
         spec["G"] = PSHARD
-        if sigma:
+        if sigma or robin is not None:
             m3_np = (np.asarray(g_lv["m3"]) if "m3" in g_lv
                      else lumped_mass_np(m, P0, bc_zero=True))
             lv["m3"] = jnp.asarray(p_l.to_dist(P0, m3_np), dtype=dtype)
@@ -796,13 +811,21 @@ class GridPMG:
                 raise ValueError(
                     "line/schwarz smoothers support a scalar sigma only"
                 )
+        self._robin = bool(getattr(mesh, "has_robin", False))
         if (not any(any(f) for f in getattr(mesh, "dirichlet_faces",
                                             ((True, True),) * 3))
-                and self.sigma == 0.0):
+                and self.sigma == 0.0 and not self._robin):
             raise ValueError(
                 "pure-Neumann problem (no Dirichlet face) with sigma=0 is "
-                "singular (constant nullspace); add a Dirichlet face or a "
-                "positive sigma shift"
+                "singular (constant nullspace); add a Dirichlet face, a "
+                "positive sigma shift, or a Robin face"
+            )
+        if self._robin and (smoother != "cheb" or (coarse_cfg or {}).get(
+                "smoother", "cheb") != "cheb"):
+            raise ValueError(
+                "Robin faces currently require smoother='cheb' (the "
+                "line/Schwarz block builders do not yet fold the Robin "
+                "boundary mass)"
             )
         # p-level LINE-relaxation smoother (solvers/line.py): the line
         # axis must be UNSHARDED (lines stay within one shard); the
@@ -877,16 +900,24 @@ class GridPMG:
         self.operator_kind = operator
         self.eigs = []
         part = self.part
+        # Robin on the GENERAL backends rides the baked pointwise shift
+        # (boundary mass folded into m3, ops scalar forced to 1.0 — see
+        # fem.assembly.general_shift_np); the kron family carries Robin
+        # as per-axis 1D stiffness end updates instead.
+        self._ops_sigma = (1.0 if (self._robin and operator not in
+                                   ("kron", "kron_blocked"))
+                           else self.sigma)
         if operator == "lattice":
-            ops = grid_lattice_cycle_ops(shards, precision, sigma=self.sigma)
+            ops = grid_lattice_cycle_ops(shards, precision,
+                                         sigma=self._ops_sigma)
         elif operator == "lattice_blocked":
             ops = grid_lattice_blocked_cycle_ops(shards, precision,
-                                                 sigma=self.sigma)
+                                                 sigma=self._ops_sigma)
         elif operator == "kron_blocked":
             ops = grid_kron_blocked_cycle_ops(shards, precision,
                                               sigma=self.sigma)
         elif operator == "dofmap":
-            ops = grid_dofmap_cycle_ops(shards, sigma=self.sigma)
+            ops = grid_dofmap_cycle_ops(shards, sigma=self._ops_sigma)
         else:
             ops = grid_kron_cycle_ops(shards, precision, sigma=self.sigma)
 
@@ -982,8 +1013,9 @@ class GridPMG:
                      hmg_bottom_solve) = build_hmg_grid_general(
                         mesh, shards, P0, self._kappa_raw, dtype,
                         sigma_field=self._sigma_field, **kw)
-                    hmg_core = grid_lattice_cycle_ops(shards, precision,
-                                                      sigma=self.sigma)
+                    hmg_core = grid_lattice_cycle_ops(
+                        shards, precision,
+                        sigma=1.0 if self._robin else self.sigma)
                 hmg_ops = dict(
                     hmg_core,
                     coarse_gather=hmg_gather,
@@ -1284,46 +1316,58 @@ class GridPMG:
                 Ux=P(AXES[0]), Uy=P(AXES[1]), Uz=P(AXES[2]),
                 ginv=PSHARD, bc=PSHARD,
             )
-        if self.sigma and backend not in ("kron", "kron_blocked"):
-            from ..fem.assembly import shifted_mass_np
+        if (self._ops_sigma and backend not in ("kron", "kron_blocked")):
+            # Pointwise shift vector: sigma * (field-folded) mass, with
+            # any Robin boundary mass baked in (shared policy
+            # fem.assembly.general_shift_np, ops scalar then 1.0).
+            from ..fem.assembly import general_shift_np
 
             lv["m3"] = jnp.asarray(
-                part.to_dist(Pdeg, shifted_mass_np(mesh, Pdeg,
-                                                   self._sigma_field)),
+                part.to_dist(Pdeg, general_shift_np(
+                    mesh, Pdeg, self.sigma, self._sigma_field)[1]),
                 dtype=dtype,
             )
             spec["m3"] = PSHARD
         if backend == "kron_blocked":
+            from ..ops.kron import local_axis_K
             from ..ops.pallas_kron_blocked import grid_symmetrized_mats
 
             npls = part.local_shape(Pdeg)
             Ks_local, ms_dup = [], []
             for a in range(3):
-                Kl, _ = axis_stiffness_mass(
-                    part.cells_per_shard[a], Pdeg, mesh.h[a]
-                )
+                # Robin ends ride the kappa-folded local stiffness —
+                # per-shard row-stacked when the axis is sharded (only
+                # the global-end shards differ).
+                Kl, _ = local_axis_K(mesh, a, part.cells_per_shard[a],
+                                     Pdeg, kax[a], shards[a])
                 _, mg = axis_stiffness_mass(mesh.nc[a], Pdeg, mesh.h[a])
                 npl = npls[a]
                 ms_dup.append(duplicate_planes(mg, npl, shards[a]))
-                Ks_local.append(kax[a] * Kl)
+                Ks_local.append(Kl)
             kb, kb_axes = grid_symmetrized_mats(Ks_local, ms_dup, shards)
             lv["kb_mats"] = kb
             spec["kb_mats"] = {k: P(*axes_pair)
                                for k, axes_pair in kb_axes.items()}
         elif backend == "kron":
+            from ..ops.kron import local_axis_K
+
             npls = part.local_shape(Pdeg)
             for a, name in enumerate("xyz"):
                 # Local per-shard stiffness (interface partials reconciled
                 # by the exchange); global mass in the duplicated layout.
-                Kl, _ = axis_stiffness_mass(
-                    part.cells_per_shard[a], Pdeg, mesh.h[a]
+                # Robin end updates: per-shard row-stacked local matrix
+                # on a sharded axis (spec P(axis) — each shard sees its
+                # own block), plain end fold otherwise.
+                Kl, stacked = local_axis_K(
+                    mesh, a, part.cells_per_shard[a], Pdeg, kax[a],
+                    shards[a],
                 )
                 _, mg = axis_stiffness_mass(mesh.nc[a], Pdeg, mesh.h[a])
                 npl = npls[a]
                 m_dup = duplicate_planes(mg, npl, shards[a])
-                lv["K" + name] = jnp.asarray(kax[a] * Kl, dtype=dtype)
+                lv["K" + name] = jnp.asarray(Kl, dtype=dtype)
                 lv["m" + name] = jnp.asarray(m_dup, dtype=dtype)
-                spec["K" + name] = P()
+                spec["K" + name] = P(AXES[a]) if stacked else P()
                 spec["m" + name] = P(AXES[a])
         elif backend == "dofmap":
             from ..fem.geometry import (
@@ -1576,10 +1620,11 @@ class GridPMG:
                 ops64 = grid_kron_cycle_ops(shards, "highest",
                                             sigma=self.sigma)
             elif self.operator_kind == "dofmap":
-                ops64 = grid_dofmap_cycle_ops(shards, sigma=self.sigma)
+                ops64 = grid_dofmap_cycle_ops(shards,
+                                              sigma=self._ops_sigma)
             else:
                 ops64 = grid_lattice_cycle_ops(shards, "highest",
-                                               sigma=self.sigma)
+                                               sigma=self._ops_sigma)
             apply64 = ops64["apply"]
             work_dtype = self.dtype
             levels, coarse, coarse_cfg = (self.levels, self.coarse,

@@ -396,6 +396,131 @@ def test_dist_fdm_dist_coarse_robin_matches_single():
     assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
 
 
+# ---------------- 2D/3D grid decompositions ----------------
+#
+# Robin faces on SHARDED axes: x-high (last x-shard differs) and BOTH
+# y ends (first and last y-shard differ) — the per-shard row-stacked
+# local stiffness on every decomposed axis.
+
+
+@pytest.mark.parametrize("operator,kappa", [
+    ("kron", 2.0),
+    ("kron", (2.0, 0.5, 3.0)),
+    ("lattice", 2.0),
+    ("dofmap", 2.0),
+])
+def test_grid_operator_matches_oracle(operator, kappa):
+    from jax.sharding import PartitionSpec as P
+
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    mesh = BoxMesh((4, 4, 4), dirichlet_faces=DF, robin=ROBIN)
+    A = assemble_stiffness(mesh, 3, kappa=kappa)
+    grid = GridPMG(mesh, shards=(2, 2, 2), degrees=(1, 3), kappa=kappa,
+                   dtype=jnp.float64, operator=operator)
+    x = np.random.default_rng(8).standard_normal(mesh.num_dofs(3))
+    lvf = grid.data["levels"][-1]
+    yd = jax.jit(
+        jax.shard_map(
+            lambda lv, v: grid._ops["apply"](lv, v, grid.levels[-1]),
+            mesh=grid.jmesh,
+            in_specs=(grid.data_specs["levels"][-1], P("x", "y", "z")),
+            out_specs=P("x", "y", "z"),
+        )
+    )(lvf, grid.to_dist(x))
+    np.testing.assert_allclose(grid.from_dist(yd), A @ x,
+                               rtol=0, atol=1e-11)
+
+
+@pytest.mark.parametrize("shards,operator,coarse,sigma", [
+    ((2, 2, 2), "kron", "fdm", 0.0),
+    ((2, 4), "kron", "hmg", 0.0),
+    ((2, 2), "lattice", "direct", 0.7),
+])
+def test_grid_solve_matches_single(shards, operator, coarse, sigma):
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    prob = _robin_problem(nc=(4, 4, 4), coarse=coarse, operator=operator,
+                          sigma=sigma)
+    u_s, rn_s = prob.solve(num_cycles=8)
+    grid = GridPMG(prob.mesh, shards=shards, degrees=(1, 3), kappa=2.0,
+                   coarse=coarse, operator=operator, sigma=sigma)
+    u_d, rn_d = grid.solve(np.asarray(prob.b), num_cycles=8)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_grid_kron_blocked_robin_matches_single():
+    """The grid-decomposed fused Mosaic pair (interpret mode on CPU):
+    per-shard stacked Kt factors carry the Robin ends on every sharded
+    axis incl. the edge-partial (Ktye/KtzTe) exchange operands."""
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    prob = _robin_problem(nc=(4, 4, 4), coarse="cg",
+                          operator="kron_blocked", dtype=jnp.float32)
+    u_s, rn_s = prob.solve(num_cycles=5)
+    grid = GridPMG(prob.mesh, shards=(2, 2, 2), degrees=(1, 3), kappa=2.0,
+                   coarse="cg", operator="kron_blocked", dtype=jnp.float32)
+    u_d, rn_d = grid.solve(np.asarray(prob.b), num_cycles=5)
+    assert np.allclose(rn_d, rn_s, rtol=1e-4), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-5)
+
+
+@pytest.mark.parametrize("cfg", [dict(dist=True),
+                                 dict(dist=True, bottom="fdm")])
+def test_grid_hmg_distributed_robin_matches_single(cfg):
+    """Non-gathered grid h-MG with Robin: rediscretized end updates at
+    every h-level in the multi-axis layout; bottom='fdm' keeps the whole
+    hierarchy gather-free."""
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    prob = _robin_problem(nc=(4, 4, 4), coarse="hmg", operator="kron")
+    u_s, rn_s = prob.solve(num_cycles=6)
+    grid = GridPMG(prob.mesh, shards=(2, 2), degrees=(1, 3), kappa=2.0,
+                   coarse="hmg", coarse_cfg=cfg, operator="kron")
+    u_d, rn_d = grid.solve(np.asarray(prob.b), num_cycles=6)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_grid_hmg_general_dist_robin_curved():
+    """General-family (curved hexes) distributed grid h-MG with Robin:
+    the rediscretized lattice h-levels bake the boundary mass into m3 on
+    every level — trajectory-exact vs the single-device gathered
+    build_hmg_general."""
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    mesh = PerturbedBoxMesh((4, 4, 4), dirichlet_faces=DF, robin=ROBIN)
+    u = u_exact_mixed(DF)
+    g = robin_data(1.5, u, grad_u_exact_mixed(DF), ROBIN)
+    prob = PoissonProblem(degrees=(1, 3), kappa=1.5, mesh=mesh,
+                          coarse="hmg", operator="lattice",
+                          f=f_rhs_mixed(1.5, DF), u_exact=u, robin_g=g,
+                          sigma=0.4)
+    u_s, rn_s = prob.solve(num_cycles=6)
+    grid = GridPMG(mesh, shards=(2, 2), degrees=(1, 3), kappa=1.5,
+                   coarse="hmg", coarse_cfg=dict(dist=True),
+                   operator="lattice", sigma=0.4)
+    u_d, rn_d = grid.solve(np.asarray(prob.b), num_cycles=6)
+    assert np.allclose(rn_d, rn_s, rtol=1e-8), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-9)
+
+
+def test_grid_refined_robin_matches_single():
+    """Grid-sharded mixed-precision refinement on the Robin system."""
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    prob = _robin_problem(nc=(4, 4, 4), coarse="fdm", operator="kron",
+                          dtype=jnp.float32)
+    u_s, rn_s = prob.hierarchy.solve_refined(prob.b, num_cycles=10)
+    grid = GridPMG(prob.mesh, shards=(2, 2, 2), degrees=(1, 3), kappa=2.0,
+                   coarse="fdm", operator="kron", dtype=jnp.float32)
+    b = np.asarray(prob.b)
+    u_d, rn_d = grid.solve_refined(b, num_cycles=10)
+    assert np.allclose(rn_d, rn_s, rtol=1e-3), (rn_s, rn_d)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-6)
+
+
 def test_validation_guards():
     mesh = _mesh()
     with pytest.raises(ValueError, match="Robin"):
