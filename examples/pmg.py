@@ -121,6 +121,14 @@ def main():
                         "family, beyond reference parity; constant kappa "
                         "drivers only — the manufactured solution "
                         "switches to the matching sin/cos product)")
+    p.add_argument("--robin", type=str, default="",
+                   help="axes whose BOTH faces carry the Robin condition "
+                        "kappa du/dn + alpha u = g (alpha=2) instead of "
+                        "Dirichlet, e.g. 'y' or 'xy' (beyond reference "
+                        "parity; surface data g manufactured from the "
+                        "mixed-BC exact solution; axis-aligned box + "
+                        "constant kappa). Composable with --neumann on "
+                        "disjoint axes")
     args = p.parse_args()
     dtype = setup_jax(args)
 
@@ -188,25 +196,52 @@ def main():
         kappa = np.diag([1.0, 1.0, 100.0])
         f = f_rhs_tensor(kappa, sigma=args.sigma)
     u_exact_override = None
+    robin_g = None
+    robin = None
     faces = True
-    if args.neumann:
+    if args.neumann or args.robin:
         if args.kappa_field != "const":
-            raise SystemExit("--neumann supports --kappa-field const only "
-                             "(the manufactured mixed-BC solution is "
-                             "constant-kappa)")
+            raise SystemExit("--neumann/--robin support --kappa-field "
+                             "const only (the manufactured mixed-BC "
+                             "solution is constant-kappa)")
+        if set(args.neumann) & set(args.robin):
+            raise SystemExit("--neumann and --robin must name disjoint "
+                             "axes")
         from pmg_dolfinx_tpu.models.poisson import (
             f_rhs_mixed,
             u_exact_mixed,
         )
 
         faces = tuple(
-            (False, False) if "xyz"[a] in args.neumann else (True, True)
+            ((False, False)
+             if "xyz"[a] in args.neumann or "xyz"[a] in args.robin
+             else (True, True))
             for a in range(3)
         )
         f = f_rhs_mixed(args.kappa, faces, sigma=args.sigma)
         u_exact_override = u_exact_mixed(faces)
-        print(f"Neumann faces on axes '{args.neumann}': dirichlet_faces="
-              f"{faces}")
+        if args.robin:
+            if args.mesh == "perturbed":
+                raise SystemExit("--robin manufactures the surface data "
+                                 "g on flat faces (axis-aligned box "
+                                 "only)")
+            from pmg_dolfinx_tpu.models.poisson import (
+                grad_u_exact_mixed,
+                robin_data,
+            )
+
+            robin = tuple(
+                (2.0, 2.0) if "xyz"[a] in args.robin else (0.0, 0.0)
+                for a in range(3)
+            )
+            robin_g = robin_data(args.kappa, u_exact_override,
+                                 grad_u_exact_mixed(faces), robin)
+            print(f"Robin faces (alpha=2) on axes '{args.robin}'"
+                  + (f", Neumann on '{args.neumann}'" if args.neumann
+                     else "") + f": dirichlet_faces={faces}")
+        else:
+            print(f"Neumann faces on axes '{args.neumann}': "
+                  f"dirichlet_faces={faces}")
     mesh = None
     if args.mesh == "perturbed":
         from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
@@ -225,7 +260,7 @@ def main():
     elif faces is not True:
         from pmg_dolfinx_tpu.fem.mesh import BoxMesh
 
-        mesh = BoxMesh(nc, dirichlet_faces=faces)
+        mesh = BoxMesh(nc, dirichlet_faces=faces, robin=robin)
 
     with Timer("setup (operators+calibration+rhs)"):
         coarse_cfg = {}
@@ -262,6 +297,7 @@ def main():
             smoother_iters=args.smoother_iters,
             smoother=args.smoother,
             u_exact=u_exact_override,
+            robin_g=robin_g,
         )
     ndofs = [prob.mesh.num_dofs(P) for P in args.degrees]
     print("hierarchy:", " -> ".join(f"p={P}: {n}" for P, n in zip(args.degrees, ndofs)))

@@ -33,6 +33,16 @@ def test_pmg_driver_converges():
     assert d["l2_error"] < 1e-4
 
 
+def test_pmg_driver_robin_converges():
+    """--robin y: manufactured Robin surface data on both y faces, FDM
+    coarse; the printed L2 error pins the whole boundary-term wiring."""
+    out = run("pmg.py", "--ndofs", "8000", "--robin", "y",
+              "--coarse", "fdm", "--cycles", "20")
+    d = json.loads(out.strip().splitlines()[-1])
+    assert d["rel_residual"] < 1e-4
+    assert d["l2_error"] < 1e-4
+
+
 def test_pmg_driver_sigma_honors_explicit_operator():
     """--sigma must NOT override an explicit general backend (the
     removed auto-switch silently benchmarked the wrong kernel)."""
