@@ -625,13 +625,6 @@ class DistPMG:
                 "singular (constant nullspace); add a Dirichlet face, a "
                 "positive sigma shift, or a Robin face"
             )
-        if self._robin and (smoother != "cheb" or (coarse_cfg or {}).get(
-                "smoother", "cheb") != "cheb"):
-            raise ValueError(
-                "Robin faces currently require smoother='cheb' (the "
-                "line/Schwarz block builders do not yet fold the Robin "
-                "boundary mass)"
-            )
         # p-level LINE-relaxation smoother (solvers/line.py): lines along
         # y or z are shard-local on the x-slab layout, so the batched
         # block matvec needs no communication; the block inverses are

@@ -820,13 +820,6 @@ class GridPMG:
                 "singular (constant nullspace); add a Dirichlet face, a "
                 "positive sigma shift, or a Robin face"
             )
-        if self._robin and (smoother != "cheb" or (coarse_cfg or {}).get(
-                "smoother", "cheb") != "cheb"):
-            raise ValueError(
-                "Robin faces currently require smoother='cheb' (the "
-                "line/Schwarz block builders do not yet fold the Robin "
-                "boundary mass)"
-            )
         # p-level LINE-relaxation smoother (solvers/line.py): the line
         # axis must be UNSHARDED (lines stay within one shard); the
         # block inverses are built globally and laid out with the same

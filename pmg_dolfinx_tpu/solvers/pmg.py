@@ -799,13 +799,6 @@ class PMGHierarchy:
                 "singular (constant nullspace); add a Dirichlet face, a "
                 "positive sigma shift, or a Robin face"
             )
-        if self._robin and (smoother != "cheb" or (coarse_cfg or {}).get(
-                "smoother", "cheb") != "cheb"):
-            raise ValueError(
-                "Robin faces currently require smoother='cheb' (the "
-                "line/Schwarz block builders do not yet fold the Robin "
-                "boundary mass)"
-            )
         # Smoother preconditioner for every p-level: point Jacobi
         # ('cheb', default) or LINE relaxation along the strongly-coupled
         # axis ('line' auto / 'line-x|y|z' explicit, solvers/line.py) —

@@ -54,7 +54,7 @@ Trajectory-exact vs single-device on the slab, 2D/3D grids, and the
 import numpy as np
 
 
-def _axis_eigs(nca, P, h, left_bc=True, right_bc=True):
+def _axis_eigs(nca, P, h, left_bc=True, right_bc=True, robin=(0.0, 0.0)):
     """Per-cell-position generalized eigenpairs of the 1D cell blocks.
 
     For each cell c along one axis: the (P+1)x(P+1) block of the global
@@ -63,6 +63,9 @@ def _axis_eigs(nca, P, h, left_bc=True, right_bc=True):
     against the diagonal 1D lumped mass. Nodes on the global domain
     boundary are Dirichlet: the eigenproblem is solved on the interior
     nodes and embedded with identity (eigenvalue 1) on the bc nodes.
+    ``robin=(alpha_lo/k, alpha_hi/k)`` folds Robin end-point updates
+    into the first/last cell's block (kappa pre-divided — the caller's
+    per-cell ``kd * lam`` scaling then restores the kappa-free alpha).
 
     Returns ``V[(nca, n, n)]`` with ``V^T diag(m) V = I`` blockwise and
     ``lam[(nca, n)]``; the 1D block inverse is ``V diag(1/lam) V^T``.
@@ -70,7 +73,7 @@ def _axis_eigs(nca, P, h, left_bc=True, right_bc=True):
     from ..ops.kron import axis_stiffness_mass
 
     n = P + 1
-    K1, M1 = axis_stiffness_mass(nca, P, h)
+    K1, M1 = axis_stiffness_mass(nca, P, h, robin=robin)
     K1, M1 = np.asarray(K1, np.float64), np.asarray(M1, np.float64)
     V = np.zeros((nca, n, n))
     lam = np.ones((nca, n))
@@ -180,8 +183,23 @@ def build_schwarz_np(mesh, P, kappa, sigma=0.0):
     faces = getattr(mesh, "dirichlet_faces", ((True, True),) * 3)
     Vs, lams = [], []
     for a, (nca, ha) in enumerate(zip(mesh.nc, mesh.h)):
+        # Robin end updates: fold alpha/kd into the end cells' 1D blocks
+        # (the per-cell ``kd * lam`` sum then carries the kappa-free
+        # alpha). kd is the PLANE-MEAN kappa of the face-adjacent cells:
+        # exact for scalar / per-axis-constant kappa on boxes (the
+        # oracle-pinned kron form); the usual separable approximation
+        # for variable kappa / curved faces.
+        robin = (0.0, 0.0)
+        if getattr(mesh, "has_robin", False):
+            from ..ops.kron import robin_axis_ends
+
+            ends = robin_axis_ends(mesh, a)
+            if ends != (0.0, 0.0):
+                k_lo = float(kd[..., a].take(0, axis=a).mean())
+                k_hi = float(kd[..., a].take(-1, axis=a).mean())
+                robin = (ends[0] / k_lo, ends[1] / k_hi)
         V, lam = _axis_eigs(nca, P, ha, left_bc=faces[a][0],
-                            right_bc=faces[a][1])
+                            right_bc=faces[a][1], robin=robin)
         Vs.append(V)
         lams.append(lam)
     n = P + 1
