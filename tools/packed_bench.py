@@ -1,0 +1,71 @@
+"""Lane-packed multi-RHS apply throughput on the real TPU.
+
+Measures the small-N serving kernel (`ops/pallas_kron_packed.py`) at
+p=6 / ~227k dofs (61^3 lattice, the MXU pad-cliff size): per-RHS GDOF/s
+for batch 2 and 8, 'highest' and 'high', packed-resident (pack once,
+chain applies on the packed layout — the serving steady state).
+Baselines (tools/batched_bench.py, same size): 11.8 GDOF/s single RHS,
+12.7 per-RHS vmapped batch-8.
+
+Run from the repo root: `python tools/packed_bench.py [--cpu]`.
+Prints one JSON line. Self-limiting (no external timeout kills).
+"""
+
+import argparse
+import json
+import os
+import sys
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from bench import _measure  # noqa: E402
+
+
+def bench_packed(nc=(10, 10, 10), P=6, lo=50, hi=250):
+    from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+    from pmg_dolfinx_tpu.ops.pallas_kron_packed import PackedKronBatch
+
+    mesh = BoxMesh(nc)
+    nd = mesh.num_dofs(P)
+    out = {"ndofs": nd}
+    for B in (2, 8):
+        for prec in ("highest", "high"):
+            op = PackedKronBatch(mesh, P, kappa=2.0, B=B, precision=prec)
+            P0 = op.pack(jnp.ones((B,) + mesh.lattice_shape(P),
+                                  jnp.float32))
+
+            @partial(jax.jit, static_argnums=(1,))
+            def chain(P3, reps, op=op):
+                def body(i, V):
+                    return op._apply_impl(P3 + 1e-30 * V)
+
+                return jnp.sum(jax.lax.fori_loop(0, reps, body, P3))
+
+            per, spread = _measure(lambda r: float(chain(P0, r)), lo, hi,
+                                   min_samples=5)
+            key = f"b{B}_{prec}"
+            out[key] = dict(
+                gdofs_per_rhs=round(B * nd / per / 1e9, 3),
+                spread=round(spread, 3),
+            )
+            print(f"[packed {key}] {out[key]}", flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="tiny logic check on CPU (timings meaningless)")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    tiny = dict(nc=(4, 4, 4), P=3, lo=2, hi=6) if args.cpu else {}
+    print(json.dumps(bench_packed(**tiny)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
