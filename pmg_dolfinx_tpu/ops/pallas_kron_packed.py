@@ -117,7 +117,60 @@ def _emu_apply(x3, bc3, m, sigma=0.0):
     return jnp.where(bc3, x3, acc * s3)
 
 
-class PackedKronBatch:
+class _PackedLayout:
+    """Shared lane-packed layout: ``g = 128 // Zp`` RHS per 128-lane
+    tile, working shape ``(NX, NYp, Bp*Zp)``. Subclasses add the math.
+    """
+
+    def _init_layout(self, mesh, P, B):
+        NX, NY, NZ = mesh.lattice_shape(P)
+        if NZ > 64:
+            raise ValueError(
+                f"{type(self).__name__} targets small lattices (NZ <= 64, "
+                f"got {NZ}); at larger N use the plain paths — they are "
+                "already near the MXU roofline there"
+            )
+        self.P = int(P)
+        self.mesh = mesh
+        self.ndofs = mesh.num_dofs(P)
+        self.shape = (NX, NY, NZ)
+        self.B = int(B)
+        self.Zp = 32 if NZ <= 32 else 64
+        g = 128 // self.Zp
+        self.Bp = _round_up(max(self.B, g), g)
+        self.NYp = _round_up(NY, 8)
+        self.L = self.Bp * self.Zp
+        self.ngroups = self.L // 128
+        return g
+
+    def pack(self, U):
+        """``(B, NX, NY, NZ)`` batch -> packed ``(NX, NYp, Bp*Zp)``."""
+        NX, NY, NZ = self.shape
+        U = jnp.asarray(U, jnp.float32).reshape(-1, NX, NY, NZ)
+        Up = jnp.pad(U, ((0, self.Bp - U.shape[0]), (0, 0),
+                         (0, self.NYp - NY), (0, self.Zp - NZ)))
+        # (Bp, NX, NYp, Zp) -> (NX, NYp, Bp, Zp) -> merge minor
+        return jnp.transpose(Up, (1, 2, 0, 3)).reshape(
+            NX, self.NYp, self.L
+        )
+
+    def unpack(self, P3):
+        """Packed ``(NX, NYp, Bp*Zp)`` -> ``(B, NX, NY, NZ)``."""
+        NX, NY, NZ = self.shape
+        U = P3.reshape(NX, self.NYp, self.Bp, self.Zp)
+        return jnp.transpose(U, (2, 0, 1, 3))[: self.B, :, :NY, :NZ]
+
+    def _packed_bc(self, bc_flat):
+        """Full-lattice bc marker -> packed marker with pad slots True
+        (the epilogue passes the (zero) pad inputs through unchanged)."""
+        NX, NY, NZ = self.shape
+        bcp = np.ones((NX, self.NYp, self.Bp, self.Zp), dtype=bool)
+        bc3 = np.asarray(bc_flat).reshape(NX, NY, NZ)
+        bcp[:, :NY, :, :NZ] = bc3[:, :, None, :]
+        return jnp.asarray(bcp.reshape(NX, self.NYp, self.L))
+
+
+class PackedKronBatch(_PackedLayout):
     """Lane-packed batched Kronecker operator for small lattices (f32).
 
     ``__call__`` takes/returns ``(B, ndofs)`` or ``(B, NX, NY, NZ)``;
@@ -138,27 +191,11 @@ class PackedKronBatch:
             )
         base = KronLaplacian(mesh, P, kappa=kappa, dtype=jnp.float32,
                              sigma=sigma)
-        NX, NY, NZ = mesh.lattice_shape(P)
-        if NZ > 64:
-            raise ValueError(
-                f"PackedKronBatch targets small lattices (NZ <= 64, got "
-                f"{NZ}); at larger N use ops.kron / kron_blocked — they "
-                "are already near the MXU roofline there"
-            )
-        self.P = int(P)
-        self.mesh = mesh
-        self.ndofs = mesh.num_dofs(P)
-        self.shape = (NX, NY, NZ)
+        g = self._init_layout(mesh, P, B)
+        NX, NY, NZ = self.shape
         self.precision = precision
         self.sigma = float(sigma)
-        self.B = int(B)
-        self.Zp = 32 if NZ <= 32 else 64
-        g = 128 // self.Zp
-        self.Bp = _round_up(max(self.B, g), g)
-        self.NYp = _round_up(NY, 8)
-        L = self.Bp * self.Zp
-        self.L = L
-        self.ngroups = L // 128
+        L = self.L
         self.diag = base.diag
         self.diag_inv = base.diag_inv
 
@@ -181,12 +218,7 @@ class PackedKronBatch:
             sxy=jnp.asarray(sxy, jnp.float32),
             szrow=jnp.asarray(np.tile(szp, self.Bp)[None, :], jnp.float32),
         )
-        # bc marker in the packed layout: pad rows/lanes flagged True so
-        # the epilogue passes through the (zero) pad inputs unchanged.
-        bcp = np.ones((NX, self.NYp, self.Bp, self.Zp), dtype=bool)
-        bc3 = np.asarray(base.bc_marker).reshape(NX, NY, NZ)
-        bcp[:, :NY, :, :NZ] = bc3[:, :, None, :]
-        self.bcp = jnp.asarray(bcp.reshape(NX, self.NYp, L))
+        self.bcp = self._packed_bc(base.bc_marker)
 
         vmem = 4 * NX * self.NYp * L
         self._pcall = pl.pallas_call(
@@ -206,23 +238,6 @@ class PackedKronBatch:
             lambda U: self.unpack(self._apply_impl(self.pack(U)))
         )
 
-    def pack(self, U):
-        """``(B, NX, NY, NZ)`` batch -> packed ``(NX, NYp, Bp*Zp)``."""
-        NX, NY, NZ = self.shape
-        U = jnp.asarray(U, jnp.float32).reshape(-1, NX, NY, NZ)
-        Up = jnp.pad(U, ((0, self.Bp - U.shape[0]), (0, 0),
-                         (0, self.NYp - NY), (0, self.Zp - NZ)))
-        # (Bp, NX, NYp, Zp) -> (NX, NYp, Bp, Zp) -> merge minor
-        return jnp.transpose(Up, (1, 2, 0, 3)).reshape(
-            NX, self.NYp, self.L
-        )
-
-    def unpack(self, P3):
-        """Packed ``(NX, NYp, Bp*Zp)`` -> ``(B, NX, NY, NZ)``."""
-        NX, NY, NZ = self.shape
-        U = P3.reshape(NX, self.NYp, self.Bp, self.Zp)
-        return jnp.transpose(U, (2, 0, 1, 3))[: self.B, :, :NY, :NZ]
-
     def apply_packed(self, P3):
         return self._apply(P3)
 
@@ -235,6 +250,190 @@ class PackedKronBatch:
 
     def __call__(self, U):
         """Batched apply; ``U`` is ``(B, ndofs)`` or ``(B, NX, NY, NZ)``."""
+        U = jnp.asarray(U, jnp.float32)
+        out = self._packed_roundtrip(U.reshape((-1,) + self.shape))
+        return out.reshape(jnp.shape(U))
+
+
+def _packed_fdm_kernel(x_ref, bc_ref, Vxt_ref, Vx_ref, Vyt_ref, Vy_ref,
+                       VZTbd_ref, VZbd_ref, dinv_ref, out_ref, t_ref, *,
+                       ngroups):
+    """One fused direct solve on the packed batch (see PackedFDMBatch).
+
+    The six per-axis transforms run in the order xt, yt, then a single
+    per-lane-group pass [zt -> eigenvalue division -> z] (z transforms
+    commute with x/y, so the diagonal division can sit inside the group
+    loop), then y, x and the bc epilogue. ``t_ref`` is a VMEM scratch
+    holding the intermediate lattice between the two transform stages.
+    All transform matrices are boundary-EMBEDDED (zero rows/cols at
+    Dirichlet slots, zero pad region) — bc values and layout padding are
+    annihilated in flight, no in-kernel trimming.
+    """
+    NX, NYp, L = x_ref.shape
+    xb = x_ref[:]
+    # forward x then y (embedded transposes)
+    t = _DOT(Vxt_ref[:], xb.reshape(NX, NYp * L),
+             precision=_HI).reshape(NX, NYp, L)
+    tT = jnp.swapaxes(t, 0, 1).reshape(NYp, NX * L)
+    t = jnp.swapaxes(
+        _DOT(Vyt_ref[:], tT, precision=_HI).reshape(NYp, NX, L), 0, 1
+    )
+    dinv = dinv_ref[:]
+    for p in range(ngroups):
+        sl = slice(128 * p, 128 * (p + 1))
+        tp = t[:, :, sl].reshape(NX * NYp, 128)
+        ep = _DOT(tp, VZTbd_ref[:], precision=_HI).reshape(NX, NYp, 128)
+        ep = ep * dinv[:, :, sl]
+        sp = _DOT(ep.reshape(NX * NYp, 128), VZbd_ref[:], precision=_HI)
+        t_ref[:, :, sl] = sp.reshape(NX, NYp, 128)
+    # backward y then x
+    s = t_ref[:]
+    sT = jnp.swapaxes(s, 0, 1).reshape(NYp, NX * L)
+    s = jnp.swapaxes(
+        _DOT(Vy_ref[:], sT, precision=_HI).reshape(NYp, NX, L), 0, 1
+    )
+    u = _DOT(Vx_ref[:], s.reshape(NX, NYp * L),
+             precision=_HI).reshape(NX, NYp, L)
+    out_ref[:] = jnp.where(bc_ref[:], xb, u)
+
+
+def _emu_fdm(b3, bc3, m):
+    """jnp twin of `_packed_fdm_kernel` (off-TPU default; same math)."""
+    NX, NYp, L = b3.shape
+    t = jnp.einsum("ax,xyL->ayL", m["Vxt"], b3, precision=_HI)
+    t = jnp.einsum("by,xyL->xbL", m["Vyt"], t, precision=_HI)
+    tg = t.reshape(NX, NYp, L // 128, 128)
+    t = jnp.einsum("xygl,lm->xygm", tg, m["VZTbd"],
+                   precision=_HI).reshape(NX, NYp, L)
+    t = t * m["dinv"]
+    tg = t.reshape(NX, NYp, L // 128, 128)
+    t = jnp.einsum("xygl,lm->xygm", tg, m["VZbd"],
+                   precision=_HI).reshape(NX, NYp, L)
+    t = jnp.einsum("by,xyL->xbL", m["Vy"], t, precision=_HI)
+    u = jnp.einsum("ax,xyL->ayL", m["Vx"], t, precision=_HI)
+    return jnp.where(bc3, b3, u)
+
+
+def _embed_ends(V, ends):
+    """Free-node matrix -> full-size, zero rows/cols at Dirichlet ends
+    (same embedding as parallel/fdm_dist._embed_boundary)."""
+    n = V.shape[0]
+    lo, hi = int(ends[0]), int(ends[1])
+    M = np.zeros((n + lo + hi, n + lo + hi), dtype=V.dtype)
+    M[lo:lo + n, lo:lo + n] = V
+    return M
+
+
+class PackedFDMBatch(_PackedLayout):
+    """Lane-packed batched FDM DIRECT solve for small lattices (f32).
+
+    The serving-size counterpart of `solvers.fdm.FastDiagonalizationSolver
+    .solve_many`: ``g = 128 // Zp`` right-hand sides share each 128-lane
+    tile, and ONE Mosaic kernel runs the whole direct solve — six
+    embedded eigenvector transforms, the eigenvalue-sum division and the
+    bc epilogue — for the entire batch. At serving sizes (NZ <= 64) the
+    vmapped `fdm_solve` leaves >2x of the MXU idle in lane padding,
+    exactly like the operator apply (see the module docstring).
+
+    Same solver contract per RHS as `FastDiagonalizationSolver`:
+    constant/per-axis-diagonal kappa, sigma shift, mixed Dirichlet/
+    Neumann faces and Robin ends all ride the per-axis eigenproblems.
+    Reference analogue: the coarse direct solves in the PMG stack
+    (src/amg.hpp:67-113), here batched across load cases.
+    """
+
+    def __init__(self, mesh, P, kappa=2.0, B=8, sigma=0.0,
+                 interpret=False):
+        from ..fem.assembly import resolve_kappa_axes
+        from ..fem.mesh import require_axis_aligned
+        from ..ops.kron import robin_axis_ends
+        from ..solvers.fdm import _axis_eig
+
+        require_axis_aligned(mesh, "PackedFDMBatch")
+        g = self._init_layout(mesh, P, B)
+        NX, NY, NZ = self.shape
+        faces = getattr(mesh, "dirichlet_faces", ((True, True),) * 3)
+        kx, ky, kz = resolve_kappa_axes(mesh, kappa)
+
+        Vs, lams, frees = [], [], []
+        for a, (nc_a, h_a, ends, k_a) in enumerate(
+                zip(mesh.nc, mesh.h, faces, (kx, ky, kz))):
+            V, lam = _axis_eig(nc_a, self.P, h_a, ends=ends,
+                               robin=robin_axis_ends(mesh, a, 1.0 / k_a))
+            n = nc_a * self.P + 1
+            lam_e = np.zeros(n)
+            free = np.zeros(n, dtype=bool)
+            lo = int(ends[0])
+            lam_e[lo:lo + lam.size] = lam
+            free[lo:lo + lam.size] = True
+            Vs.append(_embed_ends(V, ends))
+            lams.append(lam_e)
+            frees.append(free)
+
+        lx, ly, lz = lams
+        d3 = (kx * lx[:, None, None] + ky * ly[None, :, None]
+              + kz * lz[None, None, :]) + float(sigma)
+        free3 = (frees[0][:, None, None] & frees[1][None, :, None]
+                 & frees[2][None, None, :])
+        if free3.any() and d3[free3].min() <= 1e-14 * max(
+                1.0, float(abs(d3[free3]).max())):
+            raise ValueError(
+                "PackedFDMBatch: singular operator (no Dirichlet face and "
+                "sigma=0 leaves the constant nullspace)"
+            )
+        dinv3 = np.where(free3, 1.0 / np.where(free3, d3, 1.0), 0.0)
+        dinvp = np.zeros((NX, self.NYp, self.Bp, self.Zp), np.float32)
+        dinvp[:, :NY, :, :NZ] = dinv3[:, :, None, :]
+
+        Vyp = np.zeros((self.NYp, self.NYp))
+        Vyp[:NY, :NY] = Vs[1]
+        Vzp = np.zeros((self.Zp, self.Zp))
+        Vzp[:NZ, :NZ] = Vs[2]
+        self.mats = dict(
+            Vxt=jnp.asarray(Vs[0].T.copy(), jnp.float32),
+            Vx=jnp.asarray(Vs[0], jnp.float32),
+            Vyt=jnp.asarray(Vyp.T.copy(), jnp.float32),
+            Vy=jnp.asarray(Vyp, jnp.float32),
+            VZTbd=jnp.asarray(np.kron(np.eye(g), Vzp), jnp.float32),
+            VZbd=jnp.asarray(np.kron(np.eye(g), Vzp.T), jnp.float32),
+            dinv=jnp.asarray(dinvp.reshape(NX, self.NYp, self.L)),
+        )
+        self.bcp = self._packed_bc(mesh.boundary_dof_marker(self.P))
+
+        vmem = 4 * NX * self.NYp * self.L
+        self._pcall = pl.pallas_call(
+            partial(_packed_fdm_kernel, ngroups=self.ngroups),
+            out_shape=jax.ShapeDtypeStruct((NX, self.NYp, self.L),
+                                           jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((NX, self.NYp, self.L), jnp.float32)
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(10 * vmem + (8 << 20), 110 << 20)
+            ),
+            interpret=interpret,
+        )
+        self._interpret = interpret
+        self._packed_roundtrip = jax.jit(
+            lambda U: self.unpack(self._solve_impl(self.pack(U)))
+        )
+
+    def solve_packed(self, P3):
+        return self._solve_impl(P3)
+
+    def _solve_impl(self, P3):
+        if not self._interpret and jax.default_backend() != "tpu":
+            return _emu_fdm(P3, self.bcp, self.mats)
+        m = self.mats
+        return self._pcall(P3, self.bcp, m["Vxt"], m["Vx"], m["Vyt"],
+                           m["Vy"], m["VZTbd"], m["VZbd"], m["dinv"])
+
+    def solve(self, U):
+        """Batched direct solve; ``U`` is ``(B, ndofs)`` or
+        ``(B, NX, NY, NZ)``; per column ``u[bc] = b[bc]`` like every
+        solver in the package."""
         U = jnp.asarray(U, jnp.float32)
         out = self._packed_roundtrip(U.reshape((-1,) + self.shape))
         return out.reshape(jnp.shape(U))

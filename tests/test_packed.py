@@ -107,3 +107,73 @@ def test_packed_layout_roundtrip():
         rng.standard_normal((B,) + mesh.lattice_shape(P)), jnp.float32
     )
     assert np.allclose(np.asarray(op.unpack(op.pack(U))), np.asarray(U))
+
+
+# ---------------------------------------------------------------- FDM
+
+
+def _fdm_ref(mesh, P, U, kappa=2.0, sigma=0.0):
+    from pmg_dolfinx_tpu.solvers.fdm import FastDiagonalizationSolver
+
+    fdm = FastDiagonalizationSolver(mesh, P, kappa=kappa, sigma=sigma)
+    return np.stack([np.asarray(fdm.solve(jnp.asarray(u))) for u in U])
+
+
+@pytest.mark.parametrize("nc,P,B", [((5, 4, 3), 4, 2), ((3, 3, 3), 8, 3)])
+@pytest.mark.parametrize("interpret", [True, False])
+def test_packed_fdm_matches_fdm(nc, P, B, interpret):
+    from pmg_dolfinx_tpu.ops.pallas_kron_packed import PackedFDMBatch
+
+    mesh = BoxMesh(nc)
+    rng = np.random.default_rng(10)
+    U = rng.standard_normal((B, mesh.num_dofs(P))).astype(np.float32)
+    want = _fdm_ref(mesh, P, U)
+    fdm = PackedFDMBatch(mesh, P, kappa=2.0, B=B, interpret=interpret)
+    got = np.asarray(fdm.solve(jnp.asarray(U)))
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 1e-5, err
+
+
+def test_packed_fdm_is_exact_inverse():
+    """solve() really inverts the packed kron apply: A (A^-1 b) = b."""
+    from pmg_dolfinx_tpu.ops.pallas_kron_packed import PackedFDMBatch
+
+    mesh = BoxMesh((4, 5, 3))
+    P, B, sigma = 3, 3, 4.2
+    kappa = (2.0, 0.5, 7.0)  # per-axis diagonal tensor
+    rng = np.random.default_rng(11)
+    Bv = rng.standard_normal((B, mesh.num_dofs(P))).astype(np.float32)
+    fdm = PackedFDMBatch(mesh, P, kappa=kappa, B=B, sigma=sigma,
+                         interpret=True)
+    op = PackedKronBatch(mesh, P, kappa=kappa, B=B, sigma=sigma,
+                         interpret=True)
+    U = fdm.solve(jnp.asarray(Bv))
+    R = np.asarray(op(U)) - Bv
+    rel = np.linalg.norm(R) / np.linalg.norm(Bv)
+    assert rel < 1e-5, rel
+
+
+def test_packed_fdm_mixed_faces_robin():
+    from pmg_dolfinx_tpu.ops.pallas_kron_packed import PackedFDMBatch
+
+    mesh = BoxMesh((4, 4, 4),
+                   dirichlet_faces=((True, False), (True, True),
+                                    (False, False)),
+                   robin=((0.0, 1.5), (0.0, 0.0), (2.0, 3.0)))
+    P, B = 3, 2
+    rng = np.random.default_rng(12)
+    U = rng.standard_normal((B, mesh.num_dofs(P))).astype(np.float32)
+    want = _fdm_ref(mesh, P, U)
+    fdm = PackedFDMBatch(mesh, P, B=B, interpret=True)
+    got = np.asarray(fdm.solve(jnp.asarray(U)))
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 1e-5, err
+
+
+def test_packed_fdm_singular_rejected():
+    from pmg_dolfinx_tpu.ops.pallas_kron_packed import PackedFDMBatch
+
+    mesh = BoxMesh((3, 3, 3),
+                   dirichlet_faces=((False, False),) * 3)
+    with pytest.raises(ValueError, match="singular"):
+        PackedFDMBatch(mesh, 3)

@@ -25,9 +25,23 @@ import jax.numpy as jnp  # noqa: E402
 from bench import _measure  # noqa: E402
 
 
+def _chain_measure(step, P0, lo, hi):
+    @partial(jax.jit, static_argnums=(1,))
+    def chain(P3, reps):
+        def body(i, V):
+            return step(P3 + 1e-30 * V)
+
+        return jnp.sum(jax.lax.fori_loop(0, reps, body, P3))
+
+    return _measure(lambda r: float(chain(P0, r)), lo, hi, min_samples=5)
+
+
 def bench_packed(nc=(10, 10, 10), P=6, lo=50, hi=250):
     from pmg_dolfinx_tpu.fem.mesh import BoxMesh
-    from pmg_dolfinx_tpu.ops.pallas_kron_packed import PackedKronBatch
+    from pmg_dolfinx_tpu.ops.pallas_kron_packed import (
+        PackedFDMBatch,
+        PackedKronBatch,
+    )
 
     mesh = BoxMesh(nc)
     nd = mesh.num_dofs(P)
@@ -37,22 +51,21 @@ def bench_packed(nc=(10, 10, 10), P=6, lo=50, hi=250):
             op = PackedKronBatch(mesh, P, kappa=2.0, B=B, precision=prec)
             P0 = op.pack(jnp.ones((B,) + mesh.lattice_shape(P),
                                   jnp.float32))
-
-            @partial(jax.jit, static_argnums=(1,))
-            def chain(P3, reps, op=op):
-                def body(i, V):
-                    return op._apply_impl(P3 + 1e-30 * V)
-
-                return jnp.sum(jax.lax.fori_loop(0, reps, body, P3))
-
-            per, spread = _measure(lambda r: float(chain(P0, r)), lo, hi,
-                                   min_samples=5)
+            per, spread = _chain_measure(op._apply_impl, P0, lo, hi)
             key = f"b{B}_{prec}"
             out[key] = dict(
                 gdofs_per_rhs=round(B * nd / per / 1e9, 3),
                 spread=round(spread, 3),
             )
             print(f"[packed {key}] {out[key]}", flush=True)
+        fdm = PackedFDMBatch(mesh, P, kappa=2.0, B=B)
+        P0 = fdm.pack(jnp.ones((B,) + mesh.lattice_shape(P), jnp.float32))
+        per, spread = _chain_measure(fdm._solve_impl, P0, lo, hi)
+        out[f"fdm_b{B}"] = dict(
+            solve_ms_per_rhs=round(1e3 * per / B, 4),
+            spread=round(spread, 3),
+        )
+        print(f"[packed fdm_b{B}] {out[f'fdm_b{B}']}", flush=True)
     return out
 
 
