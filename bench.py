@@ -267,6 +267,15 @@ def _bench_fdm_solve_2m():
     return per_solve * 1e3, spread
 
 
+def _bench_packed_227k():
+    """Lane-packed serving kernels at the MXU pad-cliff size (61^3 p=6):
+    per-RHS apply GDOF/s ('highest' and 'high') + FDM direct-solve ms at
+    batch 8 (tools/packed_bench.py carries the full sweep)."""
+    from tools.packed_bench import bench_packed as _bp
+
+    return _bp(lo=50, hi=250, batches=(8,))
+
+
 def _fallback(extra, error):
     return {
         "metric": "matfree_laplacian_apply_p6_f32_kron",
@@ -380,9 +389,22 @@ def main():
             k: round(v[0], 2) for k, v in vcycle.items()
         }
 
+    def bench_packed():
+        # Lane-packed serving kernels at the 227k MXU pad-cliff size
+        # (61^3, p=6): per-RHS apply GDOF/s and FDM direct-solve ms at
+        # batch 8. Baselines: 11.8 GDOF/s single RHS, 12.7 vmapped b8.
+        res = _bench_packed_227k()
+        extra["packed_227k"] = {
+            "apply_b8_highest_gdofs_per_rhs":
+                res["b8_highest"]["gdofs_per_rhs"],
+            "apply_b8_high_gdofs_per_rhs": res["b8_high"]["gdofs_per_rhs"],
+            "fdm_b8_solve_ms_per_rhs": res["fdm_b8"]["solve_ms_per_rhs"],
+        }
+
     # Cheapest-compile extras first: a mid-run worker outage still
     # leaves the most numbers on the table.
     guarded("fdm_solve_2M", bench_fdm)
+    guarded("packed_227k", bench_packed)
     guarded("lattice_blocked_2M", bench_lat)
     guarded("16M", bench_16m)
     guarded("30M", bench_30m)

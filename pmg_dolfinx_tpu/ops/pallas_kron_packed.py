@@ -416,12 +416,13 @@ class PackedFDMBatch(_PackedLayout):
             interpret=interpret,
         )
         self._interpret = interpret
+        self._solve = jax.jit(self._solve_impl)
         self._packed_roundtrip = jax.jit(
             lambda U: self.unpack(self._solve_impl(self.pack(U)))
         )
 
     def solve_packed(self, P3):
-        return self._solve_impl(P3)
+        return self._solve(P3)
 
     def _solve_impl(self, P3):
         if not self._interpret and jax.default_backend() != "tpu":

@@ -30,6 +30,12 @@ def test_guarded_main_survives_subbench_failures(monkeypatch):
     monkeypatch.setattr(bench, "_bench_lattice_blocked_2m",
                         lambda: (2048383, {"highest": (4.13, 0.05)}))
     monkeypatch.setattr(bench, "_bench_fdm_solve_2m", lambda: (0.135, 0.01))
+    monkeypatch.setattr(bench, "_bench_packed_227k", lambda: {
+        "ndofs": 226981,
+        "b8_highest": {"gdofs_per_rhs": 20.0, "spread": 0.02},
+        "b8_high": {"gdofs_per_rhs": 24.0, "spread": 0.02},
+        "fdm_b8": {"solve_ms_per_rhs": 0.03, "spread": 0.02},
+    })
     monkeypatch.setattr(bench, "_tpu_alive", lambda timeout=240: True)
 
     buf = io.StringIO()
@@ -46,6 +52,11 @@ def test_guarded_main_survives_subbench_failures(monkeypatch):
     assert d["extra"]["fdm_solve_2M_ms"] == 0.135
     assert d["extra"]["vcycle_16M_p136_fdm_ms"] == {"kron_blocked": 13.0}
     assert d["extra"]["lattice_blocked_2M_gdofs"] == {"highest": 4.13}
+    assert d["extra"]["packed_227k"] == {
+        "apply_b8_highest_gdofs_per_rhs": 20.0,
+        "apply_b8_high_gdofs_per_rhs": 24.0,
+        "fdm_b8_solve_ms_per_rhs": 0.03,
+    }
 
 
 def test_main_emits_error_line_when_worker_down(monkeypatch):

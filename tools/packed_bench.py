@@ -36,7 +36,7 @@ def _chain_measure(step, P0, lo, hi):
     return _measure(lambda r: float(chain(P0, r)), lo, hi, min_samples=5)
 
 
-def bench_packed(nc=(10, 10, 10), P=6, lo=50, hi=250):
+def bench_packed(nc=(10, 10, 10), P=6, lo=50, hi=250, batches=(2, 8)):
     from pmg_dolfinx_tpu.fem.mesh import BoxMesh
     from pmg_dolfinx_tpu.ops.pallas_kron_packed import (
         PackedFDMBatch,
@@ -46,7 +46,7 @@ def bench_packed(nc=(10, 10, 10), P=6, lo=50, hi=250):
     mesh = BoxMesh(nc)
     nd = mesh.num_dofs(P)
     out = {"ndofs": nd}
-    for B in (2, 8):
+    for B in batches:
         for prec in ("highest", "high"):
             op = PackedKronBatch(mesh, P, kappa=2.0, B=B, precision=prec)
             P0 = op.pack(jnp.ones((B,) + mesh.lattice_shape(P),
