@@ -37,9 +37,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-SPREAD_TARGET = 0.10
-MAX_SAMPLES = 25
-
 # The remote TPU worker goes down spontaneously (CLAUDE.md: observed
 # multi-hour outages with zero client activity); device ENUMERATION
 # still works while EXECUTION hangs forever. A hung bench leaves no
@@ -76,38 +73,9 @@ def _emit(payload):
     print(json.dumps(payload), flush=True)
 
 
-def _measure(run, lo, hi, min_samples=7):
-    """Median per-apply slope between rep counts lo < hi, plus spread.
-
-    Spread = (q3 - q1) / median over the collected slope samples; keeps
-    sampling until it drops below SPREAD_TARGET or MAX_SAMPLES is hit.
-    """
-    run(lo)
-    run(hi)  # warm both rep counts (compile + cache)
-    slopes = []
-    while True:
-        for _ in range(min_samples if not slopes else 4):
-            t0 = time.time()
-            run(lo)
-            t_lo = time.time() - t0
-            t0 = time.time()
-            run(hi)
-            t_hi = time.time() - t0
-            slopes.append((t_hi - t_lo) / (hi - lo))
-        # Tunnel host-sync jitter can exceed the compute delta and
-        # produce non-positive slopes; they carry no timing signal.
-        s = sorted(x for x in slopes if x > 0)
-        n = len(s)
-        if n >= 3:
-            med = s[n // 2]
-            spread = (s[(3 * n) // 4] - s[n // 4]) / med
-            if spread <= SPREAD_TARGET or len(slopes) >= MAX_SAMPLES:
-                return med, spread
-        elif len(slopes) >= MAX_SAMPLES:
-            raise RuntimeError(
-                "bench: tunnel jitter swamped the timing signal "
-                f"({len(slopes)} samples, {n} positive slopes)"
-            )
+# Shared with the tools/ scripts; lives in the package so importing it
+# never re-executes this module's body (bench.py runs as __main__).
+from pmg_dolfinx_tpu.utils.measure import measure as _measure  # noqa: E402
 
 
 def _bench_size(nc, lo, hi):

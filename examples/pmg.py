@@ -160,9 +160,9 @@ def main():
         )
 
         if (args.sigma or args.kappa_field != "const" or args.neumann
-                or args.fdm):
+                or args.robin or args.fdm):
             raise SystemExit("--sigma-field: use alone (constant kappa, "
-                             "no --sigma/--neumann/--fdm — the "
+                             "no --sigma/--neumann/--robin/--fdm — the "
                              "manufactured source is built for that "
                              "combination, and the FDM shift must be "
                              "separable)")

@@ -244,6 +244,25 @@ def shifted_mass_np(mesh: BoxMesh, P: int, sigma_field=None,
     return m
 
 
+def ops_shift_scalar(mesh: BoxMesh, sigma, kron_family: bool = False):
+    """The cycle-ops pointwise-shift scalar for a level on ``mesh`` —
+    the SINGLE source of the scalar/m3 pairing policy (the m3 side is
+    `general_shift_np`, whose returned scalar matches this).
+
+    Robin faces on the GENERAL backends force the scalar to 1.0: the
+    boundary mass and ``sigma * mass`` are baked together into the
+    level's ``m3`` vector, so the apply's fused multiply-add carries
+    both terms. The kron family instead carries Robin as per-axis 1D
+    stiffness END updates (ops/kron.py), so its scalar stays the plain
+    sigma. Every hierarchy class consumes this helper; hand-encoding
+    the rule risks an operator that silently gains/loses the Robin or
+    sigma term on one layout.
+    """
+    if getattr(mesh, "has_robin", False) and not kron_family:
+        return 1.0
+    return float(sigma)
+
+
 def general_shift_np(mesh: BoxMesh, P: int, sigma, sigma_field=None):
     """``(ops_sigma, m3)`` — the pointwise shift of a GENERAL-backend
     level (lattice/lattice_blocked/dofmap applies add ``ops_sigma * m3 *
@@ -259,13 +278,14 @@ def general_shift_np(mesh: BoxMesh, P: int, sigma, sigma_field=None):
     sharded trajectories stay bit-identical to the single-device ones.
     """
     sigma = float(sigma)
+    scalar = ops_shift_scalar(mesh, sigma)
     if not getattr(mesh, "has_robin", False):
-        return sigma, (shifted_mass_np(mesh, P, sigma_field)
-                       if sigma else None)
+        return scalar, (shifted_mass_np(mesh, P, sigma_field)
+                        if sigma else None)
     m3 = robin_mass_np(mesh, P)
     if sigma:
         m3 = m3 + sigma * shifted_mass_np(mesh, P, sigma_field)
-    return 1.0, m3
+    return scalar, m3
 
 
 def lifted_rhs(mesh: BoxMesh, P: int, kappa, f, g):

@@ -31,7 +31,9 @@ def _norm_robin_alpha(robin, dirichlet_faces):
     if robin is None:
         out = np.zeros((3, 2))
     else:
-        out = np.asarray(robin, dtype=np.float64)
+        # np.array (copy): setflags below must not freeze a caller-owned
+        # array that np.asarray would alias for float64 input.
+        out = np.array(robin, dtype=np.float64)
         if out.shape != (3, 2):
             raise ValueError(
                 "robin must be a 3x2 nested sequence of per-face alpha "

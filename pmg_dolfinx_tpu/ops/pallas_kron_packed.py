@@ -189,9 +189,11 @@ class PackedKronBatch(_PackedLayout):
             raise ValueError(
                 f"precision must be 'highest' or 'high', got {precision!r}"
             )
+        # Layout validation first: the NZ/B caps fail fast before the
+        # base operator assembles factors and uploads device arrays.
+        g = self._init_layout(mesh, P, B)
         base = KronLaplacian(mesh, P, kappa=kappa, dtype=jnp.float32,
                              sigma=sigma)
-        g = self._init_layout(mesh, P, B)
         NX, NY, NZ = self.shape
         self.precision = precision
         self.sigma = float(sigma)

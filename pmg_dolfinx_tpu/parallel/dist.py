@@ -34,7 +34,7 @@ from ..fem.geometry import (
     tabulate_geometry_dphi,
 )
 from ..fem.gll import derivative_matrix, interpolation_matrix_1d
-from ..fem.assembly import resolve_kappa_split, scale_G
+from ..fem.assembly import ops_shift_scalar, resolve_kappa_split, scale_G
 from ..ops.blas import dist_inner_product
 from ..ops.interpolate import prolongate, restrict
 from ..ops.laplacian import laplacian_scatter_raw
@@ -655,12 +655,10 @@ class DistPMG:
                 "slab is shards=(S, 1, 1))"
             )
         kron_family = operator in ("kron", "kron_blocked")
-        # Robin on the GENERAL backends rides the baked pointwise shift
-        # (boundary mass folded into m3, ops scalar forced to 1.0 — see
-        # fem.assembly.general_shift_np); the kron family carries Robin
-        # as per-axis 1D stiffness end updates instead.
-        self._ops_sigma = (1.0 if (self._robin and not kron_family)
-                           else self.sigma)
+        # Robin on the general backends rides the baked pointwise shift
+        # (boundary mass folded into m3); shared scalar policy:
+        # fem.assembly.ops_shift_scalar.
+        self._ops_sigma = ops_shift_scalar(mesh, self.sigma, kron_family)
         if kron_family:
             require_axis_aligned(mesh, f"DistPMG operator='{operator}'")
         if operator == "kron_blocked" and dtype != jnp.float32:

@@ -31,7 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..fem.mesh import BoxMesh
-from ..fem.assembly import resolve_kappa_split, scale_G
+from ..fem.assembly import ops_shift_scalar, resolve_kappa_split, scale_G
 from ..ops.blas import dist_inner_product
 from ..solvers.cg import cg_solve
 from ..solvers.pmg import (
@@ -893,13 +893,11 @@ class GridPMG:
         self.operator_kind = operator
         self.eigs = []
         part = self.part
-        # Robin on the GENERAL backends rides the baked pointwise shift
-        # (boundary mass folded into m3, ops scalar forced to 1.0 — see
-        # fem.assembly.general_shift_np); the kron family carries Robin
-        # as per-axis 1D stiffness end updates instead.
-        self._ops_sigma = (1.0 if (self._robin and operator not in
-                                   ("kron", "kron_blocked"))
-                           else self.sigma)
+        # Robin on the general backends rides the baked pointwise shift
+        # (boundary mass folded into m3); shared scalar policy:
+        # fem.assembly.ops_shift_scalar.
+        self._ops_sigma = ops_shift_scalar(
+            mesh, self.sigma, operator in ("kron", "kron_blocked"))
         if operator == "lattice":
             ops = grid_lattice_cycle_ops(shards, precision,
                                          sigma=self._ops_sigma)
@@ -1008,7 +1006,7 @@ class GridPMG:
                         sigma_field=self._sigma_field, **kw)
                     hmg_core = grid_lattice_cycle_ops(
                         shards, precision,
-                        sigma=1.0 if self._robin else self.sigma)
+                        sigma=ops_shift_scalar(mesh, self.sigma))
                 hmg_ops = dict(
                     hmg_core,
                     coarse_gather=hmg_gather,

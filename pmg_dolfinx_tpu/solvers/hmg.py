@@ -417,8 +417,11 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
                   for nc in sizes]
     kappa_fine, _ = resolve_kappa(mesh, kappa)
     # Robin rides the baked pointwise-shift path (rediscretized per
-    # h-level, like a sigma field): ops scalar forced to 1.0.
-    ops_sigma = 1.0 if robin is not None else sigma
+    # h-level, like a sigma field); shared scalar policy:
+    # fem.assembly.ops_shift_scalar.
+    from ..fem.assembly import ops_shift_scalar
+
+    ops_sigma = ops_shift_scalar(mesh, sigma)
     ops = lattice_cycle_ops(precision, sigma=ops_sigma)
     schwarz = smoother == "schwarz"
     line_axis = (None if schwarz

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fem.assembly import resolve_kappa_split, scale_G
+from ..fem.assembly import ops_shift_scalar, resolve_kappa_split, scale_G
 from ..fem.geometry import (
     geometry_factors,
     quadrature_weights_3d,
@@ -820,15 +820,10 @@ class PMGHierarchy:
                 "hard-codes point Jacobi)"
             )
         kron_family = operator in ("kron", "kron_blocked")
-        # Robin faces on the GENERAL backends ride the baked pointwise-
-        # shift path: the boundary mass (diagonal under GLL collocation,
-        # fem.assembly.robin_mass_np) folds into every level's m3 vector
-        # with the ops-level sigma scalar forced to 1.0 — the same
-        # mechanism as a sigma FIELD. The kron family instead carries
-        # Robin as per-axis 1D stiffness END updates (ops/kron.py), so
-        # its ops scalar stays the plain sigma.
-        self._ops_sigma = (1.0 if (self._robin and not kron_family)
-                           else self.sigma)
+        # Robin on the general backends rides the baked pointwise shift
+        # (boundary mass folded into m3); shared scalar policy:
+        # fem.assembly.ops_shift_scalar.
+        self._ops_sigma = ops_shift_scalar(mesh, self.sigma, kron_family)
         if kron_family:
             require_axis_aligned(mesh, f"operator='{operator}'")
         if (operator in ("kron_blocked", "lattice_blocked")

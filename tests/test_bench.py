@@ -109,15 +109,15 @@ def test_main_emits_error_line_when_headline_raises(monkeypatch):
 def test_measure_rejects_pure_jitter(monkeypatch):
     """_measure raises (not returns garbage) when every slope sample is
     non-positive — the tunnel-jitter guard."""
-    import bench
-
     import pytest
+
+    from pmg_dolfinx_tpu.utils import measure as measure_mod
 
     # A frozen clock makes every slope exactly 0.0 — all filtered as
     # signal-free, so sampling must hit MAX_SAMPLES and raise.
-    monkeypatch.setattr(bench.time, "time", lambda: 5.0)
+    monkeypatch.setattr(measure_mod.time, "time", lambda: 5.0)
     with pytest.raises(RuntimeError, match="jitter"):
-        bench._measure(lambda r: None, 10, 100, min_samples=3)
+        measure_mod.measure(lambda r: None, 10, 100, min_samples=3)
 
 
 def test_duplicate_planes_layout():

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from bench import _measure  # noqa: E402
+from pmg_dolfinx_tpu.utils.measure import measure as _measure  # noqa: E402
 
 
 def _chain_measure(step, P0, lo, hi):

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp  # noqa: E402
 
-from bench import _measure  # noqa: E402
+from pmg_dolfinx_tpu.utils.measure import measure as _measure  # noqa: E402
 from pmg_dolfinx_tpu.models.poisson import PoissonProblem  # noqa: E402
 
 
