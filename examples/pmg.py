@@ -110,6 +110,16 @@ def main():
                         "sigma(x) = 10(1+x+y) (models.poisson."
                         "sigma_linear; general backends, baked into the "
                         "per-level lumped mass — beyond reference parity)")
+    p.add_argument("--grade", type=str, default="",
+                   help="graded (non-uniform) cell spacing 'AXES:RATIO', "
+                        "e.g. 'z:8' or 'xyz:4': geometric grading with "
+                        "the largest cell RATIO times the smallest on "
+                        "the named axes (boundary-layer refinement, "
+                        "beyond the reference's uniform create_box). The "
+                        "whole kron family rides it natively — combine "
+                        "with --fdm for an EXACT one-shot direct solve "
+                        "on the graded mesh; --coarse hmg is the one "
+                        "mode that rejects grading")
     p.add_argument("--mesh", choices=["box", "perturbed"], default="box",
                    help="'perturbed': smoothly deformed GENERAL hexahedra "
                         "(non-affine cells; the full geometry pipeline + "
@@ -242,11 +252,29 @@ def main():
         else:
             print(f"Neumann faces on axes '{args.neumann}': "
                   f"dirichlet_faces={faces}")
+    spacing = None
+    if args.grade:
+        from pmg_dolfinx_tpu.fem.mesh import geometric_spacing
+
+        try:
+            axes_s, ratio_s = args.grade.split(":")
+            ratio = float(ratio_s)
+            grade_axes = tuple(sorted("xyz".index(a) for a in axes_s))
+        except (ValueError, IndexError):
+            raise SystemExit("--grade expects 'AXES:RATIO', e.g. 'z:8' "
+                             "or 'xyz:4'")
+        spacing = tuple(
+            geometric_spacing(nc[a], ratio) if a in grade_axes else None
+            for a in range(3)
+        )
+        print(f"graded spacing on axes '{axes_s}' (geometric, ratio "
+              f"{ratio:g})")
     mesh = None
     if args.mesh == "perturbed":
         from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
 
-        mesh = PerturbedBoxMesh(nc, dirichlet_faces=faces)
+        mesh = PerturbedBoxMesh(nc, dirichlet_faces=faces,
+                                spacing=spacing)
         if args.operator in ("kron", "kron_blocked"):
             args.operator = ("lattice_blocked" if args.dtype == "f32"
                              else "lattice")
@@ -257,10 +285,11 @@ def main():
             print("perturbed mesh: switching coarse solver to 'hmg' "
                   "(fdm is axis-aligned only; hmg rediscretizes the "
                   "curved operator per h-level)")
-    elif faces is not True:
+    elif faces is not True or spacing is not None:
         from pmg_dolfinx_tpu.fem.mesh import BoxMesh
 
-        mesh = BoxMesh(nc, dirichlet_faces=faces, robin=robin)
+        mesh = BoxMesh(nc, dirichlet_faces=faces, robin=robin,
+                       spacing=spacing)
 
     with Timer("setup (operators+calibration+rhs)"):
         coarse_cfg = {}

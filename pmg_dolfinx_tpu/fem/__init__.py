@@ -13,4 +13,4 @@ from .gll import (
     lagrange_tabulate,
     derivative_matrix,
 )
-from .mesh import BoxMesh
+from .mesh import BoxMesh, PerturbedBoxMesh, geometric_spacing

@@ -529,12 +529,12 @@ def l2_error(mesh: BoxMesh, P: int, u_h: np.ndarray, u_exact, nq: int | None = N
     n = P + 1
     u_cells = u_h[mesh.dofmap(P)].reshape(mesh.nc + (n, n, n))
     uq = np.einsum("qi,rj,sk,cdeijk->cdeqrs", phi1, phi1, phi1, u_cells)
-    # Quadrature-point physical coordinates (affine axis-aligned cells).
-    hx, hy, hz = mesh.h
-    nx, ny, nz = mesh.nc
-    X = (np.arange(nx)[:, None] + xq[None, :]) * hx
-    Y = (np.arange(ny)[:, None] + xq[None, :]) * hy
-    Z = (np.arange(nz)[:, None] + xq[None, :]) * hz
+    # Quadrature-point physical coordinates (affine axis-aligned cells;
+    # per-cell sizes — graded meshes supported).
+    hx, hy, hz = mesh.h_cells
+    X = mesh.axis_nodes(0)[:-1, None] + xq[None, :] * hx[:, None]
+    Y = mesh.axis_nodes(1)[:-1, None] + xq[None, :] * hy[:, None]
+    Z = mesh.axis_nodes(2)[:-1, None] + xq[None, :] * hz[:, None]
     pts = np.stack(
         np.broadcast_arrays(
             X[:, None, None, :, None, None],
@@ -545,6 +545,7 @@ def l2_error(mesh: BoxMesh, P: int, u_h: np.ndarray, u_exact, nq: int | None = N
     )
     ue = u_exact(pts.reshape(3, -1)).reshape(uq.shape)
     w3 = np.einsum("q,r,s->qrs", wq, wq, wq)
-    detJ = hx * hy * hz
-    err2 = np.sum((uq - ue) ** 2 * w3[None, None, None] * detJ)
+    detJ = np.einsum("c,d,e->cde", hx, hy, hz)
+    err2 = np.sum((uq - ue) ** 2 * w3[None, None, None]
+                  * detJ[:, :, :, None, None, None])
     return float(np.sqrt(err2))

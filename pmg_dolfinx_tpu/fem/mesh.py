@@ -53,6 +53,54 @@ def _norm_robin_alpha(robin, dirichlet_faces):
     return out
 
 
+def _norm_spacing(spacing, nc, extent):
+    """Normalize the per-axis grading spec to absolute cell sizes.
+
+    ``spacing`` is a 3-tuple; each entry is None (uniform axis) or a
+    length-``nc[a]`` sequence of positive RELATIVE cell widths, scaled
+    so the axis fills ``extent[a]`` (so ``np.geomspace(1, r, n)`` grades
+    a unit-extent axis with ratio ``r`` regardless of its sum). Returns
+    ``(h_cells, uniform)``: a 3-tuple of read-only float64 ``(nc_a,)``
+    arrays of ABSOLUTE cell sizes, and the per-axis is-uniform flags
+    (a constant spacing array is detected and treated as uniform).
+    """
+    if spacing is None:
+        spacing = (None, None, None)
+    if len(spacing) != 3:
+        raise ValueError("spacing must be a 3-tuple of per-axis entries "
+                         "(None = uniform axis)")
+    h_cells, uniform = [], []
+    for a, (s, n, e) in enumerate(zip(spacing, nc, extent)):
+        if s is None:
+            h = np.full(n, e / n)
+            uniform.append(True)
+        else:
+            s = np.asarray(s, dtype=np.float64)
+            if s.shape != (n,):
+                raise ValueError(
+                    f"spacing[{a}] must have one width per cell "
+                    f"(shape ({n},), got {s.shape})")
+            if np.any(s <= 0.0):
+                raise ValueError(f"spacing[{a}] widths must be positive")
+            h = s * (e / s.sum())
+            uniform.append(bool(np.allclose(h, h[0], rtol=1e-12)))
+        h.setflags(write=False)
+        h_cells.append(h)
+    return tuple(h_cells), tuple(uniform)
+
+
+def geometric_spacing(n, ratio):
+    """Cell widths in geometric progression, smallest-first: the last
+    cell is ``ratio`` times the first. The standard boundary-layer
+    grading — pass (possibly reversed) as a `BoxMesh` ``spacing`` axis
+    entry; the mesh normalizes to the axis extent."""
+    if n < 1:
+        raise ValueError("need at least one cell")
+    if ratio <= 0:
+        raise ValueError("ratio must be positive")
+    return np.geomspace(1.0, float(ratio), n)
+
+
 def _norm_dirichlet_faces(faces):
     """Normalize to a 3x2 nested bool tuple ((x0,x1),(y0,y1),(z0,z1))."""
     if faces is True or faces is None:
@@ -87,13 +135,20 @@ class BoxMesh:
     """
 
     def __init__(self, nc, extent=(1.0, 1.0, 1.0), dirichlet_faces=True,
-                 robin=None):
+                 robin=None, spacing=None):
         self.nc = tuple(int(v) for v in nc)
         self.extent = tuple(float(v) for v in extent)
         if any(v < 1 for v in self.nc):
             raise ValueError("need at least one cell per direction")
         self.ncells = self.nc[0] * self.nc[1] * self.nc[2]
-        self.h = tuple(e / n for e, n in zip(self.extent, self.nc))
+        # Per-axis GRADED cell sizes (boundary-layer refinement): the
+        # mesh stays a tensor product of 1D meshes, so every Kronecker-
+        # structured fast path (kron/kron_blocked applies, the exact FDM
+        # direct solver, line/Schwarz blocks) carries grading natively —
+        # the per-axis 1D matrices are simply assembled on non-uniform
+        # spacing. Beyond the reference's uniform `create_box` geometry.
+        self.h_cells, self._uniform = _norm_spacing(spacing, self.nc,
+                                                    self.extent)
         self.dirichlet_faces = _norm_dirichlet_faces(dirichlet_faces)
         # Robin boundary condition ``kappa du/dn + alpha u = g`` on the
         # faces with alpha > 0 (weak form adds the boundary mass
@@ -104,6 +159,33 @@ class BoxMesh:
         # Kronecker/FDM fast family — including the exact direct solver —
         # carries it natively.
         self.robin_alpha = _norm_robin_alpha(robin, self.dirichlet_faces)
+
+    @property
+    def h(self) -> tuple:
+        """Per-axis UNIFORM cell size. Raises on a graded mesh — a
+        consumer that sees this error should assemble from the per-cell
+        ``h_cells`` arrays instead (every in-package consumer does)."""
+        if not all(self._uniform):
+            raise ValueError(
+                "mesh is graded (non-uniform spacing); there is no "
+                "single per-axis h — use mesh.h_cells"
+            )
+        return tuple(float(hc[0]) for hc in self.h_cells)
+
+    @property
+    def is_graded(self) -> bool:
+        """True when any axis carries non-uniform cell spacing."""
+        return not all(self._uniform)
+
+    @lru_cache(maxsize=None)
+    def axis_nodes(self, a: int) -> np.ndarray:
+        """1D node coordinates along axis ``a``, shape ``(nc_a + 1,)``
+        (cumulative cell sizes; the tensor product of the three arrays
+        is the corner-node set)."""
+        out = np.concatenate(([0.0], np.cumsum(self.h_cells[a])))
+        out[-1] = self.extent[a]  # exact despite fp summation
+        out.setflags(write=False)
+        return out
 
     # ------------------------------------------------------------------
     # Geometry (Q1 coordinate element: 8 corner nodes per cell)
@@ -116,11 +198,8 @@ class BoxMesh:
 
     @lru_cache(maxsize=1)
     def _geometry_x(self):
-        nx, ny, nz = self.nc
-        gx = np.linspace(0.0, self.extent[0], nx + 1)
-        gy = np.linspace(0.0, self.extent[1], ny + 1)
-        gz = np.linspace(0.0, self.extent[2], nz + 1)
-        X, Y, Z = np.meshgrid(gx, gy, gz, indexing="ij")
+        X, Y, Z = np.meshgrid(self.axis_nodes(0), self.axis_nodes(1),
+                              self.axis_nodes(2), indexing="ij")
         out = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
         out.setflags(write=False)
         return out
@@ -182,11 +261,11 @@ class BoxMesh:
         axes = []
         for d in range(3):
             ncd = self.nc[d]
-            # lattice index g = c*P + i -> coordinate (c + gll[i]) * h
+            # lattice index g = c*P + i -> node_c + gll[i] * h_cells[c]
             g = np.arange(ncd * P + 1)
             c = np.minimum(g // P, ncd - 1)
             i = g - c * P
-            axes.append((c + xg[i]) * self.h[d])
+            axes.append(self.axis_nodes(d)[c] + xg[i] * self.h_cells[d][c])
         X, Y, Z = np.meshgrid(*axes, indexing="ij")
         out = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
         out.setflags(write=False)
@@ -252,7 +331,8 @@ class BoxMesh:
     is_axis_aligned = True
 
     def __repr__(self):
-        return f"BoxMesh(nc={self.nc}, extent={self.extent})"
+        g = ", graded" if self.is_graded else ""
+        return f"BoxMesh(nc={self.nc}, extent={self.extent}{g})"
 
 
 def require_axis_aligned(mesh, what: str):
@@ -304,9 +384,9 @@ class PerturbedBoxMesh(BoxMesh):
     is_axis_aligned = False
 
     def __init__(self, nc, extent=(1.0, 1.0, 1.0), warp=None,
-                 dirichlet_faces=True, robin=None):
+                 dirichlet_faces=True, robin=None, spacing=None):
         super().__init__(nc, extent, dirichlet_faces=dirichlet_faces,
-                         robin=robin)
+                         robin=robin, spacing=spacing)
         self._warp = warp if warp is not None else default_warp()
 
     @lru_cache(maxsize=1)

@@ -100,22 +100,39 @@ def local_axis_K(mesh, a, nc_local, Pdeg, k_a, n_shards_a):
     the distributed layouts: ``(K, stacked)``.
 
     ``stacked=False``: the shard-invariant ``(npl, npl)`` float64 matrix
-    (replicate, spec ``P()``) — the no-Robin form, or an unsharded axis
-    with the Robin ends folded in directly. ``stacked=True``: the
-    per-shard row-stacked `stacked_local_K` form ``(S*npl, npl)`` (shard
-    along rows, spec ``P(axis)``) — a SHARDED axis whose global ends
-    carry Robin terms.
+    (replicate, spec ``P()``) — a uniform no-Robin axis, or an unsharded
+    axis with its grading / Robin ends folded in directly.
+    ``stacked=True``: the per-shard row-stacked form ``(S*npl, npl)``
+    (shard along rows, spec ``P(axis)``, each shard reads its own
+    ``(npl, npl)`` block inside shard_map) — a SHARDED axis whose local
+    stiffness differs per shard: global-end Robin terms
+    (`stacked_local_K`) and/or GRADED spacing (each shard's block is
+    assembled from its own slice of ``mesh.h_cells[a]``).
     """
-    K, _ = axis_stiffness_mass(nc_local, Pdeg, mesh.h[a])
     ends = robin_axis_ends(mesh, a)
-    if ends == (0.0, 0.0):
-        return k_a * K, False
-    if n_shards_a == 1:
-        K = k_a * K
-        K[0, 0] += ends[0]
-        K[-1, -1] += ends[1]
-        return K, False
-    return stacked_local_K(K, k_a, ends, n_shards_a), True
+    h_cells = mesh.h_cells[a]
+    graded = not bool(np.allclose(h_cells, h_cells[0], rtol=1e-12))
+    if n_shards_a == 1 or not graded:
+        K, _ = axis_stiffness_mass(nc_local, Pdeg,
+                                   h_cells if n_shards_a == 1
+                                   else h_cells[0])
+        if ends == (0.0, 0.0):
+            return k_a * K, False
+        if n_shards_a == 1:
+            K = k_a * K
+            K[0, 0] += ends[0]
+            K[-1, -1] += ends[1]
+            return K, False
+        return stacked_local_K(K, k_a, ends, n_shards_a), True
+    blocks = []
+    for s in range(n_shards_a):
+        Ks, _ = axis_stiffness_mass(
+            nc_local, Pdeg, h_cells[s * nc_local:(s + 1) * nc_local])
+        blocks.append(k_a * Ks)
+    out = np.vstack(blocks)
+    out[0, 0] += float(ends[0])
+    out[-1, -1] += float(ends[1])
+    return out, True
 
 
 def kron_laplacian_apply(x, Ks, ms, bc_marker, precision="highest",
@@ -216,7 +233,8 @@ class KronLaplacian:
         kax = resolve_kappa_axes(mesh, kappa)
         self.kappa_axes = kax
         Ks, ms = [], []
-        for a, (nc_a, h_a, k_a) in enumerate(zip(mesh.nc, mesh.h, kax)):
+        for a, (nc_a, h_a, k_a) in enumerate(zip(mesh.nc, mesh.h_cells,
+                                                 kax)):
             # kappa folded into the stiffness factors (one K per term;
             # a per-axis / diagonal-tensor kappa scales each term by its
             # own k_a — grid-aligned anisotropic diffusion). The Robin

@@ -359,7 +359,7 @@ class PackedFDMBatch(_PackedLayout):
 
         Vs, lams, frees = [], [], []
         for a, (nc_a, h_a, ends, k_a) in enumerate(
-                zip(mesh.nc, mesh.h, faces, (kx, ky, kz))):
+                zip(mesh.nc, mesh.h_cells, faces, (kx, ky, kz))):
             V, lam = _axis_eig(nc_a, self.P, h_a, ends=ends,
                                robin=robin_axis_ends(mesh, a, 1.0 / k_a))
             n = nc_a * self.P + 1

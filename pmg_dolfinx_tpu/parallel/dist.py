@@ -177,6 +177,9 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
     """
     from ..fem.mesh import BoxMesh
     from ..ops.kron import axis_stiffness_mass
+    from ..solvers.hmg import require_ungraded
+
+    require_ungraded(mesh, "build_hmg_dist (coarse_cfg dist=True)")
     from ..solvers.hmg import (
         axis_h_interpolation,
         build_hmg,
@@ -262,10 +265,10 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
         Kxf, x_stacked = local_axis_K(m, 0, p_l.cells_per_shard_x, P0,
                                       kax[0], n_shards)
         Ky, my = axis_stiffness_mass(
-            m.nc[1], P0, m.h[1], robin=robin_axis_ends(m, 1, 1.0 / kax[1]))
+            m.nc[1], P0, m.h_cells[1], robin=robin_axis_ends(m, 1, 1.0 / kax[1]))
         Kz, mz = axis_stiffness_mass(
-            m.nc[2], P0, m.h[2], robin=robin_axis_ends(m, 2, 1.0 / kax[2]))
-        _, mx_g = axis_stiffness_mass(m.nc[0], P0, m.h[0])
+            m.nc[2], P0, m.h_cells[2], robin=robin_axis_ends(m, 2, 1.0 / kax[2]))
+        _, mx_g = axis_stiffness_mass(m.nc[0], P0, m.h_cells[0])
         npl = p_l.local_planes(P0)
         mx_dup = duplicate_planes(mx_g, npl, n_shards)
         lv = dict(
@@ -819,12 +822,12 @@ class DistPMG:
                     part.n_shards,
                 )
                 Ky, my = axis_stiffness_mass(
-                    mesh.nc[1], Pdeg, mesh.h[1],
+                    mesh.nc[1], Pdeg, mesh.h_cells[1],
                     robin=robin_axis_ends(mesh, 1, 1.0 / kax[1]))
                 Kz, mz = axis_stiffness_mass(
-                    mesh.nc[2], Pdeg, mesh.h[2],
+                    mesh.nc[2], Pdeg, mesh.h_cells[2],
                     robin=robin_axis_ends(mesh, 2, 1.0 / kax[2]))
-                _, mx_g = axis_stiffness_mass(mesh.nc[0], Pdeg, mesh.h[0])
+                _, mx_g = axis_stiffness_mass(mesh.nc[0], Pdeg, mesh.h_cells[0])
                 # Global x-mass in the duplicated-plane layout, sharded.
                 npl = part.local_planes(Pdeg)
                 mx_dup = duplicate_planes(mx_g, npl, part.n_shards)
@@ -1404,12 +1407,12 @@ class DistPMG:
                     part.n_shards,
                 )
                 Ky, my = axis_stiffness_mass(
-                    mesh.nc[1], Pdeg, mesh.h[1],
+                    mesh.nc[1], Pdeg, mesh.h_cells[1],
                     robin=robin_axis_ends(mesh, 1, 1.0 / kax[1]))
                 Kz, mz = axis_stiffness_mass(
-                    mesh.nc[2], Pdeg, mesh.h[2],
+                    mesh.nc[2], Pdeg, mesh.h_cells[2],
                     robin=robin_axis_ends(mesh, 2, 1.0 / kax[2]))
-                _, mx_g = axis_stiffness_mass(mesh.nc[0], Pdeg, mesh.h[0])
+                _, mx_g = axis_stiffness_mass(mesh.nc[0], Pdeg, mesh.h_cells[0])
                 npl = part.local_planes(Pdeg)
                 mx_dup = duplicate_planes(mx_g, npl, part.n_shards)
                 lv64 = dict(

@@ -168,7 +168,7 @@ def make_fdm_dist(mesh, Pdeg, part, axes_spec, lat_spec, kappa, dtype,
     kx, ky, kz = resolve_kappa_axes(mesh, kappa)
     Vs, lams = [], []
     for a, (nc_a, h_a, ends, k_a) in enumerate(
-            zip(mesh.nc, mesh.h, faces, (kx, ky, kz))):
+            zip(mesh.nc, mesh.h_cells, faces, (kx, ky, kz))):
         # Robin end terms ride the kappa-free 1D eigenproblem with the
         # 1/k_a pre-divide (d sums k_a * lam — same fold as fdm.py).
         V, lam = _axis_eig(nc_a, Pdeg, h_a, ends=ends,

@@ -425,8 +425,10 @@ def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
     (g_data, g_bottom)``. ``bottom_fdm`` (kron builder, bottom='fdm'):
     kwargs dict for a distributed-FDM bottom at the coarsest h-level —
     the hierarchy then never gathers (parallel/fdm_dist.py)."""
-    from ..solvers.hmg import axis_h_interpolation, coarsenable_levels
+    from ..solvers.hmg import (axis_h_interpolation, coarsenable_levels,
+                               require_ungraded)
 
+    require_ungraded(mesh, "the grid h-MG builders (coarse='hmg')")
     shards = _norm_shards(shards)
     # The h-hierarchy DEPTH depends on the alignment constraint, so two
     # shard layouts can get different hierarchies (and slightly
@@ -646,7 +648,7 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
             # on a sharded axis — only the global-end shards differ).
             Kl, stacked = local_axis_K(m, a, p_l.cells_per_shard[a], P0,
                                        kax[a], p_l.shards[a])
-            _, mg = axis_stiffness_mass(m.nc[a], P0, m.h[a])
+            _, mg = axis_stiffness_mass(m.nc[a], P0, m.h_cells[a])
             lv["K" + name] = jnp.asarray(Kl, dtype=dtype)
             lv["m" + name] = jnp.asarray(
                 duplicate_planes(mg, npls[a], p_l.shards[a]), dtype=dtype
@@ -1331,7 +1333,7 @@ class GridPMG:
                 # the global-end shards differ).
                 Kl, _ = local_axis_K(mesh, a, part.cells_per_shard[a],
                                      Pdeg, kax[a], shards[a])
-                _, mg = axis_stiffness_mass(mesh.nc[a], Pdeg, mesh.h[a])
+                _, mg = axis_stiffness_mass(mesh.nc[a], Pdeg, mesh.h_cells[a])
                 npl = npls[a]
                 ms_dup.append(duplicate_planes(mg, npl, shards[a]))
                 Ks_local.append(Kl)
@@ -1353,7 +1355,7 @@ class GridPMG:
                     mesh, a, part.cells_per_shard[a], Pdeg, kax[a],
                     shards[a],
                 )
-                _, mg = axis_stiffness_mass(mesh.nc[a], Pdeg, mesh.h[a])
+                _, mg = axis_stiffness_mass(mesh.nc[a], Pdeg, mesh.h_cells[a])
                 npl = npls[a]
                 m_dup = duplicate_planes(mg, npl, shards[a])
                 lv["K" + name] = jnp.asarray(Kl, dtype=dtype)

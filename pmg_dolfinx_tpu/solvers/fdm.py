@@ -122,7 +122,7 @@ class FastDiagonalizationSolver:
         kx, ky, kz = resolve_kappa_axes(mesh, kappa)
         Vs, Vts, lams = [], [], []
         for a, (nc_a, h_a, ends, k_a) in enumerate(
-                zip(mesh.nc, mesh.h, faces, (kx, ky, kz))):
+                zip(mesh.nc, mesh.h_cells, faces, (kx, ky, kz))):
             # Robin ends pre-divided by k_a: the eigenvalue sums below
             # multiply back by k_a, restoring the kappa-free alpha term —
             # the Robin family keeps the EXACT six-matmul direct solve.

@@ -132,7 +132,10 @@ def axis_coupling(mesh, kappa):
         kaa = np.diagonal(kt.mean(axis=0))
     else:
         kaa = np.full(3, float(np.mean(kc)))
-    return kaa / np.asarray(mesh.h, dtype=float) ** 2
+    # Mean spacing per axis: on a graded mesh this is the aggregate
+    # coupling heuristic (per-cell anisotropy varies along the axis).
+    h_eff = np.array([float(hc.mean()) for hc in mesh.h_cells])
+    return kaa / h_eff ** 2
 
 
 def semicoarsen_axes(mesh, kappa, threshold=4.0):
@@ -177,6 +180,19 @@ def validate_hmg_sizes(nc, sizes):
     return sizes
 
 
+def require_ungraded(mesh, what: str):
+    """Guard for the h-MG builders: rediscretized h-levels currently
+    assume uniform per-axis spacing (uniform coarse meshes + midpoint
+    transfer blocks). On a GRADED mesh use coarse='fdm' or 'direct' —
+    both are exact on graded spacing."""
+    if getattr(mesh, "is_graded", False):
+        raise ValueError(
+            f"{what} does not support graded (non-uniform spacing) "
+            "meshes yet; use coarse='fdm' (exact on graded kron-family "
+            "problems) or coarse='direct'"
+        )
+
+
 def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
               max_levels=10, precision="highest",
               calibration_iters=20, bottom="direct", sigma=0.0,
@@ -197,6 +213,7 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     """
     import jax
 
+    require_ungraded(mesh, "build_hmg (coarse='hmg')")
     from ..ops.kron import axis_stiffness_mass, kron_diagonal, robin_axis_ends
     from .cg import cg_solve
     from .pmg import (
@@ -243,7 +260,7 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
             lv["schwarz"] = build_schwarz(m, P, kassemble, dtype,
                                           sigma=sigma)
         for a, (name, nc_a, h_a, k_a) in enumerate(
-                zip("xyz", m.nc, m.h, kax)):
+                zip("xyz", m.nc, m.h_cells, kax)):
             # Robin end terms are kappa-free and h-independent: the SAME
             # alpha end update rediscretizes on every coarsened level
             # (pre-divided by k_a, restored by the multiply below).
@@ -388,6 +405,7 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         quadrature_weights_3d,
         tabulate_geometry_dphi,
     )
+    require_ungraded(mesh, "build_hmg_general (coarse='hmg')")
     from ..fem.mesh import BoxMesh, PerturbedBoxMesh
     from ..ops.lattice import axis_matrices, geometry_to_qlattice
     from .cg import cg_solve

@@ -926,7 +926,7 @@ class PMGHierarchy:
 
                 lv = {}
                 for a, (name, nc_a, h_a, k_a) in enumerate(
-                        zip("xyz", mesh.nc, mesh.h, self.kappa_axes)):
+                        zip("xyz", mesh.nc, mesh.h_cells, self.kappa_axes)):
                     # Robin ends pre-divided by k_a: the kappa multiply
                     # below restores the kappa-free alpha end terms.
                     K, m = axis_stiffness_mass(

@@ -182,7 +182,7 @@ def build_schwarz_np(mesh, P, kappa, sigma=0.0):
         )
     faces = getattr(mesh, "dirichlet_faces", ((True, True),) * 3)
     Vs, lams = [], []
-    for a, (nca, ha) in enumerate(zip(mesh.nc, mesh.h)):
+    for a, (nca, ha) in enumerate(zip(mesh.nc, mesh.h_cells)):
         # Robin end updates: fold alpha/kd into the end cells' 1D blocks
         # (the per-cell ``kd * lam`` sum then carries the kappa-free
         # alpha). kd is the PLANE-MEAN kappa of the face-adjacent cells:
