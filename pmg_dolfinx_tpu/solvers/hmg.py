@@ -32,28 +32,61 @@ from .line import line_block_inverses, line_precond_apply, parse_line_smoother
 
 
 def axis_h_interpolation(nc_coarse: int, P: int = 1, factor: int = 2,
-                         dtype=np.float64):
+                         dtype=np.float64, h_fine=None):
     """1D nodal interpolation from an ``nc_coarse``-cell lattice to the
     ``factor``-refined ``factor * nc_coarse``-cell lattice at degree P.
 
     ``I[f, c] = l_c^{coarse}(x_f^{fine})``; each coarse cell contains
-    ``factor`` fine cells whose nodes sit at ``(k + xg)/factor`` in the
-    coarse cell's reference coordinates.
+    ``factor`` fine cells. Uniform spacing (``h_fine=None``): their
+    nodes sit at ``(k + xg)/factor`` in the coarse cell's reference
+    coordinates (one shared block per k). GRADED spacing: pass the fine
+    level's per-cell widths ``h_fine[(factor * nc_coarse,)]`` — each
+    coarse cell's children occupy their actual width fractions, so the
+    blocks differ per coarse cell (coarse corner nodes remain an exact
+    subset of the fine corners: coarsening merges cells).
     """
     xg, _ = gauss_lobatto(P + 1)
-    blocks = [
-        lagrange_tabulate(xg, (k + xg) / factor, 0)[0]  # (P+1, P+1)
-        for k in range(factor)
-    ]
     Nf, Nc = factor * nc_coarse * P + 1, nc_coarse * P + 1
     I = np.zeros((Nf, Nc), dtype=dtype)
+    if h_fine is None:
+        blocks = [
+            lagrange_tabulate(xg, (k + xg) / factor, 0)[0]  # (P+1, P+1)
+            for k in range(factor)
+        ]
+    else:
+        h_fine = np.asarray(h_fine, dtype=np.float64)
+        if h_fine.shape != (factor * nc_coarse,):
+            raise ValueError(
+                f"h_fine must hold one width per FINE cell "
+                f"({factor * nc_coarse},), got {h_fine.shape}")
     for c in range(nc_coarse):
         cols = slice(c * P, c * P + P + 1)
+        if h_fine is not None:
+            w = h_fine[factor * c:factor * (c + 1)]
+            offs = np.concatenate(([0.0], np.cumsum(w)))
+            W = offs[-1]
         for k in range(factor):
             fcell = factor * c + k
             rows = slice(fcell * P, fcell * P + P + 1)
-            I[rows, cols] = blocks[k]
+            if h_fine is None:
+                I[rows, cols] = blocks[k]
+            else:
+                pts = (offs[k] + xg * w[k]) / W
+                I[rows, cols] = lagrange_tabulate(xg, pts, 0)[0]
     return I
+
+
+def coarsen_spacing(h_cells, nc_fine, nc_coarse):
+    """Per-axis ABSOLUTE cell sizes of the ``nc_coarse`` mesh whose
+    cells merge consecutive fine cells (``nc_fine[a] // nc_coarse[a]``
+    each) — the grading-preserving h-coarsening rule: coarse corners
+    stay an exact subset of the fine corners. Returns a `BoxMesh`
+    ``spacing`` tuple (normalization is idempotent on absolute sizes)."""
+    out = []
+    for hc, nf, ncs in zip(h_cells, nc_fine, nc_coarse):
+        f = nf // ncs
+        out.append(np.asarray(hc, np.float64).reshape(ncs, f).sum(axis=1))
+    return tuple(out)
 
 
 def coarsenable_levels(nc, min_cells=2, max_levels=10, divisors=(1, 1, 1)):
@@ -213,7 +246,6 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     """
     import jax
 
-    require_ungraded(mesh, "build_hmg (coarse='hmg')")
     from ..ops.kron import axis_stiffness_mass, kron_diagonal, robin_axis_ends
     from .cg import cg_solve
     from .pmg import (
@@ -234,8 +266,13 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         sizes = validate_hmg_sizes(mesh.nc, sizes)
     sizes = list(sizes)[::-1]  # coarse->fine
     robin = mesh.robin_alpha if getattr(mesh, "has_robin", False) else None
+    # A GRADED fine mesh coarsens by MERGING cells (coarsen_spacing):
+    # coarse corners stay an exact subset of the fine corners, so the
+    # nodal transfers below interpolate between nested node sets.
     meshes = [BoxMesh(nc, extent=mesh.extent,
-                      dirichlet_faces=mesh.dirichlet_faces, robin=robin)
+                      dirichlet_faces=mesh.dirichlet_faces, robin=robin,
+                      spacing=(coarsen_spacing(mesh.h_cells, mesh.nc, nc)
+                               if mesh.is_graded else None))
               for nc in sizes]
     ops = kron_cycle_ops(precision, sigma=sigma)
     # Scalar kappa keeps the historical scalar form (bit-identical
@@ -323,9 +360,13 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         mc, mf = meshes[i], meshes[i + 1]
         tr = {
             "I" + name: jnp.asarray(
-                axis_h_interpolation(nc_c, P, factor=nc_f // nc_c), dtype=dtype
+                axis_h_interpolation(
+                    nc_c, P, factor=nc_f // nc_c,
+                    h_fine=mf.h_cells[a] if mf.is_graded else None),
+                dtype=dtype,
             )
-            for name, nc_c, nc_f in zip("xyz", mc.nc, mf.nc)
+            for a, (name, nc_c, nc_f) in enumerate(
+                zip("xyz", mc.nc, mf.nc))
         }
         transfer.append(tr)
 
@@ -356,17 +397,27 @@ def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
     return tuple(levels), data, bottom
 
 
-def coarsen_cell_field(vals, nc_fine, nc_coarse):
+def coarsen_cell_field(vals, nc_fine, nc_coarse, h_cells=None):
     """Volume-average a per-cell DG-0 field onto a coarser cell grid
-    (each coarse cell averages its ``f^3`` children; cells are uniform in
-    reference space, so the plain mean is the volume average)."""
+    (each coarse cell averages its ``f^3`` children). On uniform meshes
+    the plain mean IS the volume average; pass the fine mesh's
+    ``h_cells`` for a GRADED mesh so children are weighted by their
+    actual volumes."""
     fx, fy, fz = (nf // nc for nf, nc in zip(nc_fine, nc_coarse))
     vals = np.asarray(vals)
     tail = vals.shape[1:]  # () for scalars, (3, 3) for tensor kappa
     v = vals.reshape(nc_fine + tail)
     v = v.reshape((nc_coarse[0], fx, nc_coarse[1], fy, nc_coarse[2], fz)
                   + tail)
-    return v.mean(axis=(1, 3, 5)).reshape((-1,) + tail)
+    if h_cells is None:
+        return v.mean(axis=(1, 3, 5)).reshape((-1,) + tail)
+    hx, hy, hz = (np.asarray(h, np.float64) for h in h_cells)
+    w = (hx.reshape(nc_coarse[0], fx)[:, :, None, None, None, None]
+         * hy.reshape(nc_coarse[1], fy)[None, None, :, :, None, None]
+         * hz.reshape(nc_coarse[2], fz)[None, None, None, None, :, :])
+    w = w / w.sum(axis=(1, 3, 5), keepdims=True)
+    w = w.reshape(w.shape + (1,) * len(tail))
+    return (v * w).sum(axis=(1, 3, 5)).reshape((-1,) + tail)
 
 
 def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
@@ -405,7 +456,6 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         quadrature_weights_3d,
         tabulate_geometry_dphi,
     )
-    require_ungraded(mesh, "build_hmg_general (coarse='hmg')")
     from ..fem.mesh import BoxMesh, PerturbedBoxMesh
     from ..ops.lattice import axis_matrices, geometry_to_qlattice
     from .cg import cg_solve
@@ -424,14 +474,22 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         sizes = validate_hmg_sizes(mesh.nc, sizes)
     sizes = list(sizes)[::-1]  # coarse->fine
     robin = mesh.robin_alpha if getattr(mesh, "has_robin", False) else None
+    # Graded fine meshes coarsen by merging cells (grading-preserving;
+    # the warp then evaluates at the SAME corner positions on every
+    # level — coarse corners stay an exact subset of the fine ones).
+    def _sp(nc):
+        return (coarsen_spacing(mesh.h_cells, mesh.nc, nc)
+                if mesh.is_graded else None)
+
     if isinstance(mesh, PerturbedBoxMesh):
         meshes = [PerturbedBoxMesh(nc, extent=mesh.extent, warp=mesh._warp,
                                    dirichlet_faces=mesh.dirichlet_faces,
-                                   robin=robin)
+                                   robin=robin, spacing=_sp(nc))
                   for nc in sizes]
     else:
         meshes = [BoxMesh(nc, extent=mesh.extent,
-                          dirichlet_faces=mesh.dirichlet_faces, robin=robin)
+                          dirichlet_faces=mesh.dirichlet_faces, robin=robin,
+                          spacing=_sp(nc))
                   for nc in sizes]
     kappa_fine, _ = resolve_kappa(mesh, kappa)
     # Robin rides the baked pointwise-shift path (rediscretized per
@@ -450,7 +508,9 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         if callable(kappa):
             kc, _ = resolve_kappa(m, kappa)
         else:
-            kc = coarsen_cell_field(kappa_fine, mesh.nc, m.nc)
+            kc = coarsen_cell_field(kappa_fine, mesh.nc, m.nc,
+                                    h_cells=(mesh.h_cells if mesh.is_graded
+                                             else None))
         kfold = kc if kc.ndim == 3 else None  # tensor: fold into G
         G_cells, _ = geometry_factors(
             m.geometry_x, m.geometry_dofmap,
@@ -535,10 +595,13 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         mc, mf = meshes[i], meshes[i + 1]
         tr = {
             "I" + name: jnp.asarray(
-                axis_h_interpolation(nc_c, P, factor=nc_f // nc_c),
+                axis_h_interpolation(
+                    nc_c, P, factor=nc_f // nc_c,
+                    h_fine=mf.h_cells[a] if mf.is_graded else None),
                 dtype=dtype,
             )
-            for name, nc_c, nc_f in zip("xyz", mc.nc, mf.nc)
+            for a, (name, nc_c, nc_f) in enumerate(
+                zip("xyz", mc.nc, mf.nc))
         }
         transfer.append(tr)
 
@@ -557,7 +620,9 @@ def build_hmg_general(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,
         if callable(kappa):
             kc0, _ = resolve_kappa(meshes[0], kappa)
         else:
-            kc0 = coarsen_cell_field(kappa_fine, mesh.nc, meshes[0].nc)
+            kc0 = coarsen_cell_field(kappa_fine, mesh.nc, meshes[0].nc,
+                                     h_cells=(mesh.h_cells if mesh.is_graded
+                                              else None))
         A0 = assemble_stiffness(meshes[0], P, kappa=kc0).toarray()
         if sigma:
             from ..fem.assembly import shifted_mass_np

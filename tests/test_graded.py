@@ -10,8 +10,10 @@ graded pencils exactly, and the per-cell Schwarz blocks read their own
 cell size from the global 1D matrices. On a SHARDED graded axis the
 local stiffness differs per shard — `ops.kron.local_axis_K` row-stacks
 the per-shard blocks (the same spec-P(axis) mechanism Robin ends use).
-h-MG is the one coarse mode that rejects grading (uniform rediscretized
-levels; `solvers.hmg.require_ungraded`)."""
+h-MG coarsens graded meshes by MERGING cells (`coarsen_spacing`; coarse
+corners stay a subset of the fine corners) with per-coarse-cell graded
+transfer blocks; only the non-gathered (dist=True) h-hierarchies reject
+grading (`solvers.hmg.require_ungraded`)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -160,11 +162,118 @@ def test_smoothers_graded(smoother, max_iters):
     assert prob.error_l2(u) < 2e-4
 
 
-def test_hmg_rejects_graded():
-    mesh = _graded_mesh((8, 8, 8))
+def test_h_interpolation_graded_exact():
+    """The graded 1D h-transfer reproduces every polynomial up to
+    degree P exactly on the merged-cell node sets (the nodal-nesting
+    property uniform transfers have by construction)."""
+    from pmg_dolfinx_tpu.fem.gll import gauss_lobatto
+    from pmg_dolfinx_tpu.solvers.hmg import axis_h_interpolation
+
+    P, ncc, f = 3, 3, 2
+    h_fine = np.random.default_rng(0).uniform(0.3, 2.0, ncc * f)
+    I = axis_h_interpolation(ncc, P, factor=f, h_fine=h_fine)
+
+    def nodes(h):
+        xg, _ = gauss_lobatto(P + 1)
+        offs = np.concatenate(([0.0], np.cumsum(h)))
+        out = [offs[0]]
+        for c, w in enumerate(h):
+            out.extend(offs[c] + xg[1:] * w)
+        return np.array(out)
+
+    xc, xf = nodes(h_fine.reshape(ncc, f).sum(1)), nodes(h_fine)
+    for deg in range(P + 1):
+        assert np.abs(I @ xc**deg - xf**deg).max() < 1e-12, deg
+
+
+def test_coarsen_cell_field_volume_weighted():
+    """DG-0 coarsening on a graded mesh weights children by their
+    actual volumes (plain mean would bias toward small cells)."""
+    from pmg_dolfinx_tpu.solvers.hmg import coarsen_cell_field
+
+    h = (np.array([1.0, 3.0]), np.array([1.0, 1.0]), np.array([1.0, 1.0]))
+    # cell order x slowest: the first 4 cells are the x=0 layer
+    vals = np.array([10.0] * 4 + [20.0] * 4)
+    # x-pairs (10, 20) with volume weights (1, 3) -> 17.5 everywhere
+    out = coarsen_cell_field(vals, (2, 2, 2), (1, 2, 2), h_cells=h)
+    assert np.allclose(out, 17.5), out
+    # uniform h -> plain mean
+    out_u = coarsen_cell_field(vals, (2, 2, 2), (1, 2, 2))
+    assert np.allclose(out_u, 15.0), out_u
+
+
+def test_hmg_graded_matches_exact_coarse():
+    """coarse='hmg' on a graded kron-family hierarchy: merged-cell
+    coarse meshes + graded transfers converge like the EXACT fdm
+    coarse (same FCG iteration count, same solution)."""
+    mesh = BoxMesh((8, 8, 8), spacing=(geometric_spacing(8, 5.0),) * 3)
+    us, iters = [], []
+    for coarse in ("hmg", "fdm"):
+        prob = PoissonProblem(mesh=mesh, degrees=(1, 3), kappa=2.0,
+                              dtype=jnp.float64, coarse=coarse)
+        u, niter = prob.hierarchy.solve_pcg(prob.b, rtol=1e-9)
+        us.append(np.asarray(u))
+        iters.append(int(niter))
+    assert iters[0] <= iters[1] + 2, iters
+    assert np.allclose(us[0], us[1], atol=1e-8)
+
+
+def test_hmg_general_graded_curved():
+    """The general-family h-MG on a GRADED PerturbedBoxMesh with
+    variable kappa: rediscretized graded levels (the warp evaluates at
+    the same merged corner positions) match the exact dense coarse."""
+    from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+    from pmg_dolfinx_tpu.models.poisson import f_rhs_variable, kappa_linear
+
+    mesh = PerturbedBoxMesh((8, 8, 8),
+                            spacing=(None, geometric_spacing(8, 4.0), None))
+    us, iters = [], []
+    for coarse in ("hmg", "direct"):
+        prob = PoissonProblem(mesh=mesh, degrees=(1, 3), kappa=kappa_linear,
+                              f=f_rhs_variable(), dtype=jnp.float64,
+                              coarse=coarse, operator="lattice")
+        u, niter = prob.hierarchy.solve_pcg(prob.b, rtol=1e-9)
+        us.append(np.asarray(u))
+        iters.append(int(niter))
+    assert iters[0] <= iters[1] + 2, iters
+    assert np.allclose(us[0], us[1], atol=1e-8)
+
+
+def test_hmg_gathered_sharded_graded_matches_single():
+    """The GATHERED hmg coarse on graded sharded layouts (slab + grid)
+    rides the single-device graded hierarchy — trajectory-exact."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    mesh = BoxMesh((8, 4, 4), spacing=(geometric_spacing(8, 4.0),
+                                       None, None))
+    prob = PoissonProblem(mesh=mesh, degrees=(1, 3), kappa=2.0,
+                          dtype=jnp.float64, coarse="hmg")
+    u_s, rn_s = prob.solve(num_cycles=6)
+    dist = DistPMG(mesh, n_devices=4, degrees=(1, 3), kappa=2.0,
+                   dtype=jnp.float64, coarse="hmg")
+    u_d, rn_d = dist.solve(np.asarray(prob.b), num_cycles=6)
+    assert np.allclose(rn_d, rn_s, rtol=1e-9)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-10)
+    grid = GridPMG(mesh, shards=(2, 2), degrees=(1, 3), kappa=2.0,
+                   dtype=jnp.float64, coarse="hmg")
+    u_g, rn_g = grid.solve(np.asarray(prob.b), num_cycles=6)
+    assert np.allclose(rn_g, rn_s, rtol=1e-9)
+    assert np.allclose(u_g, np.asarray(u_s), atol=1e-10)
+
+
+def test_hmg_dist_rejects_graded():
+    """The non-gathered (dist=True) h-hierarchies still reject grading
+    (per-shard transfer blocks not implemented); the gathered hmg and
+    the exact fdm/direct coarse are the supported modes."""
+    from pmg_dolfinx_tpu.parallel.dist import DistPMG
+
+    mesh = BoxMesh((8, 4, 4), spacing=(geometric_spacing(8, 4.0),
+                                       None, None))
     with pytest.raises(ValueError, match="graded"):
-        PMGHierarchy(mesh, degrees=(1, 3), kappa=2.0, coarse="hmg",
-                     dtype=jnp.float64)
+        DistPMG(mesh, n_devices=4, degrees=(1, 3), kappa=2.0,
+                dtype=jnp.float64, coarse="hmg",
+                coarse_cfg=dict(dist=True))
 
 
 def test_dist_slab_graded_matches_single():
