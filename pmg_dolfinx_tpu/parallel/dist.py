@@ -177,13 +177,11 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
     """
     from ..fem.mesh import BoxMesh
     from ..ops.kron import axis_stiffness_mass
-    from ..solvers.hmg import require_ungraded
-
-    require_ungraded(mesh, "build_hmg_dist (coarse_cfg dist=True)")
     from ..solvers.hmg import (
-        axis_h_interpolation,
         build_hmg,
+        coarsen_spacing,
         coarsenable_levels,
+        local_axis_h_interpolation,
     )
 
     from ..fem.assembly import resolve_kappa_axes
@@ -253,8 +251,12 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
     # updates per h-level, matching the gathered build_hmg).
     robin = (mesh.robin_alpha if getattr(mesh, "has_robin", False)
              else None)
+    # Graded meshes coarsen by MERGING cells (matching the global
+    # build_hmg pass above — identical level meshes and blocks).
     meshes = [BoxMesh(nc, extent=mesh.extent,
-                      dirichlet_faces=mesh.dirichlet_faces, robin=robin)
+                      dirichlet_faces=mesh.dirichlet_faces, robin=robin,
+                      spacing=(coarsen_spacing(mesh.h_cells, mesh.nc, nc)
+                               if mesh.is_graded else None))
               for nc in sizes_cf]
     parts = [SlabPartition(m, n_shards) for m in meshes]
 
@@ -335,26 +337,27 @@ def build_hmg_dist(mesh, n_shards, P0, kappa, dtype, smoother_iters=2,
     for i in range(len(meshes) - 1):
         mc, mf = meshes[i], meshes[i + 1]
         pc, pf = parts[i], parts[i + 1]
+        # Sharded GRADED x: per-shard row-stacked transfer blocks
+        # (spec P(AXIS)), the local_axis_K mechanism for transfers.
+        def _hf(a):
+            return mf.h_cells[a] if mf.is_graded else None
+
+        Ix, x_stacked = local_axis_h_interpolation(
+            pc.cells_per_shard_x, P0, mf.nc[0] // mc.nc[0], n_shards,
+            h_fine=_hf(0))
+        Iy, _ = local_axis_h_interpolation(
+            mc.nc[1], P0, mf.nc[1] // mc.nc[1], 1, h_fine=_hf(1))
+        Iz, _ = local_axis_h_interpolation(
+            mc.nc[2], P0, mf.nc[2] // mc.nc[2], 1, h_fine=_hf(2))
         tr = dict(
-            Ix=jnp.asarray(
-                axis_h_interpolation(pc.cells_per_shard_x, P0,
-                                     factor=mf.nc[0] // mc.nc[0]),
-                dtype=dtype,
-            ),
-            Iy=jnp.asarray(
-                axis_h_interpolation(mc.nc[1], P0,
-                                     factor=mf.nc[1] // mc.nc[1]),
-                dtype=dtype,
-            ),
-            Iz=jnp.asarray(
-                axis_h_interpolation(mc.nc[2], P0,
-                                     factor=mf.nc[2] // mc.nc[2]),
-                dtype=dtype,
-            ),
+            Ix=jnp.asarray(Ix, dtype=dtype),
+            Iy=jnp.asarray(Iy, dtype=dtype),
+            Iz=jnp.asarray(Iz, dtype=dtype),
             weights_f=jnp.asarray(pf.ownership_weights(P0), dtype=dtype),
         )
         transfer.append(tr)
-        transfer_specs.append(dict(Ix=P(), Iy=P(), Iz=P(),
+        transfer_specs.append(dict(Ix=P(AXIS) if x_stacked else P(),
+                                   Iy=P(), Iz=P(),
                                    weights_f=P(AXIS)))
 
     data = dict(levels=tuple(level_data), transfer=tuple(transfer))

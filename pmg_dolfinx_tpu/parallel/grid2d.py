@@ -425,10 +425,9 @@ def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
     (g_data, g_bottom)``. ``bottom_fdm`` (kron builder, bottom='fdm'):
     kwargs dict for a distributed-FDM bottom at the coarsest h-level —
     the hierarchy then never gathers (parallel/fdm_dist.py)."""
-    from ..solvers.hmg import (axis_h_interpolation, coarsenable_levels,
-                               require_ungraded)
+    from ..solvers.hmg import (coarsenable_levels,
+                               local_axis_h_interpolation)
 
-    require_ungraded(mesh, "the grid h-MG builders (coarse='hmg')")
     shards = _norm_shards(shards)
     # The h-hierarchy DEPTH depends on the alignment constraint, so two
     # shard layouts can get different hierarchies (and slightly
@@ -544,19 +543,21 @@ def _hmg_grid_scaffold(mesh, shards, P0, dtype, smoother_iters,
     for i in range(len(meshes) - 1):
         mc, mf = meshes[i], meshes[i + 1]
         pc, pf = parts[i], parts[i + 1]
-        tr = {
-            "I" + name: jnp.asarray(
-                axis_h_interpolation(pc.cells_per_shard[a], P0,
-                                     factor=mf.nc[a] // mc.nc[a]),
-                dtype=dtype,
-            )
-            for a, name in enumerate("xyz")
-        }
+        tr, tspec = {}, {}
+        for a, name in enumerate("xyz"):
+            # Sharded GRADED axes get per-shard ROW-STACKED transfer
+            # blocks (spec P(axis)) — the local_axis_K mechanism.
+            I_a, stacked = local_axis_h_interpolation(
+                pc.cells_per_shard[a], P0, mf.nc[a] // mc.nc[a],
+                shards[a],
+                h_fine=mf.h_cells[a] if mf.is_graded else None)
+            tr["I" + name] = jnp.asarray(I_a, dtype=dtype)
+            tspec["I" + name] = P(AXES[a]) if stacked else P()
         tr["weights_f"] = jnp.asarray(pf.ownership_weights(P0),
                                       dtype=dtype)
+        tspec["weights_f"] = PSHARD
         transfer.append(tr)
-        transfer_specs.append(dict(Ix=P(), Iy=P(), Iz=P(),
-                                   weights_f=PSHARD))
+        transfer_specs.append(tspec)
 
     data = dict(levels=tuple(level_data), transfer=tuple(transfer))
     specs = dict(levels=tuple(level_specs), transfer=tuple(transfer_specs))
@@ -661,12 +662,17 @@ def build_hmg_grid(mesh, shards, P0, kappa, dtype, smoother_iters=2,
     # h-level, matching the gathered build_hmg).
     robin = (mesh.robin_alpha if getattr(mesh, "has_robin", False)
              else None)
+    from ..solvers.hmg import coarsen_spacing
+
     return _hmg_grid_scaffold(
         mesh, shards, P0, dtype, smoother_iters, min_cells, divisors,
         global_build,
         lambda nc: BoxMesh(nc, extent=mesh.extent,
                            dirichlet_faces=mesh.dirichlet_faces,
-                           robin=robin),
+                           robin=robin,
+                           spacing=(coarsen_spacing(mesh.h_cells,
+                                                    mesh.nc, nc)
+                                    if mesh.is_graded else None)),
         fill_level, sizes=sizes, line_axis=line_axis,
         bottom_fdm=(dict(kappa=kappa, precision=precision, sigma=sigma)
                     if bottom == "fdm" else None),
@@ -721,14 +727,22 @@ def build_hmg_grid_general(mesh, shards, P0, kappa, dtype,
 
     robin = (mesh.robin_alpha if getattr(mesh, "has_robin", False)
              else None)
+    from ..solvers.hmg import coarsen_spacing
+
+    def _spc(nc):
+        return (coarsen_spacing(mesh.h_cells, mesh.nc, nc)
+                if mesh.is_graded else None)
+
     if isinstance(mesh, PerturbedBoxMesh):
         make_mesh = lambda nc: PerturbedBoxMesh(
             nc, extent=mesh.extent, warp=mesh._warp,
-            dirichlet_faces=mesh.dirichlet_faces, robin=robin)
+            dirichlet_faces=mesh.dirichlet_faces, robin=robin,
+            spacing=_spc(nc))
     else:
         make_mesh = lambda nc: BoxMesh(
             nc, extent=mesh.extent,
-            dirichlet_faces=mesh.dirichlet_faces, robin=robin)
+            dirichlet_faces=mesh.dirichlet_faces, robin=robin,
+            spacing=_spc(nc))
     PSHARD = P(*AXES)
 
     def fill_level(lv, spec, m, p_l, g_lv):

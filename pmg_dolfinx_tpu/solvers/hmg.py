@@ -76,6 +76,37 @@ def axis_h_interpolation(nc_coarse: int, P: int = 1, factor: int = 2,
     return I
 
 
+def local_axis_h_interpolation(nc_c_local, P, factor, n_shards,
+                               h_fine=None, dtype=np.float64):
+    """LOCAL per-shard 1D h-transfer for the distributed hierarchies:
+    ``(I, stacked)``.
+
+    ``stacked=False``: one shard-invariant ``(Nf_l, Nc_l)`` block
+    (uniform axis, or an unsharded axis carrying the full graded
+    transfer directly). ``stacked=True``: per-shard ROW-STACKED blocks
+    ``(S * Nf_l, Nc_l)`` (shard along rows, spec ``P(axis)`` — each
+    shard reads its own block inside shard_map) — a SHARDED GRADED
+    axis, where every shard's children sit at different width
+    fractions. The same mechanism `ops.kron.local_axis_K` uses for
+    per-shard stiffness blocks; the einsum transfer applies are
+    unchanged (only the matrix VALUES differ per shard).
+    """
+    if h_fine is None:
+        return axis_h_interpolation(nc_c_local, P, factor=factor,
+                                    dtype=dtype), False
+    h_fine = np.asarray(h_fine, dtype=np.float64)
+    if n_shards == 1:
+        return axis_h_interpolation(nc_c_local, P, factor=factor,
+                                    dtype=dtype, h_fine=h_fine), False
+    nfl = nc_c_local * factor
+    blocks = [
+        axis_h_interpolation(nc_c_local, P, factor=factor, dtype=dtype,
+                             h_fine=h_fine[s * nfl:(s + 1) * nfl])
+        for s in range(n_shards)
+    ]
+    return np.vstack(blocks), True
+
+
 def coarsen_spacing(h_cells, nc_fine, nc_coarse):
     """Per-axis ABSOLUTE cell sizes of the ``nc_coarse`` mesh whose
     cells merge consecutive fine cells (``nc_fine[a] // nc_coarse[a]``
@@ -211,19 +242,6 @@ def validate_hmg_sizes(nc, sizes):
         if lf == lc:
             raise ValueError(f"hmg sizes contains a repeated level {lf}")
     return sizes
-
-
-def require_ungraded(mesh, what: str):
-    """Guard for the h-MG builders: rediscretized h-levels currently
-    assume uniform per-axis spacing (uniform coarse meshes + midpoint
-    transfer blocks). On a GRADED mesh use coarse='fdm' or 'direct' —
-    both are exact on graded spacing."""
-    if getattr(mesh, "is_graded", False):
-        raise ValueError(
-            f"{what} does not support graded (non-uniform spacing) "
-            "meshes yet; use coarse='fdm' (exact on graded kron-family "
-            "problems) or coarse='direct'"
-        )
 
 
 def build_hmg(mesh, P, kappa, dtype, smoother_iters=2, min_cells=2,

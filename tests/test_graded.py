@@ -12,8 +12,9 @@ local stiffness differs per shard — `ops.kron.local_axis_K` row-stacks
 the per-shard blocks (the same spec-P(axis) mechanism Robin ends use).
 h-MG coarsens graded meshes by MERGING cells (`coarsen_spacing`; coarse
 corners stay a subset of the fine corners) with per-coarse-cell graded
-transfer blocks; only the non-gathered (dist=True) h-hierarchies reject
-grading (`solvers.hmg.require_ungraded`)."""
+transfer blocks — including the non-gathered (dist=True) hierarchies,
+whose sharded graded axes get per-shard ROW-STACKED transfer blocks
+(`solvers.hmg.local_axis_h_interpolation`)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -262,18 +263,64 @@ def test_hmg_gathered_sharded_graded_matches_single():
     assert np.allclose(u_g, np.asarray(u_s), atol=1e-10)
 
 
-def test_hmg_dist_rejects_graded():
-    """The non-gathered (dist=True) h-hierarchies still reject grading
-    (per-shard transfer blocks not implemented); the gathered hmg and
-    the exact fdm/direct coarse are the supported modes."""
+def test_hmg_dist_slab_graded_matches_single():
+    """The NON-GATHERED (dist=True) h-hierarchy on a graded slab: the
+    sharded graded x axis gets per-shard row-stacked TRANSFER blocks
+    (local_axis_h_interpolation) alongside the stacked stiffness —
+    trajectory-exact vs the single-device graded hmg."""
     from pmg_dolfinx_tpu.parallel.dist import DistPMG
 
-    mesh = BoxMesh((8, 4, 4), spacing=(geometric_spacing(8, 4.0),
-                                       None, None))
-    with pytest.raises(ValueError, match="graded"):
-        DistPMG(mesh, n_devices=4, degrees=(1, 3), kappa=2.0,
-                dtype=jnp.float64, coarse="hmg",
-                coarse_cfg=dict(dist=True))
+    mesh = BoxMesh((16, 4, 4), spacing=(geometric_spacing(16, 5.0), None,
+                                        geometric_spacing(4, 2.0)))
+    prob = PoissonProblem(mesh=mesh, degrees=(1, 3), kappa=2.0,
+                          dtype=jnp.float64, coarse="hmg")
+    u_s, rn_s = prob.solve(num_cycles=6)
+    dist = DistPMG(mesh, n_devices=4, degrees=(1, 3), kappa=2.0,
+                   dtype=jnp.float64, coarse="hmg",
+                   coarse_cfg=dict(dist=True))
+    u_d, rn_d = dist.solve(np.asarray(prob.b), num_cycles=6)
+    assert np.allclose(rn_d, rn_s, rtol=1e-9)
+    assert np.allclose(u_d, np.asarray(u_s), atol=1e-10)
+
+
+def test_hmg_dist_grid_graded_gather_free():
+    """The fully gather-free graded hierarchy: every axis graded AND
+    sharded, dist h-MG levels + distributed-FDM bottom (graded pencils)
+    — no gather anywhere, trajectory-exact vs single device."""
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    mesh = BoxMesh((8, 8, 8), spacing=(geometric_spacing(8, 4.0),) * 3)
+    prob = PoissonProblem(mesh=mesh, degrees=(1, 3), kappa=2.0,
+                          dtype=jnp.float64, coarse="hmg")
+    u_s, rn_s = prob.solve(num_cycles=6)
+    grid = GridPMG(mesh, shards=(2, 2, 2), degrees=(1, 3), kappa=2.0,
+                   dtype=jnp.float64, coarse="hmg",
+                   coarse_cfg=dict(dist=True, bottom="fdm"))
+    u_g, rn_g = grid.solve(np.asarray(prob.b), num_cycles=6)
+    assert np.allclose(rn_g, rn_s, rtol=1e-9)
+    assert np.allclose(u_g, np.asarray(u_s), atol=1e-10)
+
+
+def test_hmg_dist_general_graded_curved():
+    """General-family dist h-MG on a GRADED curved mesh with variable
+    kappa: rediscretized graded lattice h-levels in the multi-axis
+    layout — trajectory-exact vs single device."""
+    from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+    from pmg_dolfinx_tpu.models.poisson import f_rhs_variable, kappa_linear
+    from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+    mesh = PerturbedBoxMesh((8, 8, 8),
+                            spacing=(None, geometric_spacing(8, 4.0), None))
+    prob = PoissonProblem(mesh=mesh, degrees=(1, 3), kappa=kappa_linear,
+                          f=f_rhs_variable(), dtype=jnp.float64,
+                          coarse="hmg", operator="lattice")
+    u_s, rn_s = prob.solve(num_cycles=6)
+    grid = GridPMG(mesh, shards=(2, 2), degrees=(1, 3), kappa=kappa_linear,
+                   dtype=jnp.float64, coarse="hmg",
+                   coarse_cfg=dict(dist=True), operator="lattice")
+    u_g, rn_g = grid.solve(np.asarray(prob.b), num_cycles=6)
+    assert np.allclose(rn_g, rn_s, rtol=1e-9)
+    assert np.allclose(u_g, np.asarray(u_s), atol=1e-10)
 
 
 def test_dist_slab_graded_matches_single():
