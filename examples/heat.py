@@ -1,0 +1,128 @@
+"""Transient heat-equation driver: ``u_t - div(kappa grad u) = 0``.
+
+Beyond-reference model-family coverage (the reference solves steady
+Poisson only, examples/pmg/main.cpp): implicit time stepping built from
+the framework's shifted (reaction-diffusion) family with
+``sigma = 1/dt`` (solvers/transient.py).
+
+On the kron family (axis-aligned boxes, incl. --grade) every step is
+ONE exact FDM direct solve — six MXU matmuls — and the whole time loop
+compiles to a single XLA `lax.scan` program: zero host round-trips
+between steps. General meshes (--mesh perturbed) step through the
+shifted PMG hierarchy with one warm FCG(V) solve per step.
+
+Accuracy check: the manufactured separable mode
+``u = exp(-3 kappa pi^2 t) sin(pi x) sin(pi y) sin(pi z)`` (f = 0);
+prints the final-time L2 error and the step throughput. Backward Euler
+is O(dt), Crank-Nicolson O(dt^2) (pinned in tests/test_heat.py).
+"""
+
+import json
+import time
+
+import numpy as np
+
+from _common import base_parser, setup_jax
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--degree", type=int, default=3)
+    p.add_argument("--dt", type=float, default=1e-3)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--scheme", choices=["be", "cn"], default="cn")
+    p.add_argument("--grade", type=str, default="",
+                   help="graded spacing 'AXES:RATIO' (e.g. 'z:8'); the "
+                        "FDM step solve stays exact on graded meshes")
+    p.add_argument("--mesh", choices=["box", "perturbed"], default="box",
+                   help="'perturbed': curved hexes — steps through the "
+                        "shifted PMG hierarchy (FCG per step) instead "
+                        "of the direct FDM solve")
+    p.add_argument("--rtol", type=float, default=1e-9,
+                   help="per-step FCG tolerance (perturbed mesh only)")
+    args = p.parse_args()
+    dtype = setup_jax(args)
+
+    import jax.numpy as jnp
+
+    from pmg_dolfinx_tpu.fem.assembly import l2_error
+    from pmg_dolfinx_tpu.models.poisson import fit_box_cells
+    from pmg_dolfinx_tpu.utils.timers import Timer, list_timings
+
+    P, kappa = args.degree, args.kappa
+    nc = fit_box_cells(args.ndofs, P)
+    spacing = None
+    if args.grade:
+        from pmg_dolfinx_tpu.fem.mesh import geometric_spacing
+
+        axes_s, ratio_s = args.grade.split(":")
+        spacing = tuple(
+            geometric_spacing(nc[a], float(ratio_s))
+            if "xyz"[a] in axes_s else None
+            for a in range(3)
+        )
+    if args.mesh == "perturbed":
+        from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+
+        mesh = PerturbedBoxMesh(nc, spacing=spacing)
+    else:
+        from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+
+        mesh = BoxMesh(nc, spacing=spacing)
+    print(f"mesh {nc[0]}x{nc[1]}x{nc[2]} p={P} ({mesh.num_dofs(P)} dofs), "
+          f"{args.scheme} dt={args.dt:g} x {args.steps} steps")
+
+    c = mesh.dof_coords(P)
+    u0 = (np.sin(np.pi * c[:, 0]) * np.sin(np.pi * c[:, 1])
+          * np.sin(np.pi * c[:, 2]))
+    T = args.dt * args.steps
+    lam = 3.0 * np.pi**2 * kappa
+
+    def u_exact(x):
+        return (np.exp(-lam * T) * np.sin(np.pi * x[0])
+                * np.sin(np.pi * x[1]) * np.sin(np.pi * x[2]))
+
+    with Timer("setup"):
+        if args.mesh == "perturbed":
+            from pmg_dolfinx_tpu.solvers.pmg import PMGHierarchy
+            from pmg_dolfinx_tpu.solvers.transient import heat_pcg_evolve
+
+            kap_op = kappa / 2 if args.scheme == "cn" else kappa
+            hier = PMGHierarchy(mesh, degrees=(1, P), kappa=kap_op,
+                                sigma=1.0 / args.dt, dtype=dtype,
+                                coarse="cg", operator="lattice")
+            evolve = heat_pcg_evolve(hier, mesh, P, args.dt,
+                                     scheme=args.scheme, rtol=args.rtol)
+        else:
+            from pmg_dolfinx_tpu.solvers.transient import heat_fdm_evolve
+
+            evolve = heat_fdm_evolve(mesh, P, kappa=kappa, dt=args.dt,
+                                     scheme=args.scheme, dtype=dtype)
+
+    with Timer("warmup (compile + 1 step)"):
+        if args.mesh == "perturbed":
+            evolve(u0, 1)
+        else:
+            np.asarray(evolve(u0, 1))
+
+    with Timer(f"evolve ({args.steps} steps)"):
+        t0 = time.time()
+        if args.mesh == "perturbed":
+            uT, iters = evolve(u0, args.steps)
+            print(f"FCG iterations/step: min {min(iters)} "
+                  f"max {max(iters)}")
+        else:
+            uT = np.asarray(evolve(u0, args.steps))
+        wall = time.time() - t0
+
+    err = l2_error(mesh, P, np.asarray(uT).reshape(-1), u_exact)
+    print(f"L2 error at T={T:g}: {err:.4e} "
+          f"(analytic decay exp(-{lam:.3f} T) = {np.exp(-lam*T):.4e})")
+    print(f"throughput: {args.steps / wall:.1f} steps/s")
+    list_timings()
+    print(json.dumps({"l2_error": float(err),
+                      "steps_per_s": args.steps / wall}))
+
+
+if __name__ == "__main__":
+    main()

@@ -83,3 +83,12 @@ def test_mat_free_driver_oracle():
 def test_cg_driver_runs_chebyshev_demo():
     out = run("cg.py", "--ndofs", "4000", "--max-iters", "60")
     assert "ZZZ CG" in out and "Chebyshev" in out
+
+
+def test_heat_driver_decay():
+    """Transient heat driver: 10 CN steps on the separable decay mode;
+    the printed L2 error pins the scanned FDM stepping end-to-end."""
+    out = run("heat.py", "--ndofs", "8000", "--steps", "10",
+              "--dt", "1e-3", "--grade", "z:4")
+    d = json.loads(out.strip().splitlines()[-1])
+    assert d["l2_error"] < 1e-3
