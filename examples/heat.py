@@ -40,6 +40,11 @@ def main():
                         "of the direct FDM solve")
     p.add_argument("--rtol", type=float, default=1e-9,
                    help="per-step FCG tolerance (perturbed mesh only)")
+    p.add_argument("--batch", type=int, default=0,
+                   help="serving mode: step BATCH initial conditions "
+                        "through the lane-packed kernels (f32, small "
+                        "lattices NZ <= 64; pack once, scan packed FDM "
+                        "steps, unpack at the end)")
     args = p.parse_args()
     dtype = setup_jax(args)
 
@@ -81,6 +86,33 @@ def main():
     def u_exact(x):
         return (np.exp(-lam * T) * np.sin(np.pi * x[0])
                 * np.sin(np.pi * x[1]) * np.sin(np.pi * x[2]))
+
+    if args.batch:
+        if args.mesh == "perturbed":
+            raise SystemExit("--batch rides the lane-packed kron/FDM "
+                             "kernels (axis-aligned box only)")
+        from pmg_dolfinx_tpu.solvers.transient import heat_packed_evolve
+
+        B = args.batch
+        with Timer("setup"):
+            evolve = heat_packed_evolve(mesh, P, kappa=kappa, dt=args.dt,
+                                        B=B, scheme=args.scheme)
+        U0 = np.broadcast_to(u0, (B, u0.size)).astype(np.float32)
+        with Timer("warmup (compile + 1 step)"):
+            np.asarray(evolve(U0, 1))
+        with Timer(f"evolve ({args.steps} steps x batch {B})"):
+            t0 = time.time()
+            UT = np.asarray(evolve(U0, args.steps))
+            wall = time.time() - t0
+        err = l2_error(mesh, P, UT[0].astype(np.float64), u_exact)
+        rate = args.steps * B / wall
+        print(f"L2 error at T={T:g} (col 0): {err:.4e}")
+        print(f"throughput: {rate:.1f} column-steps/s "
+              f"({args.steps / wall:.1f} batch-steps/s)")
+        list_timings()
+        print(json.dumps({"l2_error": float(err),
+                          "column_steps_per_s": rate}))
+        return
 
     with Timer("setup"):
         if args.mesh == "perturbed":
