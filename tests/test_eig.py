@@ -85,3 +85,17 @@ def test_lowest_modes_general_family():
         # resolve the callable the same way the hierarchy does:
         kappa_linear, k)
     assert np.allclose(lams, ref, rtol=1e-6), (lams, ref)
+
+
+def test_lowest_modes_graded():
+    """Graded spacing: the batched-FDM inverse action diagonalizes the
+    graded pencils exactly, so shift-invert LOBPCG converges to the
+    scipy spectrum of the graded assembled pencil."""
+    from pmg_dolfinx_tpu.fem.mesh import geometric_spacing
+
+    mesh = BoxMesh((6, 6, 6), spacing=(geometric_spacing(6, 4.0),
+                                       None, geometric_spacing(6, 2.0)))
+    P, kappa, k = 2, 2.0, 3
+    lams, _, _ = lowest_eigenpairs(mesh, P, kappa=kappa, k=k)
+    ref = _scipy_lowest(mesh, P, kappa, k)
+    assert np.allclose(lams, ref, rtol=1e-8), (lams, ref)
