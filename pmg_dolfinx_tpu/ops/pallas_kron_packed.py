@@ -230,7 +230,11 @@ class PackedKronBatch(_PackedLayout):
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=min(8 * vmem + (8 << 20), 110 << 20)
+                # ~9 full-lattice VMEM live ranges at B=8/61^3 (x, s32
+                # mask, w, t1, t2, base, out + matrices): the b8 kernel
+                # measured 71.81 MiB of scoped vmem on v5e — an 8x cap
+                # rejected it at compile time.
+                vmem_limit_bytes=min(11 * vmem + (8 << 20), 112 << 20)
             ),
             interpret=interpret,
         )
