@@ -1,0 +1,168 @@
+"""Wave-equation driver: ``u_tt - div(kappa grad u) = 0``.
+
+Beyond-reference model-family coverage (the reference solves steady
+Poisson only, examples/pmg/main.cpp): second-order dynamics built from
+the framework's shifted family (solvers/transient.py wave_*).
+
+Integrators:
+- ``--scheme newmark`` (default): implicit Newmark-beta, average
+  acceleration (beta, gamma) = (1/4, 1/2) — unconditionally stable,
+  O(dt^2), EXACT discrete-energy conservation. Every step is one exact
+  FDM direct solve with ``sigma = 1/(beta dt^2)``; the whole loop is
+  one scanned XLA program. ``--gamma > 0.5`` adds algorithmic damping.
+- ``--scheme leapfrog``: explicit central difference — one kron apply
+  + pointwise updates per step (no solve). Conditionally stable; pass
+  ``--dt 0`` to auto-pick 0.72x the EXACT spectral bound
+  ``wave_stable_dt`` (from the FDM eigenvalue sums).
+
+``--mesh perturbed`` steps curved hexes through the shifted PMG
+hierarchy (one warm FCG(V) per step).
+
+Accuracy check: the analytic standing wave
+``u = cos(omega t) sin(pi x) sin(pi y) sin(pi z)``,
+``omega = pi sqrt(3 kappa)``; prints the final-time L2 error, the
+relative energy drift, and the step throughput. Orders and the exact
+conservation are pinned in tests/test_wave.py.
+"""
+
+import json
+import time
+
+import numpy as np
+
+from _common import base_parser, setup_jax
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--degree", type=int, default=3)
+    p.add_argument("--dt", type=float, default=1e-3,
+                   help="time step; 0 = auto (0.72x the spectral "
+                        "stability bound — leapfrog-safe)")
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--scheme", choices=["newmark", "leapfrog"],
+                   default="newmark")
+    p.add_argument("--gamma", type=float, default=0.5,
+                   help="Newmark gamma (>1/2: algorithmic damping)")
+    p.add_argument("--grade", type=str, default="",
+                   help="graded spacing 'AXES:RATIO' (e.g. 'z:8')")
+    p.add_argument("--mesh", choices=["box", "perturbed"], default="box")
+    p.add_argument("--rtol", type=float, default=1e-9,
+                   help="per-step FCG tolerance (perturbed mesh only)")
+    args = p.parse_args()
+    dtype = setup_jax(args)
+
+    import jax.numpy as jnp
+
+    from pmg_dolfinx_tpu.fem.assembly import l2_error, lumped_mass_np
+    from pmg_dolfinx_tpu.models.poisson import fit_box_cells
+    from pmg_dolfinx_tpu.ops.kron import KronLaplacian
+    from pmg_dolfinx_tpu.solvers.transient import (
+        wave_leapfrog_evolve, wave_newmark_evolve, wave_pcg_evolve,
+        wave_stable_dt)
+    from pmg_dolfinx_tpu.utils.timers import Timer, list_timings
+
+    P, kappa = args.degree, args.kappa
+    nc = fit_box_cells(args.ndofs, P)
+    spacing = None
+    if args.grade:
+        from pmg_dolfinx_tpu.fem.mesh import geometric_spacing
+
+        axes_s, ratio_s = args.grade.split(":")
+        spacing = tuple(
+            geometric_spacing(nc[a], float(ratio_s))
+            if "xyz"[a] in axes_s else None
+            for a in range(3)
+        )
+    if args.mesh == "perturbed":
+        from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+
+        mesh = PerturbedBoxMesh(nc, spacing=spacing)
+    else:
+        from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+
+        mesh = BoxMesh(nc, spacing=spacing)
+
+    dt = args.dt
+    if dt == 0.0:
+        if args.mesh == "perturbed":
+            raise SystemExit("--dt 0 (spectral auto-dt) needs the "
+                             "axis-aligned FDM eigenvalues")
+        dt = 0.72 * wave_stable_dt(mesh, P, kappa=kappa)
+        print(f"auto dt = {dt:.3e} (0.72 x spectral bound)")
+    print(f"mesh {nc[0]}x{nc[1]}x{nc[2]} p={P} ({mesh.num_dofs(P)} dofs), "
+          f"{args.scheme} dt={dt:g} x {args.steps} steps")
+
+    c = mesh.dof_coords(P)
+    u0 = (np.sin(np.pi * c[:, 0]) * np.sin(np.pi * c[:, 1])
+          * np.sin(np.pi * c[:, 2]))
+    v0 = np.zeros_like(u0)
+    T = dt * args.steps
+    omega = np.pi * np.sqrt(3.0 * kappa)
+
+    def u_exact(x):
+        return (np.cos(omega * T) * np.sin(np.pi * x[0])
+                * np.sin(np.pi * x[1]) * np.sin(np.pi * x[2]))
+
+    m3 = lumped_mass_np(mesh, P, bc_zero=True)
+    op64 = KronLaplacian(mesh, P, kappa=kappa, dtype=jnp.float64) \
+        if args.mesh == "box" else None
+
+    def energy(u, v):
+        if op64 is None:
+            return float("nan")
+        u = np.asarray(u, np.float64).reshape(-1)
+        v = np.asarray(v, np.float64).reshape(-1)
+        Ku = np.asarray(op64(jnp.asarray(u))).reshape(-1)
+        return 0.5 * (v @ (m3 * v) + u @ Ku)
+
+    with Timer("setup"):
+        if args.mesh == "perturbed":
+            from pmg_dolfinx_tpu.solvers.pmg import PMGHierarchy
+
+            if args.scheme == "leapfrog":
+                raise SystemExit("leapfrog is kron-family only "
+                                 "(needs the lumped-mass box apply)")
+            beta = 0.25
+            hier = PMGHierarchy(mesh, degrees=(1, P), kappa=kappa,
+                                sigma=1.0 / (beta * dt * dt), dtype=dtype,
+                                coarse="cg", operator="lattice")
+            evolve = wave_pcg_evolve(hier, mesh, P, dt, gamma=args.gamma,
+                                     rtol=args.rtol)
+        elif args.scheme == "newmark":
+            evolve = wave_newmark_evolve(mesh, P, kappa=kappa, dt=dt,
+                                         gamma=args.gamma, dtype=dtype)
+        else:
+            evolve = wave_leapfrog_evolve(mesh, P, kappa=kappa, dt=dt,
+                                          dtype=dtype)
+
+    E0 = energy(u0, v0)
+    with Timer("warmup (compile + 1 step)"):
+        out = evolve(u0, v0, 1)
+        np.asarray(out[0])
+
+    with Timer(f"evolve ({args.steps} steps)"):
+        t0 = time.time()
+        out = evolve(u0, v0, args.steps)
+        uT, vT = np.asarray(out[0]), np.asarray(out[1])
+        wall = time.time() - t0
+    if args.mesh == "perturbed":
+        iters = out[2]
+        print(f"FCG iterations/step: min {min(iters)} max {max(iters)}")
+
+    err = l2_error(mesh, P, uT.reshape(-1), u_exact)
+    ET = energy(uT, vT)
+    drift = abs(ET - E0) / E0 if np.isfinite(E0) and E0 > 0 else float("nan")
+    print(f"L2 error at T={T:g}: {err:.4e} "
+          f"(analytic cos({omega:.3f} T) = {np.cos(omega*T):+.4f})")
+    if np.isfinite(drift):
+        print(f"energy drift |E_T - E_0|/E_0 = {drift:.3e}")
+    print(f"throughput: {args.steps / wall:.1f} steps/s")
+    list_timings()
+    print(json.dumps({"l2_error": float(err),
+                      "energy_drift": float(drift),
+                      "steps_per_s": args.steps / wall}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,7 @@
-"""Transient heat equation ``u_t - div(kappa grad u) = f``: implicit
-time stepping on top of the shifted (reaction-diffusion) family.
+"""Transient problems on the shifted (reaction-diffusion) family:
+the heat equation ``u_t - div(kappa grad u) = f`` (implicit BE/CN
+stepping) and the wave equation ``u_tt - div(kappa grad u) = f``
+(implicit Newmark-beta and explicit leapfrog).
 
 Discretizing in time first (method of lines, GLL-lumped mass M):
 
@@ -127,6 +129,173 @@ def heat_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8, scheme="cn",
         Pu = fdm.pack(jnp.asarray(U0, jnp.float32))
         PT, _ = jax.lax.scan(step, Pu, length=nsteps)
         return fdm.unpack(PT).reshape(B, -1)
+
+    return evolve
+
+
+def wave_newmark_evolve(mesh, P, kappa=1.0, dt=1e-2, beta=0.25,
+                        gamma=0.5, dtype=jnp.float64,
+                        precision="highest", f=None):
+    """Jitted ``evolve(u0, v0, nsteps) -> (u_T, v_T)`` for the wave
+    equation ``M u_tt + K u = f`` on the kron family (GLL-lumped M).
+
+    Newmark-beta in displacement (predictor) form: with
+    ``u* = u + dt v + (1/2 - beta) dt^2 a`` the update solves
+
+        (K + M / (beta dt^2)) u^{n+1} = f + M u* / (beta dt^2)
+
+    — EXACTLY the framework's shifted operator with
+    ``sigma = 1/(beta dt^2)``, so every step is one exact FDM direct
+    solve; ``a^{n+1} = (u^{n+1} - u*)/(beta dt^2)`` and
+    ``v^{n+1} = v + dt((1-gamma) a + gamma a^{n+1})`` are pointwise.
+    The whole loop is one scanned XLA program. Default
+    ``(beta, gamma) = (1/4, 1/2)`` is the average-acceleration rule:
+    unconditionally stable, O(dt^2), and EXACTLY conserves the discrete
+    energy ``E = (v^T M v + u^T K u)/2`` (pinned in tests/test_wave.py);
+    ``gamma > 1/2`` adds algorithmic damping (drops to O(dt)).
+
+    ``f`` is an optional time-independent load (Dirichlet rows zeroed);
+    boundary data is whatever ``u0`` carries on the flagged faces
+    (held fixed; ``v0``/``a0`` are zeroed there). Beyond-parity model
+    family: the reference is steady Poisson only (examples/pmg/main.cpp).
+    """
+    from ..ops.kron import KronLaplacian
+
+    if not (beta > 0.0 and gamma >= 0.5):
+        raise ValueError(f"need beta > 0, gamma >= 1/2, got {beta}, {gamma}")
+    c0 = 1.0 / (beta * dt * dt)
+    shape = mesh.lattice_shape(P)
+    bc = jnp.asarray(np.asarray(mesh.boundary_dof_marker(P)).reshape(shape))
+    m3 = jnp.asarray(lumped_mass_np(mesh, P, bc_zero=True),
+                     dtype=dtype).reshape(shape)
+    m3safe = jnp.where(bc, 1.0, m3)
+    fvec = (jnp.zeros(shape, dtype=dtype) if f is None
+            else jnp.asarray(np.asarray(f).reshape(shape), dtype=dtype))
+    solver = FastDiagonalizationSolver(mesh, P, kappa=kappa, dtype=dtype,
+                                       sigma=c0, precision=precision)
+    op = KronLaplacian(mesh, P, kappa=kappa, dtype=dtype,
+                       precision=precision)
+
+    def step(carry, _):
+        u, v, a = carry
+        ustar = u + dt * v + ((0.5 - beta) * dt * dt) * a
+        rhs = jnp.where(bc, u, fvec + c0 * m3 * ustar)
+        u1 = solver.solve(rhs)
+        a1 = jnp.where(bc, 0.0, c0 * (u1 - ustar))
+        v1 = v + dt * ((1.0 - gamma) * a + gamma * a1)
+        return (u1, v1, a1), None
+
+    @partial(jax.jit, static_argnames="nsteps")
+    def evolve(u0, v0, nsteps):
+        u0 = jnp.asarray(u0, dtype=dtype).reshape(shape)
+        v0 = jnp.where(bc, 0.0, jnp.asarray(v0, dtype=dtype).reshape(shape))
+        Ku = op(u0.reshape(-1)).reshape(shape)
+        a0 = jnp.where(bc, 0.0, (fvec - Ku) / m3safe)
+        (uT, vT, _), _ = jax.lax.scan(step, (u0, v0, a0), length=nsteps)
+        return uT, vT
+
+    return evolve
+
+
+def wave_stable_dt(mesh, P, kappa=1.0):
+    """Exact explicit-scheme (leapfrog) stability bound
+    ``dt_max = 2 / sqrt(lambda_max(M^{-1} K))`` — the extreme
+    generalized eigenvalue comes for FREE from the FDM
+    diagonalization's per-axis eigenvalue sums (graded spacing, mixed
+    faces, Robin ends, per-axis kappa all included)."""
+    s = FastDiagonalizationSolver(mesh, P, kappa=kappa, dtype=jnp.float64)
+    lam_max = float((1.0 / s.dinv).max())
+    return 2.0 / np.sqrt(lam_max)
+
+
+def wave_leapfrog_evolve(mesh, P, kappa=1.0, dt=1e-2, dtype=jnp.float64,
+                         precision="highest", f=None):
+    """Jitted explicit central-difference (leapfrog) ``evolve(u0, v0,
+    nsteps) -> (u_T, v_T)``: one kron operator apply + pointwise updates
+    per step (no solve at all — the cheapest possible step; lumped mass
+    makes M^{-1} a pointwise division). Conditionally stable: require
+    ``dt < wave_stable_dt(mesh, P, kappa)``; O(dt^2). The final
+    velocity is the standard second-order one-sided reconstruction
+    ``v_T = (u^N - u^{N-1})/dt + (dt/2) a^N``.
+    """
+    from ..ops.kron import KronLaplacian
+
+    shape = mesh.lattice_shape(P)
+    bc = jnp.asarray(np.asarray(mesh.boundary_dof_marker(P)).reshape(shape))
+    m3 = jnp.asarray(lumped_mass_np(mesh, P, bc_zero=True),
+                     dtype=dtype).reshape(shape)
+    m3safe = jnp.where(bc, 1.0, m3)
+    fvec = (jnp.zeros(shape, dtype=dtype) if f is None
+            else jnp.asarray(np.asarray(f).reshape(shape), dtype=dtype))
+    op = KronLaplacian(mesh, P, kappa=kappa, dtype=dtype,
+                       precision=precision)
+
+    def accel(u):
+        Ku = op(u.reshape(-1)).reshape(shape)
+        return jnp.where(bc, 0.0, (fvec - Ku) / m3safe)
+
+    def step(carry, _):
+        um1, u = carry
+        u1 = jnp.where(bc, u, 2.0 * u - um1 + (dt * dt) * accel(u))
+        return (u, u1), None
+
+    @partial(jax.jit, static_argnames="nsteps")
+    def evolve(u0, v0, nsteps):
+        u0 = jnp.asarray(u0, dtype=dtype).reshape(shape)
+        v0 = jnp.where(bc, 0.0, jnp.asarray(v0, dtype=dtype).reshape(shape))
+        # Taylor start: u^1 = u^0 + dt v^0 + (dt^2/2) a^0 (keeps O(dt^2)).
+        u1 = jnp.where(bc, u0,
+                       u0 + dt * v0 + (0.5 * dt * dt) * accel(u0))
+        (um1, uT), _ = jax.lax.scan(step, (u0, u1), length=nsteps - 1)
+        vT = (uT - um1) / dt + (0.5 * dt) * accel(uT)
+        return uT, vT
+
+    return evolve
+
+
+def wave_pcg_evolve(hier, mesh, P, dt, beta=0.25, gamma=0.5, rtol=1e-9,
+                    f=None):
+    """Newmark-beta ``evolve(u0, v0, nsteps) -> (u_T, v_T, iters)`` for
+    the GENERAL family (curved hexes / variable kappa): ``hier`` must be
+    built with ``sigma = 1/(beta dt^2)`` and the UNSCALED kappa. Each
+    step solves the shifted system with FCG(V) in error form around the
+    Newmark predictor ``u*`` (an O(dt^2) guess, so the per-step
+    iteration counts are small): the residual at ``u*`` collapses to
+    ``f + sigma M u* - A_sigma u*`` and ``a^{n+1} = e / (beta dt^2)``
+    where ``e`` is the computed correction. Host loop, one warm jitted
+    solve per step; returns per-step iteration counts.
+    """
+    if not (beta > 0.0 and gamma >= 0.5):
+        raise ValueError(f"need beta > 0, gamma >= 1/2, got {beta}, {gamma}")
+    c0 = 1.0 / (beta * dt * dt)
+    dtype = hier.dtype
+    bc = np.asarray(mesh.boundary_dof_marker(P)).reshape(-1)
+    bcj = jnp.asarray(bc)
+    m3 = jnp.asarray(lumped_mass_np(mesh, P, bc_zero=True), dtype=dtype)
+    m3safe = jnp.where(bcj, 1.0, m3)
+    fvec = (jnp.zeros_like(m3) if f is None
+            else jnp.asarray(np.asarray(f).reshape(-1), dtype=dtype))
+    A = hier.operator()  # shifted apply A + sigma M (flat contract)
+
+    def evolve(u0, v0, nsteps):
+        u = jnp.asarray(u0, dtype=dtype).reshape(-1)
+        v = jnp.where(bcj, 0.0, jnp.asarray(v0, dtype=dtype).reshape(-1))
+        # a0 = M^{-1}(f - K u0): K u = A_sigma u - sigma M u.
+        Ku = jnp.asarray(A(u)).reshape(-1) - c0 * m3 * u
+        a = jnp.where(bcj, 0.0, (fvec - Ku) / m3safe)
+        iters = []
+        for _ in range(int(nsteps)):
+            ustar = u + dt * v + ((0.5 - beta) * dt * dt) * a
+            res = fvec + c0 * m3 * ustar - jnp.asarray(A(ustar)).reshape(-1)
+            res = jnp.where(bcj, 0.0, res)
+            e, niter = hier.solve_pcg(res, rtol=rtol)
+            e = jnp.asarray(e).reshape(-1)
+            u = ustar + e
+            a1 = jnp.where(bcj, 0.0, c0 * e)
+            v = v + dt * ((1.0 - gamma) * a + gamma * a1)
+            a = a1
+            iters.append(int(niter))
+        return u, v, iters
 
     return evolve
 

@@ -104,8 +104,16 @@ def lanczos_eigenvalue_estimates(alphas, betas, stored=None, method="tqli"):
         mask = np.asarray(stored, dtype=bool)
         alphas, betas = alphas[mask], betas[mask]
     ne = alphas.shape[0]
-    if ne < 2:
+    if ne == 0:
         raise ValueError("Insufficient CG coefficients to estimate eigenvalues")
+    if ne == 1:
+        # CG converged in one iteration: the operator is (numerically) a
+        # scaled identity on this rhs and the 1x1 Lanczos matrix IS the
+        # Rayleigh quotient — a tight single-point spectrum estimate.
+        # Reached by strongly shifted hierarchies (Newmark stepping has
+        # sigma = 1/(beta dt^2) >> lambda_max(K)).
+        lam = 1.0 / alphas[0]
+        return np.array([lam, lam])
     d = 1.0 / alphas
     d[1:] += betas[:-1] / alphas[:-1]
     e = np.sqrt(betas[:-1]) / alphas[:-1]
