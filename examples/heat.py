@@ -98,8 +98,11 @@ def main():
             evolve = heat_packed_evolve(mesh, P, kappa=kappa, dt=args.dt,
                                         B=B, scheme=args.scheme)
         U0 = np.broadcast_to(u0, (B, u0.size)).astype(np.float32)
-        with Timer("warmup (compile + 1 step)"):
-            np.asarray(evolve(U0, 1))
+        # Warm with the FULL step count: nsteps is a trace-time
+        # constant of the scanned program — a 1-step warmup leaves the
+        # n-step compile inside the timed region.
+        with Timer(f"warmup (compile + {args.steps} steps)"):
+            np.asarray(evolve(U0, args.steps))
         with Timer(f"evolve ({args.steps} steps x batch {B})"):
             t0 = time.time()
             UT = np.asarray(evolve(U0, args.steps))
@@ -131,11 +134,17 @@ def main():
             evolve = heat_fdm_evolve(mesh, P, kappa=kappa, dt=args.dt,
                                      scheme=args.scheme, dtype=dtype)
 
-    with Timer("warmup (compile + 1 step)"):
+    # Warm the scanned (box) path with the FULL step count — nsteps is
+    # a trace-time constant, so a 1-step warmup would leave the n-step
+    # program's compile inside the timed region (observed ~15 s of XLA
+    # compile attributed to "evolve"). The perturbed path loops on the
+    # host; its per-step solve compiles on the first step.
+    nwarm = 1 if args.mesh == "perturbed" else args.steps
+    with Timer(f"warmup (compile + {nwarm} steps)"):
         if args.mesh == "perturbed":
-            evolve(u0, 1)
+            evolve(u0, nwarm)
         else:
-            np.asarray(evolve(u0, 1))
+            np.asarray(evolve(u0, nwarm))
 
     with Timer(f"evolve ({args.steps} steps)"):
         t0 = time.time()

@@ -137,8 +137,15 @@ def main():
                                           dtype=dtype)
 
     E0 = energy(u0, v0)
-    with Timer("warmup (compile + 1 step)"):
-        out = evolve(u0, v0, 1)
+    # Warm the SCANNED paths with the full step count: nsteps is a
+    # trace-time constant of the scanned program, so a 1-step warmup
+    # would leave the n-step program's compile inside the timed region
+    # (observed ~15 s of XLA compile attributed to "evolve" before
+    # this). The perturbed path loops on the host and compiles its
+    # per-step solve on the first step — 1 warmup step suffices there.
+    nwarm = 1 if args.mesh == "perturbed" else args.steps
+    with Timer(f"warmup (compile + {nwarm} steps)"):
+        out = evolve(u0, v0, nwarm)
         np.asarray(out[0])
 
     with Timer(f"evolve ({args.steps} steps)"):

@@ -100,11 +100,21 @@ def lanczos_eigenvalue_estimates(alphas, betas, stored=None, method="tqli"):
     """
     alphas = np.asarray(alphas, dtype=np.float64)
     betas = np.asarray(betas, dtype=np.float64)
+    raw_first = alphas[0] if alphas.shape[0] else 0.0
     if stored is not None:
         mask = np.asarray(stored, dtype=bool)
         alphas, betas = alphas[mask], betas[mask]
     ne = alphas.shape[0]
     if ne == 0:
+        # CG converged DURING its first iteration, so the stored mask is
+        # empty — but that iteration's alpha was still written to the
+        # raw buffer (active iterations record before the convergence
+        # flag freezes the scan) and is a valid Rayleigh quotient.
+        # Reached by strongly shifted hierarchies on tiny meshes
+        # (Newmark sigma = 1/(beta dt^2) with ndofs ~ 1e3).
+        if raw_first > 0.0:
+            lam = 1.0 / raw_first
+            return np.array([lam, lam])
         raise ValueError("Insufficient CG coefficients to estimate eigenvalues")
     if ne == 1:
         # CG converged in one iteration: the operator is (numerically) a

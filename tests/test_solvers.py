@@ -75,6 +75,21 @@ def test_cg_eigenvalue_estimates():
     assert est[0] >= true[0] * 0.9
 
 
+def test_eigenvalue_estimates_zero_stored():
+    """CG that converges DURING its first iteration stores no
+    coefficients, but the first alpha is still in the raw buffer and is
+    a valid Rayleigh quotient (strongly shifted Newmark hierarchies on
+    tiny meshes hit this — the old code raised)."""
+    alphas = np.array([0.25, 0.0, 0.0])
+    betas = np.zeros(3)
+    stored = np.array([False, False, False])
+    est = lanczos_eigenvalue_estimates(alphas, betas, stored)
+    assert np.allclose(est, [4.0, 4.0])
+    # All-zero raw buffer (no iterations ran at all) still raises.
+    with pytest.raises(ValueError):
+        lanczos_eigenvalue_estimates(np.zeros(3), betas, stored)
+
+
 def test_cg_matches_reference_formulation():
     """CG trajectory equals an independent NumPy implementation of the
     same (Jacobi-preconditioned) recurrence to ~machine precision."""
