@@ -1,0 +1,131 @@
+"""Semilinear reaction-diffusion driver: inexact Newton–Krylov.
+
+Solves ``-div(kappa grad u) + sigma u + N(u) = f`` on the unit cube with
+``N(u) = c u^3`` (monotone, manufactured solution) or the Bratu–Gelfand
+problem ``-lap u = lam e^u`` (``--model bratu``), via
+`solvers.newton.newton_solve`: every Newton step is a V-cycle-
+preconditioned flexible-CG solve of the matrix-free Jacobian, with
+Eisenstat–Walker forcing on the inner tolerances.
+
+Beyond reference parity — the reference (examples/pmg/main.cpp) is
+linear-only. Example:
+
+    python examples/nonlinear.py --ndofs 2000000 --model cubic --c 5
+    python examples/nonlinear.py --model bratu --lam 5 --cpu --dtype f64
+    python examples/nonlinear.py --mesh perturbed --kappa-field linear
+"""
+
+import numpy as np
+
+from _common import base_parser, setup_jax
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--degrees", type=int, nargs="+", default=[1, 3])
+    p.add_argument("--model", choices=["cubic", "bratu"], default="cubic")
+    p.add_argument("--c", type=float, default=5.0,
+                   help="cubic coefficient N(u) = c u^3")
+    p.add_argument("--lam", type=float, default=5.0,
+                   help="Bratu parameter (keep below the 3D fold ~6.8)")
+    p.add_argument("--sigma", type=float, default=0.0,
+                   help="additional linear reaction shift")
+    p.add_argument("--coarse", choices=["smoother", "cg", "direct",
+                                        "hmg", "fdm"], default="fdm")
+    p.add_argument("--mesh", choices=["box", "perturbed"], default="box")
+    p.add_argument("--kappa-field", choices=["const", "linear"],
+                   default="const")
+    p.add_argument("--rtol", type=float, default=1e-9)
+    p.add_argument("--maxiter", type=int, default=20)
+    p.add_argument("--lin-maxiter", type=int, default=60)
+    p.add_argument("--warm", action="store_true",
+                   help="run one throwaway solve first so the timed solve "
+                        "excludes jit compilation")
+    args = p.parse_args()
+    dtype = setup_jax(args)
+
+    from pmg_dolfinx_tpu.fem.assembly import assemble_rhs, l2_error
+    from pmg_dolfinx_tpu.models import semilinear
+    from pmg_dolfinx_tpu.models.poisson import fit_box_cells, u_exact
+    from pmg_dolfinx_tpu.solvers.newton import newton_solve
+    from pmg_dolfinx_tpu.solvers.pmg import PMGHierarchy
+    from pmg_dolfinx_tpu.utils.timers import Timer, list_timings
+
+    nc = fit_box_cells(args.ndofs, max(args.degrees))
+    kappa = args.kappa
+    if args.kappa_field == "linear":
+        from pmg_dolfinx_tpu.models.poisson import kappa_linear
+
+        kappa = kappa_linear
+        if args.operator in ("kron", "kron_blocked"):
+            args.operator = "lattice"
+            print("variable kappa: switching operator backend to 'lattice'")
+    if args.mesh == "perturbed":
+        from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+
+        mesh = PerturbedBoxMesh(nc)
+        if args.operator in ("kron", "kron_blocked"):
+            args.operator = "lattice"
+            print("perturbed mesh: switching operator backend to 'lattice'")
+        if args.coarse == "fdm":
+            args.coarse = "hmg"
+            print("perturbed mesh: switching coarse solver to 'hmg'")
+    else:
+        from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+
+        mesh = BoxMesh(nc)
+    P = max(args.degrees)
+    print(f"mesh {nc}, {mesh.num_dofs(P)} dofs, degrees {args.degrees}, "
+          f"operator {args.operator}, coarse {args.coarse}")
+
+    if args.model == "cubic":
+        nonlin = semilinear.cubic(args.c)
+        if args.kappa_field == "const" and args.mesh == "box":
+            f = semilinear.f_rhs_semilinear(args.kappa, nonlin,
+                                            sigma=args.sigma)
+        else:
+            # No manufactured source for the variable/curved cases: use
+            # the linear family's source (solution unknown, report |F|).
+            from pmg_dolfinx_tpu.models.poisson import f_rhs
+
+            f = f_rhs(2.0, sigma=args.sigma)
+        b = assemble_rhs(mesh, P, f)
+    else:
+        nonlin = semilinear.bratu(args.lam)
+        b = np.zeros(mesh.num_dofs(P))
+
+    with Timer("setup (hierarchy build + calibration)"):
+        hier = PMGHierarchy(mesh, degrees=tuple(args.degrees), kappa=kappa,
+                            dtype=dtype, coarse=args.coarse,
+                            operator=args.operator, sigma=args.sigma)
+
+    atol = 0.0
+    if args.model == "bratu":
+        # |F(0)| = lam |M e^0| is O(1); converge on the absolute norm.
+        args.rtol, atol = 0.0, 1e-10 if args.dtype == "f64" else 1e-5
+
+    kw = dict(rtol=args.rtol, atol=atol, maxiter=args.maxiter,
+              lin_maxiter=args.lin_maxiter)
+    if args.warm:
+        newton_solve(hier, b, nonlin, **kw)
+    with Timer("newton solve"):
+        u, info = newton_solve(hier, b, nonlin, **kw)
+
+    status = "converged" if info["converged"] else "NOT CONVERGED"
+    print(f"{nonlin.name}: {status} in {info['niter']} Newton steps")
+    for k, fn in enumerate(info["fnorms"]):
+        lin = (f"  (lin iters {info['lin_iters'][k]})"
+               if k < len(info["lin_iters"]) else "")
+        print(f"  |F_{k}| = {fn:.3e}{lin}")
+    if args.model == "cubic" and args.kappa_field == "const" \
+            and args.mesh == "box":
+        err = l2_error(mesh, P, np.asarray(u, dtype=np.float64), u_exact)
+        print(f"L2 error vs manufactured solution: {err:.3e}")
+    else:
+        umax = float(np.max(np.asarray(u)))
+        print(f"max(u) = {umax:.6f}")
+    list_timings()
+
+
+if __name__ == "__main__":
+    main()
