@@ -1,0 +1,125 @@
+"""Convection-diffusion driver: nonsymmetric steady transport.
+
+Solves ``-div(kappa grad u) + c . grad u + sigma u = f`` on the unit
+cube with a constant velocity ``c`` (`solvers/convdiff.py`): the
+advection operator rides the Kronecker separability (three extra MXU
+matmuls per apply, `ops.kron.axis_advection`), and the nonsymmetric
+system is solved by BiCGStab preconditioned with the framework's
+V-cycle on the symmetric (diffusion + sigma) part.
+
+Beyond reference parity — the reference is symmetric-Poisson-only.
+Example:
+
+    python examples/convdiff.py --ndofs 2000000 --velocity 10,0,0
+    python examples/convdiff.py --peclet-sweep --cpu --dtype f64
+"""
+
+import numpy as np
+
+from _common import base_parser, setup_jax
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--degrees", type=int, nargs="+", default=[1, 3])
+    p.add_argument("--velocity", type=str, default="3,-1.5,0.8",
+                   help="constant advection velocity 'cx,cy,cz'")
+    p.add_argument("--sigma", type=float, default=0.0)
+    p.add_argument("--coarse", choices=["smoother", "cg", "direct",
+                                        "hmg", "fdm"], default="fdm")
+    p.add_argument("--rtol", type=float, default=1e-9)
+    p.add_argument("--maxiter", type=int, default=200)
+    p.add_argument("--peclet-sweep", action="store_true",
+                   help="sweep |c| over a decade ladder and report the "
+                        "BiCGStab iteration counts (the symmetric-"
+                        "preconditioner degradation curve)")
+    p.add_argument("--warm", action="store_true")
+    args = p.parse_args()
+    dtype = setup_jax(args)
+
+    from pmg_dolfinx_tpu.fem.assembly import assemble_rhs, l2_error
+    from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+    from pmg_dolfinx_tpu.models.poisson import fit_box_cells, u_exact
+    from pmg_dolfinx_tpu.solvers.convdiff import convdiff_solve
+    from pmg_dolfinx_tpu.solvers.pmg import PMGHierarchy
+    from pmg_dolfinx_tpu.utils.timers import Timer, list_timings
+
+    if args.operator != "kron":
+        print("convection-diffusion rides the kron level data: "
+              "forcing --operator kron")
+        args.operator = "kron"
+    nc = fit_box_cells(args.ndofs, max(args.degrees))
+    mesh = BoxMesh(nc)
+    P = max(args.degrees)
+    cvel = np.array([float(s) for s in args.velocity.split(",")])
+    assert cvel.shape == (3,), "--velocity expects 'cx,cy,cz'"
+    print(f"mesh {nc}, {mesh.num_dofs(P)} dofs, degrees {args.degrees}, "
+          f"kappa {args.kappa}, velocity {tuple(float(c) for c in cvel)}")
+
+    pi = np.pi
+
+    def f(x):
+        sx, sy, sz = (np.sin(pi * x[a]) for a in range(3))
+        cx, cy, cz = (np.cos(pi * x[a]) for a in range(3))
+        g = (pi * cx * sy * sz, pi * sx * cy * sz, pi * sx * sy * cz)
+        return ((3.0 * pi**2 * args.kappa + args.sigma) * sx * sy * sz
+                + sum(c_ * g_ for c_, g_ in zip(cvel, g)))
+
+    with Timer("setup (hierarchy build + calibration + rhs)"):
+        hier = PMGHierarchy(mesh, degrees=tuple(args.degrees),
+                            kappa=args.kappa, dtype=dtype,
+                            coarse=args.coarse, operator="kron",
+                            sigma=args.sigma)
+        b = assemble_rhs(mesh, P, f)
+
+    h_min = min(float(np.min(mesh.h_cells[a])) for a in range(3))
+    if args.peclet_sweep:
+        base = cvel / max(np.linalg.norm(cvel), 1e-300)
+        print(f"{'|c|':>10} {'cell Pe':>10} {'iters':>6} {'rel resid':>11} "
+              f"{'L2 err':>10}")
+        for mag in (1.0, 10.0, 100.0, 1000.0):
+            cv = base * mag
+            bs = assemble_rhs(mesh, P, _sweep_f(args.kappa, args.sigma, cv))
+            u, info = convdiff_solve(hier, bs, cv, rtol=args.rtol,
+                                     maxiter=args.maxiter)
+            err = l2_error(mesh, P, np.asarray(u, dtype=np.float64),
+                           u_exact)
+            pe = mag * h_min / (2.0 * args.kappa)
+            print(f"{mag:10.1f} {pe:10.3f} {info['niter']:6d} "
+                  f"{info['rel_resid']:11.2e} {err:10.2e}")
+        list_timings()
+        return
+
+    pe0 = float(np.linalg.norm(cvel)) * h_min / (2.0 * args.kappa)
+    if pe0 > 1.0:
+        print(f"WARNING: cell Peclet {pe0:.2f} > 1 — the unstabilized "
+              "Galerkin discretization is under-resolved (expect "
+              "oscillations) and the symmetric V-cycle preconditioner "
+              "degrades; refine the mesh or raise kappa")
+    kw = dict(rtol=args.rtol, maxiter=args.maxiter)
+    if args.warm:
+        convdiff_solve(hier, b, cvel, **kw)
+    with Timer("bicgstab solve"):
+        u, info = convdiff_solve(hier, b, cvel, **kw)
+    err = l2_error(mesh, P, np.asarray(u, dtype=np.float64), u_exact)
+    pe = float(np.linalg.norm(cvel)) * h_min / (2.0 * args.kappa)
+    print(f"cell Peclet {pe:.3f}: {info['niter']} BiCGStab iterations, "
+          f"rel resid {info['rel_resid']:.2e}, L2 err {err:.3e}")
+    list_timings()
+
+
+def _sweep_f(kappa, sigma, cvel):
+    pi = np.pi
+
+    def f(x):
+        sx, sy, sz = (np.sin(pi * x[a]) for a in range(3))
+        cx, cy, cz = (np.cos(pi * x[a]) for a in range(3))
+        g = (pi * cx * sy * sz, pi * sx * cy * sz, pi * sx * sy * cz)
+        return ((3.0 * pi**2 * kappa + sigma) * sx * sy * sz
+                + sum(c_ * g_ for c_, g_ in zip(cvel, g)))
+
+    return f
+
+
+if __name__ == "__main__":
+    main()

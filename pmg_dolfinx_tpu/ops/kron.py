@@ -64,6 +64,80 @@ def axis_stiffness_mass(nc: int, P: int, h,
     return K, m
 
 
+def axis_advection(nc: int, P: int) -> np.ndarray:
+    """1D GLL advection (weak first-derivative) matrix ``C[(N, N)]``,
+    ``C_ij = integral phi_i phi_j' dx``, on an ``nc``-cell 1D mesh.
+
+    Scale-free: the 1/h of the derivative cancels the h of the volume
+    element, so C is independent of the (possibly graded) cell widths —
+    one matrix serves every shard of a sharded axis unchanged. GLL
+    quadrature with P+1 points integrates the degree-(2P-1) product
+    exactly, so the skew decomposition ``C + C^T = e_N e_N^T - e_0 e_0^T``
+    (integration by parts) holds to rounding (pinned in tests).
+
+    The 3D advection operator on an axis-aligned box factors as
+        c . grad  ->  sum_a c_a * M_b (x) C_a (x) M_c
+    (same separability as the Kronecker-sum stiffness), evaluated by
+    `kron_convdiff_apply`.
+    """
+    E, Dg = axis_matrices(nc, P)
+    _, w1 = gauss_lobatto(P + 1)
+    w = np.tile(w1, nc)
+    return E.T @ (w[:, None] * Dg)
+
+
+def kron_advection_terms(x_masked, Cs, ms, cvel, precision="highest",
+                         exchanges=(None, None, None)):
+    """``sum_a c_a (M_b (x) C_a (x) M_c) x`` on the lattice-shaped,
+    bc-masked input — the advection half of `kron_convdiff_apply`.
+
+    ``exchanges[a]``: optional per-axis interface partial-sum exchange
+    (the distributed layouts pass their ppermute pair for each sharded
+    axis — only the axis-a contraction produces shard-partial interface
+    planes; the mass scalings are pointwise and already consistent on
+    duplicated planes, exactly as for the stiffness terms).
+    """
+    Cx, Cy, Cz = Cs
+    mx, my, mz = ms
+    w = x_masked
+    tx = jnp.einsum("ax,xyz->ayz", Cx, w, precision=precision)
+    if exchanges[0] is not None:
+        tx = exchanges[0](tx)
+    ty = jnp.einsum("by,xyz->xbz", Cy, w, precision=precision)
+    if exchanges[1] is not None:
+        ty = exchanges[1](ty)
+    tz = jnp.einsum("cz,xyz->xyc", Cz, w, precision=precision)
+    if exchanges[2] is not None:
+        tz = exchanges[2](tz)
+    return (cvel[0] * tx * (my[None, :, None] * mz[None, None, :])
+            + cvel[1] * ty * (mx[:, None, None] * mz[None, None, :])
+            + cvel[2] * tz * (mx[:, None, None] * my[None, :, None]))
+
+
+def kron_convdiff_apply(x, Ks, Cs, ms, cvel, bc_marker,
+                        precision="highest", sigma=0.0,
+                        exchange=None, adv_exchanges=(None, None, None)):
+    """Convection-diffusion operator ``y = (A + sigma M + B(c)) x`` on the
+    Kronecker family: the symmetric-scaled stiffness sum
+    (`kron_laplacian_apply`) plus the separable advection terms
+    (`kron_advection_terms`), one shared bc mask/epilogue.
+
+    Nonsymmetric — solve with `solvers.bicgstab` preconditioned by the
+    V-cycle of the symmetric (diffusion + shift) part. Beyond reference
+    parity (the reference has only the symmetric Poisson form).
+    """
+    lat = x.reshape(Ks[0].shape[1], Ks[1].shape[1], Ks[2].shape[1])
+    bc3 = bc_marker.reshape(lat.shape)
+    w = jnp.where(bc3, jnp.zeros_like(lat), lat)
+    y = kron_laplacian_apply(
+        w, Ks, ms, bc3, precision=precision,
+        apply_bc=False, exchange=exchange, sigma=sigma,
+    )
+    y = y + kron_advection_terms(w, Cs, ms, cvel, precision=precision,
+                                 exchanges=adv_exchanges)
+    return jnp.where(bc3, lat, y).reshape(jnp.shape(x))
+
+
 def robin_axis_ends(mesh, axis: int, scale: float = 1.0):
     """Per-axis Robin end coefficients ``(alpha_lo, alpha_hi) * scale``
     for `axis_stiffness_mass(robin=...)`. NOTE the kappa interplay: the

@@ -41,19 +41,14 @@ from jax.sharding import PartitionSpec as P
 from ..fem.assembly import lumped_mass_np
 from .cg import fcg_solve
 from .pmg import v_cycle
+from .shardwrap import is_sharded, layout_converters, vector_spec, \
+    wrap_program
 
 # Simplified Eisenstat–Walker (choice 2) forcing parameters.
 EW_ETA0 = 1e-2
 EW_ETA_MAX = 1e-2
 EW_ETA_MIN = 1e-10
 EW_GAMMA = 0.9
-
-
-def _vector_spec(hier):
-    """The shard_map PartitionSpec of a fine-level vector (lattice-shaped
-    for the kron family, flat for the general backends) — identical to
-    the spec of the level's ``bc_marker``, which every backend carries."""
-    return hier.data_specs["levels"][-1]["bc_marker"]
 
 
 def _make_programs(hier, nonlin, lin_maxiter):
@@ -87,19 +82,19 @@ def _make_programs(hier, nonlin, lin_maxiter):
         )
         return u + damp * du, info["niter"]
 
-    if hasattr(hier, "jmesh"):  # DistPMG / GridPMG
-        vspec = _vector_spec(hier)
-        resid = jax.shard_map(
-            resid, mesh=hier.jmesh,
-            in_specs=(hier.data_specs, vspec, vspec, vspec),
-            out_specs=P(),
-        )
-        step = jax.shard_map(
-            step, mesh=hier.jmesh,
-            in_specs=(hier.data_specs, vspec, vspec, vspec, P(), P()),
-            out_specs=(vspec, P()),
-        )
-    return jax.jit(resid), jax.jit(step)
+    vspec = vector_spec(hier) if is_sharded(hier) else None
+    resid = wrap_program(
+        hier, resid,
+        in_specs=(hier.data_specs, vspec, vspec, vspec) if vspec else None,
+        out_specs=P(),
+    )
+    step = wrap_program(
+        hier, step,
+        in_specs=(hier.data_specs, vspec, vspec, vspec, P(), P())
+        if vspec else None,
+        out_specs=(vspec, P()),
+    )
+    return resid, step
 
 
 def newton_solve(hier, b, nonlin, *, rtol=1e-9, atol=0.0, maxiter=20,
@@ -133,9 +128,8 @@ def newton_solve(hier, b, nonlin, *, rtol=1e-9, atol=0.0, maxiter=20,
         cache[key] = _make_programs(hier, nonlin, int(lin_maxiter))
     resid_fn, step_fn = cache[key]
 
-    sharded = hasattr(hier, "jmesh")
-    to_w = hier.to_dist if sharded else hier._to_work
-    from_w = hier.from_dist if sharded else hier._from_work
+    sharded = is_sharded(hier)
+    to_w, from_w = layout_converters(hier)
 
     bw = to_w(np.asarray(b, dtype=dtype))
     m3 = lumped_mass_np(hier.mesh, fine.P, bc_zero=True)
