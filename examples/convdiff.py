@@ -12,7 +12,11 @@ Example:
 
     python examples/convdiff.py --ndofs 2000000 --velocity 10,0,0
     python examples/convdiff.py --peclet-sweep --cpu --dtype f64
+    python examples/convdiff.py --transient --steps 500   # IMEX stepping
 """
+
+import json
+import time
 
 import numpy as np
 
@@ -34,6 +38,15 @@ def main():
                         "BiCGStab iteration counts (the symmetric-"
                         "preconditioner degradation curve)")
     p.add_argument("--warm", action="store_true")
+    p.add_argument("--transient", action="store_true",
+                   help="IMEX time stepping (implicit FDM diffusion + "
+                        "explicit advection, one scanned XLA program) "
+                        "driven to the steady state by the manufactured "
+                        "source — no nonsymmetric solve at all")
+    p.add_argument("--dt", type=float, default=0.0,
+                   help="IMEX step size (default: advective CFL / 4)")
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--scheme", choices=["be", "cnab"], default="cnab")
     args = p.parse_args()
     dtype = setup_jax(args)
 
@@ -64,6 +77,39 @@ def main():
         g = (pi * cx * sy * sz, pi * sx * cy * sz, pi * sx * sy * cz)
         return ((3.0 * pi**2 * args.kappa + args.sigma) * sx * sy * sz
                 + sum(c_ * g_ for c_, g_ in zip(cvel, g)))
+
+    if args.transient:
+        from pmg_dolfinx_tpu.solvers.transient import (
+            convdiff_advective_dt, convdiff_fdm_evolve)
+
+        dt_adv = convdiff_advective_dt(mesh, P, cvel)
+        dt = args.dt if args.dt > 0 else 0.25 * dt_adv
+        if dt >= dt_adv:
+            print(f"WARNING: dt {dt:g} >= advective CFL {dt_adv:g} — "
+                  "the explicit advection term will blow up")
+        with Timer("setup (assembly + FDM factorization)"):
+            b = assemble_rhs(mesh, P, f)
+            evolve = convdiff_fdm_evolve(mesh, P, cvel, kappa=args.kappa,
+                                         dt=dt, scheme=args.scheme,
+                                         dtype=dtype, f=b)
+        u0 = np.zeros(mesh.num_dofs(P))
+        # Warm with the FULL step count: nsteps is a trace-time constant
+        # of the scanned program (same rule as examples/heat.py).
+        with Timer(f"warmup (compile + {args.steps} steps)"):
+            np.asarray(evolve(u0, args.steps))
+        with Timer(f"evolve ({args.steps} steps)"):
+            t0 = time.time()
+            uT = np.asarray(evolve(u0, args.steps))
+            wall = time.time() - t0
+        err = l2_error(mesh, P, np.asarray(uT, dtype=np.float64).reshape(-1),
+                       u_exact)
+        print(f"{args.scheme} dt={dt:g} (advective CFL {dt_adv:g}), "
+              f"T={dt * args.steps:g}: steady-state L2 err {err:.3e}")
+        print(f"throughput: {args.steps / wall:.1f} steps/s")
+        list_timings()
+        print(json.dumps({"l2_error": float(err),
+                          "steps_per_s": args.steps / wall}))
+        return
 
     with Timer("setup (hierarchy build + calibration + rhs)"):
         hier = PMGHierarchy(mesh, degrees=tuple(args.degrees),

@@ -300,6 +300,133 @@ def wave_pcg_evolve(hier, mesh, P, dt, beta=0.25, gamma=0.5, rtol=1e-9,
     return evolve
 
 
+def convdiff_fdm_evolve(mesh, P, velocity, kappa=1.0, dt=1e-3,
+                        scheme="cnab", dtype=jnp.float64,
+                        precision="highest", f=None):
+    """Jitted ``evolve(u0, nsteps) -> u_T`` for the TRANSIENT
+    convection-diffusion equation ``u_t - div(kappa grad u)
+    + c . grad u = f`` on the kron family (axis-aligned boxes, graded
+    spacing and mixed Dirichlet/Neumann faces included).
+
+    IMEX splitting: diffusion IMPLICIT (the left operator is the
+    framework's shifted form ``K + M/dt`` -> ONE exact FDM direct solve
+    per step), advection EXPLICIT (three separable MXU matmuls,
+    `ops.kron.kron_advection_terms` — the 1D matrix is scale-free so
+    graded meshes ride for free). The whole loop is one scanned XLA
+    program, like `heat_fdm_evolve`. No nonsymmetric solve ever happens:
+    the per-step BiCGStab of a fully implicit scheme is replaced by six
+    matmuls.
+
+    ``scheme``:
+      - ``'be'``   — backward-Euler diffusion + forward-Euler advection,
+        O(dt).
+      - ``'cnab'`` — Crank-Nicolson diffusion + Adams-Bashforth-2
+        advection (the standard CNAB IMEX pair), O(dt^2); the first
+        step uses forward-Euler advection (one locally-O(dt^2) error,
+        global order preserved).
+
+    Explicit advection is CFL-limited: keep
+    ``dt < convdiff_advective_dt(mesh, P, velocity)`` (the lumped-mass
+    GLL node-spacing bound; the implicit diffusion only helps in the
+    diffusion-dominated cell-Pe <~ 1 regime the steady family targets —
+    `solvers/convdiff.py`). ``f`` is an optional time-independent load
+    (Dirichlet rows zeroed); the steady state is then the
+    `convdiff_solve` solution (pinned in tests/test_convdiff_transient).
+    Beyond reference parity (the reference is steady symmetric-Poisson
+    only, examples/pmg/main.cpp).
+    """
+    if scheme not in ("be", "cnab"):
+        raise ValueError(f"scheme must be 'be' or 'cnab', got {scheme!r}")
+    from ..ops.kron import (KronLaplacian, axis_advection,
+                            axis_stiffness_mass, kron_advection_terms)
+
+    sigma = 1.0 / float(dt)
+    shape = mesh.lattice_shape(P)
+    bc = jnp.asarray(np.asarray(mesh.boundary_dof_marker(P)).reshape(shape))
+    m3 = jnp.asarray(lumped_mass_np(mesh, P, bc_zero=True),
+                     dtype=dtype).reshape(shape)
+    fvec = (jnp.zeros(shape, dtype=dtype) if f is None
+            else jnp.asarray(np.asarray(f).reshape(shape), dtype=dtype))
+    cvel = np.asarray(velocity, dtype=np.float64)
+    if cvel.shape != (3,):
+        raise ValueError(f"velocity must be a 3-vector, got {cvel.shape}")
+    cvel = jnp.asarray(cvel, dtype=dtype)
+    Cs = tuple(jnp.asarray(axis_advection(mesh.nc[a], P), dtype=dtype)
+               for a in range(3))
+    ms = tuple(
+        jnp.asarray(axis_stiffness_mass(mesh.nc[a], P, mesh.h_cells[a])[1],
+                    dtype=dtype)
+        for a in range(3))
+
+    def adv(u):
+        w = jnp.where(bc, jnp.zeros_like(u), u)
+        return kron_advection_terms(w, Cs, ms, cvel, precision=precision)
+
+    if scheme == "be":
+        solver = FastDiagonalizationSolver(mesh, P, kappa=kappa,
+                                           dtype=dtype, sigma=sigma,
+                                           precision=precision)
+
+        def step(u, _):
+            rhs = jnp.where(bc, u, sigma * m3 * u - adv(u) + fvec)
+            return solver.solve(rhs), None
+
+        @partial(jax.jit, static_argnames="nsteps")
+        def evolve(u0, nsteps):
+            u0 = jnp.asarray(u0, dtype=dtype).reshape(shape)
+            uT, _ = jax.lax.scan(step, u0, length=nsteps)
+            return uT
+    else:
+        # CNAB: (M/dt + K/2) u^{n+1}
+        #   = (M/dt - K/2) u^n - (3/2 C u^n - 1/2 C u^{n-1}) + f,
+        # the right diffusion term evaluated as 2(M/dt)u - (K/2 + M/dt)u
+        # (one shifted kron apply, exactly the heat-CN mechanism).
+        kap_half = _half_kappa(kappa)
+        solver = FastDiagonalizationSolver(mesh, P, kappa=kap_half,
+                                           dtype=dtype, sigma=sigma,
+                                           precision=precision)
+        op = KronLaplacian(mesh, P, kappa=kap_half, dtype=dtype,
+                           precision=precision, sigma=sigma)
+
+        def step(carry, _):
+            u, adv_m1 = carry
+            Au = op(u.reshape(-1)).reshape(shape)
+            adv_n = adv(u)
+            rhs = (2.0 * sigma * m3 * u - Au
+                   - (1.5 * adv_n - 0.5 * adv_m1) + fvec)
+            u1 = solver.solve(jnp.where(bc, u, rhs))
+            return (u1, adv_n), None
+
+        @partial(jax.jit, static_argnames="nsteps")
+        def evolve(u0, nsteps):
+            u0 = jnp.asarray(u0, dtype=dtype).reshape(shape)
+            # AB2 startup: the missing C u^{-1} is replaced by C u^0
+            # (forward-Euler first step).
+            (uT, _), _ = jax.lax.scan(step, (u0, adv(u0)), length=nsteps)
+            return uT
+
+    return evolve
+
+
+def convdiff_advective_dt(mesh, P, velocity):
+    """Advective CFL estimate for the explicit (IMEX) advection term:
+    ``dt_adv = 1 / sum_a |c_a| / gap_a`` with ``gap_a`` the smallest
+    GLL node spacing along axis ``a`` (graded meshes use the smallest
+    cell). A heuristic bound on ``||M^{-1} C||`` — the skew advection
+    eigenvalues are imaginary, so run CNAB a safe factor below it (the
+    implicit diffusion supplies the damping that moves them off the
+    AB2 stability boundary)."""
+    from ..fem.gll import gauss_lobatto
+
+    x1, _ = gauss_lobatto(P + 1)
+    gap_ref = float(np.min(np.diff(x1)))  # on [0, 1]
+    cvel = np.asarray(velocity, dtype=np.float64)
+    rate = sum(
+        abs(float(cvel[a])) / (gap_ref * float(np.min(mesh.h_cells[a])))
+        for a in range(3))
+    return 1.0 / max(rate, np.finfo(np.float64).tiny)
+
+
 def _half_kappa(kappa):
     """kappa/2 for scalar / per-axis / diagonal-tensor coefficients."""
     if np.isscalar(kappa):

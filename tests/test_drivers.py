@@ -85,6 +85,16 @@ def test_cg_driver_runs_chebyshev_demo():
     assert "ZZZ CG" in out and "Chebyshev" in out
 
 
+def test_convdiff_transient_driver_steady_state():
+    """IMEX transient convdiff driver: 150 CNAB steps drive the
+    manufactured source to its steady state; the printed L2 error pins
+    the scanned FDM+advection stepping end-to-end."""
+    out = run("convdiff.py", "--transient", "--ndofs", "8000",
+              "--steps", "150")
+    d = json.loads(out.strip().splitlines()[-1])
+    assert d["l2_error"] < 1e-3
+
+
 def test_heat_driver_decay():
     """Transient heat driver: 10 CN steps on the separable decay mode;
     the printed L2 error pins the scanned FDM stepping end-to-end."""
