@@ -42,3 +42,13 @@ def setup_jax(args, n_cpu_devices=None):
     import jax.numpy as jnp
 
     return jnp.float64 if args.dtype == "f64" else jnp.float32
+
+
+def parse_shards(s):
+    """'4' -> 4 (x-slab), '2,2,1' -> (2, 2, 1) (device grid)."""
+    parts = [int(v) for v in s.split(",")]
+    if len(parts) == 1:
+        return parts[0]
+    if len(parts) != 3:
+        raise SystemExit("--shards expects 'N' or 'sx,sy,sz'")
+    return tuple(parts)

@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-from _common import base_parser, setup_jax
+from _common import base_parser, parse_shards, setup_jax
 
 
 def main():
@@ -45,8 +45,15 @@ def main():
                         "through the lane-packed kernels (f32, small "
                         "lattices NZ <= 64; pack once, scan packed FDM "
                         "steps, unpack at the end)")
+    p.add_argument("--shards", type=str, default="",
+                   help="shard the scanned time loop: 'N' (x-slab) or "
+                        "'sx,sy,sz' (device grid) — one distributed FDM "
+                        "solve per step, gather-free (box mesh, "
+                        "parallel/transient_dist.py)")
     args = p.parse_args()
-    dtype = setup_jax(args)
+    shards = parse_shards(args.shards) if args.shards else None
+    n_dev = int(np.prod(shards)) if shards is not None else None
+    dtype = setup_jax(args, n_cpu_devices=n_dev if args.cpu else None)
 
     import jax.numpy as jnp
 
@@ -56,6 +63,9 @@ def main():
 
     P, kappa = args.degree, args.kappa
     nc = fit_box_cells(args.ndofs, P)
+    if shards is not None:
+        sh3 = (shards, 1, 1) if np.ndim(shards) == 0 else shards
+        nc = tuple((c + s - 1) // s * s for c, s in zip(nc, sh3))
     spacing = None
     if args.grade:
         from pmg_dolfinx_tpu.fem.mesh import geometric_spacing
@@ -87,6 +97,9 @@ def main():
         return (np.exp(-lam * T) * np.sin(np.pi * x[0])
                 * np.sin(np.pi * x[1]) * np.sin(np.pi * x[2]))
 
+    if shards is not None and (args.mesh == "perturbed" or args.batch):
+        raise SystemExit("--shards rides the distributed FDM step solve "
+                         "(axis-aligned box, unbatched)")
     if args.batch:
         if args.mesh == "perturbed":
             raise SystemExit("--batch rides the lane-packed kron/FDM "
@@ -128,6 +141,15 @@ def main():
                                 coarse="cg", operator="lattice")
             evolve = heat_pcg_evolve(hier, mesh, P, args.dt,
                                      scheme=args.scheme, rtol=args.rtol)
+        elif shards is not None:
+            from pmg_dolfinx_tpu.parallel.transient_dist import (
+                heat_dist_evolve)
+
+            print(f"sharded time loop: shards {shards} "
+                  "(distributed FDM step solves, gather-free)")
+            evolve = heat_dist_evolve(mesh, P, shards, kappa=kappa,
+                                      dt=args.dt, scheme=args.scheme,
+                                      dtype=dtype)
         else:
             from pmg_dolfinx_tpu.solvers.transient import heat_fdm_evolve
 

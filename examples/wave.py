@@ -30,7 +30,7 @@ import time
 
 import numpy as np
 
-from _common import base_parser, setup_jax
+from _common import base_parser, parse_shards, setup_jax
 
 
 def main():
@@ -49,8 +49,18 @@ def main():
     p.add_argument("--mesh", choices=["box", "perturbed"], default="box")
     p.add_argument("--rtol", type=float, default=1e-9,
                    help="per-step FCG tolerance (perturbed mesh only)")
+    p.add_argument("--shards", type=str, default="",
+                   help="shard the Newmark time loop: 'N' (x-slab) or "
+                        "'sx,sy,sz' (device grid) — one distributed FDM "
+                        "solve per step, gather-free (box mesh)")
     args = p.parse_args()
-    dtype = setup_jax(args)
+    shards = parse_shards(args.shards) if args.shards else None
+    n_dev = int(np.prod(shards)) if shards is not None else None
+    dtype = setup_jax(args, n_cpu_devices=n_dev if args.cpu else None)
+    if shards is not None and (args.mesh == "perturbed"
+                               or args.scheme != "newmark"):
+        raise SystemExit("--shards rides the distributed FDM Newmark "
+                         "step solve (box mesh, --scheme newmark)")
 
     import jax.numpy as jnp
 
@@ -64,6 +74,9 @@ def main():
 
     P, kappa = args.degree, args.kappa
     nc = fit_box_cells(args.ndofs, P)
+    if shards is not None:
+        sh3 = (shards, 1, 1) if np.ndim(shards) == 0 else shards
+        nc = tuple((c + s - 1) // s * s for c, s in zip(nc, sh3))
     spacing = None
     if args.grade:
         from pmg_dolfinx_tpu.fem.mesh import geometric_spacing
@@ -130,8 +143,18 @@ def main():
             evolve = wave_pcg_evolve(hier, mesh, P, dt, gamma=args.gamma,
                                      rtol=args.rtol)
         elif args.scheme == "newmark":
-            evolve = wave_newmark_evolve(mesh, P, kappa=kappa, dt=dt,
-                                         gamma=args.gamma, dtype=dtype)
+            if shards is not None:
+                from pmg_dolfinx_tpu.parallel.transient_dist import (
+                    wave_newmark_dist_evolve)
+
+                print(f"sharded time loop: shards {shards} "
+                      "(distributed FDM step solves, gather-free)")
+                evolve = wave_newmark_dist_evolve(
+                    mesh, P, shards, kappa=kappa, dt=dt,
+                    gamma=args.gamma, dtype=dtype)
+            else:
+                evolve = wave_newmark_evolve(mesh, P, kappa=kappa, dt=dt,
+                                             gamma=args.gamma, dtype=dtype)
         else:
             evolve = wave_leapfrog_evolve(mesh, P, kappa=kappa, dt=dt,
                                           dtype=dtype)

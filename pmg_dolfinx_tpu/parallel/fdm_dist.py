@@ -271,6 +271,8 @@ class DistFDM:
                 data, spec,
             )
         self._lat_spec = lat_spec
+        self._spec = spec
+        self._solve_local = solve  # shard_map-resident hook (fd, b_local)
         self._solve = jax.jit(
             jax.shard_map(
                 solve,

@@ -1,0 +1,164 @@
+"""Sharded transient stepping: the scanned heat / wave time loops on
+slab and 2D/3D grid decompositions.
+
+The single-device transient programs (`solvers/transient.py`) scan an
+exact FDM direct solve per step. Their distributed counterparts ride
+`parallel/fdm_dist.py` — the pencil-transpose direct solver — so the
+WHOLE time loop is one jitted `shard_map` program (`lax.scan` inside the
+shard-resident body): zero host round-trips between steps on any device
+layout, the shape a pod-scale transient run actually wants.
+
+The key identity that keeps every step SOLVE-ONLY (no distributed
+forward operator apply is ever needed, because the FDM solve is exact):
+
+- Crank-Nicolson: ``(M/dt + K/2) u^{n+1} = (M/dt - K/2) u^n + f`` and
+  ``(M/dt - K/2) = 2 M/dt - (M/dt + K/2)``, so
+  ``u^{n+1} = A^{-1}(2 (M/dt) u^n + f) - u^n`` — the explicit
+  ``A u^n`` of the single-device path cancels against the exact
+  inverse. (Trajectories match the single-device scheme to roundoff,
+  not bit-exactly: pinned at 1e-10 in tests/test_transient_dist.py.)
+- Newmark-beta is already solve-only in predictor form; the one
+  operator application it needs (the initial acceleration) happens at
+  SETUP time on the host via the single-device `KronLaplacian`.
+
+Beyond reference parity twice over: the reference is steady-only AND
+its solvers gather nothing — here the transient loop never leaves the
+devices and never gathers (the FDM transforms all_to_all pencils over
+ICI; see parallel/fdm_dist.py).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.assembly import lumped_mass_np
+from ..solvers.transient import _half_kappa
+from .fdm_dist import DistFDM
+
+
+def _dist_bundle(mesh, P, shards, kappa, sigma, dtype, precision,
+                 devices, f):
+    dfdm = DistFDM(mesh, P, shards, kappa=kappa, dtype=dtype,
+                   precision=precision, sigma=sigma, devices=devices)
+    m3 = lumped_mass_np(mesh, P, bc_zero=True)
+    m3d = dfdm.to_dist(m3)
+    fvec = (np.zeros(mesh.num_dofs(P)) if f is None
+            else np.asarray(f, dtype=np.float64).reshape(-1))
+    fd_vec = dfdm.to_dist(fvec)
+    return dfdm, m3, m3d, fd_vec
+
+
+def heat_dist_evolve(mesh, P, shards, kappa=1.0, dt=1e-2, scheme="cn",
+                     dtype=jnp.float64, precision="highest", f=None,
+                     devices=None):
+    """Sharded ``evolve(u0, nsteps) -> u_T`` for the heat equation
+    (global in / global out): BE or CN stepping with one distributed
+    exact FDM solve per step, scanned inside a single shard_map program.
+
+    ``shards``: int (x-slab) or 3-tuple (2D/3D device grid) — the same
+    layouts as `DistFDM`. Graded spacing, mixed Dirichlet/Neumann
+    faces, Robin ends and per-axis kappa all ride the fdm_dist
+    embeddings unchanged. ``f`` is an optional time-independent load.
+    """
+    if scheme not in ("be", "cn"):
+        raise ValueError(f"scheme must be 'be' or 'cn', got {scheme!r}")
+    sigma = 1.0 / float(dt)
+    kap_op = _half_kappa(kappa) if scheme == "cn" else kappa
+    dfdm, _, m3d, fd_vec = _dist_bundle(mesh, P, shards, kap_op, sigma,
+                                        dtype, precision, devices, f)
+    solve_local, spec, lat = dfdm._solve_local, dfdm._spec, dfdm._lat_spec
+
+    def local_run(fd, m3l, fl, u0l, *, nsteps):
+        bcl = fd["bc"]
+        if scheme == "be":
+            def step(u, _):
+                rhs = jnp.where(bcl, u, sigma * m3l * u + fl)
+                return solve_local(fd, rhs), None
+        else:
+            # CN via the exact-inverse identity (module docstring):
+            # u1 = A^{-1}(2 sigma M u + f) - u; Dirichlet rows carry 2u
+            # so the pass-through lands back on u after the subtraction.
+            def step(u, _):
+                rhs = jnp.where(bcl, 2.0 * u, 2.0 * sigma * m3l * u + fl)
+                return solve_local(fd, rhs) - u, None
+
+        uT, _ = jax.lax.scan(step, u0l, length=nsteps)
+        return uT
+
+    @partial(jax.jit, static_argnames="nsteps")
+    def run(data, m3w, fw, u0w, nsteps):
+        return jax.shard_map(
+            partial(local_run, nsteps=nsteps), mesh=dfdm.jmesh,
+            in_specs=(spec, lat, lat, lat), out_specs=lat,
+        )(data, m3w, fw, u0w)
+
+    def evolve(u0, nsteps):
+        u0d = dfdm.to_dist(np.asarray(u0, dtype=np.float64))
+        return dfdm.from_dist(run(dfdm.data, m3d, fd_vec, u0d,
+                                  int(nsteps))).reshape(-1)
+
+    return evolve
+
+
+def wave_newmark_dist_evolve(mesh, P, shards, kappa=1.0, dt=1e-2,
+                             beta=0.25, gamma=0.5, dtype=jnp.float64,
+                             precision="highest", f=None, devices=None):
+    """Sharded Newmark-beta ``evolve(u0, v0, nsteps) -> (u_T, v_T)``:
+    one distributed exact FDM solve (sigma = 1/(beta dt^2)) per step
+    plus pointwise updates, scanned inside one shard_map program. The
+    initial acceleration's single operator application runs on the host
+    at call time (setup-scale work); every timestep is gather-free.
+    """
+    from ..ops.kron import KronLaplacian
+
+    if not (beta > 0.0 and gamma >= 0.5):
+        raise ValueError(f"need beta > 0, gamma >= 1/2, got {beta}, {gamma}")
+    c0 = 1.0 / (beta * dt * dt)
+    dfdm, m3, m3d, fd_vec = _dist_bundle(mesh, P, shards, kappa, c0,
+                                         dtype, precision, devices, f)
+    solve_local, spec, lat = dfdm._solve_local, dfdm._spec, dfdm._lat_spec
+    bc_np = np.asarray(mesh.boundary_dof_marker(P))
+    m3safe = np.where(bc_np, 1.0, m3)
+    fvec_np = (np.zeros_like(m3) if f is None
+               else np.asarray(f, dtype=np.float64).reshape(-1))
+    op = KronLaplacian(mesh, P, kappa=kappa, dtype=dtype,
+                      precision=precision)
+
+    def local_run(fd, m3l, fl, u0l, v0l, a0l, *, nsteps):
+        bcl = fd["bc"]
+
+        def step(carry, _):
+            u, v, a = carry
+            ustar = u + dt * v + ((0.5 - beta) * dt * dt) * a
+            rhs = jnp.where(bcl, u, fl + c0 * m3l * ustar)
+            u1 = solve_local(fd, rhs)
+            a1 = jnp.where(bcl, 0.0, c0 * (u1 - ustar))
+            v1 = v + dt * ((1.0 - gamma) * a + gamma * a1)
+            return (u1, v1, a1), None
+
+        (uT, vT, _), _ = jax.lax.scan(step, (u0l, v0l, a0l),
+                                      length=nsteps)
+        return uT, vT
+
+    @partial(jax.jit, static_argnames="nsteps")
+    def run(data, m3w, fw, u0w, v0w, a0w, nsteps):
+        return jax.shard_map(
+            partial(local_run, nsteps=nsteps), mesh=dfdm.jmesh,
+            in_specs=(spec, lat, lat, lat, lat, lat),
+            out_specs=(lat, lat),
+        )(data, m3w, fw, u0w, v0w, a0w)
+
+    def evolve(u0, v0, nsteps):
+        u0 = np.asarray(u0, dtype=np.float64).reshape(-1)
+        v0 = np.where(bc_np, 0.0,
+                      np.asarray(v0, dtype=np.float64).reshape(-1))
+        Ku = np.asarray(op(jnp.asarray(u0, dtype=dtype)),
+                        dtype=np.float64).reshape(-1)
+        a0 = np.where(bc_np, 0.0, (fvec_np - Ku) / m3safe)
+        uT, vT = run(dfdm.data, m3d, fd_vec, dfdm.to_dist(u0),
+                     dfdm.to_dist(v0), dfdm.to_dist(a0), int(nsteps))
+        return dfdm.from_dist(uT).reshape(-1), dfdm.from_dist(vT).reshape(-1)
+
+    return evolve

@@ -1,0 +1,68 @@
+"""Sharded transient stepping (parallel/transient_dist.py): the scanned
+heat / wave loops on slab and 2D/3D grid layouts must reproduce the
+single-device trajectories (solvers/transient.py).
+
+CN uses the exact-inverse identity ``u1 = A^{-1}(2 sigma M u + f) - u``
+instead of the single-device path's explicit apply, so agreement is to
+accumulated roundoff (pinned at 1e-10 rel over the trajectory), not
+bit-exact; BE and Newmark run the identical formulas."""
+
+import numpy as np
+import pytest
+
+from pmg_dolfinx_tpu.fem.mesh import BoxMesh, geometric_spacing
+from pmg_dolfinx_tpu.parallel.transient_dist import (
+    heat_dist_evolve, wave_newmark_dist_evolve)
+from pmg_dolfinx_tpu.solvers.transient import (
+    heat_fdm_evolve, wave_newmark_evolve)
+
+KAPPA, DT, NSTEPS = 1.3, 2e-3, 5
+
+
+def _mesh():
+    # Graded y, one Neumann face, non-unit extent: the fdm_dist
+    # embeddings and the layout converters all get exercised.
+    return BoxMesh((4, 4, 4), extent=(1.0, 1.2, 0.9),
+                   spacing=(None, geometric_spacing(4, 2.0), None),
+                   dirichlet_faces=((True, True), (True, False),
+                                    (True, True)))
+
+
+def _u0(mesh, P):
+    c = mesh.dof_coords(P)
+    return (np.sin(np.pi * c[:, 0]) * np.cos(0.5 * np.pi * c[:, 1])
+            * np.sin(np.pi * c[:, 2] / 0.9))
+
+
+@pytest.mark.parametrize("shards", [4, (2, 2, 1), (1, 2, 2)])
+@pytest.mark.parametrize("scheme", ["be", "cn"])
+def test_heat_dist_matches_single(shards, scheme):
+    mesh, P = _mesh(), 3
+    u0 = _u0(mesh, P)
+    rng = np.random.default_rng(3)
+    f = np.where(np.asarray(mesh.boundary_dof_marker(P)), 0.0,
+                 rng.standard_normal(mesh.num_dofs(P)))
+    ref = np.asarray(
+        heat_fdm_evolve(mesh, P, kappa=KAPPA, dt=DT, scheme=scheme,
+                        f=f)(u0, NSTEPS)).reshape(-1)
+    got = heat_dist_evolve(mesh, P, shards, kappa=KAPPA, dt=DT,
+                           scheme=scheme, f=f)(u0, NSTEPS)
+    assert np.linalg.norm(got - ref) < 1e-10 * np.linalg.norm(ref), \
+        (shards, scheme)
+
+
+@pytest.mark.parametrize("shards", [4, (2, 1, 2)])
+def test_wave_newmark_dist_matches_single(shards):
+    mesh, P = _mesh(), 3
+    u0, v0 = _u0(mesh, P), 0.3 * _u0(mesh, P)
+    uref, vref = (np.asarray(a).reshape(-1) for a in wave_newmark_evolve(
+        mesh, P, kappa=KAPPA, dt=DT)(u0, v0, NSTEPS))
+    uT, vT = wave_newmark_dist_evolve(mesh, P, shards, kappa=KAPPA,
+                                      dt=DT)(u0, v0, NSTEPS)
+    assert np.linalg.norm(uT - uref) < 1e-10 * np.linalg.norm(uref)
+    assert np.linalg.norm(vT - vref) < 1e-10 * np.linalg.norm(vref)
+
+
+def test_heat_dist_rejects_bad_scheme():
+    with pytest.raises(ValueError, match="scheme"):
+        heat_dist_evolve(BoxMesh((3, 3, 3)), 2, 2, scheme="rk4")
