@@ -47,13 +47,19 @@ def main():
                    help="IMEX step size (default: advective CFL / 4)")
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--scheme", choices=["be", "cnab"], default="cnab")
+    p.add_argument("--stabilize", choices=["p", "cell"], default="",
+                   help="streamline-diagonal artificial diffusion for "
+                        "cell Pe > 1 (sd_stabilized_kappa): 'p' = h/P "
+                        "scale (accuracy-leaning), 'cell' = h scale "
+                        "(robustness-leaning)")
     args = p.parse_args()
     dtype = setup_jax(args)
 
     from pmg_dolfinx_tpu.fem.assembly import assemble_rhs, l2_error
     from pmg_dolfinx_tpu.fem.mesh import BoxMesh
     from pmg_dolfinx_tpu.models.poisson import fit_box_cells, u_exact
-    from pmg_dolfinx_tpu.solvers.convdiff import convdiff_solve
+    from pmg_dolfinx_tpu.solvers.convdiff import (convdiff_solve,
+                                                  sd_stabilized_kappa)
     from pmg_dolfinx_tpu.solvers.pmg import PMGHierarchy
     from pmg_dolfinx_tpu.utils.timers import Timer, list_timings
 
@@ -111,11 +117,20 @@ def main():
                           "steps_per_s": args.steps / wall}))
         return
 
-    with Timer("setup (hierarchy build + calibration + rhs)"):
-        hier = PMGHierarchy(mesh, degrees=tuple(args.degrees),
-                            kappa=args.kappa, dtype=dtype,
+    def make_hier(cv):
+        kap = args.kappa
+        if args.stabilize:
+            kap, taus = sd_stabilized_kappa(mesh, P, cv, args.kappa,
+                                            h_eff=args.stabilize)
+            print(f"SD stabilization ({args.stabilize}): kappa_eff "
+                  f"{tuple(round(float(k), 6) for k in kap)}")
+        return PMGHierarchy(mesh, degrees=tuple(args.degrees),
+                            kappa=kap, dtype=dtype,
                             coarse=args.coarse, operator="kron",
                             sigma=args.sigma)
+
+    with Timer("setup (hierarchy build + calibration + rhs)"):
+        hier = make_hier(cvel)
         b = assemble_rhs(mesh, P, f)
 
     h_min = min(float(np.min(mesh.h_cells[a])) for a in range(3))
@@ -126,7 +141,8 @@ def main():
         for mag in (1.0, 10.0, 100.0, 1000.0):
             cv = base * mag
             bs = assemble_rhs(mesh, P, _sweep_f(args.kappa, args.sigma, cv))
-            u, info = convdiff_solve(hier, bs, cv, rtol=args.rtol,
+            hs = make_hier(cv) if args.stabilize else hier
+            u, info = convdiff_solve(hs, bs, cv, rtol=args.rtol,
                                      maxiter=args.maxiter)
             err = l2_error(mesh, P, np.asarray(u, dtype=np.float64),
                            u_exact)
@@ -137,11 +153,12 @@ def main():
         return
 
     pe0 = float(np.linalg.norm(cvel)) * h_min / (2.0 * args.kappa)
-    if pe0 > 1.0:
+    if pe0 > 1.0 and not args.stabilize:
         print(f"WARNING: cell Peclet {pe0:.2f} > 1 — the unstabilized "
               "Galerkin discretization is under-resolved (expect "
               "oscillations) and the symmetric V-cycle preconditioner "
-              "degrades; refine the mesh or raise kappa")
+              "degrades; refine the mesh, raise kappa, or pass "
+              "--stabilize p|cell")
     kw = dict(rtol=args.rtol, maxiter=args.maxiter)
     if args.warm:
         convdiff_solve(hier, b, cvel, **kw)

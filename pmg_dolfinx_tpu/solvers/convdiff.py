@@ -30,11 +30,78 @@ import numpy as np
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+from ..fem.assembly import resolve_kappa_axes
 from ..ops.kron import axis_advection, kron_advection_terms
 from .bicgstab import bicgstab_solve
 from .pmg import v_cycle
 from .shardwrap import (axis_exchanges, is_sharded, layout_converters,
                         shards_of, vector_spec, wrap_program)
+
+
+def sd_stabilized_kappa(mesh, P, velocity, kappa, tau=None, h_eff="p"):
+    """Streamline-diagonal (SD) artificial diffusion for the
+    advection-DOMINATED regime: per-axis effective diffusion
+
+        kappa_a^eff = kappa_a + tau_a c_a^2
+
+    — the diagonal part of the streamline tensor ``tau c c^T``. Because
+    it is a constant DIAGONAL tensor it rides the ENTIRE kron family
+    unchanged (per-axis stiffness scaling, exact FDM direct solve,
+    every decomposition): build the hierarchy with the returned
+    ``kappa_axes`` and call `convdiff_solve` as usual — the V-cycle now
+    preconditions the STABILIZED symmetric part, which is what keeps
+    BiCGStab effective at cell Pe >> 1.
+
+    ``tau_a`` defaults to the classic 1D optimal value
+    ``h/(2|c_a|) (coth(Pe_a) - 1/Pe_a)`` — it vanishes as
+    ``Pe_a -> 0`` (consistent: diffusion-dominated problems are left
+    untouched) and saturates at ``h/(2|c_a|)`` for ``Pe_a -> inf``
+    (first-order upwind-scale smearing, the standard
+    accuracy/stability trade). ``h_eff`` picks the grid-size scale in
+    that formula:
+
+    - ``'p'`` (default): ``h = mean(h_cells_a)/P`` — the GLL
+      node-spacing scale. Accuracy-leaning. MEASURED (6^3 cells, p=3,
+      f64): cell Pe 21 converges in 104 BiCGStab iterations (the
+      unstabilized form fails outright past Pe ~ 1); at cell Pe 0.4
+      the manufactured L2 error inflates ~12x over plain Galerkin
+      (the p=3 baseline is spectrally accurate, SD is an O(h) method
+      — stabilize only when Pe demands it).
+    - ``'cell'``: ``h = mean(h_cells_a)`` — robustness-leaning: same
+      Pe-21 problem in 32 iterations, but ~110x L2 inflation at
+      Pe 0.4.
+    - a float: absolute length used directly.
+
+    Pass ``tau`` to override everything with one scalar. Returns
+    ``(kappa_axes, taus)`` — both 3-tuples. Note the DIAGONAL
+    approximation: for velocities far from axis-aligned this adds some
+    crosswind diffusion beyond true streamline stabilization (more
+    diffusive, never less stable); the residual-based SUPG cross terms
+    are the non-separable remainder and are deliberately not assembled.
+    """
+    kax = resolve_kappa_axes(mesh, kappa)
+    cvel = np.asarray(velocity, dtype=np.float64)
+    if cvel.shape != (3,):
+        raise ValueError(f"velocity must be a 3-vector, got {cvel.shape}")
+    taus = []
+    for a in range(3):
+        ca = abs(float(cvel[a]))
+        if tau is not None:
+            taus.append(float(tau))
+        elif ca < 1e-300:
+            taus.append(0.0)
+        else:
+            if h_eff == "p":
+                h_a = float(np.mean(mesh.h_cells[a])) / float(P)
+            elif h_eff == "cell":
+                h_a = float(np.mean(mesh.h_cells[a]))
+            else:
+                h_a = float(h_eff)
+            pe = ca * h_a / (2.0 * kax[a])
+            taus.append(h_a / (2.0 * ca)
+                        * (1.0 / np.tanh(pe) - 1.0 / pe))
+    keff = tuple(kax[a] + taus[a] * float(cvel[a]) ** 2 for a in range(3))
+    return keff, tuple(taus)
 
 
 def _make_program(hier, lin_maxiter):
