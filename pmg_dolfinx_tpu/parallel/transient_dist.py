@@ -27,8 +27,6 @@ devices and never gathers (the FDM transforms all_to_all pencils over
 ICI; see parallel/fdm_dist.py).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,7 +50,7 @@ def _dist_bundle(mesh, P, shards, kappa, sigma, dtype, precision,
 
 def heat_dist_evolve(mesh, P, shards, kappa=1.0, dt=1e-2, scheme="cn",
                      dtype=jnp.float64, precision="highest", f=None,
-                     devices=None):
+                     f_time=None, devices=None):
     """Sharded ``evolve(u0, nsteps) -> u_T`` for the heat equation
     (global in / global out): BE or CN stepping with one distributed
     exact FDM solve per step, scanned inside a single shard_map program.
@@ -70,41 +68,51 @@ def heat_dist_evolve(mesh, P, shards, kappa=1.0, dt=1e-2, scheme="cn",
                                         dtype, precision, devices, f)
     solve_local, spec, lat = dfdm._solve_local, dfdm._spec, dfdm._lat_spec
 
-    def local_run(fd, m3l, fl, u0l, *, nsteps):
+    def local_run(fd, m3l, fl, u0l, scales):
         bcl = fd["bc"]
         if scheme == "be":
-            def step(u, _):
-                rhs = jnp.where(bcl, u, sigma * m3l * u + fl)
+            def step(u, g):
+                rhs = jnp.where(bcl, u, sigma * m3l * u + g * fl)
                 return solve_local(fd, rhs), None
         else:
             # CN via the exact-inverse identity (module docstring):
             # u1 = A^{-1}(2 sigma M u + f) - u; Dirichlet rows carry 2u
             # so the pass-through lands back on u after the subtraction.
-            def step(u, _):
-                rhs = jnp.where(bcl, 2.0 * u, 2.0 * sigma * m3l * u + fl)
+            def step(u, g):
+                rhs = jnp.where(bcl, 2.0 * u,
+                                2.0 * sigma * m3l * u + g * fl)
                 return solve_local(fd, rhs) - u, None
 
-        uT, _ = jax.lax.scan(step, u0l, length=nsteps)
+        uT, _ = jax.lax.scan(step, u0l, scales)
         return uT
 
-    @partial(jax.jit, static_argnames="nsteps")
-    def run(data, m3w, fw, u0w, nsteps):
+    from jax.sharding import PartitionSpec as P_
+
+    @jax.jit
+    def run(data, m3w, fw, u0w, scales):
         return jax.shard_map(
-            partial(local_run, nsteps=nsteps), mesh=dfdm.jmesh,
-            in_specs=(spec, lat, lat, lat), out_specs=lat,
-        )(data, m3w, fw, u0w)
+            local_run, mesh=dfdm.jmesh,
+            in_specs=(spec, lat, lat, lat, P_()), out_specs=lat,
+        )(data, m3w, fw, u0w, scales)
+
+    when = "end" if scheme == "be" else "mid"
 
     def evolve(u0, nsteps):
+        from ..solvers.transient import source_scales
+
         u0d = dfdm.to_dist(np.asarray(u0, dtype=np.float64))
+        g = jnp.asarray(source_scales(f_time, dt, int(nsteps), when),
+                        dtype=dtype)
         return dfdm.from_dist(run(dfdm.data, m3d, fd_vec, u0d,
-                                  int(nsteps))).reshape(-1)
+                                  g)).reshape(-1)
 
     return evolve
 
 
 def wave_newmark_dist_evolve(mesh, P, shards, kappa=1.0, dt=1e-2,
                              beta=0.25, gamma=0.5, dtype=jnp.float64,
-                             precision="highest", f=None, devices=None):
+                             precision="highest", f=None, f_time=None,
+                             devices=None):
     """Sharded Newmark-beta ``evolve(u0, v0, nsteps) -> (u_T, v_T)``:
     one distributed exact FDM solve (sigma = 1/(beta dt^2)) per step
     plus pointwise updates, scanned inside one shard_map program. The
@@ -126,39 +134,45 @@ def wave_newmark_dist_evolve(mesh, P, shards, kappa=1.0, dt=1e-2,
     op = KronLaplacian(mesh, P, kappa=kappa, dtype=dtype,
                       precision=precision)
 
-    def local_run(fd, m3l, fl, u0l, v0l, a0l, *, nsteps):
+    def local_run(fd, m3l, fl, u0l, v0l, a0l, scales):
         bcl = fd["bc"]
 
-        def step(carry, _):
+        def step(carry, g):
             u, v, a = carry
             ustar = u + dt * v + ((0.5 - beta) * dt * dt) * a
-            rhs = jnp.where(bcl, u, fl + c0 * m3l * ustar)
+            rhs = jnp.where(bcl, u, g * fl + c0 * m3l * ustar)
             u1 = solve_local(fd, rhs)
             a1 = jnp.where(bcl, 0.0, c0 * (u1 - ustar))
             v1 = v + dt * ((1.0 - gamma) * a + gamma * a1)
             return (u1, v1, a1), None
 
-        (uT, vT, _), _ = jax.lax.scan(step, (u0l, v0l, a0l),
-                                      length=nsteps)
+        (uT, vT, _), _ = jax.lax.scan(step, (u0l, v0l, a0l), scales)
         return uT, vT
 
-    @partial(jax.jit, static_argnames="nsteps")
-    def run(data, m3w, fw, u0w, v0w, a0w, nsteps):
+    from jax.sharding import PartitionSpec as P_
+
+    @jax.jit
+    def run(data, m3w, fw, u0w, v0w, a0w, scales):
         return jax.shard_map(
-            partial(local_run, nsteps=nsteps), mesh=dfdm.jmesh,
-            in_specs=(spec, lat, lat, lat, lat, lat),
+            local_run, mesh=dfdm.jmesh,
+            in_specs=(spec, lat, lat, lat, lat, lat, P_()),
             out_specs=(lat, lat),
-        )(data, m3w, fw, u0w, v0w, a0w)
+        )(data, m3w, fw, u0w, v0w, a0w, scales)
 
     def evolve(u0, v0, nsteps):
+        from ..solvers.transient import source_scales
+
         u0 = np.asarray(u0, dtype=np.float64).reshape(-1)
         v0 = np.where(bc_np, 0.0,
                       np.asarray(v0, dtype=np.float64).reshape(-1))
+        g0 = 1.0 if f_time is None else float(f_time(0.0))
         Ku = np.asarray(op(jnp.asarray(u0, dtype=dtype)),
                         dtype=np.float64).reshape(-1)
-        a0 = np.where(bc_np, 0.0, (fvec_np - Ku) / m3safe)
+        a0 = np.where(bc_np, 0.0, (g0 * fvec_np - Ku) / m3safe)
+        g = jnp.asarray(source_scales(f_time, dt, int(nsteps), "end"),
+                        dtype=dtype)
         uT, vT = run(dfdm.data, m3d, fd_vec, dfdm.to_dist(u0),
-                     dfdm.to_dist(v0), dfdm.to_dist(a0), int(nsteps))
+                     dfdm.to_dist(v0), dfdm.to_dist(a0), g)
         return dfdm.from_dist(uT).reshape(-1), dfdm.from_dist(vT).reshape(-1)
 
     return evolve

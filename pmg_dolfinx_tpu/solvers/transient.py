@@ -33,17 +33,37 @@ from ..fem.assembly import lumped_mass_np
 from ..solvers.fdm import FastDiagonalizationSolver
 
 
+def source_scales(f_time, dt, nsteps, when):
+    """Per-step source modulation factors ``g(t_n)`` for a separable
+    time-dependent load ``f(x, t) = g(t) f(x)`` — evaluated HOST-side
+    (np) at the scheme-consistent times and scanned as the time loop's
+    ``xs``: ``when='end'`` (BE / Newmark implicit solves, t_{n+1}),
+    ``'mid'`` (Crank-Nicolson right side, t_{n+1/2} keeps O(dt^2)),
+    ``'start'`` (explicit evaluation, t_n). ``f_time=None`` -> ones
+    (multiplying by 1.0 is exact, the static-source path unchanged)."""
+    if f_time is None:
+        return np.ones(nsteps)
+    off = {"end": 1.0, "mid": 0.5, "start": 0.0}[when]
+    return np.array([float(f_time(dt * (n + off))) for n in range(nsteps)],
+                    dtype=np.float64)
+
+
 def heat_fdm_evolve(mesh, P, kappa=1.0, dt=1e-2, scheme="cn",
-                    dtype=jnp.float64, precision="highest", f=None):
+                    dtype=jnp.float64, precision="highest", f=None,
+                    f_time=None):
     """Jitted ``evolve(u0, nsteps) -> u_T`` for the kron family
     (axis-aligned boxes incl. graded spacing, scalar / per-axis /
     diagonal-tensor kappa, mixed Dirichlet/Neumann faces).
 
     ``scheme``: 'be' (backward Euler, O(dt)) or 'cn' (Crank-Nicolson,
-    O(dt^2)). ``f`` (optional) is a TIME-INDEPENDENT source vector
-    (assembled load, Dirichlet rows zeroed); the steady state is then
-    ``K u = f``. The step count is a trace-time constant of the scanned
-    program; u0 must satisfy the Dirichlet data (rows pass through).
+    O(dt^2)). ``f`` (optional) is a source vector (assembled load,
+    Dirichlet rows zeroed); the steady state is then ``K u = f``.
+    ``f_time`` (optional callable ``g(t)``) makes the load separable
+    time-dependent, ``f(x, t) = g(t) f(x)``: the per-step factors are
+    evaluated host-side at the scheme-consistent times (BE: t_{n+1};
+    CN: t_{n+1/2}, preserving O(dt^2)) and scanned as the loop's xs.
+    The step count is a trace-time constant of the scanned program;
+    u0 must satisfy the Dirichlet data (rows pass through).
     """
     if scheme not in ("be", "cn"):
         raise ValueError(f"scheme must be 'be' or 'cn', got {scheme!r}")
@@ -60,8 +80,8 @@ def heat_fdm_evolve(mesh, P, kappa=1.0, dt=1e-2, scheme="cn",
                                            dtype=dtype, sigma=sigma,
                                            precision=precision)
 
-        def step(u, _):
-            rhs = jnp.where(bc, u, sigma * m3 * u + fvec)
+        def step(u, g):
+            rhs = jnp.where(bc, u, sigma * m3 * u + g * fvec)
             return solver.solve(rhs), None
     else:
         # CN left operator: K/2 + M/dt = (A + sigma' M) with kappa/2.
@@ -76,19 +96,26 @@ def heat_fdm_evolve(mesh, P, kappa=1.0, dt=1e-2, scheme="cn",
         op = KronLaplacian(mesh, P, kappa=kap_half, dtype=dtype,
                            precision=precision, sigma=sigma)
 
-        def step(u, _):
+        def step(u, g):
             # KronLaplacian's public contract is flat-in/flat-out for a
             # flat bc marker; reshape at the call (free inside jit).
             Au = op(u.reshape(-1)).reshape(shape)
-            rhs = 2.0 * sigma * m3 * u - Au + fvec
+            rhs = 2.0 * sigma * m3 * u - Au + g * fvec
             rhs = jnp.where(bc, u, rhs)
             return solver.solve(rhs), None
 
-    @partial(jax.jit, static_argnames="nsteps")
+    @jax.jit
+    def _run(u0, scales):
+        uT, _ = jax.lax.scan(step, u0, scales)
+        return uT
+
+    when = "end" if scheme == "be" else "mid"
+
     def evolve(u0, nsteps):
         u0 = jnp.asarray(u0, dtype=dtype).reshape(shape)
-        uT, _ = jax.lax.scan(step, u0, length=nsteps)
-        return uT
+        g = jnp.asarray(source_scales(f_time, dt, int(nsteps), when),
+                        dtype=dtype)
+        return _run(u0, g)
 
     return evolve
 
@@ -135,7 +162,7 @@ def heat_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8, scheme="cn",
 
 def wave_newmark_evolve(mesh, P, kappa=1.0, dt=1e-2, beta=0.25,
                         gamma=0.5, dtype=jnp.float64,
-                        precision="highest", f=None):
+                        precision="highest", f=None, f_time=None):
     """Jitted ``evolve(u0, v0, nsteps) -> (u_T, v_T)`` for the wave
     equation ``M u_tt + K u = f`` on the kron family (GLL-lumped M).
 
@@ -154,10 +181,13 @@ def wave_newmark_evolve(mesh, P, kappa=1.0, dt=1e-2, beta=0.25,
     energy ``E = (v^T M v + u^T K u)/2`` (pinned in tests/test_wave.py);
     ``gamma > 1/2`` adds algorithmic damping (drops to O(dt)).
 
-    ``f`` is an optional time-independent load (Dirichlet rows zeroed);
-    boundary data is whatever ``u0`` carries on the flagged faces
-    (held fixed; ``v0``/``a0`` are zeroed there). Beyond-parity model
-    family: the reference is steady Poisson only (examples/pmg/main.cpp).
+    ``f`` is an optional load (Dirichlet rows zeroed); ``f_time``
+    (callable ``g(t)``) modulates it per step, ``f(x, t) = g(t) f(x)``
+    (evaluated at t_{n+1}, the implicit solve's time — driven problems
+    e.g. Ricker-wavelet sources). Boundary data is whatever ``u0``
+    carries on the flagged faces (held fixed; ``v0``/``a0`` are zeroed
+    there). Beyond-parity model family: the reference is steady Poisson
+    only (examples/pmg/main.cpp).
     """
     from ..ops.kron import KronLaplacian
 
@@ -176,23 +206,30 @@ def wave_newmark_evolve(mesh, P, kappa=1.0, dt=1e-2, beta=0.25,
     op = KronLaplacian(mesh, P, kappa=kappa, dtype=dtype,
                        precision=precision)
 
-    def step(carry, _):
+    def step(carry, g):
         u, v, a = carry
         ustar = u + dt * v + ((0.5 - beta) * dt * dt) * a
-        rhs = jnp.where(bc, u, fvec + c0 * m3 * ustar)
+        rhs = jnp.where(bc, u, g * fvec + c0 * m3 * ustar)
         u1 = solver.solve(rhs)
         a1 = jnp.where(bc, 0.0, c0 * (u1 - ustar))
         v1 = v + dt * ((1.0 - gamma) * a + gamma * a1)
         return (u1, v1, a1), None
 
-    @partial(jax.jit, static_argnames="nsteps")
-    def evolve(u0, v0, nsteps):
-        u0 = jnp.asarray(u0, dtype=dtype).reshape(shape)
-        v0 = jnp.where(bc, 0.0, jnp.asarray(v0, dtype=dtype).reshape(shape))
+    @jax.jit
+    def _run(u0, v0, g0, scales):
+        v0 = jnp.where(bc, 0.0, v0)
         Ku = op(u0.reshape(-1)).reshape(shape)
-        a0 = jnp.where(bc, 0.0, (fvec - Ku) / m3safe)
-        (uT, vT, _), _ = jax.lax.scan(step, (u0, v0, a0), length=nsteps)
+        a0 = jnp.where(bc, 0.0, (g0 * fvec - Ku) / m3safe)
+        (uT, vT, _), _ = jax.lax.scan(step, (u0, v0, a0), scales)
         return uT, vT
+
+    def evolve(u0, v0, nsteps):
+        g = jnp.asarray(source_scales(f_time, dt, int(nsteps), "end"),
+                        dtype=dtype)
+        g0 = jnp.asarray(1.0 if f_time is None else float(f_time(0.0)),
+                         dtype=dtype)
+        return _run(jnp.asarray(u0, dtype=dtype).reshape(shape),
+                    jnp.asarray(v0, dtype=dtype).reshape(shape), g0, g)
 
     return evolve
 
@@ -209,7 +246,7 @@ def wave_stable_dt(mesh, P, kappa=1.0):
 
 
 def wave_leapfrog_evolve(mesh, P, kappa=1.0, dt=1e-2, dtype=jnp.float64,
-                         precision="highest", f=None):
+                         precision="highest", f=None, f_time=None):
     """Jitted explicit central-difference (leapfrog) ``evolve(u0, v0,
     nsteps) -> (u_T, v_T)``: one kron operator apply + pointwise updates
     per step (no solve at all — the cheapest possible step; lumped mass
@@ -230,25 +267,38 @@ def wave_leapfrog_evolve(mesh, P, kappa=1.0, dt=1e-2, dtype=jnp.float64,
     op = KronLaplacian(mesh, P, kappa=kappa, dtype=dtype,
                        precision=precision)
 
-    def accel(u):
+    def accel(u, g):
         Ku = op(u.reshape(-1)).reshape(shape)
-        return jnp.where(bc, 0.0, (fvec - Ku) / m3safe)
+        return jnp.where(bc, 0.0, (g * fvec - Ku) / m3safe)
 
-    def step(carry, _):
+    def step(carry, g):
+        # g = g(t_n): the acceleration is evaluated at the CURRENT step.
         um1, u = carry
-        u1 = jnp.where(bc, u, 2.0 * u - um1 + (dt * dt) * accel(u))
+        u1 = jnp.where(bc, u, 2.0 * u - um1 + (dt * dt) * accel(u, g))
         return (u, u1), None
 
-    @partial(jax.jit, static_argnames="nsteps")
-    def evolve(u0, v0, nsteps):
-        u0 = jnp.asarray(u0, dtype=dtype).reshape(shape)
-        v0 = jnp.where(bc, 0.0, jnp.asarray(v0, dtype=dtype).reshape(shape))
+    @jax.jit
+    def _run(u0, v0, g0, gT, scales):
+        v0 = jnp.where(bc, 0.0, v0)
         # Taylor start: u^1 = u^0 + dt v^0 + (dt^2/2) a^0 (keeps O(dt^2)).
         u1 = jnp.where(bc, u0,
-                       u0 + dt * v0 + (0.5 * dt * dt) * accel(u0))
-        (um1, uT), _ = jax.lax.scan(step, (u0, u1), length=nsteps - 1)
-        vT = (uT - um1) / dt + (0.5 * dt) * accel(uT)
+                       u0 + dt * v0 + (0.5 * dt * dt) * accel(u0, g0))
+        (um1, uT), _ = jax.lax.scan(step, (u0, u1), scales)
+        vT = (uT - um1) / dt + (0.5 * dt) * accel(uT, gT)
         return uT, vT
+
+    def evolve(u0, v0, nsteps):
+        # In-scan steps use t_n for n = 1..nsteps-1 ('end' over
+        # nsteps-1 entries); the start uses g(0), the final velocity
+        # reconstruction g(T).
+        g = jnp.asarray(
+            source_scales(f_time, dt, int(nsteps) - 1, "end"), dtype=dtype)
+        g0 = 1.0 if f_time is None else float(f_time(0.0))
+        gT = 1.0 if f_time is None else float(f_time(dt * int(nsteps)))
+        return _run(jnp.asarray(u0, dtype=dtype).reshape(shape),
+                    jnp.asarray(v0, dtype=dtype).reshape(shape),
+                    jnp.asarray(g0, dtype=dtype),
+                    jnp.asarray(gT, dtype=dtype), g)
 
     return evolve
 
@@ -302,7 +352,7 @@ def wave_pcg_evolve(hier, mesh, P, dt, beta=0.25, gamma=0.5, rtol=1e-9,
 
 def convdiff_fdm_evolve(mesh, P, velocity, kappa=1.0, dt=1e-3,
                         scheme="cnab", dtype=jnp.float64,
-                        precision="highest", f=None):
+                        precision="highest", f=None, f_time=None):
     """Jitted ``evolve(u0, nsteps) -> u_T`` for the TRANSIENT
     convection-diffusion equation ``u_t - div(kappa grad u)
     + c . grad u = f`` on the kron family (axis-aligned boxes, graded
@@ -329,8 +379,9 @@ def convdiff_fdm_evolve(mesh, P, velocity, kappa=1.0, dt=1e-3,
     ``dt < convdiff_advective_dt(mesh, P, velocity)`` (the lumped-mass
     GLL node-spacing bound; the implicit diffusion only helps in the
     diffusion-dominated cell-Pe <~ 1 regime the steady family targets —
-    `solvers/convdiff.py`). ``f`` is an optional time-independent load
-    (Dirichlet rows zeroed); the steady state is then the
+    `solvers/convdiff.py`). ``f`` is an optional load (Dirichlet rows
+    zeroed; ``f_time=g`` modulates it per step at the scheme-consistent
+    times, see `source_scales`); with a static f the steady state is the
     `convdiff_solve` solution (pinned in tests/test_convdiff_transient).
     Beyond reference parity (the reference is steady symmetric-Poisson
     only, examples/pmg/main.cpp).
@@ -367,15 +418,19 @@ def convdiff_fdm_evolve(mesh, P, velocity, kappa=1.0, dt=1e-3,
                                            dtype=dtype, sigma=sigma,
                                            precision=precision)
 
-        def step(u, _):
-            rhs = jnp.where(bc, u, sigma * m3 * u - adv(u) + fvec)
+        def step(u, g):
+            rhs = jnp.where(bc, u, sigma * m3 * u - adv(u) + g * fvec)
             return solver.solve(rhs), None
 
-        @partial(jax.jit, static_argnames="nsteps")
-        def evolve(u0, nsteps):
-            u0 = jnp.asarray(u0, dtype=dtype).reshape(shape)
-            uT, _ = jax.lax.scan(step, u0, length=nsteps)
+        @jax.jit
+        def _run(u0, scales):
+            uT, _ = jax.lax.scan(step, u0, scales)
             return uT
+
+        def evolve(u0, nsteps):
+            g = jnp.asarray(source_scales(f_time, dt, int(nsteps), "end"),
+                            dtype=dtype)
+            return _run(jnp.asarray(u0, dtype=dtype).reshape(shape), g)
     else:
         # CNAB: (M/dt + K/2) u^{n+1}
         #   = (M/dt - K/2) u^n - (3/2 C u^n - 1/2 C u^{n-1}) + f,
@@ -388,22 +443,26 @@ def convdiff_fdm_evolve(mesh, P, velocity, kappa=1.0, dt=1e-3,
         op = KronLaplacian(mesh, P, kappa=kap_half, dtype=dtype,
                            precision=precision, sigma=sigma)
 
-        def step(carry, _):
+        def step(carry, g):
             u, adv_m1 = carry
             Au = op(u.reshape(-1)).reshape(shape)
             adv_n = adv(u)
             rhs = (2.0 * sigma * m3 * u - Au
-                   - (1.5 * adv_n - 0.5 * adv_m1) + fvec)
+                   - (1.5 * adv_n - 0.5 * adv_m1) + g * fvec)
             u1 = solver.solve(jnp.where(bc, u, rhs))
             return (u1, adv_n), None
 
-        @partial(jax.jit, static_argnames="nsteps")
-        def evolve(u0, nsteps):
-            u0 = jnp.asarray(u0, dtype=dtype).reshape(shape)
+        @jax.jit
+        def _run(u0, scales):
             # AB2 startup: the missing C u^{-1} is replaced by C u^0
             # (forward-Euler first step).
-            (uT, _), _ = jax.lax.scan(step, (u0, adv(u0)), length=nsteps)
+            (uT, _), _ = jax.lax.scan(step, (u0, adv(u0)), scales)
             return uT
+
+        def evolve(u0, nsteps):
+            g = jnp.asarray(source_scales(f_time, dt, int(nsteps), "mid"),
+                            dtype=dtype)
+            return _run(jnp.asarray(u0, dtype=dtype).reshape(shape), g)
 
     return evolve
 

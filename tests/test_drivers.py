@@ -11,6 +11,7 @@ import pathlib
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
@@ -103,6 +104,17 @@ def test_convdiff_transient_driver_steady_state():
               "--steps", "150")
     d = json.loads(out.strip().splitlines()[-1])
     assert d["l2_error"] < 1e-3
+
+
+def test_wave_driver_ricker_pulse_radiates():
+    """--pulse: the Ricker-driven run must radiate a NONZERO field (a
+    closure bug once zeroed every source scale after the warmup call —
+    this pins the whole f_time plumbing end-to-end)."""
+    out = run("wave.py", "--ndofs", "8000", "--pulse", "2.5",
+              "--dt", "2e-3", "--steps", "60")
+    d = json.loads(out.strip().splitlines()[-1])
+    assert d["max_abs_u"] > 1e-8, d
+    assert np.isfinite(d["energy_T"]) and d["energy_T"] > 0, d
 
 
 def test_heat_driver_decay():
