@@ -20,7 +20,7 @@ import time
 
 import numpy as np
 
-from _common import base_parser, setup_jax
+from _common import base_parser, parse_shards, setup_jax
 
 
 def main():
@@ -52,8 +52,13 @@ def main():
                         "cell Pe > 1 (sd_stabilized_kappa): 'p' = h/P "
                         "scale (accuracy-leaning), 'cell' = h scale "
                         "(robustness-leaning)")
+    p.add_argument("--shards", type=str, default="",
+                   help="shard the solve/time loop: 'N' (x-slab) or "
+                        "'sx,sy,sz' (device grid)")
     args = p.parse_args()
-    dtype = setup_jax(args)
+    shards = parse_shards(args.shards) if args.shards else None
+    n_dev = int(np.prod(shards)) if shards is not None else None
+    dtype = setup_jax(args, n_cpu_devices=n_dev if args.cpu else None)
 
     from pmg_dolfinx_tpu.fem.assembly import assemble_rhs, l2_error
     from pmg_dolfinx_tpu.fem.mesh import BoxMesh
@@ -68,6 +73,9 @@ def main():
               "forcing --operator kron")
         args.operator = "kron"
     nc = fit_box_cells(args.ndofs, max(args.degrees))
+    if shards is not None:
+        sh3 = (shards, 1, 1) if np.ndim(shards) == 0 else shards
+        nc = tuple((c + s - 1) // s * s for c, s in zip(nc, sh3))
     mesh = BoxMesh(nc)
     P = max(args.degrees)
     cvel = np.array([float(s) for s in args.velocity.split(",")])
@@ -95,9 +103,18 @@ def main():
                   "the explicit advection term will blow up")
         with Timer("setup (assembly + FDM factorization)"):
             b = assemble_rhs(mesh, P, f)
-            evolve = convdiff_fdm_evolve(mesh, P, cvel, kappa=args.kappa,
-                                         dt=dt, scheme=args.scheme,
-                                         dtype=dtype, f=b)
+            if shards is not None:
+                from pmg_dolfinx_tpu.parallel.transient_dist import (
+                    convdiff_dist_evolve)
+
+                print(f"sharded IMEX loop: shards {shards}")
+                evolve = convdiff_dist_evolve(
+                    mesh, P, shards, cvel, kappa=args.kappa, dt=dt,
+                    scheme=args.scheme, dtype=dtype, f=b)
+            else:
+                evolve = convdiff_fdm_evolve(
+                    mesh, P, cvel, kappa=args.kappa, dt=dt,
+                    scheme=args.scheme, dtype=dtype, f=b)
         u0 = np.zeros(mesh.num_dofs(P))
         # Warm with the FULL step count: nsteps is a trace-time constant
         # of the scanned program (same rule as examples/heat.py).
@@ -124,10 +141,17 @@ def main():
                                             h_eff=args.stabilize)
             print(f"SD stabilization ({args.stabilize}): kappa_eff "
                   f"{tuple(round(float(k), 6) for k in kap)}")
-        return PMGHierarchy(mesh, degrees=tuple(args.degrees),
-                            kappa=kap, dtype=dtype,
-                            coarse=args.coarse, operator="kron",
-                            sigma=args.sigma)
+        kw = dict(degrees=tuple(args.degrees), kappa=kap, dtype=dtype,
+                  coarse=args.coarse, operator="kron", sigma=args.sigma)
+        if shards is None:
+            return PMGHierarchy(mesh, **kw)
+        if np.ndim(shards) == 0:
+            from pmg_dolfinx_tpu.parallel.dist import DistPMG
+
+            return DistPMG(mesh, n_devices=int(shards), **kw)
+        from pmg_dolfinx_tpu.parallel.grid2d import GridPMG
+
+        return GridPMG(mesh, shards=tuple(shards), **kw)
 
     with Timer("setup (hierarchy build + calibration + rhs)"):
         hier = make_hier(cvel)

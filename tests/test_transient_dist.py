@@ -66,3 +66,30 @@ def test_wave_newmark_dist_matches_single(shards):
 def test_heat_dist_rejects_bad_scheme():
     with pytest.raises(ValueError, match="scheme"):
         heat_dist_evolve(BoxMesh((3, 3, 3)), 2, 2, scheme="rk4")
+
+
+@pytest.mark.parametrize("shards", [4, (2, 2, 1)])
+@pytest.mark.parametrize("scheme", ["be", "cnab"])
+def test_convdiff_dist_matches_single(shards, scheme):
+    """Sharded IMEX transport: replicated scale-free advection
+    matrices + duplicated-plane axis masses + per-axis exchanges must
+    reproduce the single-device scan (graded sharded axis, mixed
+    faces, driven source included)."""
+    from pmg_dolfinx_tpu.parallel.transient_dist import convdiff_dist_evolve
+    from pmg_dolfinx_tpu.solvers.transient import convdiff_fdm_evolve
+
+    mesh, P = _mesh(), 3
+    cvel = (1.1, -0.5, 0.3)
+    u0 = _u0(mesh, P)
+    rng = np.random.default_rng(5)
+    f = np.where(np.asarray(mesh.boundary_dof_marker(P)), 0.0,
+                 rng.standard_normal(mesh.num_dofs(P)))
+    g = lambda t: 1.0 + 0.5 * np.sin(20.0 * t)
+    ref = np.asarray(convdiff_fdm_evolve(
+        mesh, P, cvel, kappa=KAPPA, dt=5e-4, scheme=scheme, f=f,
+        f_time=g)(u0, NSTEPS)).reshape(-1)
+    got = convdiff_dist_evolve(mesh, P, shards, cvel, kappa=KAPPA,
+                               dt=5e-4, scheme=scheme, f=f,
+                               f_time=g)(u0, NSTEPS)
+    assert np.linalg.norm(got - ref) < 1e-10 * np.linalg.norm(ref), \
+        (shards, scheme)
