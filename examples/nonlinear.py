@@ -41,6 +41,17 @@ def main():
     p.add_argument("--warm", action="store_true",
                    help="run one throwaway solve first so the timed solve "
                         "excludes jit compilation")
+    p.add_argument("--transient", action="store_true",
+                   help="time-step u_t - div(k grad u) + sigma u + N(u) "
+                        "= f instead of solving steady state: IMEX "
+                        "scanned stepping (explicit reaction, one FDM "
+                        "solve/step; box+cubic) or --implicit Newton-BE")
+    p.add_argument("--implicit", action="store_true",
+                   help="fully implicit BE (per-step warm Newton; "
+                        "unconditionally stable for stiff reactions)")
+    p.add_argument("--dt", type=float, default=5e-3)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--scheme", choices=["be", "cnab"], default="cnab")
     args = p.parse_args()
     dtype = setup_jax(args)
 
@@ -93,6 +104,57 @@ def main():
     else:
         nonlin = semilinear.bratu(args.lam)
         b = np.zeros(mesh.num_dofs(P))
+
+    if args.transient:
+        import json
+        import time
+
+        if args.model != "cubic" or args.mesh != "box" \
+                or args.kappa_field != "const":
+            raise SystemExit("--transient: box + cubic + constant kappa "
+                             "(the manufactured steady state)")
+        if args.implicit:
+            from pmg_dolfinx_tpu.solvers.transient import (
+                semilinear_newton_evolve)
+
+            with Timer("setup (shifted hierarchy)"):
+                hier = PMGHierarchy(
+                    mesh, degrees=tuple(args.degrees), kappa=kappa,
+                    dtype=dtype, coarse=args.coarse,
+                    operator=args.operator,
+                    sigma=args.sigma + 1.0 / args.dt)
+                evolve = semilinear_newton_evolve(
+                    hier, mesh, P, nonlin, args.dt, rtol=args.rtol, f=b)
+            t0 = time.time()
+            uT, iters = evolve(np.zeros(mesh.num_dofs(P)), args.steps)
+            wall = time.time() - t0
+            print(f"implicit BE: Newton/step min {min(iters)} "
+                  f"max {max(iters)}")
+        else:
+            from pmg_dolfinx_tpu.solvers.transient import (
+                semilinear_fdm_evolve)
+
+            with Timer("setup (FDM factorization)"):
+                evolve = semilinear_fdm_evolve(
+                    mesh, P, nonlin, kappa=args.kappa, dt=args.dt,
+                    scheme=args.scheme, sigma=args.sigma, dtype=dtype,
+                    f=b)
+            u0 = np.zeros(mesh.num_dofs(P))
+            with Timer(f"warmup (compile + {args.steps} steps)"):
+                np.asarray(evolve(u0, args.steps))
+            t0 = time.time()
+            uT = np.asarray(evolve(u0, args.steps)).reshape(-1)
+            wall = time.time() - t0
+        err = l2_error(mesh, P, np.asarray(uT, dtype=np.float64),
+                       u_exact)
+        mode = "implicit-be" if args.implicit else args.scheme
+        print(f"{mode} dt={args.dt:g} T={args.dt * args.steps:g}: "
+              f"steady-state L2 err {err:.3e}")
+        print(f"throughput: {args.steps / wall:.1f} steps/s")
+        list_timings()
+        print(json.dumps({"l2_error": float(err),
+                          "steps_per_s": args.steps / wall}))
+        return
 
     with Timer("setup (hierarchy build + calibration)"):
         hier = PMGHierarchy(mesh, degrees=tuple(args.degrees), kappa=kappa,

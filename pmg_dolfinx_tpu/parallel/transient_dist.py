@@ -109,6 +109,72 @@ def heat_dist_evolve(mesh, P, shards, kappa=1.0, dt=1e-2, scheme="cn",
     return evolve
 
 
+def semilinear_dist_evolve(mesh, P, shards, nonlin, kappa=1.0, dt=1e-3,
+                           scheme="cnab", sigma=0.0, dtype=jnp.float64,
+                           precision="highest", f=None, f_time=None,
+                           devices=None):
+    """Sharded IMEX semilinear reaction-diffusion ``evolve(u0, nsteps)
+    -> u_T`` (global in / global out): implicit linear part via the
+    distributed FDM, explicit pointwise collocated reaction ``m3 N(u)``
+    — pointwise on consistent duplicated planes, so it needs NO
+    exchange at all. Same schemes/identities as
+    `solvers.transient.semilinear_fdm_evolve` (single-device match
+    pinned at 1e-10 in tests/test_semilinear_transient.py).
+    """
+    from jax.sharding import PartitionSpec as P_
+
+    from ..solvers.transient import source_scales
+
+    if scheme not in ("be", "cnab"):
+        raise ValueError(f"scheme must be 'be' or 'cnab', got {scheme!r}")
+    sdt = 1.0 / float(dt)
+    if scheme == "be":
+        kap_op, shift, when = kappa, float(sigma) + sdt, "end"
+    else:
+        kap_op, shift, when = (_half_kappa(kappa),
+                               0.5 * float(sigma) + sdt, "mid")
+    dfdm, _, m3d, fd_vec = _dist_bundle(mesh, P, shards, kap_op, shift,
+                                        dtype, precision, devices, f)
+    solve_local, spec, lat = dfdm._solve_local, dfdm._spec, dfdm._lat_spec
+
+    def local_run(fd, m3l, fl, u0l, scales):
+        bcl = fd["bc"]
+        if scheme == "be":
+            def step(u, g):
+                rhs = jnp.where(bcl, u,
+                                sdt * m3l * u - m3l * nonlin.N(u)
+                                + g * fl)
+                return solve_local(fd, rhs), None
+
+            uT, _ = jax.lax.scan(step, u0l, scales)
+        else:
+            def step(carry, g):
+                u, N_m1 = carry
+                N_n = nonlin.N(u)
+                S = g * fl - m3l * (1.5 * N_n - 0.5 * N_m1)
+                rhs = jnp.where(bcl, 2.0 * u, 2.0 * sdt * m3l * u + S)
+                return (solve_local(fd, rhs) - u, N_n), None
+
+            (uT, _), _ = jax.lax.scan(step, (u0l, nonlin.N(u0l)), scales)
+        return uT
+
+    @jax.jit
+    def run(data, m3w, fw, u0w, scales):
+        return jax.shard_map(
+            local_run, mesh=dfdm.jmesh,
+            in_specs=(spec, lat, lat, lat, P_()), out_specs=lat,
+        )(data, m3w, fw, u0w, scales)
+
+    def evolve(u0, nsteps):
+        u0d = dfdm.to_dist(np.asarray(u0, dtype=np.float64))
+        g = jnp.asarray(source_scales(f_time, dt, int(nsteps), when),
+                        dtype=dtype)
+        return dfdm.from_dist(run(dfdm.data, m3d, fd_vec, u0d,
+                                  g)).reshape(-1)
+
+    return evolve
+
+
 def convdiff_dist_evolve(mesh, P, shards, velocity, kappa=1.0, dt=1e-3,
                          scheme="cnab", dtype=jnp.float64,
                          precision="highest", f=None, f_time=None,

@@ -467,6 +467,117 @@ def convdiff_fdm_evolve(mesh, P, velocity, kappa=1.0, dt=1e-3,
     return evolve
 
 
+def semilinear_fdm_evolve(mesh, P, nonlin, kappa=1.0, dt=1e-3,
+                          scheme="cnab", sigma=0.0, dtype=jnp.float64,
+                          precision="highest", f=None, f_time=None):
+    """Jitted ``evolve(u0, nsteps) -> u_T`` for the TRANSIENT semilinear
+    reaction-diffusion equation ``u_t - div(kappa grad u) + sigma u +
+    N(u) = f`` on the kron family (Fisher-KPP / Allen-Cahn class;
+    ``nonlin`` is a `models.semilinear.Nonlinearity`).
+
+    IMEX splitting: the LINEAR part (diffusion + sigma shift) is
+    implicit — the left operator is the framework's shifted form, ONE
+    exact FDM direct solve per step — and the pointwise collocated
+    nonlinearity ``m3 N(u)`` is explicit. No Newton iteration ever
+    runs: a step is one pointwise ``N`` evaluation plus six matmuls,
+    and the whole loop is one scanned XLA program.
+
+    ``scheme``: 'be' (O(dt)) or 'cnab' (CN linear part via the
+    exact-inverse identity ``u1 = A^{-1}(2 M/dt u + S) - u`` +
+    AB2 reaction, O(dt^2)). Explicit reaction limits dt by the
+    stiffness of ``N'`` (dt |N'| <~ 1 along the trajectory) — for
+    strongly stiff reactions use `semilinear_newton_evolve`. The BE
+    fixed point is EXACTLY the steady semilinear system solved by
+    `solvers.newton.newton_solve` (pinned in tests). ``f_time=g``
+    modulates ``f`` as in the linear evolvers.
+    """
+    if scheme not in ("be", "cnab"):
+        raise ValueError(f"scheme must be 'be' or 'cnab', got {scheme!r}")
+    sdt = 1.0 / float(dt)
+    shape = mesh.lattice_shape(P)
+    bc = jnp.asarray(np.asarray(mesh.boundary_dof_marker(P)).reshape(shape))
+    m3 = jnp.asarray(lumped_mass_np(mesh, P, bc_zero=True),
+                     dtype=dtype).reshape(shape)
+    fvec = (jnp.zeros(shape, dtype=dtype) if f is None
+            else jnp.asarray(np.asarray(f).reshape(shape), dtype=dtype))
+
+    if scheme == "be":
+        solver = FastDiagonalizationSolver(
+            mesh, P, kappa=kappa, dtype=dtype,
+            sigma=float(sigma) + sdt, precision=precision)
+
+        def step(u, g):
+            rhs = jnp.where(bc, u,
+                            sdt * m3 * u - m3 * nonlin.N(u) + g * fvec)
+            return solver.solve(rhs), None
+
+        @jax.jit
+        def _run(u0, scales):
+            uT, _ = jax.lax.scan(step, u0, scales)
+            return uT
+        when = "end"
+    else:
+        # A = M/dt + (K + sigma M)/2: kappa/2 and shift sigma/2 + 1/dt.
+        solver = FastDiagonalizationSolver(
+            mesh, P, kappa=_half_kappa(kappa), dtype=dtype,
+            sigma=0.5 * float(sigma) + sdt, precision=precision)
+
+        def step(carry, g):
+            u, N_m1 = carry
+            N_n = nonlin.N(u)
+            S = g * fvec - m3 * (1.5 * N_n - 0.5 * N_m1)
+            rhs = jnp.where(bc, 2.0 * u, 2.0 * sdt * m3 * u + S)
+            return (solver.solve(rhs) - u, N_n), None
+
+        @jax.jit
+        def _run(u0, scales):
+            (uT, _), _ = jax.lax.scan(step, (u0, nonlin.N(u0)), scales)
+            return uT
+        when = "mid"
+
+    def evolve(u0, nsteps):
+        g = jnp.asarray(source_scales(f_time, dt, int(nsteps), when),
+                        dtype=dtype)
+        return _run(jnp.asarray(u0, dtype=dtype).reshape(shape), g)
+
+    return evolve
+
+
+def semilinear_newton_evolve(hier, mesh, P, nonlin, dt, rtol=1e-10,
+                             f=None, f_time=None, lin_maxiter=60):
+    """Fully IMPLICIT backward-Euler ``evolve(u0, nsteps) -> (u_T,
+    iters)`` for stiff semilinear reactions (and the GENERAL mesh
+    family): each step solves ``(A + M/dt) u + m3 N(u) = (M/dt) u^n +
+    g f`` with the V-cycle-preconditioned inexact Newton loop
+    (`solvers.newton.newton_solve`), warm-started at ``u^n`` — an
+    O(dt) guess, so per-step Newton counts are small. ``hier`` must be
+    built with ``sigma = sigma_problem + 1/dt`` (the BE shift). Host
+    loop; returns per-step Newton iteration counts. Unconditionally
+    stable in dt (L-stable BE), unlike the explicit-reaction IMEX scan.
+    """
+    from .newton import newton_solve
+
+    sdt = 1.0 / float(dt)
+    dtype = hier.dtype
+    m3 = lumped_mass_np(mesh, P, bc_zero=True)
+    fvec = (np.zeros_like(m3) if f is None
+            else np.asarray(f, dtype=np.float64).reshape(-1))
+
+    def evolve(u0, nsteps):
+        u = np.asarray(u0, dtype=np.float64).reshape(-1)
+        iters = []
+        for n in range(int(nsteps)):
+            g = 1.0 if f_time is None else float(f_time(dt * (n + 1)))
+            b = sdt * m3 * u + g * fvec
+            u_j, info = newton_solve(hier, b, nonlin, rtol=rtol, u0=u,
+                                     lin_maxiter=lin_maxiter)
+            u = np.asarray(u_j, dtype=np.float64).reshape(-1)
+            iters.append(int(info["niter"]))
+        return u, iters
+
+    return evolve
+
+
 def convdiff_advective_dt(mesh, P, velocity):
     """Advective CFL estimate for the explicit (IMEX) advection term:
     ``dt_adv = 1 / sum_a |c_a| / gap_a`` with ``gap_a`` the smallest
