@@ -62,10 +62,9 @@ def main():
     shards = parse_shards(args.shards) if args.shards else None
     n_dev = int(np.prod(shards)) if shards is not None else None
     dtype = setup_jax(args, n_cpu_devices=n_dev if args.cpu else None)
-    if shards is not None and (args.mesh == "perturbed"
-                               or args.scheme != "newmark"):
-        raise SystemExit("--shards rides the distributed FDM Newmark "
-                         "step solve (box mesh, --scheme newmark)")
+    if shards is not None and args.mesh == "perturbed":
+        raise SystemExit("--shards rides the distributed FDM/transform "
+                         "step programs (box mesh)")
 
     import jax.numpy as jnp
 
@@ -183,6 +182,15 @@ def main():
                 evolve = wave_newmark_evolve(mesh, P, kappa=kappa, dt=dt,
                                              gamma=args.gamma, dtype=dtype,
                                              f=f_src, f_time=f_time)
+        elif shards is not None:
+            from pmg_dolfinx_tpu.parallel.transient_dist import (
+                wave_leapfrog_dist_evolve)
+
+            print(f"sharded time loop: shards {shards} "
+                  "(distributed forward transform apply per step)")
+            evolve = wave_leapfrog_dist_evolve(
+                mesh, P, shards, kappa=kappa, dt=dt, dtype=dtype,
+                f=f_src, f_time=f_time)
         else:
             evolve = wave_leapfrog_evolve(mesh, P, kappa=kappa, dt=dt,
                                           dtype=dtype, f=f_src,

@@ -221,6 +221,101 @@ def make_fdm_dist(mesh, Pdeg, part, axes_spec, lat_spec, kappa, dtype,
     return data, spec, solve
 
 
+def dist_layout(mesh, shards, devices=None):
+    """Resolve ``shards`` (int = x-slab, 3-tuple = device grid) to the
+    layout quadruple ``(part, jmesh, axes_spec, lat_spec)`` shared by
+    `DistFDM` and the forward-apply bundles."""
+    from jax.sharding import Mesh
+
+    if np.ndim(shards) == 0:
+        from .dist import AXIS, make_mesh
+        from .partition import SlabPartition
+
+        n = int(shards)
+        part = SlabPartition(mesh, n)
+        jmesh = make_mesh(n, devices=devices)
+        axes_spec = ((AXIS, n) if n > 1 else None, None, None)
+        lat_spec = P(AXIS)
+    else:
+        from .grid2d import AXES, GridPartition, _norm_shards
+
+        sh = _norm_shards(shards)
+        part = GridPartition(mesh, sh)
+        devices = (devices if devices is not None
+                   else jax.devices()[: int(np.prod(sh))])
+        jmesh = Mesh(np.array(devices).reshape(sh), AXES)
+        axes_spec = tuple(
+            (AXES[a], sh[a]) if sh[a] > 1 else None for a in range(3)
+        )
+        lat_spec = P(*AXES)
+    return part, jmesh, axes_spec, lat_spec
+
+
+def make_fdm_apply_dist(mesh, Pdeg, part, axes_spec, lat_spec, kappa,
+                        dtype, precision="highest", sigma=0.0):
+    """FORWARD operator bundle: ``A = (⊗ M V) diag(d) (⊗ V^T M)`` with
+    ``V^T M V = I`` — the same pencil-transpose machinery as the solve,
+    with mass-weighted eigenvector matrices and the NON-inverted
+    eigenvalue sums. Returns ``(data, spec, apply)`` where ``apply(fd,
+    x_local)`` IS `fdm_solve_dist` on the alternative data (identical
+    loop; the boundary-embedded zero rows/cols give the operator's
+    mask-in/identity-row convention via the same epilogue). Used by the
+    sharded explicit (leapfrog) wave stepping — the one distributed
+    transient path that needs a forward apply.
+    """
+    from ..fem.mesh import require_axis_aligned
+    from ..ops.kron import axis_stiffness_mass, robin_axis_ends
+
+    require_axis_aligned(mesh, "distributed FDM apply")
+    faces = getattr(mesh, "dirichlet_faces", ((True, True),) * 3)
+    kx, ky, kz = resolve_kappa_axes(mesh, kappa)
+    Ws, Wts, lams = [], [], []
+    for a, (nc_a, h_a, ends, k_a) in enumerate(
+            zip(mesh.nc, mesh.h_cells, faces, (kx, ky, kz))):
+        rob = robin_axis_ends(mesh, a, 1.0 / k_a)
+        V, lam = _axis_eig(nc_a, Pdeg, h_a, ends=ends, robin=rob)
+        _, m = axis_stiffness_mass(nc_a, Pdeg, h_a, robin=rob)
+        lo = 1 if ends[0] else 0
+        hi = -1 if ends[1] else None
+        mi = m[lo:hi]
+        Ws.append(mi[:, None] * V)
+        Wts.append(V.T * mi[None, :])
+        lams.append(lam)
+    le = []
+    for lam, ends in zip(lams, faces):
+        lo, hi = int(ends[0]), int(ends[1])
+        e = np.zeros(lam.shape[0] + lo + hi)  # embedded slots never mix in
+        e[lo:lo + lam.shape[0]] = lam
+        le.append(e)
+    d = (
+        kx * le[0][:, None, None]
+        + ky * le[1][None, :, None]
+        + kz * le[2][None, None, :]
+    ) + float(sigma)
+    bc = np.asarray(mesh.boundary_dof_marker(Pdeg), dtype=np.float64)
+    data = dict(
+        Vx=jnp.asarray(_embed_boundary(Ws[0], faces[0]), dtype=dtype),
+        Vy=jnp.asarray(_embed_boundary(Ws[1], faces[1]), dtype=dtype),
+        Vz=jnp.asarray(_embed_boundary(Ws[2], faces[2]), dtype=dtype),
+        Vxt=jnp.asarray(_embed_boundary(Wts[0], faces[0]), dtype=dtype),
+        Vyt=jnp.asarray(_embed_boundary(Wts[1], faces[1]), dtype=dtype),
+        Vzt=jnp.asarray(_embed_boundary(Wts[2], faces[2]), dtype=dtype),
+        dinv=jnp.asarray(part.to_dist(Pdeg, d), dtype=dtype),
+        bc=jnp.asarray(part.to_dist(Pdeg, bc)) > 0.5,
+    )
+    spec = dict(
+        Vx=P(), Vy=P(), Vz=P(), Vxt=P(), Vyt=P(), Vzt=P(),
+        dinv=lat_spec, bc=lat_spec,
+    )
+    apply_fn = partial(
+        fdm_solve_dist,
+        local_shape=tuple(part.local_shape(Pdeg)),
+        axes_spec=tuple(axes_spec),
+        precision=precision,
+    )
+    return data, spec, apply_fn
+
+
 class DistFDM:
     """Whole-problem distributed direct solver (constant / per-axis
     diagonal kappa, axis-aligned box).
@@ -233,34 +328,15 @@ class DistFDM:
 
     def __init__(self, mesh, Pdeg, shards, kappa=2.0, dtype=jnp.float32,
                  precision="highest", sigma=0.0, devices=None):
-        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import NamedSharding
 
         from .multihost import put_global
 
         self.mesh = mesh
         self.P = int(Pdeg)
         self.dtype = dtype
-        if np.ndim(shards) == 0:
-            from .dist import AXIS, make_mesh
-            from .partition import SlabPartition
-
-            self.part = SlabPartition(mesh, int(shards))
-            self.jmesh = make_mesh(int(shards), devices=devices)
-            axes_spec = ((AXIS, int(shards)) if int(shards) > 1 else None,
-                         None, None)
-            lat_spec = P(AXIS)
-        else:
-            from .grid2d import AXES, GridPartition, _norm_shards
-
-            sh = _norm_shards(shards)
-            self.part = GridPartition(mesh, sh)
-            devices = (devices if devices is not None
-                       else jax.devices()[: int(np.prod(sh))])
-            self.jmesh = Mesh(np.array(devices).reshape(sh), AXES)
-            axes_spec = tuple(
-                (AXES[a], sh[a]) if sh[a] > 1 else None for a in range(3)
-            )
-            lat_spec = P(*AXES)
+        self.part, self.jmesh, axes_spec, lat_spec = dist_layout(
+            mesh, shards, devices=devices)
         data, spec, solve = make_fdm_dist(
             mesh, self.P, self.part, axes_spec, lat_spec, kappa, dtype,
             precision=precision, sigma=sigma,
@@ -271,6 +347,7 @@ class DistFDM:
                 data, spec,
             )
         self._lat_spec = lat_spec
+        self._axes_spec = tuple(axes_spec)
         self._spec = spec
         self._solve_local = solve  # shard_map-resident hook (fd, b_local)
         self._solve = jax.jit(

@@ -109,6 +109,93 @@ def heat_dist_evolve(mesh, P, shards, kappa=1.0, dt=1e-2, scheme="cn",
     return evolve
 
 
+def wave_leapfrog_dist_evolve(mesh, P, shards, kappa=1.0, dt=1e-2,
+                              dtype=jnp.float64, precision="highest",
+                              f=None, f_time=None, devices=None):
+    """Sharded explicit leapfrog ``evolve(u0, v0, nsteps) -> (u_T,
+    v_T)``: one distributed FORWARD operator apply per step — the
+    mass-weighted eigen-transform form ``A = (⊗ M V) diag(d)
+    (⊗ V^T M)`` riding the same pencil transposes as the solve
+    (`parallel.fdm_dist.make_fdm_apply_dist`) — plus pointwise lumped
+    updates, scanned inside one shard_map program. Conditionally
+    stable: same ``wave_stable_dt`` bound as single-device (identical
+    spectrum). The transform apply equals the kron 3-matmul apply to
+    eigendecomposition roundoff, so trajectories match single device to
+    ~1e-12 (pinned at 1e-9 over the tested horizon).
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P_
+
+    from ..solvers.transient import source_scales
+    from .fdm_dist import dist_layout, make_fdm_apply_dist
+    from .multihost import fetch_global, put_global
+
+    part, jmesh, axes_spec, lat_spec = dist_layout(mesh, shards,
+                                                   devices=devices)
+    data, spec, apply_local = make_fdm_apply_dist(
+        mesh, P, part, axes_spec, lat_spec, kappa, dtype,
+        precision=precision)
+    with jmesh:
+        data = jax.tree.map(
+            lambda a, s: put_global(a, NamedSharding(jmesh, s)),
+            data, spec)
+
+    def to_d(u):
+        ud = part.to_dist(P, np.asarray(u, dtype=np.float64))
+        return put_global(np.asarray(ud, dtype=np.dtype(dtype)),
+                          NamedSharding(jmesh, lat_spec))
+
+    bc_np = np.asarray(mesh.boundary_dof_marker(P))
+    m3 = lumped_mass_np(mesh, P, bc_zero=True)
+    m3safe_d = to_d(np.where(bc_np, 1.0, m3))
+    fvec = (np.zeros_like(m3) if f is None
+            else np.asarray(f, dtype=np.float64).reshape(-1))
+    fd_vec = to_d(fvec)
+
+    def local_run(fd, msl, fl, u0l, v0l, g0, gT, scales):
+        bcl = fd["bc"]
+
+        def accel(u, g):
+            Au = apply_local(fd, u)  # where(bc, u, A u_masked)
+            return jnp.where(bcl, 0.0, (g * fl - Au) / msl)
+
+        def step(carry, g):
+            um1, u = carry
+            u1 = jnp.where(bcl, u,
+                           2.0 * u - um1 + (dt * dt) * accel(u, g))
+            return (u, u1), None
+
+        v0l = jnp.where(bcl, 0.0, v0l)
+        u1 = jnp.where(bcl, u0l,
+                       u0l + dt * v0l + (0.5 * dt * dt) * accel(u0l, g0))
+        (um1, uT), _ = jax.lax.scan(step, (u0l, u1), scales)
+        vT = (uT - um1) / dt + (0.5 * dt) * accel(uT, gT)
+        return uT, vT
+
+    @jax.jit
+    def run(dataw, msl, fl, u0w, v0w, g0, gT, scales):
+        return jax.shard_map(
+            local_run, mesh=jmesh,
+            in_specs=(spec, lat_spec, lat_spec, lat_spec, lat_spec,
+                      P_(), P_(), P_()),
+            out_specs=(lat_spec, lat_spec),
+        )(dataw, msl, fl, u0w, v0w, g0, gT, scales)
+
+    def evolve(u0, v0, nsteps):
+        g = jnp.asarray(
+            source_scales(f_time, dt, int(nsteps) - 1, "end"), dtype=dtype)
+        g0 = jnp.asarray(1.0 if f_time is None else float(f_time(0.0)),
+                         dtype=dtype)
+        gT = jnp.asarray(
+            1.0 if f_time is None else float(f_time(dt * int(nsteps))),
+            dtype=dtype)
+        uT, vT = run(data, m3safe_d, fd_vec, to_d(u0), to_d(v0), g0, gT, g)
+        return (part.from_dist(P, fetch_global(uT)).reshape(-1),
+                part.from_dist(P, fetch_global(vT)).reshape(-1))
+
+    return evolve
+
+
 def semilinear_dist_evolve(mesh, P, shards, nonlin, kappa=1.0, dt=1e-3,
                            scheme="cnab", sigma=0.0, dtype=jnp.float64,
                            precision="highest", f=None, f_time=None,
