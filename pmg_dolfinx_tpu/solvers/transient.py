@@ -160,6 +160,54 @@ def heat_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8, scheme="cn",
     return evolve
 
 
+def semilinear_packed_evolve(mesh, P, nonlin, kappa=1.0, dt=1e-3, B=8,
+                             scheme="cnab", sigma=0.0, interpret=False):
+    """Serving-mode batched semilinear stepping: ``evolve(U0[(B,
+    ndofs)], nsteps) -> U_T`` through the LANE-PACKED kernels (f32,
+    NZ <= 64) — pack the batch once, scan packed FDM solves with the
+    pointwise collocated reaction evaluated IN the packed layout (the
+    reaction term carries the packed ``m3`` factor, so padding lanes
+    stay exactly zero for any ``N``), unpack at the end. Same IMEX
+    schemes/identities as `semilinear_fdm_evolve`; homogeneous
+    Dirichlet data."""
+    if scheme not in ("be", "cnab"):
+        raise ValueError(f"scheme must be 'be' or 'cnab', got {scheme!r}")
+    from ..ops.pallas_kron_packed import PackedFDMBatch
+
+    sdt = 1.0 / float(dt)
+    shift = (float(sigma) + sdt if scheme == "be"
+             else 0.5 * float(sigma) + sdt)
+    kap_op = _half_kappa(kappa) if scheme == "cnab" else kappa
+    fdm = PackedFDMBatch(mesh, P, kappa=kap_op, B=B, sigma=shift,
+                         interpret=interpret)
+    m3 = np.asarray(lumped_mass_np(mesh, P, bc_zero=True), np.float32)
+    m3p = fdm.pack(jnp.broadcast_to(jnp.asarray(m3), (B, m3.size)))
+
+    if scheme == "be":
+        def step(Pu, _):
+            rhs = sdt * m3p * Pu - m3p * nonlin.N(Pu)
+            return fdm.solve_packed(rhs), None
+    else:
+        def step(carry, _):
+            Pu, N_m1 = carry
+            N_n = nonlin.N(Pu)
+            rhs = (2.0 * sdt * m3p * Pu
+                   - m3p * (1.5 * N_n - 0.5 * N_m1))
+            return (fdm.solve_packed(rhs) - Pu, N_n), None
+
+    @partial(jax.jit, static_argnames="nsteps")
+    def evolve(U0, nsteps):
+        Pu = fdm.pack(jnp.asarray(U0, jnp.float32))
+        if scheme == "be":
+            PT, _ = jax.lax.scan(step, Pu, length=nsteps)
+        else:
+            (PT, _), _ = jax.lax.scan(step, (Pu, nonlin.N(Pu)),
+                                      length=nsteps)
+        return fdm.unpack(PT).reshape(B, -1)
+
+    return evolve
+
+
 def wave_newmark_evolve(mesh, P, kappa=1.0, dt=1e-2, beta=0.25,
                         gamma=0.5, dtype=jnp.float64,
                         precision="highest", f=None, f_time=None):
