@@ -125,31 +125,29 @@ def heat_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8, scheme="cn",
     """Jitted ``evolve(U0[(B, ndofs)], nsteps) -> U_T`` stepping the
     whole batch through the LANE-PACKED serving kernels
     (ops/pallas_kron_packed.py, f32, NZ <= 64): the batch is packed
-    into the 128-lane tiles ONCE, every step is one packed FDM direct
-    solve (+ one packed shifted apply for CN) on the packed layout, and
-    the result unpacks at the end — the serving analogue of the
+    into the 128-lane tiles ONCE, every step is ONE packed FDM direct
+    solve on the packed layout (CN's explicit apply cancels against the
+    exact inverse: ``u1 = A^{-1}(2 sigma M u) - u``, the same identity
+    as the distributed evolvers — it halves the CN step's kernel work),
+    and the result unpacks at the end — the serving analogue of the
     3D-native-lattice rule applied in time. Homogeneous Dirichlet data
     (the packed rows pass zeros through).
     """
     if scheme not in ("be", "cn"):
         raise ValueError(f"scheme must be 'be' or 'cn', got {scheme!r}")
-    from ..ops.pallas_kron_packed import PackedFDMBatch, PackedKronBatch
+    from ..ops.pallas_kron_packed import PackedFDMBatch
 
     sigma = 1.0 / float(dt)
     kap_op = _half_kappa(kappa) if scheme == "cn" else kappa
     fdm = PackedFDMBatch(mesh, P, kappa=kap_op, B=B, sigma=sigma,
                          interpret=interpret)
-    op = (PackedKronBatch(mesh, P, kappa=kap_op, B=B, sigma=sigma,
-                          interpret=interpret) if scheme == "cn" else None)
     m3 = np.asarray(lumped_mass_np(mesh, P, bc_zero=True), np.float32)
     m3p = fdm.pack(jnp.broadcast_to(jnp.asarray(m3), (B, m3.size)))
 
     def step(Pu, _):
         if scheme == "be":
-            rhs = sigma * m3p * Pu
-        else:
-            rhs = 2.0 * sigma * m3p * Pu - op.apply_packed(Pu)
-        return fdm.solve_packed(rhs), None
+            return fdm.solve_packed(sigma * m3p * Pu), None
+        return fdm.solve_packed(2.0 * sigma * m3p * Pu) - Pu, None
 
     @partial(jax.jit, static_argnames="nsteps")
     def evolve(U0, nsteps):
