@@ -280,6 +280,81 @@ def wave_newmark_evolve(mesh, P, kappa=1.0, dt=1e-2, beta=0.25,
     return evolve
 
 
+def wave_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8,
+                       scheme="newmark", beta=0.25, gamma=0.5,
+                       interpret=False):
+    """Serving-mode batched wave stepping ``evolve(U0, V0[(B, ndofs)],
+    nsteps) -> (U_T, V_T)`` through the lane-packed kernels (f32,
+    NZ <= 64, homogeneous Dirichlet):
+
+    - ``'newmark'``: one packed FDM solve per step (sigma = 1/(beta
+      dt^2)); the initial acceleration is one packed shifted apply.
+    - ``'leapfrog'``: one packed kron apply per step (no solve);
+      conditionally stable — same `wave_stable_dt` bound.
+
+    Padding lanes and Dirichlet rows are kept exactly zero by the
+    packed interior mask (the packed ``m3`` is zero there).
+    """
+    if scheme not in ("newmark", "leapfrog"):
+        raise ValueError(
+            f"scheme must be 'newmark' or 'leapfrog', got {scheme!r}")
+    from ..ops.pallas_kron_packed import PackedFDMBatch, PackedKronBatch
+
+    op0 = PackedKronBatch(mesh, P, kappa=kappa, B=B, interpret=interpret)
+    m3 = np.asarray(lumped_mass_np(mesh, P, bc_zero=True), np.float32)
+    bc = np.asarray(mesh.boundary_dof_marker(P))
+    m3p = op0.pack(jnp.broadcast_to(jnp.asarray(m3), (B, m3.size)))
+    mask = op0.pack(jnp.broadcast_to(
+        jnp.asarray((~bc).astype(np.float32)), (B, m3.size)))
+    m3div = jnp.where(m3p > 0, m3p, 1.0)
+
+    def accel(Pu):
+        return mask * (-op0.apply_packed(Pu)) / m3div
+
+    if scheme == "newmark":
+        if not (beta > 0.0 and gamma >= 0.5):
+            raise ValueError(
+                f"need beta > 0, gamma >= 1/2, got {beta}, {gamma}")
+        c0 = 1.0 / (beta * dt * dt)
+        fdm = PackedFDMBatch(mesh, P, kappa=kappa, B=B, sigma=c0,
+                             interpret=interpret)
+
+        def step(carry, _):
+            u, v, a = carry
+            ustar = u + dt * v + ((0.5 - beta) * dt * dt) * a
+            u1 = fdm.solve_packed(c0 * m3p * ustar)
+            a1 = mask * c0 * (u1 - ustar)
+            v1 = v + dt * ((1.0 - gamma) * a + gamma * a1)
+            return (u1, v1, a1), None
+
+        @partial(jax.jit, static_argnames="nsteps")
+        def evolve(U0, V0, nsteps):
+            Pu = op0.pack(jnp.asarray(U0, jnp.float32))
+            Pv = mask * op0.pack(jnp.asarray(V0, jnp.float32))
+            (uT, vT, _), _ = jax.lax.scan(step, (Pu, Pv, accel(Pu)),
+                                          length=nsteps)
+            return (op0.unpack(uT).reshape(B, -1),
+                    op0.unpack(vT).reshape(B, -1))
+    else:
+        def step(carry, _):
+            um1, u = carry
+            u1 = 2.0 * u - um1 + (dt * dt) * accel(u)
+            return (u, u1), None
+
+        @partial(jax.jit, static_argnames="nsteps")
+        def evolve(U0, V0, nsteps):
+            Pu = op0.pack(jnp.asarray(U0, jnp.float32))
+            Pv = mask * op0.pack(jnp.asarray(V0, jnp.float32))
+            u1 = Pu + dt * Pv + (0.5 * dt * dt) * accel(Pu)
+            (um1, uT), _ = jax.lax.scan(step, (Pu, u1),
+                                        length=nsteps - 1)
+            vT = (uT - um1) / dt + (0.5 * dt) * accel(uT)
+            return (op0.unpack(uT).reshape(B, -1),
+                    op0.unpack(vT).reshape(B, -1))
+
+    return evolve
+
+
 def wave_stable_dt(mesh, P, kappa=1.0):
     """Exact explicit-scheme (leapfrog) stability bound
     ``dt_max = 2 / sqrt(lambda_max(M^{-1} K))`` — the extreme

@@ -211,3 +211,41 @@ def test_mixed_faces_energy():
     for n in (1, 25, 50):
         E = energy(*evolve(u0, v0, n))
         assert abs(E - E0) < 1e-11 * E0, (n, E, E0)
+
+
+@pytest.mark.parametrize("scheme", ["newmark", "leapfrog"])
+def test_packed_wave_matches_per_rhs(scheme):
+    """Lane-packed batched wave stepping (solvers/transient.py
+    wave_packed_evolve) == the per-RHS scanned trajectories to f32
+    precision for every column (homogeneous Dirichlet)."""
+    import jax.numpy as jnp
+
+    from pmg_dolfinx_tpu.solvers.transient import (
+        wave_leapfrog_evolve, wave_packed_evolve)
+
+    mesh = BoxMesh((6, 6, 6))
+    P, dt, nsteps, B = 3, 5e-4, 5, 3
+    rng = np.random.default_rng(4)
+    U0 = rng.standard_normal((B, mesh.num_dofs(P))).astype(np.float32)
+    V0 = rng.standard_normal((B, mesh.num_dofs(P))).astype(np.float32)
+    bc = np.asarray(mesh.boundary_dof_marker(P))
+    U0[:, bc] = 0.0
+    ev1 = (wave_newmark_evolve if scheme == "newmark"
+           else wave_leapfrog_evolve)(mesh, P, kappa=KAPPA, dt=dt,
+                                      dtype=jnp.float32)
+    refs = [tuple(np.asarray(a).reshape(-1)
+                  for a in ev1(U0[k], V0[k], nsteps)) for k in range(B)]
+    uref = np.stack([r[0] for r in refs])
+    vref = np.stack([r[1] for r in refs])
+    UT, VT = wave_packed_evolve(mesh, P, kappa=KAPPA, dt=dt, B=B,
+                                scheme=scheme)(U0, V0, nsteps)
+    assert np.linalg.norm(np.asarray(UT) - uref) < \
+        2e-5 * np.linalg.norm(uref)
+    # Newmark's a1 = c0 (u1 - u*) amplifies f32 cancellation noise by
+    # c0 = 1/(beta dt^2) ~ 1e7, and the packed/per-RHS kernels round
+    # differently — the velocity agreement floor is ~1e-3 rel there
+    # (the displacement stays at f32 precision). Leapfrog has no such
+    # amplification.
+    vtol = 2e-3 if scheme == "newmark" else 2e-5
+    assert np.linalg.norm(np.asarray(VT) - vref) < \
+        vtol * np.linalg.norm(vref)
