@@ -86,6 +86,16 @@ def test_cg_driver_runs_chebyshev_demo():
     assert "ZZZ CG" in out and "Chebyshev" in out
 
 
+def test_nonlinear_transient_driver_steady_state():
+    """IMEX semilinear stepping drives the manufactured source to its
+    steady state; the printed L2 error pins the scanned FDM+reaction
+    stepping end-to-end."""
+    out = run("nonlinear.py", "--transient", "--ndofs", "8000",
+              "--steps", "120", "--dt", "5e-3")
+    d = json.loads(out.strip().splitlines()[-1])
+    assert d["l2_error"] < 1e-3
+
+
 def test_heat_driver_sharded_decay():
     """--shards 2,2,1: the scanned time loop runs as one shard_map
     program with a distributed FDM solve per step; printed L2 error
