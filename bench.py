@@ -24,7 +24,17 @@ repeatedly; the reported value is the median, and sampling widens until
 the inner-quartile spread is below SPREAD_TARGET (or the attempt cap is
 hit, in which case the spread is reported honestly in the JSON line).
 
-Prints exactly ONE JSON line.
+Artifact contract (round-4 hardening; the r3 artifact was lost to an
+external timeout, rc=124 with zero output): the headline JSON line is
+emitted IMMEDIATELY after the first measurement, and the line is
+RE-EMITTED with the enriched extras after every completed extra — the
+driver records the LAST valid JSON line, so an external kill at any
+point still captures everything measured up to it. Extras are also
+time-boxed by BENCH_TIME_BUDGET_S (wall clock since process start,
+default 2400 s — comfortably under any plausible driver budget): an
+extra whose estimated cost does not fit the remaining budget is skipped
+with an explicit "skipped_budget" marker instead of running the whole
+bench into an rc=124 timeout.
 """
 
 import os
@@ -46,6 +56,12 @@ import jax.numpy as jnp
 # line with value 0.0 + an "error" field instead of wedging.
 PROBE_DEADLINE_S = float(os.environ.get("BENCH_PROBE_DEADLINE_S", 1800))
 WALL_DEADLINE_S = float(os.environ.get("BENCH_WALL_DEADLINE_S", 7200))
+# Extras time budget (seconds of wall clock since process start). Extras
+# whose estimated cost exceeds the remaining budget are skipped with a
+# "skipped_budget" marker so the process exits 0 well before the
+# driver's external timeout (round-3 postmortem: rc=124, no artifact).
+TIME_BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", 2400))
+_T_START = time.time()
 
 _PROBE_SRC = (
     "import jax, jax.numpy as jnp\n"
@@ -278,12 +294,18 @@ def main():
 
     # Mid-run hang guard: the worker can die between the probe and the
     # last extra (remote compiles alone vary 2-5x between sessions).
-    # The watchdog emits the partial extras and hard-exits.
+    # The watchdog emits the best line available (the measured headline
+    # if it exists, else the 0.0 fallback) and hard-exits.
+    holder = {}
+
     def _watchdog():
-        _emit(_fallback(extra, (
-            f"watchdog: wall deadline {int(WALL_DEADLINE_S)}s exceeded "
-            "(worker hang mid-bench); extras collected so far included"
-        )))
+        msg = (f"watchdog: wall deadline {int(WALL_DEADLINE_S)}s exceeded "
+               "(worker hang mid-bench); extras collected so far included")
+        if "result" in holder:
+            holder["result"]["extra"]["watchdog"] = msg
+            _emit(holder["result"])
+        else:
+            _emit(_fallback(extra, msg))
         os._exit(0)
 
     wd = threading.Timer(WALL_DEADLINE_S, _watchdog)
@@ -307,14 +329,39 @@ def main():
         per_kernel_2M={k: round(v[0], 2) for k, v in det_s.items()},
     )
 
-    def guarded(label, fn):
+    # The headline line goes out the moment it exists — an external kill
+    # during ANY extra still leaves a parseable artifact (the driver
+    # records the last valid JSON line, so later re-emissions win).
+    result = {
+        "metric": "matfree_laplacian_apply_p6_f32_kron",
+        "value": round(gdofs_s, 3),
+        "unit": "GDOF/s",
+        "vs_baseline": round(gdofs_s / 1.0, 3),
+        "spread": round(spread_s, 3),
+        "extra": extra,
+    }
+    holder["result"] = result
+    _emit(result)
+
+    def guarded(label, est_s, fn):
+        """Run one extra: skip (with a marker) if its estimated cost
+        does not fit the remaining time budget, record exceptions
+        without aborting, and re-emit the enriched line on success."""
         import traceback
 
+        elapsed = time.time() - _T_START
+        if elapsed + est_s > TIME_BUDGET_S:
+            extra[label] = "skipped_budget"
+            print(f"bench: skipping {label} (elapsed {int(elapsed)}s + "
+                  f"est {int(est_s)}s > budget {int(TIME_BUDGET_S)}s)",
+                  file=sys.stderr, flush=True)
+            return
         try:
             fn()
         except Exception as e:  # noqa: BLE001 — record, keep benching
             extra[label + "_error"] = f"{type(e).__name__}: {e}"[:200]
             traceback.print_exc(file=sys.stderr)
+        _emit(result)
 
     def bench_16m():
         # 16.2M dofs: ~1.2 ms/apply, fewer reps needed.
@@ -369,26 +416,22 @@ def main():
             "fdm_b8_solve_ms_per_rhs": res["fdm_b8"]["solve_ms_per_rhs"],
         }
 
-    # Cheapest-compile extras first: a mid-run worker outage still
-    # leaves the most numbers on the table.
-    guarded("fdm_solve_2M", bench_fdm)
-    guarded("packed_227k", bench_packed)
-    guarded("lattice_blocked_2M", bench_lat)
-    guarded("16M", bench_16m)
-    guarded("30M", bench_30m)
-    guarded("vcycle_16M", bench_vcycle)
-    guarded("vcycle_16M_schwarz", bench_vcycle_schwarz)
+    # Priority order = value of the number to the round artifact, after
+    # one cheap warmup-size extra. Estimated costs are conservative
+    # remote-compile+measure figures (CLAUDE.md: remote compiles vary
+    # 2-5x between sessions); the budget gate turns a would-be external
+    # timeout into explicit skip markers. The expensive tail extras
+    # (schwarz V-cycle, lattice_blocked) rotate across rounds rather
+    # than running every time.
+    guarded("fdm_solve_2M", 120, bench_fdm)
+    guarded("16M", 420, bench_16m)
+    guarded("30M", 420, bench_30m)
+    guarded("vcycle_16M", 540, bench_vcycle)
+    guarded("packed_227k", 300, bench_packed)
+    guarded("lattice_blocked_2M", 240, bench_lat)
+    guarded("vcycle_16M_schwarz", 540, bench_vcycle_schwarz)
     wd.cancel()
-    _emit(
-        {
-            "metric": "matfree_laplacian_apply_p6_f32_kron",
-            "value": round(gdofs_s, 3),
-            "unit": "GDOF/s",
-            "vs_baseline": round(gdofs_s / 1.0, 3),
-            "spread": round(spread_s, 3),
-            "extra": extra,
-        }
-    )
+    _emit(result)
 
 
 if __name__ == "__main__":

@@ -1,10 +1,14 @@
 """Bench-harness regression tests (CPU; no TPU required).
 
 The driver runs `bench.py` once per round on the real chip and records
-its single JSON line; a crash in any sub-bench used to wipe the whole
-artifact. These tests pin the guarded-main contract: the headline
-number always prints, failed extras degrade to `_error` strings, and
-successful extras land under their documented keys.
+the LAST valid JSON line it prints; round 3's artifact was lost to an
+external timeout because the old harness only printed at the very end.
+These tests pin the round-4 contract: the headline line is emitted
+IMMEDIATELY after the first measurement, re-emitted (enriched) after
+every completed extra so an external kill at any point still leaves a
+parseable artifact, failed extras degrade to `_error` strings, and
+extras that do not fit BENCH_TIME_BUDGET_S are skipped with explicit
+"skipped_budget" markers instead of running into the driver's timeout.
 """
 
 import contextlib
@@ -42,8 +46,14 @@ def test_guarded_main_survives_subbench_failures(monkeypatch):
     with contextlib.redirect_stdout(buf):
         bench.main()
     lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
-    assert len(lines) == 1, "bench must print exactly ONE JSON line"
-    d = json.loads(lines[0])
+    # Incremental emission: every line is valid JSON with the headline
+    # value (an external kill after any of them leaves a good artifact),
+    # and the first goes out BEFORE any extra lands.
+    assert len(lines) >= 2
+    for ln in lines:
+        assert json.loads(ln)["value"] == 26.8
+    assert "fdm_solve_2M_ms" not in json.loads(lines[0])["extra"]
+    d = json.loads(lines[-1])
     assert d["metric"] == "matfree_laplacian_apply_p6_f32_kron"
     assert d["value"] == 26.8 and d["unit"] == "GDOF/s"
     # Failed extras degrade to error strings, successful ones land.
@@ -57,6 +67,35 @@ def test_guarded_main_survives_subbench_failures(monkeypatch):
         "apply_b8_high_gdofs_per_rhs": 24.0,
         "fdm_b8_solve_ms_per_rhs": 0.03,
     }
+
+
+def test_main_skips_extras_when_budget_exhausted(monkeypatch):
+    """With a zero time budget every extra is skipped with an explicit
+    'skipped_budget' marker (no measurement attempted), the headline
+    still prints, and the process returns normally — the r3 rc=124
+    regression guard."""
+    import bench
+
+    def fake_size(nc, lo, hi):
+        assert nc == 21, "no budget: only the headline may measure"
+        return 2048383, 26.8, 0.03, "pallas_blocked", {
+            "pallas_blocked": (26.8, 0.03),
+        }
+
+    monkeypatch.setattr(bench, "_bench_size", fake_size)
+    monkeypatch.setattr(bench, "_tpu_alive", lambda timeout=240: True)
+    monkeypatch.setattr(bench, "TIME_BUDGET_S", 0.0)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.main()
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    d = json.loads(lines[-1])
+    assert d["value"] == 26.8
+    for label in ("fdm_solve_2M", "16M", "30M", "vcycle_16M",
+                  "packed_227k", "lattice_blocked_2M",
+                  "vcycle_16M_schwarz"):
+        assert d["extra"][label] == "skipped_budget"
 
 
 def test_main_emits_error_line_when_worker_down(monkeypatch):
