@@ -96,6 +96,14 @@ def main():
         from pmg_dolfinx_tpu.solvers.transient import (
             convdiff_advective_dt, convdiff_fdm_evolve)
 
+        kap = args.kappa
+        if args.stabilize:
+            # Same constant-diagonal-tensor mechanism as the steady
+            # branch: the stabilized kappa rides the FDM step solver.
+            kap, _ = sd_stabilized_kappa(mesh, P, cvel, args.kappa,
+                                         h_eff=args.stabilize)
+            print(f"SD stabilization ({args.stabilize}): kappa_eff "
+                  f"{tuple(round(float(k), 6) for k in kap)}")
         dt_adv = convdiff_advective_dt(mesh, P, cvel)
         dt = args.dt if args.dt > 0 else 0.25 * dt_adv
         if dt >= dt_adv:
@@ -109,12 +117,14 @@ def main():
 
                 print(f"sharded IMEX loop: shards {shards}")
                 evolve = convdiff_dist_evolve(
-                    mesh, P, shards, cvel, kappa=args.kappa, dt=dt,
-                    scheme=args.scheme, dtype=dtype, f=b)
+                    mesh, P, shards, cvel, kappa=kap, dt=dt,
+                    scheme=args.scheme, sigma=args.sigma, dtype=dtype,
+                    f=b)
             else:
                 evolve = convdiff_fdm_evolve(
-                    mesh, P, cvel, kappa=args.kappa, dt=dt,
-                    scheme=args.scheme, dtype=dtype, f=b)
+                    mesh, P, cvel, kappa=kap, dt=dt,
+                    scheme=args.scheme, sigma=args.sigma, dtype=dtype,
+                    f=b)
         u0 = np.zeros(mesh.num_dofs(P))
         # Warm with the FULL step count: nsteps is a trace-time constant
         # of the scanned program (same rule as examples/heat.py).

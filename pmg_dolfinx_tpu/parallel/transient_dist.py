@@ -182,6 +182,10 @@ def wave_leapfrog_dist_evolve(mesh, P, shards, kappa=1.0, dt=1e-2,
         )(dataw, msl, fl, u0w, v0w, g0, gT, scales)
 
     def evolve(u0, v0, nsteps):
+        if int(nsteps) < 1:
+            raise ValueError(
+                f"leapfrog needs nsteps >= 1 (the Taylor start IS the "
+                f"first step), got {nsteps}")
         g = jnp.asarray(
             source_scales(f_time, dt, int(nsteps) - 1, "end"), dtype=dtype)
         g0 = jnp.asarray(1.0 if f_time is None else float(f_time(0.0)),
@@ -263,7 +267,7 @@ def semilinear_dist_evolve(mesh, P, shards, nonlin, kappa=1.0, dt=1e-3,
 
 
 def convdiff_dist_evolve(mesh, P, shards, velocity, kappa=1.0, dt=1e-3,
-                         scheme="cnab", dtype=jnp.float64,
+                         scheme="cnab", sigma=0.0, dtype=jnp.float64,
                          precision="highest", f=None, f_time=None,
                          devices=None):
     """Sharded IMEX convection-diffusion ``evolve(u0, nsteps) -> u_T``
@@ -279,6 +283,8 @@ def convdiff_dist_evolve(mesh, P, shards, velocity, kappa=1.0, dt=1e-3,
     along that axis only. CNAB's explicit diffusion term uses the same
     exact-inverse identity as the CN heat path, so the only operator
     evaluations per step are the 3 advection matmuls + the FDM solve.
+    A linear reaction ``sigma u`` folds into the implicit shift (BE:
+    sigma + 1/dt, CN: sigma/2 + 1/dt), matching `convdiff_fdm_evolve`.
     """
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P_
@@ -295,9 +301,11 @@ def convdiff_dist_evolve(mesh, P, shards, velocity, kappa=1.0, dt=1e-3,
     cvel = np.asarray(velocity, dtype=np.float64)
     if cvel.shape != (3,):
         raise ValueError(f"velocity must be a 3-vector, got {cvel.shape}")
-    sigma = 1.0 / float(dt)
+    sdt = 1.0 / float(dt)
     kap_op = _half_kappa(kappa) if scheme == "cnab" else kappa
-    dfdm, _, m3d, fd_vec = _dist_bundle(mesh, P, shards, kap_op, sigma,
+    shift = (0.5 * float(sigma) + sdt if scheme == "cnab"
+             else float(sigma) + sdt)
+    dfdm, _, m3d, fd_vec = _dist_bundle(mesh, P, shards, kap_op, shift,
                                         dtype, precision, devices, f)
     solve_local, spec, lat = dfdm._solve_local, dfdm._spec, dfdm._lat_spec
     sh3 = ((int(shards), 1, 1) if np.ndim(shards) == 0
@@ -337,7 +345,7 @@ def convdiff_dist_evolve(mesh, P, shards, velocity, kappa=1.0, dt=1e-3,
         if scheme == "be":
             def step(u, g):
                 rhs = jnp.where(bcl, u,
-                                sigma * m3l * u - adv(u) + g * fl)
+                                sdt * m3l * u - adv(u) + g * fl)
                 return solve_local(fd, rhs), None
 
             uT, _ = jax.lax.scan(step, u0l, scales)
@@ -348,7 +356,7 @@ def convdiff_dist_evolve(mesh, P, shards, velocity, kappa=1.0, dt=1e-3,
                 u, adv_m1 = carry
                 adv_n = adv(u)
                 S = g * fl - (1.5 * adv_n - 0.5 * adv_m1)
-                rhs = jnp.where(bcl, 2.0 * u, 2.0 * sigma * m3l * u + S)
+                rhs = jnp.where(bcl, 2.0 * u, 2.0 * sdt * m3l * u + S)
                 return (solve_local(fd, rhs) - u, adv_n), None
 
             (uT, _), _ = jax.lax.scan(step, (u0l, adv(u0l)), scales)

@@ -412,6 +412,10 @@ def wave_leapfrog_evolve(mesh, P, kappa=1.0, dt=1e-2, dtype=jnp.float64,
         # In-scan steps use t_n for n = 1..nsteps-1 ('end' over
         # nsteps-1 entries); the start uses g(0), the final velocity
         # reconstruction g(T).
+        if int(nsteps) < 1:
+            raise ValueError(
+                f"leapfrog needs nsteps >= 1 (the Taylor start IS the "
+                f"first step), got {nsteps}")
         g = jnp.asarray(
             source_scales(f_time, dt, int(nsteps) - 1, "end"), dtype=dtype)
         g0 = 1.0 if f_time is None else float(f_time(0.0))
@@ -472,12 +476,15 @@ def wave_pcg_evolve(hier, mesh, P, dt, beta=0.25, gamma=0.5, rtol=1e-9,
 
 
 def convdiff_fdm_evolve(mesh, P, velocity, kappa=1.0, dt=1e-3,
-                        scheme="cnab", dtype=jnp.float64,
+                        scheme="cnab", sigma=0.0, dtype=jnp.float64,
                         precision="highest", f=None, f_time=None):
     """Jitted ``evolve(u0, nsteps) -> u_T`` for the TRANSIENT
-    convection-diffusion equation ``u_t - div(kappa grad u)
-    + c . grad u = f`` on the kron family (axis-aligned boxes, graded
-    spacing and mixed Dirichlet/Neumann faces included).
+    convection-diffusion(-reaction) equation ``u_t - div(kappa grad u)
+    + sigma u + c . grad u = f`` on the kron family (axis-aligned
+    boxes, graded spacing and mixed Dirichlet/Neumann faces included).
+    The linear reaction ``sigma u`` is folded into the IMPLICIT
+    operator shift exactly like `semilinear_fdm_evolve`'s linear part
+    (BE: sigma + 1/dt; CN: sigma/2 + 1/dt) — no extra work per step.
 
     IMEX splitting: diffusion IMPLICIT (the left operator is the
     framework's shifted form ``K + M/dt`` -> ONE exact FDM direct solve
@@ -512,7 +519,7 @@ def convdiff_fdm_evolve(mesh, P, velocity, kappa=1.0, dt=1e-3,
     from ..ops.kron import (KronLaplacian, axis_advection,
                             axis_stiffness_mass, kron_advection_terms)
 
-    sigma = 1.0 / float(dt)
+    sdt = 1.0 / float(dt)
     shape = mesh.lattice_shape(P)
     bc = jnp.asarray(np.asarray(mesh.boundary_dof_marker(P)).reshape(shape))
     m3 = jnp.asarray(lumped_mass_np(mesh, P, bc_zero=True),
@@ -536,11 +543,12 @@ def convdiff_fdm_evolve(mesh, P, velocity, kappa=1.0, dt=1e-3,
 
     if scheme == "be":
         solver = FastDiagonalizationSolver(mesh, P, kappa=kappa,
-                                           dtype=dtype, sigma=sigma,
+                                           dtype=dtype,
+                                           sigma=float(sigma) + sdt,
                                            precision=precision)
 
         def step(u, g):
-            rhs = jnp.where(bc, u, sigma * m3 * u - adv(u) + g * fvec)
+            rhs = jnp.where(bc, u, sdt * m3 * u - adv(u) + g * fvec)
             return solver.solve(rhs), None
 
         @jax.jit
@@ -553,22 +561,23 @@ def convdiff_fdm_evolve(mesh, P, velocity, kappa=1.0, dt=1e-3,
                             dtype=dtype)
             return _run(jnp.asarray(u0, dtype=dtype).reshape(shape), g)
     else:
-        # CNAB: (M/dt + K/2) u^{n+1}
-        #   = (M/dt - K/2) u^n - (3/2 C u^n - 1/2 C u^{n-1}) + f,
-        # the right diffusion term evaluated as 2(M/dt)u - (K/2 + M/dt)u
+        # CNAB with L = K + sigma M: (M/dt + L/2) u^{n+1}
+        #   = (M/dt - L/2) u^n - (3/2 C u^n - 1/2 C u^{n-1}) + f,
+        # the right diffusion term evaluated as 2(M/dt)u - (L/2 + M/dt)u
         # (one shifted kron apply, exactly the heat-CN mechanism).
         kap_half = _half_kappa(kappa)
+        shift_half = 0.5 * float(sigma) + sdt
         solver = FastDiagonalizationSolver(mesh, P, kappa=kap_half,
-                                           dtype=dtype, sigma=sigma,
+                                           dtype=dtype, sigma=shift_half,
                                            precision=precision)
         op = KronLaplacian(mesh, P, kappa=kap_half, dtype=dtype,
-                           precision=precision, sigma=sigma)
+                           precision=precision, sigma=shift_half)
 
         def step(carry, g):
             u, adv_m1 = carry
             Au = op(u.reshape(-1)).reshape(shape)
             adv_n = adv(u)
-            rhs = (2.0 * sigma * m3 * u - Au
+            rhs = (2.0 * sdt * m3 * u - Au
                    - (1.5 * adv_n - 0.5 * adv_m1) + g * fvec)
             u1 = solver.solve(jnp.where(bc, u, rhs))
             return (u1, adv_n), None
@@ -719,9 +728,15 @@ def convdiff_advective_dt(mesh, P, velocity):
 
 
 def _half_kappa(kappa):
-    """kappa/2 for scalar / per-axis / diagonal-tensor coefficients."""
+    """kappa/2 for scalar / per-axis / diagonal-tensor coefficients.
+    Per-axis 3-tuples stay tuples: `resolve_kappa_axes` recognizes the
+    per-axis form by tuple-ness (a (3,) ndarray would be misread as a
+    per-cell field)."""
     if np.isscalar(kappa):
         return 0.5 * float(kappa)
+    if (isinstance(kappa, (tuple, list)) and len(kappa) == 3
+            and all(np.ndim(k) == 0 for k in kappa)):
+        return tuple(0.5 * float(k) for k in kappa)
     k = np.asarray(kappa, dtype=np.float64)
     return 0.5 * k
 

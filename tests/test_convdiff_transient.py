@@ -42,25 +42,27 @@ def _adv_masked(mesh, P):
     return (z @ adv @ z).tocsr()
 
 
-def _dense_twin_evolve(mesh, P, kappa, dt, scheme, u0, nsteps):
-    """scipy twin of convdiff_fdm_evolve: same IMEX formulas, sparse
-    direct solves."""
-    sigma = 1.0 / dt
+def _dense_twin_evolve(mesh, P, kappa, dt, scheme, u0, nsteps, sigma=0.0):
+    """scipy twin of convdiff_fdm_evolve: same IMEX formulas (linear
+    reaction ``sigma u`` folded into the implicit shift), sparse direct
+    solves."""
+    sdt = 1.0 / dt
     bc = np.asarray(mesh.boundary_dof_marker(P))
     m0 = lumped_mass_np(mesh, P, bc_zero=True)
     C = _adv_masked(mesh, P)
     kap_op = 0.5 * kappa if scheme == "cnab" else kappa
+    shift = 0.5 * sigma + sdt if scheme == "cnab" else sigma + sdt
     A = (assemble_stiffness(mesh, P, kappa=kap_op, bc=True).tocsr()
-         + sigma * sp.diags(m0)).tocsc()
+         + shift * sp.diags(m0)).tocsc()
     lu = spla.splu(A)
     u = np.asarray(u0, dtype=np.float64).copy()
     adv_m1 = C @ u
     for n in range(nsteps):
         adv_n = C @ u
         if scheme == "be":
-            rhs = sigma * m0 * u - adv_n
+            rhs = sdt * m0 * u - adv_n
         else:
-            rhs = (2.0 * sigma * m0 * u - A @ u
+            rhs = (2.0 * sdt * m0 * u - A @ u
                    - (1.5 * adv_n - 0.5 * adv_m1))
         rhs[bc] = u[bc]
         u = lu.solve(rhs)
@@ -144,6 +146,57 @@ def test_be_steady_state_matches_convdiff_solve():
     uT = np.asarray(evolve(np.zeros(mesh.num_dofs(P)), nsteps)).reshape(-1)
     hier = PMGHierarchy(mesh, degrees=(1, 3), kappa=KAPPA, coarse="fdm",
                         operator="kron")
+    u_star, info = convdiff_solve(hier, b, CVEL, rtol=1e-12)
+    assert np.linalg.norm(uT - np.asarray(u_star)) < \
+        1e-8 * np.linalg.norm(u_star)
+
+
+@pytest.mark.parametrize("scheme", ["be", "cnab"])
+def test_sigma_reaction_matches_dense_twin(scheme):
+    """Nonzero linear reaction sigma: the evolver folds it into the
+    implicit shift (BE sigma+1/dt, CN sigma/2+1/dt) and reproduces the
+    scipy twin stepping the identical formulas (the ADVICE r3 gap:
+    --transient used to silently drop sigma)."""
+    mesh = BoxMesh((3, 4, 3))
+    P, dt, nsteps, sigma = 3, 2e-3, 6, 4.0
+    c = mesh.dof_coords(P)
+    u0 = np.where(np.asarray(mesh.boundary_dof_marker(P)), 0.0,
+                  np.cos(np.pi * c[:, 0]) * (1.0 + c[:, 1]) * c[:, 2])
+    evolve = convdiff_fdm_evolve(mesh, P, CVEL, kappa=KAPPA, dt=dt,
+                                 scheme=scheme, sigma=sigma)
+    uT = np.asarray(evolve(u0, nsteps)).reshape(-1)
+    ref = _dense_twin_evolve(mesh, P, KAPPA, dt, scheme, u0, nsteps,
+                             sigma=sigma)
+    assert np.linalg.norm(uT - ref) < 1e-11 * np.linalg.norm(ref)
+    # sigma genuinely changes the trajectory (guards a silent no-op).
+    ref0 = _dense_twin_evolve(mesh, P, KAPPA, dt, scheme, u0, nsteps)
+    assert np.linalg.norm(ref - ref0) > 1e-6 * np.linalg.norm(ref0)
+
+
+def test_sigma_be_steady_state_is_shifted_system():
+    """With reaction sigma, the BE fixed point is the steady
+    ``(K + sigma M + C) u = f`` system — the sigma-shifted hierarchy's
+    convdiff_solve answer."""
+    from pmg_dolfinx_tpu.solvers.convdiff import convdiff_solve
+    from pmg_dolfinx_tpu.solvers.pmg import PMGHierarchy
+
+    mesh = BoxMesh((4, 4, 4))
+    P, dt, nsteps, sigma = 3, 0.02, 400, 3.0
+    pi = np.pi
+
+    def fsrc(x):
+        sx, sy, sz = (np.sin(pi * x[a]) for a in range(3))
+        cx, cy, cz = (np.cos(pi * x[a]) for a in range(3))
+        g = (pi * cx * sy * sz, pi * sx * cy * sz, pi * sx * sy * cz)
+        return ((3.0 * pi**2 * KAPPA + sigma) * sx * sy * sz
+                + sum(c_ * g_ for c_, g_ in zip(CVEL, g)))
+
+    b = assemble_rhs(mesh, P, fsrc)
+    evolve = convdiff_fdm_evolve(mesh, P, CVEL, kappa=KAPPA, dt=dt,
+                                 scheme="be", sigma=sigma, f=b)
+    uT = np.asarray(evolve(np.zeros(mesh.num_dofs(P)), nsteps)).reshape(-1)
+    hier = PMGHierarchy(mesh, degrees=(1, 3), kappa=KAPPA, coarse="fdm",
+                        operator="kron", sigma=sigma)
     u_star, info = convdiff_solve(hier, b, CVEL, rtol=1e-12)
     assert np.linalg.norm(uT - np.asarray(u_star)) < \
         1e-8 * np.linalg.norm(u_star)

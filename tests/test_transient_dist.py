@@ -74,7 +74,7 @@ def test_convdiff_dist_matches_single(shards, scheme):
     """Sharded IMEX transport: replicated scale-free advection
     matrices + duplicated-plane axis masses + per-axis exchanges must
     reproduce the single-device scan (graded sharded axis, mixed
-    faces, driven source included)."""
+    faces, driven source, and linear reaction sigma included)."""
     from pmg_dolfinx_tpu.parallel.transient_dist import convdiff_dist_evolve
     from pmg_dolfinx_tpu.solvers.transient import convdiff_fdm_evolve
 
@@ -86,10 +86,10 @@ def test_convdiff_dist_matches_single(shards, scheme):
                  rng.standard_normal(mesh.num_dofs(P)))
     g = lambda t: 1.0 + 0.5 * np.sin(20.0 * t)
     ref = np.asarray(convdiff_fdm_evolve(
-        mesh, P, cvel, kappa=KAPPA, dt=5e-4, scheme=scheme, f=f,
-        f_time=g)(u0, NSTEPS)).reshape(-1)
+        mesh, P, cvel, kappa=KAPPA, dt=5e-4, scheme=scheme, sigma=1.5,
+        f=f, f_time=g)(u0, NSTEPS)).reshape(-1)
     got = convdiff_dist_evolve(mesh, P, shards, cvel, kappa=KAPPA,
-                               dt=5e-4, scheme=scheme, f=f,
+                               dt=5e-4, scheme=scheme, sigma=1.5, f=f,
                                f_time=g)(u0, NSTEPS)
     assert np.linalg.norm(got - ref) < 1e-10 * np.linalg.norm(ref), \
         (shards, scheme)

@@ -121,6 +121,24 @@ def test_leapfrog_order_and_stability_bound():
     assert not np.all(np.abs(np.asarray(uT)) < 1e3)
 
 
+def test_leapfrog_rejects_zero_steps():
+    """nsteps=0 raises a clear ValueError up front (ADVICE r3: it used
+    to die inside source_scales with an opaque np.ones(-1) error), on
+    the single-device and the sharded leapfrog alike."""
+    import pytest
+
+    from pmg_dolfinx_tpu.parallel.transient_dist import (
+        wave_leapfrog_dist_evolve)
+
+    mesh, P = BoxMesh((4, 3, 3)), 2
+    u0 = np.zeros(mesh.num_dofs(P))
+    with pytest.raises(ValueError, match="nsteps >= 1"):
+        wave_leapfrog_evolve(mesh, P, kappa=KAPPA, dt=1e-3)(u0, u0, 0)
+    with pytest.raises(ValueError, match="nsteps >= 1"):
+        wave_leapfrog_dist_evolve(mesh, P, 2, kappa=KAPPA,
+                                  dt=1e-3)(u0, u0, 0)
+
+
 def test_leapfrog_matches_newmark_trajectory():
     """Small-dt cross-check: the two O(dt^2) integrators agree with
     each other to O(dt^2) on a short horizon (distinct update formulas,
