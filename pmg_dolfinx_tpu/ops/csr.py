@@ -39,10 +39,20 @@ class MatrixOperator:
     identical to the matrix-free kernels, so results agree to rounding).
     """
 
-    def __init__(self, mesh, P, kappa=1.0, dtype=jnp.float64):
+    def __init__(self, mesh, P, kappa=1.0, dtype=jnp.float64,
+                 shift_diag=None):
+        """``shift_diag`` (optional, host array of length ndofs) is added
+        to the assembled matrix diagonal — the pointwise GLL-lumped shift
+        ``sigma * m3`` (+ baked Robin boundary mass) the matrix-free
+        backends apply at runtime; baking it here keeps the CSR operator
+        exactly equal to the shifted matrix-free apply."""
         self.P = int(P)
         self.mesh = mesh
-        A = assemble_stiffness(mesh, self.P, kappa=kappa, bc=True).tocoo()
+        A = assemble_stiffness(mesh, self.P, kappa=kappa, bc=True).tocsr()
+        if shift_diag is not None:
+            A = (A + sp.diags(np.asarray(shift_diag,
+                                         dtype=np.float64))).tocsr()
+        A = A.tocoo()
         self.shape = A.shape
         self._A = jsparse.BCOO(
             (

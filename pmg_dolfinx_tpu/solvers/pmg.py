@@ -234,6 +234,27 @@ def default_cycle_ops(sigma=0.0):
     )
 
 
+def csr_cycle_ops():
+    """V-cycle primitives whose operator applies are ASSEMBLED sparse
+    matvecs (BCOO `ops.csr.MatrixOperator` matrices in the level data) —
+    the reference's CSR fine-operator path: its PMG solve is templated
+    over the operator type and runs on `acc::MatrixOperator` exactly as
+    on the matrix-free kernel (examples/pmg/main.cpp:40-43,
+    src/csr.hpp:221-269). Dirichlet rows/columns are eliminated with
+    unit diagonal AT ASSEMBLY, and any sigma/Robin pointwise shift is
+    baked into the matrix diagonal, so ``A @ x`` alone reproduces the
+    matrix-free bc/shift semantics. Transfers/dot are the dofmap-family
+    primitives (the two backends share level transfer data).
+
+    TPU note: sparse gathers do not feed the MXU — this backend exists
+    for reference parity, oracles, and small problems; the matrix-free
+    backends are the production paths (`ops/csr.py` module docstring).
+    """
+    ops = default_cycle_ops()
+    ops["apply"] = lambda lv, x, level: lv["A"] @ x
+    return ops
+
+
 def kron_cycle_ops(precision="highest", sigma=0.0):
     """V-cycle primitives backed by the Kronecker-sum operator
     (`ops.kron`) — 3 banded matmuls per apply; the production path for
@@ -738,8 +759,13 @@ class PMGHierarchy:
                  smoother="cheb"):
         """``operator`` selects the kernel backend: 'dofmap' (general,
         oracle-parity path), 'lattice' (banded-matmul MXU path, general
-        hexes) or 'kron' (Kronecker-sum path, axis-aligned meshes — the
-        production TPU choice). ``precision`` applies to the matmuls.
+        hexes), 'kron' (Kronecker-sum path, axis-aligned meshes — the
+        production TPU choice), their fused Mosaic variants
+        ('lattice_blocked'/'kron_blocked'), or 'csr' (ASSEMBLED BCOO
+        sparse matvec — the reference's `acc::MatrixOperator` fine-
+        operator path, examples/pmg/main.cpp:40-43; parity/oracle use,
+        not a production TPU path). ``precision`` applies to the
+        matmuls.
 
         ``kappa`` may be a scalar, a per-cell ``(ncells,)`` DG-0 array, a
         SYMMETRIC 3x3 diffusion tensor — constant ``(3, 3)`` or per-cell
@@ -892,10 +918,13 @@ class PMGHierarchy:
             )
         elif operator == "dofmap":
             self._ops = default_cycle_ops(sigma=self._ops_sigma)
+        elif operator == "csr":
+            self._ops = csr_cycle_ops()
         else:
             raise ValueError(
                 f"unknown operator backend {operator!r}; expected 'kron', "
-                "'kron_blocked', 'lattice', 'lattice_blocked' or 'dofmap'"
+                "'kron_blocked', 'lattice', 'lattice_blocked', 'dofmap' "
+                "or 'csr'"
             )
         ops = self._ops
 
@@ -909,8 +938,9 @@ class PMGHierarchy:
         levels = []
         for P in self.degrees:
             # Geometry factors in float64 on host, cast to working dtype
-            # (not needed by the kron backends, which are fully 1D-factored).
-            if not kron_family:
+            # (not needed by the kron backends, which are fully 1D-factored,
+            # nor by csr, which assembles on host via fem/assembly.py).
+            if not kron_family and operator != "csr":
                 G_cells, _ = geometry_factors(
                     mesh.geometry_x,
                     mesh.geometry_dofmap,
@@ -971,6 +1001,17 @@ class PMGHierarchy:
                 )
                 level = Level(P=P, ndofs=ndofs, smoother_iters=smoother_iters,
                               shape=mesh.lattice_shape(P))
+            elif operator == "csr":
+                from ..ops.csr import MatrixOperator
+
+                mo = MatrixOperator(
+                    mesh, P, kappa=self.kappa_cells, dtype=dtype,
+                    shift_diag=(self._ops_sigma * self._baked_m3_np(mesh, P)
+                                if self._ops_sigma else None),
+                )
+                lv = dict(A=mo._A, bc_marker=bc)
+                diag = mo.diag
+                level = Level(P=P, ndofs=ndofs, smoother_iters=smoother_iters)
             else:
                 lv = dict(
                     dofmap=jnp.asarray(mesh.dofmap(P)),
@@ -1001,7 +1042,7 @@ class PMGHierarchy:
                     )
                     for name in "xyz":
                         del lv["K" + name], lv["m" + name]
-            else:
+            elif operator != "csr":  # csr: assembled diagonal, set above
                 # Diagonal via the (exact) dofmap formulation.
                 diag = jax.jit(laplacian_diagonal, static_argnums=(5,))(
                     jnp.asarray(mesh.dofmap(P)),
