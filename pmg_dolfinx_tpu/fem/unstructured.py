@@ -1,0 +1,370 @@
+"""External UNSTRUCTURED-topology hexahedral meshes.
+
+Closes the reference's last generality edge over the box family: riding
+DOLFINx, the reference can load ANY conforming hex mesh and partition it
+(src/mesh.hpp:17-98; examples/cg/main.cpp:39 declares a ``--file`` mesh
+option). Here an arbitrary ``nodes + connectivity`` hex mesh — loaded
+from an ``.npz`` file or a Gmsh ASCII v2.2 ``.msh`` — becomes an
+`UnstructuredHexMesh` implementing the same duck-type interface as
+`BoxMesh` (``dofmap / boundary_dof_marker / dof_multiplicity /
+dof_coords / geometry_x / geometry_dofmap / cell_centroids``), so the
+GENERAL code paths run unchanged: the host scipy golden assembly
+(`fem.assembly`), the 'dofmap' and 'csr' PMG operator backends with
+coarse in {'direct', 'cg', 'smoother'}, Newton, and the collocated L2
+norm. The tensor-product fast family (kron/lattice/FDM/hmg, graded
+spacing, line/Schwarz blocks, sharded layouts) requires per-axis
+structure and is intentionally NOT available here — those paths read
+``mesh.nc`` / ``mesh.lattice_shape`` and fail with an AttributeError
+naming the missing structure.
+
+Continuity (the CG dofmap) is built GEOMETRICALLY: every cell maps its
+reference GLL lattice through the trilinear (Q1) geometry and coincident
+physical points are merged with a KDTree union-find at a tolerance far
+below the smallest GLL node gap. This sidesteps the classic edge/face
+orientation bookkeeping entirely — two cells meeting at a face compute
+the same physical points from the same four face corners regardless of
+how their local frames are rotated against each other (the GLL lattice
+is symmetric), so the merge reproduces the topological dofmap exactly on
+any conforming mesh. CONFORMING meshes only: a hanging-node interface
+builds a discontinuous (broken) space — this loader targets the same
+contract as the reference's DOLFINx ingestion, which is conforming too.
+"""
+
+from functools import lru_cache
+
+import numpy as np
+
+from .gll import gauss_lobatto
+
+# Local corner ordering (matches BoxMesh.geometry_dofmap): corner index
+# (i*2 + j)*2 + k for (i, j, k) in {0,1}^3 along (x, y, z).
+_CORNER_IJK = np.array([[i, j, k] for i in (0, 1) for j in (0, 1)
+                        for k in (0, 1)])
+# The 6 local faces: (corner ids on the face, lattice axis, lattice end).
+_FACES = (
+    ((0, 1, 2, 3), 0, 0), ((4, 5, 6, 7), 0, 1),
+    ((0, 1, 4, 5), 1, 0), ((2, 3, 6, 7), 1, 1),
+    ((0, 2, 4, 6), 2, 0), ((1, 3, 5, 7), 2, 1),
+)
+
+
+class UnstructuredHexMesh:
+    """Conforming unstructured hex mesh from ``nodes + cells`` arrays.
+
+    Parameters
+    ----------
+    nodes : (n_nodes, 3) float array
+        Corner-vertex coordinates.
+    cells : (ncells, 8) int array
+        Cell -> vertex connectivity in the package corner order
+        ``(i*2 + j)*2 + k`` along (x, y, z) (use `gmsh_corner_permutation`
+        for Gmsh-ordered input). Cells must be positively oriented
+        (checked: every collocation-point Jacobian determinant > 0).
+    dirichlet : True or callable, optional
+        ``True`` marks every boundary dof Dirichlet (boundary = faces
+        owned by exactly one cell, found topologically). A callable
+        ``marker(x[(3, npts)]) -> bool[(npts,)]`` restricts the marking
+        to the selected subset of boundary dofs; the rest are natural
+        (homogeneous-Neumann) unknowns, exactly as `BoxMesh`'s
+        ``dirichlet_faces``.
+    tol : float, optional
+        Geometric merge tolerance. Default: ``1e-6 * min edge length``
+        — at least ~3 orders below the smallest GLL node gap for any
+        practical degree.
+    """
+
+    is_axis_aligned = False
+    is_graded = True          # no uniform-h shortcut anywhere
+    has_robin = False
+
+    def __init__(self, nodes, cells, dirichlet=True, tol=None):
+        nodes = np.ascontiguousarray(np.asarray(nodes, dtype=np.float64))
+        cells = np.ascontiguousarray(np.asarray(cells, dtype=np.int32))
+        if nodes.ndim != 2 or nodes.shape[1] != 3:
+            raise ValueError(f"nodes must be (n, 3), got {nodes.shape}")
+        if cells.ndim != 2 or cells.shape[1] != 8:
+            raise ValueError(f"cells must be (ncells, 8), got {cells.shape}")
+        if cells.min() < 0 or cells.max() >= len(nodes):
+            raise ValueError("cell connectivity indexes out of range")
+        self._nodes = nodes
+        self._cells = cells
+        self.ncells = len(cells)
+        self.robin_alpha = np.zeros((3, 2))
+        self._dirichlet = dirichlet
+        # Min edge length over the 12 edges of every cell (tolerance
+        # scale + degenerate-cell guard).
+        C = nodes[cells]  # (ncells, 8, 3)
+        edges = [(a, b) for (a, b) in (
+            (0, 4), (1, 5), (2, 6), (3, 7),   # x edges
+            (0, 2), (1, 3), (4, 6), (5, 7),   # y edges
+            (0, 1), (2, 3), (4, 5), (6, 7),   # z edges
+        )]
+        el = np.stack([np.linalg.norm(C[:, a] - C[:, b], axis=1)
+                       for a, b in edges])
+        self._min_edge = float(el.min())
+        if self._min_edge <= 0.0:
+            raise ValueError("degenerate cell: coincident corner nodes")
+        self.tol = float(tol) if tol is not None else 1e-6 * self._min_edge
+        self._check_orientation()
+
+    # -- geometry (Q1) --------------------------------------------------
+    @property
+    def geometry_x(self) -> np.ndarray:
+        return self._nodes
+
+    @property
+    def geometry_dofmap(self) -> np.ndarray:
+        return self._cells
+
+    def cell_centroids(self) -> np.ndarray:
+        return self._nodes[self._cells].mean(axis=1)
+
+    def _check_orientation(self):
+        """Every Q1 Jacobian determinant at the degree-2 collocation
+        points must be positive (inverted / tangled cells make the
+        whole discretization meaningless — fail loudly at load)."""
+        from .geometry import (geometry_factors, quadrature_weights_3d,
+                               tabulate_geometry_dphi)
+
+        _, detJ = geometry_factors(
+            self._nodes, self._cells, tabulate_geometry_dphi(2),
+            quadrature_weights_3d(2), xp=np,
+        )
+        # detJ here is w_q * det J; GLL weights are positive.
+        if not np.all(np.asarray(detJ) > 0.0):
+            bad = int(np.argmin(np.asarray(detJ).min(axis=1)))
+            raise ValueError(
+                f"non-positive Jacobian in cell {bad}: inverted or "
+                "tangled hex (check corner ordering — Gmsh input needs "
+                "gmsh_corner_permutation)")
+
+    # -- degree-P space -------------------------------------------------
+    def _ref_lattice(self, P: int) -> np.ndarray:
+        """Reference GLL lattice, shape ``((P+1)^3, 3)``, z fastest."""
+        xg, _ = gauss_lobatto(P + 1)
+        X, Y, Z = np.meshgrid(xg, xg, xg, indexing="ij")
+        return np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
+
+    def _cell_node_coords(self, P: int) -> np.ndarray:
+        """Physical coordinates of every cell-local lattice node via the
+        trilinear map, shape ``(ncells, (P+1)^3, 3)``."""
+        ref = self._ref_lattice(P)  # (nl, 3)
+        # Trilinear weights per corner: prod_d phi_{c_d}(xi_d).
+        w = np.ones((ref.shape[0], 8))
+        for d in range(3):
+            t = ref[:, d][:, None]
+            w *= np.where(_CORNER_IJK[None, :, d] == 0, 1.0 - t, t)
+        return np.einsum("lc,ecD->elD", w, self._nodes[self._cells])
+
+    @lru_cache(maxsize=None)
+    def _space(self, P: int):
+        """Build (dofmap, ndofs, dof_coords) by geometric merge."""
+        from scipy.spatial import cKDTree
+
+        pts = self._cell_node_coords(P).reshape(-1, 3)
+        tree = cKDTree(pts)
+        pairs = tree.query_pairs(r=self.tol, output_type="ndarray")
+        # Union-find over the point set.
+        parent = np.arange(len(pts))
+
+        def find(a):
+            root = a
+            while parent[root] != root:
+                root = parent[root]
+            while parent[a] != root:
+                parent[a], a = root, parent[a]
+            return root
+
+        for a, b in pairs:
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(int(i)) for i in range(len(pts))])
+        uniq, dof = np.unique(roots, return_inverse=True)
+        ndofs = len(uniq)
+        n = P + 1
+        dofmap = np.ascontiguousarray(
+            dof.reshape(self.ncells, n ** 3).astype(np.int32))
+        # Representative coordinates: mean over merged copies (the
+        # copies agree to tol; the mean is orientation-symmetric).
+        coords = np.zeros((ndofs, 3))
+        cnt = np.bincount(dof, minlength=ndofs).astype(np.float64)
+        for d in range(3):
+            coords[:, d] = np.bincount(dof, weights=pts[:, d],
+                                       minlength=ndofs) / cnt
+        # Tolerance sanity check: with a healthy mesh the node-gap
+        # spectrum is bimodal — merged copies within tol, distinct GLL
+        # neighbours at >~ 1e-2 * min_edge. Distinct dofs landing inside
+        # 100*tol means the merge tolerance is ambiguous for this
+        # geometry (near-degenerate cells, or a slightly-mismatched
+        # "conforming" interface): refuse rather than build a subtly
+        # broken space. (Truly non-conforming hanging-node interfaces
+        # put fine nodes ~h/2 from any coarse node and are out of
+        # contract — see the module docstring.)
+        close = tree.query_pairs(r=100.0 * self.tol,
+                                 output_type="ndarray")
+        if len(close):
+            unmerged = dof[close[:, 0]] != dof[close[:, 1]]
+            if np.any(unmerged):
+                raise ValueError(
+                    "distinct dofs within 100x the merge tolerance: "
+                    "near-degenerate cells or a mismatched interface — "
+                    "fix the mesh or pass an explicit tol")
+        coords.setflags(write=False)
+        dofmap.setflags(write=False)
+        return dofmap, ndofs, coords
+
+    def dofmap(self, P: int) -> np.ndarray:
+        """Cell dofmap ``(ncells, (P+1)^3)`` int32, z-fastest local
+        lattice order (the `BoxMesh.dofmap` contract)."""
+        return self._space(P)[0]
+
+    def num_dofs(self, P: int) -> int:
+        return self._space(P)[1]
+
+    def dof_coords(self, P: int) -> np.ndarray:
+        return self._space(P)[2]
+
+    @lru_cache(maxsize=None)
+    def dof_multiplicity(self, P: int) -> np.ndarray:
+        """Number of cells sharing each dof (restriction weighting)."""
+        dm, ndofs, _ = self._space(P)
+        out = np.bincount(dm.ravel(), minlength=ndofs).astype(np.float64)
+        out.setflags(write=False)
+        return out
+
+    @lru_cache(maxsize=None)
+    def _boundary_cell_faces(self):
+        """(cell, face) pairs owned by exactly one cell (topological)."""
+        keys = {}
+        for c in range(self.ncells):
+            for fi, (ids, _, _) in enumerate(_FACES):
+                key = tuple(sorted(int(self._cells[c, i]) for i in ids))
+                keys.setdefault(key, []).append((c, fi))
+        return tuple(v[0] for v in keys.values() if len(v) == 1)
+
+    @lru_cache(maxsize=None)
+    def boundary_dof_marker(self, P: int) -> np.ndarray:
+        dm, ndofs, coords = self._space(P)
+        n = P + 1
+        dml = dm.reshape(self.ncells, n, n, n)
+        on_boundary = np.zeros(ndofs, dtype=bool)
+        for c, fi in self._boundary_cell_faces():
+            _, axis, end = _FACES[fi]
+            sl = [slice(None)] * 3
+            sl[axis] = 0 if end == 0 else -1
+            on_boundary[dml[c][tuple(sl)].ravel()] = True
+        if self._dirichlet is True:
+            out = on_boundary
+        elif callable(self._dirichlet):
+            sel = np.asarray(self._dirichlet(coords.T), dtype=bool)
+            out = on_boundary & sel
+        else:
+            raise ValueError("dirichlet must be True or a callable marker")
+        if not out.any():
+            raise ValueError(
+                "no Dirichlet dofs selected: the pure-Neumann operator "
+                "is singular (constants in the nullspace)")
+        out.setflags(write=False)
+        return out
+
+    def __repr__(self):
+        return (f"UnstructuredHexMesh({len(self._nodes)} nodes, "
+                f"{self.ncells} cells)")
+
+
+# Gmsh hexahedron (element type 5) corner order -> package order
+# (i*2+j)*2+k: gmsh lists (0,0,0),(1,0,0),(1,1,0),(0,1,0),(0,0,1),
+# (1,0,1),(1,1,1),(0,1,1) along (x,y,z).
+GMSH_HEX_PERM = np.array([0, 4, 3, 7, 1, 5, 2, 6])
+
+
+def gmsh_corner_permutation(cells_gmsh) -> np.ndarray:
+    """Reorder Gmsh-ordered hex connectivity into the package corner
+    order."""
+    return np.asarray(cells_gmsh)[:, GMSH_HEX_PERM]
+
+
+def load_hex_mesh_npz(path, dirichlet=True, tol=None) -> UnstructuredHexMesh:
+    """Load ``nodes`` (n, 3) float and ``cells`` (ncells, 8) int arrays
+    from an ``.npz`` file. Optional key ``corner_order='gmsh'`` (0-d
+    string array) marks Gmsh-ordered connectivity."""
+    with np.load(path, allow_pickle=False) as z:
+        nodes, cells = z["nodes"], z["cells"]
+        if "corner_order" in z and str(z["corner_order"]) == "gmsh":
+            cells = gmsh_corner_permutation(cells)
+    return UnstructuredHexMesh(nodes, cells, dirichlet=dirichlet, tol=tol)
+
+
+def read_gmsh_hex(path, dirichlet=True, tol=None) -> UnstructuredHexMesh:
+    """Minimal Gmsh ASCII v2.2 reader: ``$Nodes`` + the hexahedral
+    elements (type 5) of ``$Elements``; every other element type
+    (points/lines/quads used for physical-group tagging) is skipped.
+    Node ids may be non-contiguous (renumbered on load)."""
+    nodes_raw, elems = {}, []
+    with open(path) as fh:
+        lines = iter(fh)
+        for line in lines:
+            tag = line.strip()
+            if tag == "$MeshFormat":
+                ver = next(lines).split()[0]
+                if not ver.startswith("2."):
+                    raise ValueError(
+                        f"only Gmsh ASCII v2.x supported, got {ver} "
+                        "(export with gmsh -format msh2)")
+            elif tag == "$Nodes":
+                nn = int(next(lines))
+                for _ in range(nn):
+                    p = next(lines).split()
+                    nodes_raw[int(p[0])] = [float(p[1]), float(p[2]),
+                                            float(p[3])]
+            elif tag == "$Elements":
+                ne = int(next(lines))
+                for _ in range(ne):
+                    p = next(lines).split()
+                    if int(p[1]) == 5:  # 8-node hexahedron
+                        ntags = int(p[2])
+                        elems.append([int(v) for v in p[3 + ntags:]])
+    if not elems:
+        raise ValueError(f"no hexahedral (type 5) elements in {path}")
+    ids = sorted(nodes_raw)
+    renum = {g: i for i, g in enumerate(ids)}
+    nodes = np.array([nodes_raw[g] for g in ids])
+    cells = np.array([[renum[v] for v in e] for e in elems])
+    return UnstructuredHexMesh(nodes, gmsh_corner_permutation(cells),
+                               dirichlet=dirichlet, tol=tol)
+
+
+def l_shaped_hex_mesh(n: int, dirichlet=True) -> UnstructuredHexMesh:
+    """Demo/test geometry: the extruded L-shape ``([0,2]x[0,1] ∪
+    [0,1]x[1,2]) x [0,1]`` with ``3 n^3`` cubic cells of size 1/n — a
+    conforming hex mesh whose cell adjacency graph is NOT a box lattice
+    (re-entrant edge at (1, 1, z)), i.e. provably outside the
+    `BoxMesh`/`PerturbedBoxMesh` family. ``sin(pi x) sin(pi y)
+    sin(pi z)`` vanishes on its whole boundary (every boundary face
+    lies on an integer plane), making manufactured-solution tests
+    one-liners."""
+    h = 1.0 / n
+    # Candidate (2n, 2n, n) grid; keep cells with cx < n or cy < n.
+    nid = {}
+    nodes = []
+
+    def node(ix, iy, iz):
+        key = (ix, iy, iz)
+        if key not in nid:
+            nid[key] = len(nodes)
+            nodes.append([ix * h, iy * h, iz * h])
+        return nid[key]
+
+    cells = []
+    for cx in range(2 * n):
+        for cy in range(2 * n):
+            if cx >= n and cy >= n:
+                continue
+            for cz in range(n):
+                cells.append([
+                    node(cx + i, cy + j, cz + k)
+                    for i in (0, 1) for j in (0, 1) for k in (0, 1)
+                ])
+    return UnstructuredHexMesh(np.array(nodes), np.array(cells),
+                               dirichlet=dirichlet)

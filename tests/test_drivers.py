@@ -133,6 +133,15 @@ def test_convdiff_transient_driver_sigma_and_stabilize():
     assert np.isfinite(d["l2_error"])
 
 
+def test_unstructured_driver_demo():
+    """External-mesh driver, L-shape demo: manufactured L2 error and
+    FCG iteration count pinned (the DOLFINx-ingestion parity surface)."""
+    out = run("unstructured.py", "--demo-n", "3")
+    d = json.loads(out.strip().splitlines()[-1])
+    assert d["niter"] <= 10
+    assert d["l2_error"] < 1e-4
+
+
 def test_wave_driver_ricker_pulse_radiates():
     """--pulse: the Ricker-driven run must radiate a NONZERO field (a
     closure bug once zeroed every source scale after the warmup call —

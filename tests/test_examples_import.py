@@ -13,7 +13,8 @@ sys.path.insert(0, str(EXAMPLES))
 
 @pytest.mark.parametrize(
     "name", ["pmg", "cg", "mat_free", "amg", "vector_update", "scaling",
-             "heat", "wave", "modes", "nonlinear", "convdiff", "_common"]
+             "heat", "wave", "modes", "nonlinear", "convdiff",
+             "unstructured", "_common"]
 )
 def test_example_imports(name):
     spec = importlib.util.spec_from_file_location(name, EXAMPLES / f"{name}.py")
