@@ -444,3 +444,287 @@ class PackedFDMBatch(_PackedLayout):
         U = jnp.asarray(U, jnp.float32)
         out = self._packed_roundtrip(U.reshape((-1,) + self.shape))
         return out.reshape(jnp.shape(U))
+
+
+# ----------------------------------------------------------------------
+# SINGLE-RHS lane packing: the lattice's own x-slabs fill the lanes.
+# ----------------------------------------------------------------------
+
+def _packed_single_kernel(x_ref, bc_ref, A0_ref, dA_ref, Cdn_ref, Cup_ref,
+                          Kty_ref, KZbd_ref, s3_ref, out_ref, *,
+                          high, sigma, g, Zp, Pband):
+    """One fused apply on a SINGLE lane-packed lattice.
+
+    Layout (see `PackedKronSingle`): lane slot ``c`` of each 128-lane
+    tile holds x-slab ``x in [c*XS, (c+1)*XS)``, so the working shape is
+    ``(XS, NYp, 128)`` and every matmul runs at full lane utilization:
+
+    - y-term: sublane transpose + one merged ``Kty @ (NYp, XS*128)`` dot
+      (y does not couple x -> slot-local, the batched kernel's trick);
+    - z-term: one ``(XS*NYp, 128) @ blockdiag_g(Ktz^T)`` dot
+      (z is slot-local too);
+    - x-term: couples the slots. The per-slot diagonal blocks are
+      ``g`` full dots with cumulative lane masks
+      (``A_0 @ w + sum_c (A_c - A_0) @ mask_c(w)``), and the banded
+      1D stiffness (bandwidth P) couples only ADJACENT slabs through
+      P x P corner blocks: the first/last P sublane rows are lane-rolled
+      by ``-+Zp`` (`pltpu.roll` — a VPU shuffle, no MXU tiles) so the
+      neighbour slab's edge rows sit in this slot's lanes, and two tiny
+      ``(XS, P)`` dots (placement folded into the matrix) add the
+      corrections.
+    """
+    XS, NYp, L = x_ref.shape
+    xb = x_ref[:]
+    bc = bc_ref[:]
+    s3 = s3_ref[:]
+    w = jnp.where(bc, 0.0, xb) * s3
+    slot = jax.lax.broadcasted_iota(jnp.int32, (XS, NYp, L), 2) // Zp
+    wf = w.reshape(XS, NYp * L)
+    if high:
+        w_split = _split_bf16(w)
+        wf_split = tuple(v.reshape(XS, NYp * L) for v in w_split)
+        t1 = _dot3(_split_bf16(A0_ref[:]), wf_split)
+    else:
+        t1 = _DOT(A0_ref[:], wf, precision=_HI)
+    for c in range(1, g):
+        wc = jnp.where(slot == c, w, 0.0).reshape(XS, NYp * L)
+        if high:
+            t1 = t1 + _dot3(_split_bf16(dA_ref[c - 1]), _split_bf16(wc))
+        else:
+            t1 = t1 + _DOT(dA_ref[c - 1], wc, precision=_HI)
+    # Adjacent-slab corner corrections (banded coupling, bandwidth P).
+    w_top = w[0:Pband]
+    w_bot = w[XS - Pband:XS]
+    # pltpu.roll needs a non-negative shift: -Zp == +(L - Zp) mod L.
+    rolled_dn = pltpu.roll(w_top, L - Zp, axis=2)  # slot c <- c+1 rows
+    rolled_up = pltpu.roll(w_bot, Zp, axis=2)      # slot c+1 <- c rows
+    slot_s = slot[0:Pband]
+    for c in range(g - 1):
+        vdn = jnp.where(slot_s == c, rolled_dn, 0.0)
+        vup = jnp.where(slot_s == c + 1, rolled_up, 0.0)
+        if high:
+            t1 = t1 + _dot3(_split_bf16(Cdn_ref[c]),
+                            _split_bf16(vdn.reshape(Pband, NYp * L)))
+            t1 = t1 + _dot3(_split_bf16(Cup_ref[c]),
+                            _split_bf16(vup.reshape(Pband, NYp * L)))
+        else:
+            t1 = t1 + _DOT(Cdn_ref[c], vdn.reshape(Pband, NYp * L),
+                           precision=_HI)
+            t1 = t1 + _DOT(Cup_ref[c], vup.reshape(Pband, NYp * L),
+                           precision=_HI)
+    t1 = t1.reshape(XS, NYp, L)
+    # y-term (slot-local): sublane transpose + merged dot.
+    if high:
+        wT = tuple(jnp.swapaxes(v, 0, 1).reshape(NYp, XS * L)
+                   for v in w_split)
+        t2 = jnp.swapaxes(
+            _dot3(_split_bf16(Kty_ref[:]), wT).reshape(NYp, XS, L), 0, 1
+        )
+    else:
+        wT = jnp.swapaxes(w, 0, 1).reshape(NYp, XS * L)
+        t2 = jnp.swapaxes(
+            _DOT(Kty_ref[:], wT, precision=_HI).reshape(NYp, XS, L), 0, 1
+        )
+    # z-term (slot-local): one block-diagonal dot, L == 128 always.
+    wz = w.reshape(XS * NYp, L)
+    if high:
+        t3 = _dot3(_split_bf16(wz), _split_bf16(KZbd_ref[:]))
+    else:
+        t3 = _DOT(wz, KZbd_ref[:], precision=_HI)
+    acc = t1 + t2 + t3.reshape(XS, NYp, L)
+    if sigma:
+        acc = acc + sigma * w
+    out_ref[:] = jnp.where(bc, xb, acc * s3)
+
+
+def _emu_single(x3, bc3, m, *, sigma, g, Zp, Pband):
+    """jnp twin of `_packed_single_kernel` (off-TPU default; same math)."""
+    XS, NYp, L = x3.shape
+    s3 = m["s3"]
+    w = jnp.where(bc3, 0.0, x3) * s3
+    slot = jnp.arange(L)[None, None, :] // Zp
+    t1 = jnp.einsum("ax,xyL->ayL", m["A0"], w, precision=_HI)
+    for c in range(1, g):
+        wc = jnp.where(slot == c, w, 0.0)
+        t1 = t1 + jnp.einsum("ax,xyL->ayL", m["dA"][c - 1], wc,
+                             precision=_HI)
+    rolled_dn = jnp.roll(w[0:Pband], -Zp, axis=2)
+    rolled_up = jnp.roll(w[XS - Pband:XS], Zp, axis=2)
+    slot_s = slot
+    for c in range(g - 1):
+        vdn = jnp.where(slot_s == c, rolled_dn, 0.0)
+        vup = jnp.where(slot_s == c + 1, rolled_up, 0.0)
+        t1 = t1 + jnp.einsum("ax,xyL->ayL", m["Cdn"][c], vdn,
+                             precision=_HI)
+        t1 = t1 + jnp.einsum("ax,xyL->ayL", m["Cup"][c], vup,
+                             precision=_HI)
+    t2 = jnp.einsum("by,xyL->xbL", m["Kty"], w, precision=_HI)
+    t3 = jnp.einsum("xyl,lm->xym", w, m["KZbd"], precision=_HI)
+    acc = t1 + t2 + t3
+    if sigma:
+        acc = acc + sigma * w
+    return jnp.where(bc3, x3, acc * s3)
+
+
+class PackedKronSingle:
+    """SINGLE-RHS lane-packed Kronecker apply for small lattices (f32).
+
+    Closes the serving-size MXU pad cliff for ONE right-hand side: at
+    61^3 / p=6 the plain apply runs (61, 61) dots whose 128-lane minor
+    dim is half zeros (11.8 GDOF/s vs 25.9 at 2.05M). Here the lanes are
+    filled with the lattice's OWN x-slabs — ``g = 128 // Zp`` slabs of
+    ``XS = ceil(NX / g)`` x-planes per 128-lane tile, working layout
+    ``(XS, NYp, 128)``, whole lattice in VMEM, one Mosaic kernel. The
+    y/z contractions are slot-local (they do not couple x); the banded
+    x-contraction splits into per-slot diagonal dots plus P x P
+    corner corrections between ADJACENT slabs, lane-rolled into place
+    (see `_packed_single_kernel`).
+
+    Same operator contract as `ops.kron.KronLaplacian` (kappa / sigma /
+    graded spacing / mixed faces / Robin ride the per-axis factors).
+    Applicability: NZ <= 64 and ``XS >= P`` (the band must not span more
+    than one slab boundary). `pack` / `apply_packed` / `unpack` for
+    callers that keep the lattice packed across a whole solve; __call__
+    round-trips one vector.
+    """
+
+    def __init__(self, mesh, P, kappa=2.0, precision="highest",
+                 sigma=0.0, interpret=False):
+        from .kron import KronLaplacian
+
+        if precision not in ("highest", "high"):
+            raise ValueError(
+                f"precision must be 'highest' or 'high', got {precision!r}"
+            )
+        NX, NY, NZ = mesh.lattice_shape(P)
+        if NZ > 64:
+            raise ValueError(
+                f"PackedKronSingle targets small lattices (NZ <= 64, got "
+                f"{NZ}); at larger N use the plain paths"
+            )
+        self.P = int(P)
+        self.mesh = mesh
+        self.ndofs = mesh.num_dofs(P)
+        self.shape = (NX, NY, NZ)
+        self.Zp = 32 if NZ <= 32 else 64
+        self.g = g = 128 // self.Zp
+        self.XS = XS = -(-NX // g)
+        if XS < self.P:
+            raise ValueError(
+                f"PackedKronSingle needs XS = ceil(NX/{g}) >= P (the 1D "
+                f"band must stay within adjacent slabs); got XS={XS}, "
+                f"P={self.P} — lattice too small for this packing"
+            )
+        self.NXp = g * XS
+        self.NYp = _round_up(NY, 8)
+        self.precision = precision
+        self.sigma = float(sigma)
+
+        base = KronLaplacian(mesh, P, kappa=kappa, dtype=jnp.float32,
+                             sigma=sigma)
+        self.diag = base.diag
+        self.diag_inv = base.diag_inv
+        ss = [np.sqrt(np.asarray(m, np.float64)) for m in base.ms]
+        Kts = [np.asarray(K, np.float64) / s[:, None] / s[None, :]
+               for K, s in zip(base.Ks, ss)]
+
+        Ktxp = np.zeros((self.NXp, self.NXp))
+        Ktxp[:NX, :NX] = Kts[0]
+        Pb = self.P
+        A = [Ktxp[c * XS:(c + 1) * XS, c * XS:(c + 1) * XS]
+             for c in range(g)]
+        Cdn = np.zeros((max(g - 1, 1), XS, Pb))
+        Cup = np.zeros((max(g - 1, 1), XS, Pb))
+        for c in range(g - 1):
+            # slot c rows [XS-P:] <- slot c+1 rows [:P] (upper band)
+            Cdn[c, XS - Pb:, :] = Ktxp[(c + 1) * XS - Pb:(c + 1) * XS,
+                                       (c + 1) * XS:(c + 1) * XS + Pb]
+            # slot c+1 rows [:P] <- slot c rows [XS-P:] (lower band)
+            Cup[c, :Pb, :] = Ktxp[(c + 1) * XS:(c + 1) * XS + Pb,
+                                  (c + 1) * XS - Pb:(c + 1) * XS]
+        Ktyp = np.zeros((self.NYp, self.NYp))
+        Ktyp[:NY, :NY] = Kts[1]
+        KtzTp = np.zeros((self.Zp, self.Zp))
+        KtzTp[:NZ, :NZ] = Kts[2].T
+        sxp = np.zeros(self.NXp)
+        sxp[:NX] = ss[0]
+        syp = np.zeros(self.NYp)
+        syp[:NY] = ss[1]
+        szp = np.zeros(self.Zp)
+        szp[:NZ] = ss[2]
+        s3 = (sxp.reshape(g, XS)[None, :, :, None]
+              * syp[:, None, None, None] * szp[None, None, None, :])
+        # (NYp, g, XS, Zp) -> (XS, NYp, g*Zp)
+        s3 = np.transpose(s3, (2, 0, 1, 3)).reshape(XS, self.NYp, 128)
+        self.mats = dict(
+            A0=jnp.asarray(A[0], jnp.float32),
+            dA=jnp.asarray(np.stack([A[c] - A[0] for c in range(1, g)])
+                           if g > 1 else np.zeros((1, XS, XS)),
+                           jnp.float32),
+            Cdn=jnp.asarray(Cdn, jnp.float32),
+            Cup=jnp.asarray(Cup, jnp.float32),
+            Kty=jnp.asarray(Ktyp, jnp.float32),
+            KZbd=jnp.asarray(np.kron(np.eye(g), KtzTp), jnp.float32),
+            s3=jnp.asarray(s3, jnp.float32),
+        )
+        bcp = np.ones((g, XS, self.NYp, self.Zp), dtype=bool)
+        bc3 = np.asarray(base.bc_marker).reshape(NX, NY, NZ)
+        bcf = np.ones((self.NXp, NY, NZ), dtype=bool)
+        bcf[:NX] = bc3
+        bcp[:, :, :NY, :NZ] = bcf.reshape(g, XS, NY, NZ)
+        self.bcp = jnp.asarray(
+            np.transpose(bcp, (1, 2, 0, 3)).reshape(XS, self.NYp, 128))
+
+        vmem = 4 * XS * self.NYp * 128
+        self._pcall = pl.pallas_call(
+            partial(_packed_single_kernel, high=precision == "high",
+                    sigma=self.sigma, g=g, Zp=self.Zp, Pband=Pb),
+            out_shape=jax.ShapeDtypeStruct((XS, self.NYp, 128),
+                                           jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(12 * vmem + (8 << 20), 112 << 20)
+            ),
+            interpret=interpret,
+        )
+        self._interpret = interpret
+        self._apply = jax.jit(self._apply_impl)
+        self._roundtrip = jax.jit(
+            lambda x: self.unpack(self._apply_impl(self.pack(x)))
+        )
+
+    def pack(self, x3):
+        """``(NX, NY, NZ)`` lattice -> packed ``(XS, NYp, 128)``."""
+        NX, NY, NZ = self.shape
+        x3 = jnp.asarray(x3, jnp.float32).reshape(NX, NY, NZ)
+        xp = jnp.pad(x3, ((0, self.NXp - NX), (0, self.NYp - NY),
+                          (0, self.Zp - NZ)))
+        xp = xp.reshape(self.g, self.XS, self.NYp, self.Zp)
+        return jnp.transpose(xp, (1, 2, 0, 3)).reshape(
+            self.XS, self.NYp, 128)
+
+    def unpack(self, P3):
+        """Packed ``(XS, NYp, 128)`` -> ``(NX, NY, NZ)`` lattice."""
+        NX, NY, NZ = self.shape
+        U = P3.reshape(self.XS, self.NYp, self.g, self.Zp)
+        U = jnp.transpose(U, (2, 0, 1, 3)).reshape(
+            self.NXp, self.NYp, self.Zp)
+        return U[:NX, :NY, :NZ]
+
+    def apply_packed(self, P3):
+        return self._apply(P3)
+
+    def _apply_impl(self, P3):
+        if not self._interpret and jax.default_backend() != "tpu":
+            return _emu_single(P3, self.bcp, self.mats, sigma=self.sigma,
+                               g=self.g, Zp=self.Zp, Pband=self.P)
+        m = self.mats
+        return self._pcall(P3, self.bcp, m["A0"], m["dA"], m["Cdn"],
+                           m["Cup"], m["Kty"], m["KZbd"], m["s3"])
+
+    def __call__(self, x):
+        """Single apply; ``x`` is ``(ndofs,)`` or ``(NX, NY, NZ)``."""
+        x = jnp.asarray(x, jnp.float32)
+        out = self._roundtrip(x.reshape(self.shape))
+        return out.reshape(jnp.shape(x))

@@ -177,3 +177,75 @@ def test_packed_fdm_singular_rejected():
                    dirichlet_faces=((False, False),) * 3)
     with pytest.raises(ValueError, match="singular"):
         PackedFDMBatch(mesh, 3)
+
+
+# ---------------------------------------------------------------------
+# SINGLE-RHS lane packing (PackedKronSingle)
+# ---------------------------------------------------------------------
+
+@pytest.mark.parametrize("interpret", [False, True])
+@pytest.mark.parametrize("nc,P", [((10, 10, 10), 6),   # 61^3: g=2
+                                  ((5, 5, 5), 6),      # 31^3: g=4
+                                  ((12, 9, 8), 5)])    # anisotropic box
+def test_packed_single_matches_kron(nc, P, interpret):
+    """The x-slab lane-packed single-RHS apply == the exact f64 kron
+    operator at f32 accuracy (~1e-7), in both the jnp emulation and the
+    interpret-mode kernel (which exercises the real kernel logic incl.
+    the lane rolls and the adjacent-slab corner corrections)."""
+    from pmg_dolfinx_tpu.ops.pallas_kron_packed import PackedKronSingle
+
+    mesh = BoxMesh(nc)
+    op = KronLaplacian(mesh, P, kappa=2.0, dtype=jnp.float64,
+                       precision="highest", sigma=0.7)
+    pk = PackedKronSingle(mesh, P, kappa=2.0, sigma=0.7,
+                          interpret=interpret)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(mesh.num_dofs(P))
+    y_ref = np.asarray(op(jnp.asarray(x)))
+    y = np.asarray(pk(jnp.asarray(x, jnp.float32))).reshape(-1)
+    assert np.linalg.norm(y - y_ref) < 3e-7 * np.linalg.norm(y_ref)
+    # bc rows pass through
+    bc = np.asarray(mesh.boundary_dof_marker(P))
+    assert np.allclose(y[bc], x[bc].astype(np.float32))
+
+
+def test_packed_single_families():
+    """Graded spacing, per-axis kappa, mixed faces and Robin ends all
+    ride the base per-axis factors; 'high' lands at bf16x3 accuracy."""
+    from pmg_dolfinx_tpu.fem.mesh import geometric_spacing
+    from pmg_dolfinx_tpu.ops.pallas_kron_packed import PackedKronSingle
+
+    mesh = BoxMesh((12, 10, 10),
+                   spacing=(None, geometric_spacing(10, 2.0), None),
+                   dirichlet_faces=((True, False), (True, True),
+                                    (True, True)),
+                   robin=((0.0, 2.5), (0, 0), (0, 0)))
+    P = 5
+    op = KronLaplacian(mesh, P, kappa=(1.0, 2.0, 3.0),
+                       dtype=jnp.float64, precision="highest")
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(mesh.num_dofs(P))
+    y_ref = np.asarray(op(jnp.asarray(x)))
+    for prec, tol in (("highest", 3e-7), ("high", 3e-5)):
+        pk = PackedKronSingle(mesh, P, kappa=(1.0, 2.0, 3.0),
+                              precision=prec)
+        y = np.asarray(pk(jnp.asarray(x, jnp.float32))).reshape(-1)
+        assert np.linalg.norm(y - y_ref) < tol * np.linalg.norm(y_ref), prec
+
+
+def test_packed_single_validation_and_roundtrip():
+    from pmg_dolfinx_tpu.ops.pallas_kron_packed import PackedKronSingle
+
+    # NZ > 64 rejected
+    with pytest.raises(ValueError, match="NZ <= 64"):
+        PackedKronSingle(BoxMesh((11, 11, 11)), 6)
+    # XS < P rejected (slab too thin for the band)
+    with pytest.raises(ValueError, match="XS"):
+        PackedKronSingle(BoxMesh((2, 4, 4)), 6)
+    # pack/unpack identity
+    mesh = BoxMesh((10, 9, 8))
+    pk = PackedKronSingle(mesh, 6)
+    rng = np.random.default_rng(1)
+    x3 = rng.standard_normal(mesh.lattice_shape(6)).astype(np.float32)
+    rt = np.asarray(pk.unpack(pk.pack(x3)))
+    assert np.array_equal(rt, x3)
