@@ -410,6 +410,9 @@ def main():
         # batch 8. Baselines: 11.8 GDOF/s single RHS, 12.7 vmapped b8.
         res = _bench_packed_227k()
         extra["packed_227k"] = {
+            "apply_single_highest_gdofs": res["single_highest"]["gdofs"],
+            "apply_single_highest_spread": res["single_highest"]["spread"],
+            "apply_single_high_gdofs": res["single_high"]["gdofs"],
             "apply_b8_highest_gdofs_per_rhs":
                 res["b8_highest"]["gdofs_per_rhs"],
             "apply_b8_high_gdofs_per_rhs": res["b8_high"]["gdofs_per_rhs"],

@@ -36,6 +36,8 @@ def test_guarded_main_survives_subbench_failures(monkeypatch):
     monkeypatch.setattr(bench, "_bench_fdm_solve_2m", lambda: (0.135, 0.01))
     monkeypatch.setattr(bench, "_bench_packed_227k", lambda: {
         "ndofs": 226981,
+        "single_highest": {"gdofs": 21.0, "spread": 0.02},
+        "single_high": {"gdofs": 25.0, "spread": 0.02},
         "b8_highest": {"gdofs_per_rhs": 20.0, "spread": 0.02},
         "b8_high": {"gdofs_per_rhs": 24.0, "spread": 0.02},
         "fdm_b8": {"solve_ms_per_rhs": 0.03, "spread": 0.02},
@@ -63,6 +65,9 @@ def test_guarded_main_survives_subbench_failures(monkeypatch):
     assert d["extra"]["vcycle_16M_p136_fdm_ms"] == {"kron_blocked": 13.0}
     assert d["extra"]["lattice_blocked_2M_gdofs"] == {"highest": 4.13}
     assert d["extra"]["packed_227k"] == {
+        "apply_single_highest_gdofs": 21.0,
+        "apply_single_highest_spread": 0.02,
+        "apply_single_high_gdofs": 25.0,
         "apply_b8_highest_gdofs_per_rhs": 20.0,
         "apply_b8_high_gdofs_per_rhs": 24.0,
         "fdm_b8_solve_ms_per_rhs": 0.03,

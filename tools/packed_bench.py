@@ -36,16 +36,32 @@ def _chain_measure(step, P0, lo, hi):
     return _measure(lambda r: float(chain(P0, r)), lo, hi, min_samples=5)
 
 
-def bench_packed(nc=(10, 10, 10), P=6, lo=50, hi=250, batches=(2, 8)):
+def bench_packed(nc=(10, 10, 10), P=6, lo=50, hi=250, batches=(2, 8),
+                 single=True):
     from pmg_dolfinx_tpu.fem.mesh import BoxMesh
     from pmg_dolfinx_tpu.ops.pallas_kron_packed import (
         PackedFDMBatch,
         PackedKronBatch,
+        PackedKronSingle,
     )
 
     mesh = BoxMesh(nc)
     nd = mesh.num_dofs(P)
     out = {"ndofs": nd}
+    if single:
+        # SINGLE-RHS x-slab lane packing (the r4 pad-cliff kernel);
+        # baseline: 11.8 GDOF/s plain kron apply at 61^3.
+        for prec in ("highest", "high"):
+            op = PackedKronSingle(mesh, P, kappa=2.0, precision=prec)
+            P0 = op.pack(jnp.ones(mesh.lattice_shape(P), jnp.float32))
+            per, spread = _chain_measure(op._apply_impl, P0,
+                                         4 * lo, 4 * hi)
+            key = f"single_{prec}"
+            out[key] = dict(
+                gdofs=round(nd / per / 1e9, 3),
+                spread=round(spread, 3),
+            )
+            print(f"[packed {key}] {out[key]}", flush=True)
     for B in batches:
         for prec in ("highest", "high"):
             op = PackedKronBatch(mesh, P, kappa=2.0, B=B, precision=prec)
