@@ -233,8 +233,12 @@ class PackedKronBatch(_PackedLayout):
                 # ~9 full-lattice VMEM live ranges at B=8/61^3 (x, s32
                 # mask, w, t1, t2, base, out + matrices): the b8 kernel
                 # measured 71.81 MiB of scoped vmem on v5e — an 8x cap
-                # rejected it at compile time.
-                vmem_limit_bytes=min(11 * vmem + (8 << 20), 112 << 20)
+                # rejected it at compile time. The fixed part is ~34 MiB
+                # at B=2 (r4 measured: 33.95M needed vs a 30M limit), so
+                # keep a generous constant floor — but cap at 96 MiB:
+                # the b8 kernel compiled under a 112 MiB limit measured
+                # 15.8 GDOF/s per RHS vs 22.8 under 96 MiB (r4).
+                vmem_limit_bytes=min(11 * vmem + (28 << 20), 96 << 20)
             ),
             interpret=interpret,
         )
@@ -450,9 +454,8 @@ class PackedFDMBatch(_PackedLayout):
 # SINGLE-RHS lane packing: the lattice's own x-slabs fill the lanes.
 # ----------------------------------------------------------------------
 
-def _packed_single_kernel(x_ref, bc_ref, A0_ref, dA_ref, Cdn_ref, Cup_ref,
-                          Kty_ref, KZbd_ref, s3_ref, out_ref, *,
-                          high, sigma, g, Zp, Pband):
+def _packed_single_kernel(x_ref, s3m_ref, XC_ref, Kty_ref, KZbd_ref,
+                          out_ref, *, high, sigma, g, Zp, Pband):
     """One fused apply on a SINGLE lane-packed lattice.
 
     Layout (see `PackedKronSingle`): lane slot ``c`` of each 128-lane
@@ -463,55 +466,67 @@ def _packed_single_kernel(x_ref, bc_ref, A0_ref, dA_ref, Cdn_ref, Cup_ref,
       (y does not couple x -> slot-local, the batched kernel's trick);
     - z-term: one ``(XS*NYp, 128) @ blockdiag_g(Ktz^T)`` dot
       (z is slot-local too);
-    - x-term: couples the slots. The per-slot diagonal blocks are
-      ``g`` full dots with cumulative lane masks
-      (``A_0 @ w + sum_c (A_c - A_0) @ mask_c(w)``), and the banded
-      1D stiffness (bandwidth P) couples only ADJACENT slabs through
-      P x P corner blocks: the first/last P sublane rows are lane-rolled
-      by ``-+Zp`` (`pltpu.roll` — a VPU shuffle, no MXU tiles) so the
-      neighbour slab's edge rows sit in this slot's lanes, and two tiny
-      ``(XS, P)`` dots (placement folded into the matrix) add the
-      corrections.
+    - x-term: couples the slots — algebraically ``A_0 @ w + sum_c
+      (A_c - A_0) @ mask_c(w)`` (per-slot diagonal blocks via lane
+      masks) plus adjacent-slab corner corrections: the banded 1D
+      stiffness (bandwidth P) reaches only the first/last ``Pband``
+      (= 8, sublane-aligned) rows of the neighbour slab, lane-rolled
+      into this slot by ``-+Zp`` (`pltpu.roll` — a VPU shuffle, no MXU
+      tiles). All of it executes as ONE k-augmented dot against the
+      sublane-concatenated input stack (see the in-kernel comment).
+
+    Mosaic hardening (real-TPU lowering, not visible in interpret
+    mode): the slab height XS is 8-aligned, corner row counts are the
+    full 8-sublane tile, the per-slot matrix stacks arrive as 2-D
+    arrays sliced at 8-multiple row offsets (3-D refs with size-1
+    leading dims crash the Mosaic compiler), and the corner lane masks
+    use a FRESH small iota — slicing the big `slot` iota value also
+    crashes it ("limits[i] <= dim(i)", both bisected on v5e).
+
+    HBM-traffic note: at serving sizes this kernel is DMA-bound (the
+    whole MXU-HIGHEST work is ~1.3 us while the apply floor is the
+    array traffic), so the bc marker and the symmetric scale arrive
+    FUSED as one array ``s3m = where(bc, 0, s3)`` — a bool input would
+    ship as a separate full-lattice s32 buffer, and ``s3 > 0``
+    everywhere off the marked/pad entries makes ``s3m == 0`` an exact
+    in-kernel reconstruction of the mask (bit-identical epilogue:
+    ``x*bcf + acc*s3m`` equals ``where(bc, x, acc*s3)``).
     """
     XS, NYp, L = x_ref.shape
     xb = x_ref[:]
-    bc = bc_ref[:]
-    s3 = s3_ref[:]
-    w = jnp.where(bc, 0.0, xb) * s3
+    s3m = s3m_ref[:]
+    w = xb * s3m
     slot = jax.lax.broadcasted_iota(jnp.int32, (XS, NYp, L), 2) // Zp
-    wf = w.reshape(XS, NYp * L)
+    # x-term: ONE k-augmented dot. Measured (v5e, 61^3): the same math
+    # as g slot-diagonal dots + 2(g-1) corner dots costs ~9 us in
+    # per-piece dots (each pays its own 6-pass HIGHEST pipeline) vs
+    # ~3 us as a single dot over the sublane-concatenated input stack
+    # [w ; mask_c(w) ; rolled corners] against [A0 | dA_c | Cdn | Cup].
+    # All pieces are 8-row-aligned, so the concat is a cheap VPU copy.
+    pieces = [w.reshape(XS, NYp * L)]
+    for c in range(1, g):
+        pieces.append(
+            jnp.where(slot == c, w, 0.0).reshape(XS, NYp * L))
+    # Adjacent-slab corner inputs (banded coupling, bandwidth P):
+    # pltpu.roll needs a non-negative shift: -Zp == +(L - Zp) mod L.
+    rolled_dn = pltpu.roll(w[0:Pband], L - Zp, axis=2)   # c <- c+1 rows
+    rolled_up = pltpu.roll(w[XS - Pband:XS], Zp, axis=2)  # c+1 <- c rows
+    # Fresh small iota — SLICING the big `slot` iota value crashes the
+    # Mosaic compiler ("limits[i] <= dim(i)", bisected on v5e).
+    slot_s = jax.lax.broadcasted_iota(
+        jnp.int32, (Pband, NYp, L), 2) // Zp
+    for c in range(g - 1):
+        pieces.append(jnp.where(slot_s == c, rolled_dn,
+                                0.0).reshape(Pband, NYp * L))
+    for c in range(g - 1):
+        pieces.append(jnp.where(slot_s == c + 1, rolled_up,
+                                0.0).reshape(Pband, NYp * L))
+    stack = jnp.concatenate(pieces, axis=0)
     if high:
         w_split = _split_bf16(w)
-        wf_split = tuple(v.reshape(XS, NYp * L) for v in w_split)
-        t1 = _dot3(_split_bf16(A0_ref[:]), wf_split)
+        t1 = _dot3(_split_bf16(XC_ref[:]), _split_bf16(stack))
     else:
-        t1 = _DOT(A0_ref[:], wf, precision=_HI)
-    for c in range(1, g):
-        wc = jnp.where(slot == c, w, 0.0).reshape(XS, NYp * L)
-        if high:
-            t1 = t1 + _dot3(_split_bf16(dA_ref[c - 1]), _split_bf16(wc))
-        else:
-            t1 = t1 + _DOT(dA_ref[c - 1], wc, precision=_HI)
-    # Adjacent-slab corner corrections (banded coupling, bandwidth P).
-    w_top = w[0:Pband]
-    w_bot = w[XS - Pband:XS]
-    # pltpu.roll needs a non-negative shift: -Zp == +(L - Zp) mod L.
-    rolled_dn = pltpu.roll(w_top, L - Zp, axis=2)  # slot c <- c+1 rows
-    rolled_up = pltpu.roll(w_bot, Zp, axis=2)      # slot c+1 <- c rows
-    slot_s = slot[0:Pband]
-    for c in range(g - 1):
-        vdn = jnp.where(slot_s == c, rolled_dn, 0.0)
-        vup = jnp.where(slot_s == c + 1, rolled_up, 0.0)
-        if high:
-            t1 = t1 + _dot3(_split_bf16(Cdn_ref[c]),
-                            _split_bf16(vdn.reshape(Pband, NYp * L)))
-            t1 = t1 + _dot3(_split_bf16(Cup_ref[c]),
-                            _split_bf16(vup.reshape(Pband, NYp * L)))
-        else:
-            t1 = t1 + _DOT(Cdn_ref[c], vdn.reshape(Pband, NYp * L),
-                           precision=_HI)
-            t1 = t1 + _DOT(Cup_ref[c], vup.reshape(Pband, NYp * L),
-                           precision=_HI)
+        t1 = _DOT(XC_ref[:], stack, precision=_HI)
     t1 = t1.reshape(XS, NYp, L)
     # y-term (slot-local): sublane transpose + merged dot.
     if high:
@@ -534,36 +549,34 @@ def _packed_single_kernel(x_ref, bc_ref, A0_ref, dA_ref, Cdn_ref, Cup_ref,
     acc = t1 + t2 + t3.reshape(XS, NYp, L)
     if sigma:
         acc = acc + sigma * w
-    out_ref[:] = jnp.where(bc, xb, acc * s3)
+    bcf = jnp.where(s3m == 0.0, 1.0, 0.0)
+    out_ref[:] = xb * bcf + acc * s3m
 
 
-def _emu_single(x3, bc3, m, *, sigma, g, Zp, Pband):
+def _emu_single(x3, m, *, sigma, g, Zp, Pband):
     """jnp twin of `_packed_single_kernel` (off-TPU default; same math)."""
     XS, NYp, L = x3.shape
-    s3 = m["s3"]
-    w = jnp.where(bc3, 0.0, x3) * s3
+    s3m = m["s3m"]
+    w = x3 * s3m
     slot = jnp.arange(L)[None, None, :] // Zp
-    t1 = jnp.einsum("ax,xyL->ayL", m["A0"], w, precision=_HI)
+    pieces = [w]
     for c in range(1, g):
-        wc = jnp.where(slot == c, w, 0.0)
-        t1 = t1 + jnp.einsum("ax,xyL->ayL", m["dA"][c - 1], wc,
-                             precision=_HI)
+        pieces.append(jnp.where(slot == c, w, 0.0))
     rolled_dn = jnp.roll(w[0:Pband], -Zp, axis=2)
     rolled_up = jnp.roll(w[XS - Pband:XS], Zp, axis=2)
-    slot_s = slot
     for c in range(g - 1):
-        vdn = jnp.where(slot_s == c, rolled_dn, 0.0)
-        vup = jnp.where(slot_s == c + 1, rolled_up, 0.0)
-        t1 = t1 + jnp.einsum("ax,xyL->ayL", m["Cdn"][c], vdn,
-                             precision=_HI)
-        t1 = t1 + jnp.einsum("ax,xyL->ayL", m["Cup"][c], vup,
-                             precision=_HI)
+        pieces.append(jnp.where(slot == c, rolled_dn, 0.0))
+    for c in range(g - 1):
+        pieces.append(jnp.where(slot == c + 1, rolled_up, 0.0))
+    stack = jnp.concatenate(pieces, axis=0)
+    t1 = jnp.einsum("ak,kyL->ayL", m["XC"], stack, precision=_HI)
     t2 = jnp.einsum("by,xyL->xbL", m["Kty"], w, precision=_HI)
     t3 = jnp.einsum("xyl,lm->xym", w, m["KZbd"], precision=_HI)
     acc = t1 + t2 + t3
     if sigma:
         acc = acc + sigma * w
-    return jnp.where(bc3, x3, acc * s3)
+    bcf = jnp.where(s3m == 0.0, 1.0, 0.0)
+    return x3 * bcf + acc * s3m
 
 
 class PackedKronSingle:
@@ -582,10 +595,11 @@ class PackedKronSingle:
 
     Same operator contract as `ops.kron.KronLaplacian` (kappa / sigma /
     graded spacing / mixed faces / Robin ride the per-axis factors).
-    Applicability: NZ <= 64 and ``XS >= P`` (the band must not span more
-    than one slab boundary). `pack` / `apply_packed` / `unpack` for
-    callers that keep the lattice packed across a whole solve; __call__
-    round-trips one vector.
+    Applicability: NZ <= 64 and slab height ``XS = align8(ceil(NX/g))
+    >= align8(P)`` (the band must not span more than one slab
+    boundary). `pack` / `apply_packed` / `unpack` for callers that keep
+    the lattice packed across a whole solve; __call__ round-trips one
+    vector.
     """
 
     def __init__(self, mesh, P, kappa=2.0, precision="highest",
@@ -608,12 +622,16 @@ class PackedKronSingle:
         self.shape = (NX, NY, NZ)
         self.Zp = 32 if NZ <= 32 else 64
         self.g = g = 128 // self.Zp
-        self.XS = XS = -(-NX // g)
-        if XS < self.P:
+        # Slab height 8-ALIGNED (sublane tile): real-TPU Mosaic rejects
+        # sub-8 sublane slices that interpret mode accepts.
+        self.XS = XS = _round_up(-(-NX // g), 8)
+        # Corner blocks carry the full band in 8-aligned row tiles.
+        Pb = _round_up(self.P, 8)
+        if XS < Pb:
             raise ValueError(
-                f"PackedKronSingle needs XS = ceil(NX/{g}) >= P (the 1D "
-                f"band must stay within adjacent slabs); got XS={XS}, "
-                f"P={self.P} — lattice too small for this packing"
+                f"PackedKronSingle needs slab height >= the 8-aligned "
+                f"band ({Pb}); got XS={XS} for NX={NX}, g={g} — lattice "
+                "too small for this packing"
             )
         self.NXp = g * XS
         self.NYp = _round_up(NY, 8)
@@ -630,18 +648,22 @@ class PackedKronSingle:
 
         Ktxp = np.zeros((self.NXp, self.NXp))
         Ktxp[:NX, :NX] = Kts[0]
-        Pb = self.P
+        self._Pb = Pb
         A = [Ktxp[c * XS:(c + 1) * XS, c * XS:(c + 1) * XS]
              for c in range(g)]
-        Cdn = np.zeros((max(g - 1, 1), XS, Pb))
-        Cup = np.zeros((max(g - 1, 1), XS, Pb))
+        # Full column strips (band entries land in the corners, the
+        # rest is structurally zero); stacked 2-D for 8-aligned slicing.
+        Cdn = np.zeros((max(g - 1, 1) * XS, Pb))
+        Cup = np.zeros((max(g - 1, 1) * XS, Pb))
         for c in range(g - 1):
-            # slot c rows [XS-P:] <- slot c+1 rows [:P] (upper band)
-            Cdn[c, XS - Pb:, :] = Ktxp[(c + 1) * XS - Pb:(c + 1) * XS,
-                                       (c + 1) * XS:(c + 1) * XS + Pb]
-            # slot c+1 rows [:P] <- slot c rows [XS-P:] (lower band)
-            Cup[c, :Pb, :] = Ktxp[(c + 1) * XS:(c + 1) * XS + Pb,
-                                  (c + 1) * XS - Pb:(c + 1) * XS]
+            # slot c rows <- slot c+1 rows [:Pb] (upper band)
+            Cdn[c * XS:(c + 1) * XS] = \
+                Ktxp[c * XS:(c + 1) * XS,
+                     (c + 1) * XS:(c + 1) * XS + Pb]
+            # slot c+1 rows <- slot c rows [XS-Pb:] (lower band)
+            Cup[c * XS:(c + 1) * XS] = \
+                Ktxp[(c + 1) * XS:(c + 2) * XS,
+                     (c + 1) * XS - Pb:(c + 1) * XS]
         Ktyp = np.zeros((self.NYp, self.NYp))
         Ktyp[:NY, :NY] = Kts[1]
         KtzTp = np.zeros((self.Zp, self.Zp))
@@ -656,17 +678,6 @@ class PackedKronSingle:
               * syp[:, None, None, None] * szp[None, None, None, :])
         # (NYp, g, XS, Zp) -> (XS, NYp, g*Zp)
         s3 = np.transpose(s3, (2, 0, 1, 3)).reshape(XS, self.NYp, 128)
-        self.mats = dict(
-            A0=jnp.asarray(A[0], jnp.float32),
-            dA=jnp.asarray(np.stack([A[c] - A[0] for c in range(1, g)])
-                           if g > 1 else np.zeros((1, XS, XS)),
-                           jnp.float32),
-            Cdn=jnp.asarray(Cdn, jnp.float32),
-            Cup=jnp.asarray(Cup, jnp.float32),
-            Kty=jnp.asarray(Ktyp, jnp.float32),
-            KZbd=jnp.asarray(np.kron(np.eye(g), KtzTp), jnp.float32),
-            s3=jnp.asarray(s3, jnp.float32),
-        )
         bcp = np.ones((g, XS, self.NYp, self.Zp), dtype=bool)
         bc3 = np.asarray(base.bc_marker).reshape(NX, NY, NZ)
         bcf = np.ones((self.NXp, NY, NZ), dtype=bool)
@@ -674,17 +685,35 @@ class PackedKronSingle:
         bcp[:, :, :NY, :NZ] = bcf.reshape(g, XS, NY, NZ)
         self.bcp = jnp.asarray(
             np.transpose(bcp, (1, 2, 0, 3)).reshape(XS, self.NYp, 128))
+        # bc and scale ship FUSED (s3m): one f32 array instead of an
+        # extra full-lattice s32 mask buffer (see the kernel docstring).
+        s3m = np.where(np.asarray(self.bcp), 0.0, s3)
+        # The whole x-term as one k-augmented matrix (kernel docstring):
+        # columns match the in-kernel input stack [w ; mask_c(w) ;
+        # rolled-down corners ; rolled-up corners].
+        XC = np.hstack(
+            [A[0]]
+            + [A[c] - A[0] for c in range(1, g)]
+            + [Cdn[c * XS:(c + 1) * XS] for c in range(g - 1)]
+            + [Cup[c * XS:(c + 1) * XS] for c in range(g - 1)]
+        )
+        self.mats = dict(
+            XC=jnp.asarray(XC, jnp.float32),
+            Kty=jnp.asarray(Ktyp, jnp.float32),
+            KZbd=jnp.asarray(np.kron(np.eye(g), KtzTp), jnp.float32),
+            s3m=jnp.asarray(s3m, jnp.float32),
+        )
 
         vmem = 4 * XS * self.NYp * 128
         self._pcall = pl.pallas_call(
             partial(_packed_single_kernel, high=precision == "high",
-                    sigma=self.sigma, g=g, Zp=self.Zp, Pband=Pb),
+                    sigma=self.sigma, g=g, Zp=self.Zp, Pband=self._Pb),
             out_shape=jax.ShapeDtypeStruct((XS, self.NYp, 128),
                                            jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=min(12 * vmem + (8 << 20), 112 << 20)
+                vmem_limit_bytes=min(12 * vmem + (8 << 20), 96 << 20)
             ),
             interpret=interpret,
         )
@@ -717,11 +746,10 @@ class PackedKronSingle:
 
     def _apply_impl(self, P3):
         if not self._interpret and jax.default_backend() != "tpu":
-            return _emu_single(P3, self.bcp, self.mats, sigma=self.sigma,
-                               g=self.g, Zp=self.Zp, Pband=self.P)
+            return _emu_single(P3, self.mats, sigma=self.sigma,
+                               g=self.g, Zp=self.Zp, Pband=self._Pb)
         m = self.mats
-        return self._pcall(P3, self.bcp, m["A0"], m["dA"], m["Cdn"],
-                           m["Cup"], m["Kty"], m["KZbd"], m["s3"])
+        return self._pcall(P3, m["s3m"], m["XC"], m["Kty"], m["KZbd"])
 
     def __call__(self, x):
         """Single apply; ``x`` is ``(ndofs,)`` or ``(NX, NY, NZ)``."""

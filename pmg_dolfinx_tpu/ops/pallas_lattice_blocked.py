@@ -178,6 +178,141 @@ def _kernel_lattice_yx(xe_ref, g_ref, Ez_ref, EzT_ref, Dz_ref, DzT_ref,
             out_ref[o + j] = dot(bx_j + by_j, Ez) + dot(tz[j], Dz)
 
 
+def _split3_bf16(a):
+    """3-limb bf16 split: a == a0 + a1 + a2 exactly to f32 precision
+    (8+8+8 mantissa bits cover the 24-bit f32 significand)."""
+    a0 = a.astype(jnp.bfloat16).astype(jnp.float32)
+    r = a - a0
+    a1 = r.astype(jnp.bfloat16).astype(jnp.float32)
+    a2 = (r - a1).astype(jnp.bfloat16).astype(jnp.float32)
+    return a0, a1, a2
+
+
+def _mk_split_dot(prec):
+    """(split, dot) pair with SHARED operand splits: the caller splits
+    each operand once and reuses it across every dot it feeds — unlike
+    `precision=HIGHEST`, which re-decomposes both operands inside every
+    dot. 'highest' = manual 6-pass bf16x3x3 (error ~1e-7, the HIGHEST
+    decomposition); 'high' = 3-pass bf16x2 (drops lo*lo, ~1e-5)."""
+    if prec == "high":
+        def dot3(a_split, b_split):
+            a_hi, a_lo = a_split
+            b_hi, b_lo = b_split
+            return _DOT(a_hi, b_hi) + (_DOT(a_hi, b_lo) + _DOT(a_lo, b_hi))
+
+        return _split_bf16, dot3
+
+    def dot6(a_split, b_split):
+        a0, a1, a2 = a_split
+        b0, b1, b2 = b_split
+        return (_DOT(a0, b0)
+                + (_DOT(a0, b1) + _DOT(a1, b0))
+                + (_DOT(a0, b2) + _DOT(a1, b1) + _DOT(a2, b0)))
+
+    return _split3_bf16, dot6
+
+
+def _kernel_lattice_ym(xe_ref, g_ref, Ez_ref, EzT_ref, Dz_ref, DzT_ref,
+                       D1_ref, out_ref, *, n, ncy, bcells, prec):
+    # v5 ("ym") kernel: the yexp structure with two MXU restructurings.
+    # (1) MERGED-PLANE z dots: the n per-plane (Qy, NZ) @ (NZ, Qz)
+    #     dots of a cell slab become one (n*Qy, NZ) @ (NZ, Qz) dot —
+    #     per-plane m = Qy pads to ceil(Qy/128) sublane tiles (~23%
+    #     waste at Qy=294); merged m = n*Qy pads once (~5%). Forward
+    #     reads the slab rows directly (major-dim reshape, free);
+    #     backward stacks the n accumulator planes (VPU copies, cheap
+    #     next to MXU passes).
+    # (2) SHARED OPERAND SPLITS at BOTH precisions (`_mk_split_dot`):
+    #     the z matrices split once per kernel launch, the slab/stack
+    #     data once per dot pair — precision=HIGHEST instead re-splits
+    #     inside each of the 4 dots per plane.
+    split, mdot = _mk_split_dot(prec)
+    Ezs = split(Ez_ref[:])
+    EzTs = split(EzT_ref[:])
+    Dzs = split(Dz_ref[:])
+    DzTs = split(DzT_ref[:])
+    D1 = D1_ref[:]
+    Qy = xe_ref.shape[1]
+    NZ = xe_ref.shape[2]
+    Qz = EzT_ref.shape[1]
+
+    def block_d1(planes_r, transpose):
+        rows = []
+        for q in range(n):
+            if transpose:
+                rows.append(sum(D1[i, q] * planes_r[:, i, :]
+                                for i in range(n)))
+            else:
+                rows.append(sum(D1[q, i] * planes_r[:, i, :]
+                                for i in range(n)))
+        return jnp.stack(rows, axis=1)
+
+    for c in range(bcells):
+        o = c * n
+        slab = xe_ref[o:o + n].reshape(n * Qy, NZ)
+        slab_s = split(slab)
+        Vm = mdot(slab_s, EzTs).reshape(n, Qy, Qz)
+        UZm = mdot(slab_s, DzTs).reshape(n, Qy, Qz)
+        v = [Vm[p] for p in range(n)]
+        uz = [UZm[p] for p in range(n)]
+        ux = [
+            sum(D1[q, j] * v[j] for j in range(n))
+            for q in range(n)
+        ]
+        uy = [
+            block_d1(v[p].reshape(ncy, n, Qz), False).reshape(Qy, Qz)
+            for p in range(n)
+        ]
+        tx, ty, tz = [], [], []
+        for q in range(n):
+            g0 = g_ref[0, o + q]
+            g1 = g_ref[1, o + q]
+            g2 = g_ref[2, o + q]
+            g3 = g_ref[3, o + q]
+            g4 = g_ref[4, o + q]
+            g5 = g_ref[5, o + q]
+            tx.append(g0 * ux[q] + g1 * uy[q] + g2 * uz[q])
+            ty.append(g1 * ux[q] + g3 * uy[q] + g4 * uz[q])
+            tz.append(g2 * ux[q] + g4 * uy[q] + g5 * uz[q])
+        bxy = []
+        for j in range(n):
+            bx_j = sum(D1[q, j] * tx[q] for q in range(n))
+            by_j = block_d1(ty[j].reshape(ncy, n, Qz), True
+                            ).reshape(Qy, Qz)
+            bxy.append(bx_j + by_j)
+        B = jnp.stack(bxy).reshape(n * Qy, Qz)
+        T = jnp.stack(tz).reshape(n * Qy, Qz)
+        out = mdot(split(B), Ezs) + mdot(split(T), Dzs)
+        out_ref[o:o + n] = out.reshape(n, Qy, NZ)
+
+
+@lru_cache(maxsize=None)
+def _build_call_ym(qshape, Qz, n, ncy, bcells, prec, interpret, vma=()):
+    """qshape = (Qx, Qy, NZ) of the x+y-expanded lattice (ym variant)."""
+    Qx, Qy, NZ = qshape
+    bq = bcells * n
+    return pl.pallas_call(
+        partial(_kernel_lattice_ym, n=n, ncy=ncy, bcells=bcells,
+                prec=prec),
+        grid=(pl.cdiv(Qx, bq),),
+        in_specs=[
+            pl.BlockSpec((bq, Qy, NZ), lambda i: (i, 0, 0)),        # xe
+            pl.BlockSpec((6, bq, Qy, Qz), lambda i: (0, i, 0, 0)),  # G
+            pl.BlockSpec((Qz, NZ), lambda i: (0, 0)),   # Ez
+            pl.BlockSpec((NZ, Qz), lambda i: (0, 0)),   # EzT
+            pl.BlockSpec((Qz, NZ), lambda i: (0, 0)),   # Dz
+            pl.BlockSpec((NZ, Qz), lambda i: (0, 0)),   # DzT
+            pl.BlockSpec((n, n), lambda i: (0, 0)),     # D1
+        ],
+        out_specs=pl.BlockSpec((bq, Qy, NZ), lambda i: (i, 0, 0)),
+        out_shape=out_struct(qshape, vma),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+
 def _kernel_lattice_zg(xg_ref, g_ref, EzTb_ref, Ezb_ref, DzTb_ref,
                        Dzb_ref, D1_ref, out_ref, *, n, ncy, ngz, bcells,
                        high):
@@ -842,7 +977,7 @@ def blocked_lattice_apply(x, mats, Gt, bc_marker, nc, P, *, bcells=1,
         )
     if variant is None:
         variant = "v1" if precision == "high" else "yexp"
-    if variant not in ("yexp", "v1"):
+    if variant not in ("yexp", "v1", "ym"):
         raise ValueError(f"unknown variant {variant!r} (the in-kernel-"
                          "geometry 'geom' and z-grouped 'zgrp' variants "
                          "have their own entry points, "
@@ -870,13 +1005,18 @@ def blocked_lattice_apply(x, mats, Gt, bc_marker, nc, P, *, bcells=1,
     xb = jnp.where(bc_marker, jnp.zeros_like(x), x).reshape(NX, NY, NZ)
     xq = expand_axis0(xb, ncx, P)                      # (Qx, NY, NZ) copy
     vma = _join_vma(x, bc_marker, Gt, *mats.values())
-    if variant == "yexp":
+    if variant in ("yexp", "ym"):
         from .lattice import _expand, _fold
 
         xe = _expand(xq, 1, ncy, P)                    # (Qx, Qy, NZ)
-        call = _build_call_yx((ncx * n, ncy * n, NZ), ncz * n, n, ncy,
-                              min(bcells, ncx), precision == "high",
-                              interpret, vma)
+        if variant == "ym":
+            call = _build_call_ym((ncx * n, ncy * n, NZ), ncz * n, n,
+                                  ncy, min(bcells, ncx), precision,
+                                  interpret, vma)
+        else:
+            call = _build_call_yx((ncx * n, ncy * n, NZ), ncz * n, n,
+                                  ncy, min(bcells, ncx),
+                                  precision == "high", interpret, vma)
         names = ("Ez", "EzT", "Dz", "DzT", "D1")
         xe, Gt, *mvals = _pvary_all(vma, xe, Gt, *(mats[k] for k in names))
         yq = call(xe, Gt, *mvals)

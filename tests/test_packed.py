@@ -239,9 +239,11 @@ def test_packed_single_validation_and_roundtrip():
     # NZ > 64 rejected
     with pytest.raises(ValueError, match="NZ <= 64"):
         PackedKronSingle(BoxMesh((11, 11, 11)), 6)
-    # XS < P rejected (slab too thin for the band)
+    # slab thinner than the 8-aligned band rejected (P=9 -> band 16)
     with pytest.raises(ValueError, match="XS"):
-        PackedKronSingle(BoxMesh((2, 4, 4)), 6)
+        PackedKronSingle(BoxMesh((1, 3, 3)), 9)
+    # tiny NX with P <= 8 is fine now (8-aligned slabs hold the band)
+    PackedKronSingle(BoxMesh((2, 4, 4)), 6)
     # pack/unpack identity
     mesh = BoxMesh((10, 9, 8))
     pk = PackedKronSingle(mesh, 6)
