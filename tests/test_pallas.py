@@ -300,13 +300,18 @@ def test_pallas_lattice_blocked_matches_oracle():
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal(mesh.num_dofs(P)), jnp.float32)
     y_ref = LatticeLaplacian(mesh, P, kappa=2.0, dtype=jnp.float32)(x)
-    for variant in ("yexp", "v1"):
+    for variant in ("yexp", "v1", "ym"):
         for bcells in (1, 2):
             blk = PallasLatticeBlocked(mesh, P, kappa=2.0, bcells=bcells,
                                        interpret=True, variant=variant)
             err = float(jnp.linalg.norm(blk(x) - y_ref)
                         / jnp.linalg.norm(y_ref))
             assert err < 1e-5, (variant, bcells, err)
+    # 'ym' shared-split precisions: manual 6-pass == ~f32, 3-pass ~1e-5
+    ym_hi = PallasLatticeBlocked(mesh, P, kappa=2.0, interpret=True,
+                                 variant="ym", precision="high")
+    err = float(jnp.linalg.norm(ym_hi(x) - y_ref) / jnp.linalg.norm(y_ref))
+    assert err < 5e-5, err
     # emulation path (what non-TPU backends run by default)
     blk_e = PallasLatticeBlocked(mesh, P, kappa=2.0)
     err = float(jnp.linalg.norm(blk_e(x) - y_ref) / jnp.linalg.norm(y_ref))
