@@ -26,6 +26,11 @@ Applicability: NZ <= 64 (one RHS per 64-lane half) — beyond that the
 plain paths are already near the MXU roofline. The batch is padded to a
 multiple of g with zero RHS.
 
+For a SINGLE right-hand side the same idea packs the lattice's own
+x-slabs into the lanes (`PackedKronSingle`, r4): measured 24.9 GDOF/s
+'highest' at 61^3/p=6 vs 11.8 for the plain apply — see the class
+docstring for the slot-coupling treatment of the x-term.
+
 Reference analogue: batched small-operator applies in the reference's
 batch_size dispatch (src/laplacian.hpp:331-376), restructured so the
 batch fills the TPU's lane dimension instead of a grid dimension.
@@ -334,6 +339,46 @@ def _embed_ends(V, ends):
     return M
 
 
+def _fdm_embedded(mesh, P, kappa, sigma, who):
+    """Boundary-embedded per-axis FDM eigen-data: ``(Vs, dinv3)`` with
+    zero rows/cols at Dirichlet slots and the eigenvalue-sum inverse
+    zeroed off the free set (shared by the packed direct solvers)."""
+    from ..fem.assembly import resolve_kappa_axes
+    from ..ops.kron import robin_axis_ends
+    from ..solvers.fdm import _axis_eig
+
+    faces = getattr(mesh, "dirichlet_faces", ((True, True),) * 3)
+    kx, ky, kz = resolve_kappa_axes(mesh, kappa)
+    Vs, lams, frees = [], [], []
+    for a, (nc_a, h_a, ends, k_a) in enumerate(
+            zip(mesh.nc, mesh.h_cells, faces, (kx, ky, kz))):
+        V, lam = _axis_eig(nc_a, P, h_a, ends=ends,
+                           robin=robin_axis_ends(mesh, a, 1.0 / k_a))
+        n = nc_a * P + 1
+        lam_e = np.zeros(n)
+        free = np.zeros(n, dtype=bool)
+        lo = int(ends[0])
+        lam_e[lo:lo + lam.size] = lam
+        free[lo:lo + lam.size] = True
+        Vs.append(_embed_ends(V, ends))
+        lams.append(lam_e)
+        frees.append(free)
+
+    lx, ly, lz = lams
+    d3 = (kx * lx[:, None, None] + ky * ly[None, :, None]
+          + kz * lz[None, None, :]) + float(sigma)
+    free3 = (frees[0][:, None, None] & frees[1][None, :, None]
+             & frees[2][None, None, :])
+    if free3.any() and d3[free3].min() <= 1e-14 * max(
+            1.0, float(abs(d3[free3]).max())):
+        raise ValueError(
+            f"{who}: singular operator (no Dirichlet face and "
+            "sigma=0 leaves the constant nullspace)"
+        )
+    dinv3 = np.where(free3, 1.0 / np.where(free3, d3, 1.0), 0.0)
+    return Vs, dinv3
+
+
 class PackedFDMBatch(_PackedLayout):
     """Lane-packed batched FDM DIRECT solve for small lattices (f32).
 
@@ -354,44 +399,13 @@ class PackedFDMBatch(_PackedLayout):
 
     def __init__(self, mesh, P, kappa=2.0, B=8, sigma=0.0,
                  interpret=False):
-        from ..fem.assembly import resolve_kappa_axes
         from ..fem.mesh import require_axis_aligned
-        from ..ops.kron import robin_axis_ends
-        from ..solvers.fdm import _axis_eig
 
         require_axis_aligned(mesh, "PackedFDMBatch")
         g = self._init_layout(mesh, P, B)
         NX, NY, NZ = self.shape
-        faces = getattr(mesh, "dirichlet_faces", ((True, True),) * 3)
-        kx, ky, kz = resolve_kappa_axes(mesh, kappa)
-
-        Vs, lams, frees = [], [], []
-        for a, (nc_a, h_a, ends, k_a) in enumerate(
-                zip(mesh.nc, mesh.h_cells, faces, (kx, ky, kz))):
-            V, lam = _axis_eig(nc_a, self.P, h_a, ends=ends,
-                               robin=robin_axis_ends(mesh, a, 1.0 / k_a))
-            n = nc_a * self.P + 1
-            lam_e = np.zeros(n)
-            free = np.zeros(n, dtype=bool)
-            lo = int(ends[0])
-            lam_e[lo:lo + lam.size] = lam
-            free[lo:lo + lam.size] = True
-            Vs.append(_embed_ends(V, ends))
-            lams.append(lam_e)
-            frees.append(free)
-
-        lx, ly, lz = lams
-        d3 = (kx * lx[:, None, None] + ky * ly[None, :, None]
-              + kz * lz[None, None, :]) + float(sigma)
-        free3 = (frees[0][:, None, None] & frees[1][None, :, None]
-                 & frees[2][None, None, :])
-        if free3.any() and d3[free3].min() <= 1e-14 * max(
-                1.0, float(abs(d3[free3]).max())):
-            raise ValueError(
-                "PackedFDMBatch: singular operator (no Dirichlet face and "
-                "sigma=0 leaves the constant nullspace)"
-            )
-        dinv3 = np.where(free3, 1.0 / np.where(free3, d3, 1.0), 0.0)
+        Vs, dinv3 = _fdm_embedded(mesh, self.P, kappa, sigma,
+                                  "PackedFDMBatch")
         dinvp = np.zeros((NX, self.NYp, self.Bp, self.Zp), np.float32)
         dinvp[:, :NY, :, :NZ] = dinv3[:, :, None, :]
 
@@ -579,7 +593,61 @@ def _emu_single(x3, m, *, sigma, g, Zp, Pband):
     return x3 * bcf + acc * s3m
 
 
-class PackedKronSingle:
+class _SinglePacked:
+    """Shared SINGLE-RHS x-slab lane packing: ``g = 128 // Zp`` slabs of
+    ``XS = align8(ceil(NX/g))`` x-planes per 128-lane tile, working
+    shape ``(XS, NYp, 128)``. Subclasses add the math."""
+
+    def _init_single(self, mesh, P, who):
+        NX, NY, NZ = mesh.lattice_shape(P)
+        if NZ > 64:
+            raise ValueError(
+                f"{who} targets small lattices (NZ <= 64, got {NZ}); "
+                "at larger N use the plain paths"
+            )
+        self.P = int(P)
+        self.mesh = mesh
+        self.ndofs = mesh.num_dofs(P)
+        self.shape = (NX, NY, NZ)
+        self.Zp = 32 if NZ <= 32 else 64
+        self.g = g = 128 // self.Zp
+        # Slab height 8-ALIGNED (sublane tile): real-TPU Mosaic rejects
+        # sub-8 sublane slices that interpret mode accepts.
+        self.XS = _round_up(-(-NX // g), 8)
+        self.NXp = g * self.XS
+        self.NYp = _round_up(NY, 8)
+        return g
+
+    def _pack_host(self, full, pad=0.0):
+        """Host-side packing of a full (NX.., NY, NZ) array (np)."""
+        NX, NY, NZ = self.shape
+        a = np.full((self.NXp, self.NYp, self.Zp), pad,
+                    dtype=np.asarray(full).dtype)
+        a[:np.shape(full)[0], :NY, :NZ] = full
+        a = a.reshape(self.g, self.XS, self.NYp, self.Zp)
+        return np.transpose(a, (1, 2, 0, 3)).reshape(
+            self.XS, self.NYp, 128)
+
+    def pack(self, x3):
+        """``(NX, NY, NZ)`` lattice -> packed ``(XS, NYp, 128)``."""
+        NX, NY, NZ = self.shape
+        x3 = jnp.asarray(x3, jnp.float32).reshape(NX, NY, NZ)
+        xp = jnp.pad(x3, ((0, self.NXp - NX), (0, self.NYp - NY),
+                          (0, self.Zp - NZ)))
+        xp = xp.reshape(self.g, self.XS, self.NYp, self.Zp)
+        return jnp.transpose(xp, (1, 2, 0, 3)).reshape(
+            self.XS, self.NYp, 128)
+
+    def unpack(self, P3):
+        """Packed ``(XS, NYp, 128)`` -> ``(NX, NY, NZ)`` lattice."""
+        NX, NY, NZ = self.shape
+        U = P3.reshape(self.XS, self.NYp, self.g, self.Zp)
+        U = jnp.transpose(U, (2, 0, 1, 3)).reshape(
+            self.NXp, self.NYp, self.Zp)
+        return U[:NX, :NY, :NZ]
+
+
+class PackedKronSingle(_SinglePacked):
     """SINGLE-RHS lane-packed Kronecker apply for small lattices (f32).
 
     Closes the serving-size MXU pad cliff for ONE right-hand side: at
@@ -610,21 +678,9 @@ class PackedKronSingle:
             raise ValueError(
                 f"precision must be 'highest' or 'high', got {precision!r}"
             )
-        NX, NY, NZ = mesh.lattice_shape(P)
-        if NZ > 64:
-            raise ValueError(
-                f"PackedKronSingle targets small lattices (NZ <= 64, got "
-                f"{NZ}); at larger N use the plain paths"
-            )
-        self.P = int(P)
-        self.mesh = mesh
-        self.ndofs = mesh.num_dofs(P)
-        self.shape = (NX, NY, NZ)
-        self.Zp = 32 if NZ <= 32 else 64
-        self.g = g = 128 // self.Zp
-        # Slab height 8-ALIGNED (sublane tile): real-TPU Mosaic rejects
-        # sub-8 sublane slices that interpret mode accepts.
-        self.XS = XS = _round_up(-(-NX // g), 8)
+        g = self._init_single(mesh, P, "PackedKronSingle")
+        NX, NY, NZ = self.shape
+        XS = self.XS
         # Corner blocks carry the full band in 8-aligned row tiles.
         Pb = _round_up(self.P, 8)
         if XS < Pb:
@@ -633,8 +689,6 @@ class PackedKronSingle:
                 f"band ({Pb}); got XS={XS} for NX={NX}, g={g} — lattice "
                 "too small for this packing"
             )
-        self.NXp = g * XS
-        self.NYp = _round_up(NY, 8)
         self.precision = precision
         self.sigma = float(sigma)
 
@@ -723,24 +777,6 @@ class PackedKronSingle:
             lambda x: self.unpack(self._apply_impl(self.pack(x)))
         )
 
-    def pack(self, x3):
-        """``(NX, NY, NZ)`` lattice -> packed ``(XS, NYp, 128)``."""
-        NX, NY, NZ = self.shape
-        x3 = jnp.asarray(x3, jnp.float32).reshape(NX, NY, NZ)
-        xp = jnp.pad(x3, ((0, self.NXp - NX), (0, self.NYp - NY),
-                          (0, self.Zp - NZ)))
-        xp = xp.reshape(self.g, self.XS, self.NYp, self.Zp)
-        return jnp.transpose(xp, (1, 2, 0, 3)).reshape(
-            self.XS, self.NYp, 128)
-
-    def unpack(self, P3):
-        """Packed ``(XS, NYp, 128)`` -> ``(NX, NY, NZ)`` lattice."""
-        NX, NY, NZ = self.shape
-        U = P3.reshape(self.XS, self.NYp, self.g, self.Zp)
-        U = jnp.transpose(U, (2, 0, 1, 3)).reshape(
-            self.NXp, self.NYp, self.Zp)
-        return U[:NX, :NY, :NZ]
-
     def apply_packed(self, P3):
         return self._apply(P3)
 
@@ -756,3 +792,175 @@ class PackedKronSingle:
         x = jnp.asarray(x, jnp.float32)
         out = self._roundtrip(x.reshape(self.shape))
         return out.reshape(jnp.shape(x))
+
+
+def _packed_fdm_single_kernel(b_ref, bcf_ref, MXt_ref, MX_ref, Vyt_ref,
+                              Vy_ref, VZTbd_ref, VZbd_ref, dinv_ref,
+                              out_ref, *, g, Zp):
+    """One fused FDM direct solve on a SINGLE lane-packed lattice.
+
+    y/z transforms are slot-local exactly as in `_packed_fdm_kernel`
+    (sublane-transpose merged dots / block-diagonal lane dots). The x
+    transforms couple the slots DENSELY (eigenvector matrices have no
+    band structure), so each runs as ``g`` dots of the lane-rotated
+    input stack: piece ``j`` is ``w`` rolled by ``j*Zp`` lanes (slot c'
+    then holds slab ``(c'+j) mod g``), the stacked matrix row block
+    ``M[c']`` carries ``[B(c',c'), B(c',c'+1), ...]`` in rolled column
+    order, and slot masks pick each output row block. The bc epilogue
+    rides a packed f32 ``bcf`` (1 at Dirichlet/pad entries): the
+    embedded transforms annihilate those slots, so ``b*bcf + u``
+    reproduces ``where(bc, b, u)`` exactly.
+    """
+    XS, NYp, L = b_ref.shape
+    b = b_ref[:]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (XS, NYp, L), 2) // Zp
+
+    def xtrans(w, M_ref):
+        pieces = [w.reshape(XS, NYp * L)]
+        for j in range(1, g):
+            pieces.append(
+                pltpu.roll(w, L - j * Zp, axis=2).reshape(XS, NYp * L))
+        stack = jnp.concatenate(pieces, axis=0)
+        acc = jnp.zeros((XS, NYp, L), jnp.float32)
+        for cp in range(g):
+            tp = _DOT(M_ref[cp * XS:(cp + 1) * XS, :], stack,
+                      precision=_HI).reshape(XS, NYp, L)
+            acc = acc + jnp.where(slot == cp, tp, 0.0)
+        return acc
+
+    def ytrans(w, V):
+        wT = jnp.swapaxes(w, 0, 1).reshape(NYp, XS * L)
+        return jnp.swapaxes(
+            _DOT(V, wT, precision=_HI).reshape(NYp, XS, L), 0, 1)
+
+    def ztrans(w, Vbd):
+        return _DOT(w.reshape(XS * NYp, L), Vbd,
+                    precision=_HI).reshape(XS, NYp, L)
+
+    t = xtrans(b, MXt_ref)
+    t = ytrans(t, Vyt_ref[:])
+    t = ztrans(t, VZTbd_ref[:])
+    t = t * dinv_ref[:]
+    t = ztrans(t, VZbd_ref[:])
+    t = ytrans(t, Vy_ref[:])
+    u = xtrans(t, MX_ref)
+    out_ref[:] = b * bcf_ref[:] + u
+
+
+def _emu_fdm_single(b3, m, *, g, Zp):
+    """jnp twin of `_packed_fdm_single_kernel` (off-TPU; same math)."""
+    XS, NYp, L = b3.shape
+    slot = jnp.arange(L)[None, None, :] // Zp
+
+    def xtrans(w, M):
+        pieces = [w]
+        for j in range(1, g):
+            pieces.append(jnp.roll(w, -j * Zp, axis=2))
+        stack = jnp.concatenate(pieces, axis=0)
+        acc = jnp.zeros_like(w)
+        for cp in range(g):
+            tp = jnp.einsum("ak,kyL->ayL", M[cp * XS:(cp + 1) * XS],
+                            stack, precision=_HI)
+            acc = acc + jnp.where(slot == cp, tp, 0.0)
+        return acc
+
+    t = xtrans(b3, m["MXt"])
+    t = jnp.einsum("by,xyL->xbL", m["Vyt"], t, precision=_HI)
+    t = jnp.einsum("xyl,lm->xym", t, m["VZTbd"], precision=_HI)
+    t = t * m["dinv"]
+    t = jnp.einsum("xyl,lm->xym", t, m["VZbd"], precision=_HI)
+    t = jnp.einsum("by,xyL->xbL", m["Vy"], t, precision=_HI)
+    u = xtrans(t, m["MX"])
+    return b3 * m["bcf"] + u
+
+
+class PackedFDMSingle(_SinglePacked):
+    """SINGLE-RHS lane-packed FDM DIRECT solve for small lattices (f32).
+
+    The one-vector counterpart of `PackedFDMBatch`: the lattice's own
+    x-slabs fill the 128-lane tiles and ONE Mosaic kernel runs the
+    whole direct solve (six transforms + eigenvalue division + bc
+    epilogue). This is the serving-mode implicit time-stepper's inner
+    solve for a single trajectory — `heat_fdm_evolve`-class steppers at
+    batch 1 would otherwise leave half (NZ <= 64) or three quarters
+    (NZ <= 32) of every lane tile idle.
+
+    Same solver contract as `solvers.fdm.FastDiagonalizationSolver`:
+    constant / per-axis-diagonal kappa, sigma shift, graded spacing,
+    mixed Dirichlet/Neumann faces and Robin ends.
+    """
+
+    def __init__(self, mesh, P, kappa=2.0, sigma=0.0, interpret=False):
+        from ..fem.mesh import require_axis_aligned
+
+        require_axis_aligned(mesh, "PackedFDMSingle")
+        g = self._init_single(mesh, P, "PackedFDMSingle")
+        NX, NY, NZ = self.shape
+        XS = self.XS
+        Vs, dinv3 = _fdm_embedded(mesh, self.P, kappa, sigma,
+                                  "PackedFDMSingle")
+
+        def xstack(V):
+            """Stacked rolled-column x-transform matrix (g*XS, g*XS)."""
+            Vp = np.zeros((self.NXp, self.NXp))
+            Vp[:NX, :NX] = V
+            M = np.zeros((g * XS, g * XS))
+            for cp in range(g):
+                for j in range(g):
+                    c = (cp + j) % g
+                    M[cp * XS:(cp + 1) * XS, j * XS:(j + 1) * XS] = \
+                        Vp[cp * XS:(cp + 1) * XS, c * XS:(c + 1) * XS]
+            return M
+
+        Vyp = np.zeros((self.NYp, self.NYp))
+        Vyp[:NY, :NY] = Vs[1]
+        Vzp = np.zeros((self.Zp, self.Zp))
+        Vzp[:NZ, :NZ] = Vs[2]
+        bc3 = np.asarray(mesh.boundary_dof_marker(self.P)).reshape(
+            NX, NY, NZ)
+        self.mats = dict(
+            MXt=jnp.asarray(xstack(Vs[0].T), jnp.float32),
+            MX=jnp.asarray(xstack(Vs[0]), jnp.float32),
+            Vyt=jnp.asarray(Vyp.T.copy(), jnp.float32),
+            Vy=jnp.asarray(Vyp, jnp.float32),
+            VZTbd=jnp.asarray(np.kron(np.eye(g), Vzp), jnp.float32),
+            VZbd=jnp.asarray(np.kron(np.eye(g), Vzp.T), jnp.float32),
+            dinv=jnp.asarray(self._pack_host(dinv3), jnp.float32),
+            bcf=jnp.asarray(self._pack_host(bc3.astype(np.float64),
+                                            pad=1.0), jnp.float32),
+        )
+
+        vmem = 4 * XS * self.NYp * 128
+        self._pcall = pl.pallas_call(
+            partial(_packed_fdm_single_kernel, g=g, Zp=self.Zp),
+            out_shape=jax.ShapeDtypeStruct((XS, self.NYp, 128),
+                                           jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(12 * vmem + (8 << 20), 96 << 20)
+            ),
+            interpret=interpret,
+        )
+        self._interpret = interpret
+        self._solve = jax.jit(self._solve_impl)
+        self._roundtrip = jax.jit(
+            lambda b: self.unpack(self._solve_impl(self.pack(b)))
+        )
+
+    def solve_packed(self, P3):
+        return self._solve(P3)
+
+    def _solve_impl(self, P3):
+        if not self._interpret and jax.default_backend() != "tpu":
+            return _emu_fdm_single(P3, self.mats, g=self.g, Zp=self.Zp)
+        m = self.mats
+        return self._pcall(P3, m["bcf"], m["MXt"], m["MX"], m["Vyt"],
+                           m["Vy"], m["VZTbd"], m["VZbd"], m["dinv"])
+
+    def solve(self, b):
+        """Direct solve; ``b`` is ``(ndofs,)`` or ``(NX, NY, NZ)``;
+        ``u[bc] = b[bc]`` like every solver in the package."""
+        b = jnp.asarray(b, jnp.float32)
+        out = self._roundtrip(b.reshape(self.shape))
+        return out.reshape(jnp.shape(b))

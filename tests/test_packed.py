@@ -251,3 +251,58 @@ def test_packed_single_validation_and_roundtrip():
     x3 = rng.standard_normal(mesh.lattice_shape(6)).astype(np.float32)
     rt = np.asarray(pk.unpack(pk.pack(x3)))
     assert np.array_equal(rt, x3)
+
+
+@pytest.mark.parametrize("interpret", [False, True])
+@pytest.mark.parametrize("nc,P", [((10, 10, 10), 6),   # 61^3: g=2
+                                  ((5, 5, 5), 6)])     # 31^3: g=4
+def test_packed_fdm_single_matches_fdm(nc, P, interpret):
+    """Single-RHS x-slab packed direct solve == FastDiagonalizationSolver
+    at f32 accuracy, emulation and interpret-mode kernel (lane-rotated
+    dense x-transform stacks included)."""
+    from pmg_dolfinx_tpu.ops.pallas_kron_packed import PackedFDMSingle
+    from pmg_dolfinx_tpu.solvers.fdm import FastDiagonalizationSolver
+
+    mesh = BoxMesh(nc)
+    fdm = FastDiagonalizationSolver(mesh, P, kappa=2.0,
+                                    dtype=jnp.float32, sigma=0.5)
+    pk = PackedFDMSingle(mesh, P, kappa=2.0, sigma=0.5,
+                         interpret=interpret)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(mesh.num_dofs(P)).astype(np.float32)
+    u_ref = np.asarray(fdm.solve(
+        jnp.asarray(b).reshape(mesh.lattice_shape(P)))).reshape(-1)
+    u = np.asarray(pk.solve(jnp.asarray(b))).reshape(-1)
+    assert np.linalg.norm(u - u_ref) < 5e-6 * np.linalg.norm(u_ref)
+    bc = np.asarray(mesh.boundary_dof_marker(P))
+    assert np.allclose(u[bc], b[bc])
+
+
+def test_packed_fdm_single_families_and_inverse():
+    """Mixed faces + Robin + graded spacing + per-axis kappa ride the
+    per-axis eigenproblems; solve(apply(x)) == x (exact inverse pair
+    with PackedKronSingle at matching shift)."""
+    from pmg_dolfinx_tpu.fem.mesh import geometric_spacing
+    from pmg_dolfinx_tpu.ops.pallas_kron_packed import (PackedFDMSingle,
+                                                        PackedKronSingle)
+
+    mesh = BoxMesh((12, 10, 10),
+                   spacing=(None, geometric_spacing(10, 2.0), None),
+                   dirichlet_faces=((True, False), (True, True),
+                                    (True, True)),
+                   robin=((0.0, 2.5), (0, 0), (0, 0)))
+    P, kap, sig = 5, (1.0, 2.0, 3.0), 0.8
+    op = PackedKronSingle(mesh, P, kappa=kap, sigma=sig)
+    fdm = PackedFDMSingle(mesh, P, kappa=kap, sigma=sig)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(mesh.num_dofs(P)).astype(np.float32)
+    rt = np.asarray(fdm.solve(op(jnp.asarray(x)))).reshape(-1)
+    assert np.linalg.norm(rt - x) < 2e-5 * np.linalg.norm(x)
+
+
+def test_packed_fdm_single_singular_rejected():
+    from pmg_dolfinx_tpu.ops.pallas_kron_packed import PackedFDMSingle
+
+    mesh = BoxMesh((4, 4, 4), dirichlet_faces=((False, False),) * 3)
+    with pytest.raises(ValueError, match="singular"):
+        PackedFDMSingle(mesh, 3)

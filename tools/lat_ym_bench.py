@@ -35,16 +35,18 @@ def bench(nc, configs, lo, hi):
         op = PallasLatticeBlocked(mesh, P, kappa=2.0, precision=prec,
                                   variant=variant)
 
-        @partial(jax.jit, static_argnums=(1,))
-        def chain(v, reps, op=op):
+        # Gt/bc as jit ARGS: a closed-over geometry slab overflows the
+        # remote-compile payload (HTTP 413 — CLAUDE.md closure rule).
+        @partial(jax.jit, static_argnums=(3,))
+        def chain(v, Gt, bc, reps, op=op):
             def body(i, u):
-                return op._apply_impl(v + 1e-30 * u, op.mats, op.Gt,
-                                      op.bc_marker)
+                return op._apply_impl(v + 1e-30 * u, op.mats, Gt, bc)
 
             return jnp.sum(jax.lax.fori_loop(0, reps, body, v))
 
-        per, spread = measure(lambda r: float(chain(x, r)), lo, hi,
-                              min_samples=4)
+        per, spread = measure(
+            lambda r: float(chain(x, op.Gt, op.bc_marker, r)), lo, hi,
+            min_samples=4)
         key = f"{variant}_{prec}"
         out[key] = dict(gdofs=round(nd / per / 1e9, 3),
                         spread=round(spread, 3),
