@@ -120,6 +120,40 @@ def heat_fdm_evolve(mesh, P, kappa=1.0, dt=1e-2, scheme="cn",
     return evolve
 
 
+def _packed_bundle(mesh, P, B, interpret):
+    """Factories + pack helpers for the lane-packed serving steppers,
+    routing ``B == 1`` through the SINGLE-RHS x-slab kernels
+    (`PackedKronSingle` / `PackedFDMSingle` — a batch-1 batch kernel
+    would leave g-1 of every g lane slots zero) and ``B >= 2`` through
+    the batch kernels. Returns ``(mk_op, mk_fdm, pack_state,
+    pack_vec, unpack)``; states are ``(B, ndofs)`` either way."""
+    if B == 1:
+        from ..ops.pallas_kron_packed import (PackedFDMSingle,
+                                              PackedKronSingle)
+
+        shape3 = mesh.lattice_shape(P)
+        mk_op = partial(PackedKronSingle, mesh, P, interpret=interpret)
+        mk_fdm = partial(PackedFDMSingle, mesh, P, interpret=interpret)
+        pack_state = lambda ref, U: ref.pack(
+            jnp.asarray(U, jnp.float32).reshape(shape3))
+        pack_vec = lambda ref, v: ref.pack(
+            jnp.asarray(v, jnp.float32).reshape(shape3))
+        unpack = lambda ref, PT: ref.unpack(PT).reshape(1, -1)
+    else:
+        from ..ops.pallas_kron_packed import (PackedFDMBatch,
+                                              PackedKronBatch)
+
+        mk_op = partial(PackedKronBatch, mesh, P, B=B,
+                        interpret=interpret)
+        mk_fdm = partial(PackedFDMBatch, mesh, P, B=B,
+                         interpret=interpret)
+        pack_state = lambda ref, U: ref.pack(jnp.asarray(U, jnp.float32))
+        pack_vec = lambda ref, v: ref.pack(jnp.broadcast_to(
+            jnp.asarray(v, jnp.float32), (B, jnp.size(v))))
+        unpack = lambda ref, PT: ref.unpack(PT).reshape(B, -1)
+    return mk_op, mk_fdm, pack_state, pack_vec, unpack
+
+
 def heat_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8, scheme="cn",
                        interpret=False):
     """Jitted ``evolve(U0[(B, ndofs)], nsteps) -> U_T`` stepping the
@@ -131,18 +165,19 @@ def heat_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8, scheme="cn",
     as the distributed evolvers — it halves the CN step's kernel work),
     and the result unpacks at the end — the serving analogue of the
     3D-native-lattice rule applied in time. Homogeneous Dirichlet data
-    (the packed rows pass zeros through).
+    (the packed rows pass zeros through). ``B=1`` rides the SINGLE-RHS
+    x-slab kernels (`_packed_bundle`).
     """
     if scheme not in ("be", "cn"):
         raise ValueError(f"scheme must be 'be' or 'cn', got {scheme!r}")
-    from ..ops.pallas_kron_packed import PackedFDMBatch
+    _, mk_fdm, pack_state, pack_vec, unpack = _packed_bundle(
+        mesh, P, B, interpret)
 
     sigma = 1.0 / float(dt)
     kap_op = _half_kappa(kappa) if scheme == "cn" else kappa
-    fdm = PackedFDMBatch(mesh, P, kappa=kap_op, B=B, sigma=sigma,
-                         interpret=interpret)
+    fdm = mk_fdm(kappa=kap_op, sigma=sigma)
     m3 = np.asarray(lumped_mass_np(mesh, P, bc_zero=True), np.float32)
-    m3p = fdm.pack(jnp.broadcast_to(jnp.asarray(m3), (B, m3.size)))
+    m3p = pack_vec(fdm, m3)
 
     def step(Pu, _):
         if scheme == "be":
@@ -151,9 +186,9 @@ def heat_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8, scheme="cn",
 
     @partial(jax.jit, static_argnames="nsteps")
     def evolve(U0, nsteps):
-        Pu = fdm.pack(jnp.asarray(U0, jnp.float32))
+        Pu = pack_state(fdm, U0)
         PT, _ = jax.lax.scan(step, Pu, length=nsteps)
-        return fdm.unpack(PT).reshape(B, -1)
+        return unpack(fdm, PT)
 
     return evolve
 
@@ -167,19 +202,19 @@ def semilinear_packed_evolve(mesh, P, nonlin, kappa=1.0, dt=1e-3, B=8,
     reaction term carries the packed ``m3`` factor, so padding lanes
     stay exactly zero for any ``N``), unpack at the end. Same IMEX
     schemes/identities as `semilinear_fdm_evolve`; homogeneous
-    Dirichlet data."""
+    Dirichlet data. ``B=1`` rides the single-RHS kernels."""
     if scheme not in ("be", "cnab"):
         raise ValueError(f"scheme must be 'be' or 'cnab', got {scheme!r}")
-    from ..ops.pallas_kron_packed import PackedFDMBatch
+    _, mk_fdm, pack_state, pack_vec, unpack = _packed_bundle(
+        mesh, P, B, interpret)
 
     sdt = 1.0 / float(dt)
     shift = (float(sigma) + sdt if scheme == "be"
              else 0.5 * float(sigma) + sdt)
     kap_op = _half_kappa(kappa) if scheme == "cnab" else kappa
-    fdm = PackedFDMBatch(mesh, P, kappa=kap_op, B=B, sigma=shift,
-                         interpret=interpret)
+    fdm = mk_fdm(kappa=kap_op, sigma=shift)
     m3 = np.asarray(lumped_mass_np(mesh, P, bc_zero=True), np.float32)
-    m3p = fdm.pack(jnp.broadcast_to(jnp.asarray(m3), (B, m3.size)))
+    m3p = pack_vec(fdm, m3)
 
     if scheme == "be":
         def step(Pu, _):
@@ -195,13 +230,13 @@ def semilinear_packed_evolve(mesh, P, nonlin, kappa=1.0, dt=1e-3, B=8,
 
     @partial(jax.jit, static_argnames="nsteps")
     def evolve(U0, nsteps):
-        Pu = fdm.pack(jnp.asarray(U0, jnp.float32))
+        Pu = pack_state(fdm, U0)
         if scheme == "be":
             PT, _ = jax.lax.scan(step, Pu, length=nsteps)
         else:
             (PT, _), _ = jax.lax.scan(step, (Pu, nonlin.N(Pu)),
                                       length=nsteps)
-        return fdm.unpack(PT).reshape(B, -1)
+        return unpack(fdm, PT)
 
     return evolve
 
@@ -293,19 +328,20 @@ def wave_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8,
       conditionally stable — same `wave_stable_dt` bound.
 
     Padding lanes and Dirichlet rows are kept exactly zero by the
-    packed interior mask (the packed ``m3`` is zero there).
+    packed interior mask (the packed ``m3`` is zero there). ``B=1``
+    rides the single-RHS kernels.
     """
     if scheme not in ("newmark", "leapfrog"):
         raise ValueError(
             f"scheme must be 'newmark' or 'leapfrog', got {scheme!r}")
-    from ..ops.pallas_kron_packed import PackedFDMBatch, PackedKronBatch
+    mk_op, mk_fdm, pack_state, pack_vec, unpack = _packed_bundle(
+        mesh, P, B, interpret)
 
-    op0 = PackedKronBatch(mesh, P, kappa=kappa, B=B, interpret=interpret)
+    op0 = mk_op(kappa=kappa)
     m3 = np.asarray(lumped_mass_np(mesh, P, bc_zero=True), np.float32)
     bc = np.asarray(mesh.boundary_dof_marker(P))
-    m3p = op0.pack(jnp.broadcast_to(jnp.asarray(m3), (B, m3.size)))
-    mask = op0.pack(jnp.broadcast_to(
-        jnp.asarray((~bc).astype(np.float32)), (B, m3.size)))
+    m3p = pack_vec(op0, m3)
+    mask = pack_vec(op0, (~bc).astype(np.float32))
     m3div = jnp.where(m3p > 0, m3p, 1.0)
 
     def accel(Pu):
@@ -316,8 +352,7 @@ def wave_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8,
             raise ValueError(
                 f"need beta > 0, gamma >= 1/2, got {beta}, {gamma}")
         c0 = 1.0 / (beta * dt * dt)
-        fdm = PackedFDMBatch(mesh, P, kappa=kappa, B=B, sigma=c0,
-                             interpret=interpret)
+        fdm = mk_fdm(kappa=kappa, sigma=c0)
 
         def step(carry, _):
             u, v, a = carry
@@ -329,12 +364,11 @@ def wave_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8,
 
         @partial(jax.jit, static_argnames="nsteps")
         def evolve(U0, V0, nsteps):
-            Pu = op0.pack(jnp.asarray(U0, jnp.float32))
-            Pv = mask * op0.pack(jnp.asarray(V0, jnp.float32))
+            Pu = pack_state(op0, U0)
+            Pv = mask * pack_state(op0, V0)
             (uT, vT, _), _ = jax.lax.scan(step, (Pu, Pv, accel(Pu)),
                                           length=nsteps)
-            return (op0.unpack(uT).reshape(B, -1),
-                    op0.unpack(vT).reshape(B, -1))
+            return unpack(op0, uT), unpack(op0, vT)
     else:
         def step(carry, _):
             um1, u = carry
@@ -343,14 +377,13 @@ def wave_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8,
 
         @partial(jax.jit, static_argnames="nsteps")
         def evolve(U0, V0, nsteps):
-            Pu = op0.pack(jnp.asarray(U0, jnp.float32))
-            Pv = mask * op0.pack(jnp.asarray(V0, jnp.float32))
+            Pu = pack_state(op0, U0)
+            Pv = mask * pack_state(op0, V0)
             u1 = Pu + dt * Pv + (0.5 * dt * dt) * accel(Pu)
             (um1, uT), _ = jax.lax.scan(step, (Pu, u1),
                                         length=nsteps - 1)
             vT = (uT - um1) / dt + (0.5 * dt) * accel(uT)
-            return (op0.unpack(uT).reshape(B, -1),
-                    op0.unpack(vT).reshape(B, -1))
+            return unpack(op0, uT), unpack(op0, vT)
 
     return evolve
 

@@ -119,15 +119,17 @@ def test_steady_state_with_source():
     assert rel < 1e-6, rel
 
 
+@pytest.mark.parametrize("B", [1, 3])
 @pytest.mark.parametrize("scheme", ["be", "cn"])
-def test_packed_transient_matches_per_rhs(scheme):
+def test_packed_transient_matches_per_rhs(scheme, B):
     """The lane-packed batched evolve (pack once -> scan packed FDM
     steps -> unpack) reproduces the per-RHS scanned FDM trajectories to
-    f32 precision for every column."""
+    f32 precision for every column; B=1 rides the SINGLE-RHS x-slab
+    kernels (PackedFDMSingle)."""
     from pmg_dolfinx_tpu.solvers.transient import heat_packed_evolve
 
     mesh = BoxMesh((6, 6, 6))
-    P, dt, nsteps, B = 3, 0.002, 5, 3
+    P, dt, nsteps = 3, 0.002, 5
     rng = np.random.default_rng(0)
     U0 = rng.standard_normal((B, mesh.num_dofs(P))).astype(np.float32)
     U0[:, np.asarray(mesh.boundary_dof_marker(P))] = 0.0

@@ -156,8 +156,9 @@ def test_dist_matches_single(shards):
     assert np.linalg.norm(got - ref) < 1e-10 * np.linalg.norm(ref)
 
 
+@pytest.mark.parametrize("B", [1, 3])
 @pytest.mark.parametrize("scheme", ["be", "cnab"])
-def test_packed_matches_per_rhs(scheme):
+def test_packed_matches_per_rhs(scheme, B):
     """Lane-packed batched semilinear stepping == the per-RHS scanned
     trajectories to f32 precision (reaction evaluated in the packed
     layout; the m3 factor keeps padding lanes exactly zero)."""
@@ -166,7 +167,7 @@ def test_packed_matches_per_rhs(scheme):
     from pmg_dolfinx_tpu.solvers.transient import semilinear_packed_evolve
 
     mesh = BoxMesh((6, 6, 6))
-    P, dt, nsteps, B = 3, 2e-3, 5, 3
+    P, dt, nsteps = 3, 2e-3, 5
     rng = np.random.default_rng(1)
     U0 = rng.standard_normal((B, mesh.num_dofs(P))).astype(np.float32)
     U0[:, np.asarray(mesh.boundary_dof_marker(P))] = 0.0

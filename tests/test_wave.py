@@ -231,8 +231,9 @@ def test_mixed_faces_energy():
         assert abs(E - E0) < 1e-11 * E0, (n, E, E0)
 
 
+@pytest.mark.parametrize("B", [1, 3])
 @pytest.mark.parametrize("scheme", ["newmark", "leapfrog"])
-def test_packed_wave_matches_per_rhs(scheme):
+def test_packed_wave_matches_per_rhs(scheme, B):
     """Lane-packed batched wave stepping (solvers/transient.py
     wave_packed_evolve) == the per-RHS scanned trajectories to f32
     precision for every column (homogeneous Dirichlet)."""
@@ -242,7 +243,7 @@ def test_packed_wave_matches_per_rhs(scheme):
         wave_leapfrog_evolve, wave_packed_evolve)
 
     mesh = BoxMesh((6, 6, 6))
-    P, dt, nsteps, B = 3, 5e-4, 5, 3
+    P, dt, nsteps = 3, 5e-4, 5
     rng = np.random.default_rng(4)
     U0 = rng.standard_normal((B, mesh.num_dofs(P))).astype(np.float32)
     V0 = rng.standard_normal((B, mesh.num_dofs(P))).astype(np.float32)
