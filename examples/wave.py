@@ -58,6 +58,10 @@ def main():
                    help="shard the Newmark time loop: 'N' (x-slab) or "
                         "'sx,sy,sz' (device grid) — one distributed FDM "
                         "solve per step, gather-free (box mesh)")
+    p.add_argument("--batch", type=int, default=0,
+                   help="evolve B independent trajectories through the "
+                        "lane-packed serving kernels (f32, NZ <= 64; "
+                        "B=1 rides the single-RHS x-slab kernels)")
     args = p.parse_args()
     shards = parse_shards(args.shards) if args.shards else None
     n_dev = int(np.prod(shards)) if shards is not None else None
@@ -142,6 +146,36 @@ def main():
     def u_exact(x):
         return (np.cos(omega * T) * np.sin(np.pi * x[0])
                 * np.sin(np.pi * x[1]) * np.sin(np.pi * x[2]))
+
+    if args.batch:
+        if args.mesh == "perturbed" or shards is not None or f_src is not None:
+            raise SystemExit("--batch rides the lane-packed kron/FDM "
+                             "kernels (axis-aligned box, source-free, "
+                             "unsharded)")
+        from pmg_dolfinx_tpu.solvers.transient import wave_packed_evolve
+
+        B = args.batch
+        with Timer("setup"):
+            evolve = wave_packed_evolve(mesh, P, kappa=kappa, dt=dt, B=B,
+                                        scheme=args.scheme,
+                                        gamma=args.gamma)
+        U0 = np.broadcast_to(u0, (B, u0.size)).astype(np.float32)
+        V0 = np.zeros_like(U0)
+        with Timer(f"warmup (compile + {args.steps} steps)"):
+            np.asarray(evolve(U0, V0, args.steps)[0])
+        with Timer(f"evolve ({args.steps} steps x batch {B})"):
+            t0 = time.time()
+            UT, VT = (np.asarray(a) for a in evolve(U0, V0, args.steps))
+            wall = time.time() - t0
+        err = l2_error(mesh, P, UT[0].astype(np.float64), u_exact)
+        rate = args.steps * B / wall
+        print(f"L2 error at T={T:g} (col 0): {err:.4e}")
+        print(f"throughput: {rate:.1f} column-steps/s "
+              f"({args.steps / wall:.1f} batch-steps/s)")
+        list_timings()
+        print(json.dumps({"l2_error": float(err),
+                          "column_steps_per_s": rate}))
+        return
 
     m3 = lumped_mass_np(mesh, P, bc_zero=True)
     op64 = KronLaplacian(mesh, P, kappa=kappa, dtype=jnp.float64) \

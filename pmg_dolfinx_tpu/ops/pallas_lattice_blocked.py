@@ -194,6 +194,11 @@ def _mk_split_dot(prec):
     `precision=HIGHEST`, which re-decomposes both operands inside every
     dot. 'highest' = manual 6-pass bf16x3x3 (error ~1e-7, the HIGHEST
     decomposition); 'high' = 3-pass bf16x2 (drops lo*lo, ~1e-5)."""
+    if prec == "native":
+        # Merged-plane dots with Mosaic's own HIGHEST lowering — the
+        # control that isolates the merged-plane effect from the
+        # manual-split effect (measured: the manual splits LOSE).
+        return (lambda a: a), (lambda a, b: _DOT(a, b, precision=HI))
     if prec == "high":
         def dot3(a_split, b_split):
             a_hi, a_lo = a_split
