@@ -220,17 +220,28 @@ def _mk_split_dot(prec):
 def _kernel_lattice_ym(xe_ref, g_ref, Ez_ref, EzT_ref, Dz_ref, DzT_ref,
                        D1_ref, out_ref, *, n, ncy, bcells, prec):
     # v5 ("ym") kernel: the yexp structure with two MXU restructurings.
+    # MEASURED NEGATIVE RESULT on v5e (r4) — both levers LOSE; kept
+    # opt-in as a design datapoint (auto-select never picks it):
     # (1) MERGED-PLANE z dots: the n per-plane (Qy, NZ) @ (NZ, Qz)
     #     dots of a cell slab become one (n*Qy, NZ) @ (NZ, Qz) dot —
     #     per-plane m = Qy pads to ceil(Qy/128) sublane tiles (~23%
-    #     waste at Qy=294); merged m = n*Qy pads once (~5%). Forward
-    #     reads the slab rows directly (major-dim reshape, free);
-    #     backward stacks the n accumulator planes (VPU copies, cheap
-    #     next to MXU passes).
+    #     waste at Qy=294); merged m = n*Qy pads once (~5%). Measured
+    #     2.05M 'highest': 2.13 GDOF/s with native-HIGHEST merged dots
+    #     (prec='native') vs yexp's per-plane 3.76 — the m-pad model
+    #     was wrong about what matters: the giant merged operands and
+    #     backward jnp.stack copies break Mosaic's per-plane pipeline.
     # (2) SHARED OPERAND SPLITS at BOTH precisions (`_mk_split_dot`):
     #     the z matrices split once per kernel launch, the slab/stack
     #     data once per dot pair — precision=HIGHEST instead re-splits
-    #     inside each of the 4 dots per plane.
+    #     inside each dot. Measured: 1.81 GDOF/s (manual 6-pass) vs
+    #     2.13 (native merged) — the split VPU passes on merged-size
+    #     arrays cost more than Mosaic's internal decomposition.
+    # At 16.2M the same ordering holds: ym 1.76 / yexp 2.12 'highest'.
+    # Together with r3's negatives (zgrp, geom, transfer kernels,
+    # bcells) this pins yexp-with-native-HIGHEST as the local optimum:
+    # ~2.1 GDOF/s at 16.2M is the practical true-f32 roofline for this
+    # operator structure on v5e; the remaining lever is precision
+    # ('high' v1: 2.78, safe under FCG/refined outer loops).
     split, mdot = _mk_split_dot(prec)
     Ezs = split(Ez_ref[:])
     EzTs = split(EzT_ref[:])
