@@ -985,7 +985,10 @@ def blocked_lattice_apply(x, mats, Gt, bc_marker, nc, P, *, bcells=1,
     'highest': yexp 4.13 / 2.14 vs v1 3.21 / 1.88 — yexp wins;
     'high' (bf16x3): v1 5.61 / 2.78 vs yexp 4.57 / 2.49 — v1 wins (the
     bf16 split speeds the matmuls v1 leans on, while the VPU block-D1
-    sums gain nothing). Default (None): picked by precision.
+    sums gain nothing). Default (None): picked by precision. 'ym'
+    (merged-plane dots + shared operand splits) measured SLOWER at both
+    sizes and stays opt-in — see `_kernel_lattice_ym` and
+    ARTIFACTS/lattice_roofline_r4.md for the roofline diagnosis.
     """
     if precision not in ("highest", "high"):
         raise ValueError(
