@@ -122,6 +122,100 @@ def _kernel_t23(x_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
         out_ref[i] = jnp.where(bci, xi, yi)
 
 
+def _kernel_t1_m(x_ref, myb_ref, Ktx_ref, sxzm_ref, out_ref, *, high):
+    # `_kernel_t1` with the bc mask SEPARATED into the scale factors:
+    # on a box the Dirichlet marker is a union of face planes, i.e.
+    # bc = NOT (mx (x) my (x) mz) with per-axis 0/1 interior vectors, so
+    # mask(x) * sx (x) sz == x * (my_j * sxzm) with sxzm = (mx*sx) (x)
+    # (mz*sz) and the scalar my_j per y-plane. This removes the
+    # full-lattice bc operand entirely — a bool kernel input ships as a
+    # CONVERTED s32 buffer (write + read per apply: ~195 MB of HBM
+    # traffic at 16.2M dofs across the kernel pair, r4 measured in the
+    # lowered HLO).
+    Ktx = Ktx_ref[:]
+    sxzm = sxzm_ref[:]
+    if high:
+        Ktx_split = _split_bf16(Ktx)
+    By = x_ref.shape[1]
+    for j in range(By):
+        w1j = x_ref[:, j, :] * (myb_ref[j, 0] * sxzm)
+        if high:
+            out_ref[:, j, :] = _dot3(Ktx_split, _split_bf16(w1j))
+        else:
+            out_ref[:, j, :] = _DOT(Ktx, w1j,
+                                    precision=jax.lax.Precision.HIGHEST)
+
+
+def _kernel_t23_m(x_ref, mx2_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
+                  sycol_ref, s23m_ref, myb_ref, mzrow_ref, out_ref, *,
+                  high, sigma=0.0):
+    # `_kernel_t23` with the separable bc mask (see `_kernel_t1_m`):
+    # input masking = x_i * s23m * mx_i (s23m = (my*sy) (x) (mz*sz),
+    # mx_i a (Bx, 1) 0/1 column); the epilogue rebuilds the interior
+    # plane as the outer product mx_i * (myb (x) mzrow) — bit-identical
+    # to where(bc, x, y) for finite x (y*1 and x*(1-0) are exact).
+    Kty = Kty_ref[:]
+    KtzT = KtzT_ref[:]
+    sycol = sycol_ref[:]
+    s23m = s23m_ref[:]
+    inter_yz = myb_ref[:] * mzrow_ref[:]         # (NY, NZ) 0/1
+    if high:
+        Kty_split = _split_bf16(Kty)
+        KtzT_split = _split_bf16(KtzT)
+    Bx = x_ref.shape[0]
+    for i in range(Bx):
+        xi = x_ref[i]
+        mxi = mx2_ref[i, 0]
+        sxi = sx2_ref[i, 0]
+        what = xi * (mxi * s23m)
+        if high:
+            what_split = _split_bf16(what)
+            t2 = _dot3(Kty_split, what_split)
+            t3 = _dot3(what_split, KtzT_split)
+        else:
+            t2 = _DOT(Kty, what, precision=jax.lax.Precision.HIGHEST)
+            t3 = _DOT(what, KtzT, precision=jax.lax.Precision.HIGHEST)
+        acc = sycol * t1_ref[i] + sxi * (t2 + t3)
+        if sigma:
+            acc = acc + (sigma * sxi) * what
+        yi = acc * (sxi * s23m)
+        out_ref[i] = xi * (1.0 - mxi * inter_yz) + yi * mxi
+
+
+def _kernel_t23_res_m(v_ref, mx2_ref, t1_ref, Kty_ref, KtzT_ref,
+                      sx2_ref, sycol_ref, s23m_ref, myb_ref, mzrow_ref,
+                      r_ref, ro_ref, *, high, sigma=0.0):
+    # `_kernel_t23_res` (fused down-sweep residual ro = r - A v) with
+    # the separable bc mask.
+    Kty = Kty_ref[:]
+    KtzT = KtzT_ref[:]
+    sycol = sycol_ref[:]
+    s23m = s23m_ref[:]
+    inter_yz = myb_ref[:] * mzrow_ref[:]
+    if high:
+        Kty_split = _split_bf16(Kty)
+        KtzT_split = _split_bf16(KtzT)
+    Bx = v_ref.shape[0]
+    for i in range(Bx):
+        vi = v_ref[i]
+        mxi = mx2_ref[i, 0]
+        sxi = sx2_ref[i, 0]
+        what = vi * (mxi * s23m)
+        if high:
+            what_split = _split_bf16(what)
+            t2 = _dot3(Kty_split, what_split)
+            t3 = _dot3(what_split, KtzT_split)
+        else:
+            t2 = _DOT(Kty, what, precision=jax.lax.Precision.HIGHEST)
+            t3 = _DOT(what, KtzT, precision=jax.lax.Precision.HIGHEST)
+        acc = sycol * t1_ref[i] + sxi * (t2 + t3)
+        if sigma:
+            acc = acc + (sigma * sxi) * what
+        yi = acc * (sxi * s23m)
+        Av = vi * (1.0 - mxi * inter_yz) + yi * mxi
+        ro_ref[i] = r_ref[i] - Av
+
+
 def _kernel_t23_cheb(v_ref, bc_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref,
                      sycol_ref, s23_ref, x_ref, r_ref, dinv_ref, coef_ref,
                      xo_ref, ro_ref, zo_ref, *, high, sigma=0.0):
@@ -268,7 +362,7 @@ def _kernel_t23_grid(*refs, high, sigma=0.0, need_y, need_z,
         out_ref[i] = r_ref[i] - Av if residual else Av
 
 
-def symmetrized_mats(Ks, ms, dtype=jnp.float32):
+def symmetrized_mats(Ks, ms, dtype=jnp.float32, face_masks=None):
     """Build the symmetrized-scaling arrays the blocked kernels consume.
 
     Given per-axis stiffness ``Ks`` and (diagonal, GLL-lumped) mass ``ms``
@@ -277,12 +371,19 @@ def symmetrized_mats(Ks, ms, dtype=jnp.float32):
     symmetric form needs one scale plane per kernel instead of three 1-D
     broadcasts (which Mosaic cannot do along major dims). Computed in
     float64 and cast once.
+
+    ``face_masks`` (optional, per-axis 0/1 interior vectors from
+    `axis_interior_masks`) adds the SEPARABLE-bc arrays: the Dirichlet
+    marker of a box is a union of face planes, so the mask folds into
+    the scale factors and the blocked kernels drop the full-lattice bc
+    operand (`_kernel_t1_m`/`_kernel_t23_m` — at 16.2M that operand is
+    a ~65 MB converted-s32 buffer per kernel per apply).
     """
     Ks64 = [np.asarray(K, np.float64) for K in Ks]
     ms64 = [np.asarray(m, np.float64) for m in ms]
     ss = [np.sqrt(m) for m in ms64]
     Kts = [K / s[:, None] / s[None, :] for K, s in zip(Ks64, ss)]
-    return dict(
+    out = dict(
         Ktx=jnp.asarray(Kts[0], dtype),
         Kty=jnp.asarray(Kts[1], dtype),
         KtzT=jnp.asarray(Kts[2].T.copy(), dtype),
@@ -291,6 +392,50 @@ def symmetrized_mats(Ks, ms, dtype=jnp.float32):
         sycol=jnp.asarray(ss[1][:, None], dtype),            # (NY, 1)
         s23=jnp.asarray(np.outer(ss[1], ss[2]), dtype),
     )
+    if face_masks is not None:
+        mx, my, mz = [np.asarray(m, np.float64) for m in face_masks]
+        out.update(
+            sxzm=jnp.asarray(np.outer(mx * ss[0], mz * ss[2]), dtype),
+            s23m=jnp.asarray(np.outer(my * ss[1], mz * ss[2]), dtype),
+            mx2=jnp.asarray(mx[:, None], dtype),             # (NX, 1)
+            myb=jnp.asarray(my[:, None], dtype),             # (NY, 1)
+            mzrow=jnp.asarray(mz[None, :], dtype),           # (1, NZ)
+        )
+    return out
+
+
+def checked_face_masks(mesh, P, bc_marker):
+    """`axis_interior_masks` VERIFIED against the actual dof marker:
+    returns the per-axis vectors iff their outer-product union equals
+    ``bc_marker`` exactly, else None (callers then keep the bc-array
+    kernels — future-proofing against non-separable markers)."""
+    mx, my, mz = axis_interior_masks(mesh, P)
+    interior = (mx[:, None, None] * my[None, :, None]
+                * mz[None, None, :]) > 0.5
+    bc3 = np.asarray(bc_marker).reshape(interior.shape)
+    if np.array_equal(bc3, ~interior):
+        return mx, my, mz
+    return None
+
+
+def axis_interior_masks(mesh, P):
+    """Per-axis 0/1 INTERIOR vectors whose outer product is the box
+    interior (bc = NOT the product): 0 at the ends of axes whose faces
+    carry Dirichlet flags. Valid for the whole BoxMesh family (the
+    marker is exactly this union of face planes — asserted where used).
+    """
+    faces = getattr(mesh, "dirichlet_faces", ((True, True),) * 3)
+    masks = []
+    for a in range(3):
+        n = mesh.nc[a] * P + 1
+        m = np.ones(n)
+        lo, hi = faces[a]
+        if lo:
+            m[0] = 0.0
+        if hi:
+            m[-1] = 0.0
+        masks.append(m)
+    return masks
 
 
 def grid_symmetrized_mats(Ks_local, ms_dup, shards, dtype=jnp.float32):
@@ -456,6 +601,80 @@ def _build_calls(shape, by, bx, high, interpret, vma=(), sigma=0.0):
         interpret=interpret,
     )
     return t1, t23
+
+
+@lru_cache(maxsize=None)
+def _build_calls_m(shape, by, bx, high, interpret, vma=(), sigma=0.0):
+    """The separable-bc-mask kernel pair (`_kernel_t1_m`/`_kernel_t23_m`)
+    — no full-lattice bc operand (see `symmetrized_mats(face_masks=)`).
+    """
+    NX, NY, NZ = shape
+    vmem = 100 * 1024 * 1024
+    t1 = pl.pallas_call(
+        partial(_kernel_t1_m, high=high),
+        grid=(pl.cdiv(NY, by),),
+        in_specs=[
+            pl.BlockSpec((NX, by, NZ), lambda j: (0, j, 0)),
+            pl.BlockSpec((by, 1), lambda j: (j, 0)),    # my slab
+            pl.BlockSpec((NX, NX), lambda j: (0, 0)),
+            pl.BlockSpec((NX, NZ), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((NX, by, NZ), lambda j: (0, j, 0)),
+        out_shape=_out_struct(shape, vma),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
+        interpret=interpret,
+    )
+    t23 = pl.pallas_call(
+        partial(_kernel_t23_m, high=high, sigma=sigma),
+        grid=(pl.cdiv(NX, bx),),
+        in_specs=[
+            pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bx, 1), lambda i: (i, 0)),    # mx slab
+            pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0)),
+            pl.BlockSpec((NY, NY), lambda i: (0, 0)),
+            pl.BlockSpec((NZ, NZ), lambda i: (0, 0)),
+            pl.BlockSpec((bx, 1), lambda i: (i, 0)),    # sx slab
+            pl.BlockSpec((NY, 1), lambda i: (0, 0)),    # sy column
+            pl.BlockSpec((NY, NZ), lambda i: (0, 0)),   # s23m plane
+            pl.BlockSpec((NY, 1), lambda i: (0, 0)),    # my column
+            pl.BlockSpec((1, NZ), lambda i: (0, 0)),    # mz row
+        ],
+        out_specs=pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0)),
+        out_shape=_out_struct(shape, vma),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
+        interpret=interpret,
+    )
+    return t1, t23
+
+
+@lru_cache(maxsize=None)
+def _build_res_call_m(shape, bx, high, interpret, vma=(), sigma=0.0):
+    """Separable-mask fused residual kernel (`_kernel_t23_res_m`)."""
+    NX, NY, NZ = shape
+    lat = lambda: pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        partial(_kernel_t23_res_m, high=high, sigma=sigma),
+        grid=(pl.cdiv(NX, bx),),
+        in_specs=[
+            lat(),                                      # v
+            pl.BlockSpec((bx, 1), lambda i: (i, 0)),    # mx slab
+            lat(),                                      # t1'
+            pl.BlockSpec((NY, NY), lambda i: (0, 0)),   # Kty
+            pl.BlockSpec((NZ, NZ), lambda i: (0, 0)),   # KtzT
+            pl.BlockSpec((bx, 1), lambda i: (i, 0)),    # sx slab
+            pl.BlockSpec((NY, 1), lambda i: (0, 0)),    # sy column
+            pl.BlockSpec((NY, NZ), lambda i: (0, 0)),   # s23m plane
+            pl.BlockSpec((NY, 1), lambda i: (0, 0)),    # my column
+            pl.BlockSpec((1, NZ), lambda i: (0, 0)),    # mz row
+            lat(),                                      # r_in
+        ],
+        out_specs=lat(),
+        out_shape=_out_struct(shape, vma),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
 
 
 @lru_cache(maxsize=None)
@@ -700,6 +919,22 @@ def blocked_kron_residual(b3, u3, bc3, mats, *, by=8, bx=8,
         return b3 - _emu_apply(u3, bc3, t1, mats, sigma=sigma)
     by, bx = _clamp_blocks(u3.shape, by, bx)
     high = precision == "high"
+    if "sxzm" in mats:
+        vma = _join_vma(b3, u3, *mats.values())
+        t1c, _ = _build_calls_m(tuple(u3.shape), by, bx, high, interpret,
+                                vma, sigma)
+        resc = _build_res_call_m(tuple(u3.shape), bx, high, interpret,
+                                 vma, sigma)
+        names = ("Ktx", "sxzm", "Kty", "KtzT", "sx2d", "sycol", "s23m",
+                 "mx2", "myb", "mzrow")
+        b3, u3, *mvals = _pvary_all(vma, b3, u3,
+                                    *(mats[k] for k in names))
+        m = dict(zip(names, mvals))
+        t1 = t1c(u3, m["myb"], m["Ktx"], m["sxzm"])
+        if exchange is not None:
+            t1 = exchange(t1)
+        return resc(u3, m["mx2"], t1, m["Kty"], m["KtzT"], m["sx2d"],
+                    m["sycol"], m["s23m"], m["myb"], m["mzrow"], b3)
     vma = _join_vma(b3, u3, bc3, *mats.values())
     t1c, _ = _build_calls(tuple(u3.shape), by, bx, high, interpret, vma,
                           sigma)
@@ -806,6 +1041,22 @@ def blocked_kron_apply(x3, bc3, mats, *, by=8, bx=8, precision="highest",
             t1 = exchange(t1)
         return _emu_apply(x3, bc3, t1, mats, sigma=sigma)
     by, bx = _clamp_blocks(x3.shape, by, bx)
+    if "sxzm" in mats:
+        # Separable-bc kernels: no full-lattice bc operand (the bool
+        # array ships as a converted s32 buffer — see _kernel_t1_m).
+        vma = _join_vma(x3, *mats.values())
+        t1c, t23c = _build_calls_m(tuple(x3.shape), by, bx,
+                                   precision == "high", interpret, vma,
+                                   sigma)
+        names = ("Ktx", "sxzm", "Kty", "KtzT", "sx2d", "sycol", "s23m",
+                 "mx2", "myb", "mzrow")
+        x3, *mvals = _pvary_all(vma, x3, *(mats[k] for k in names))
+        m = dict(zip(names, mvals))
+        t1 = t1c(x3, m["myb"], m["Ktx"], m["sxzm"])
+        if exchange is not None:
+            t1 = exchange(t1)
+        return t23c(x3, m["mx2"], t1, m["Kty"], m["KtzT"], m["sx2d"],
+                    m["sycol"], m["s23m"], m["myb"], m["mzrow"])
     vma = _join_vma(x3, bc3, *mats.values())
     t1c, t23c = _build_calls(tuple(x3.shape), by, bx,
                              precision == "high", interpret, vma, sigma)
@@ -842,7 +1093,9 @@ class PallasKronBlocked:
         self.diag = base.diag
         self.diag_inv = base.diag_inv
         self.bc3 = base.bc_marker.reshape(self.shape)
-        self.mats = symmetrized_mats(base.Ks, base.ms)
+        self.mats = symmetrized_mats(
+            base.Ks, base.ms,
+            face_masks=checked_face_masks(mesh, P, base.bc_marker))
         self.by, self.bx = _clamp_blocks(self.shape, by, bx or 8)
         self._interpret = interpret
         # bc3/mats are deliberately CLOSED OVER (HLO constants): measured

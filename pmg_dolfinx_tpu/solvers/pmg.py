@@ -1033,12 +1033,17 @@ class PMGHierarchy:
                 )
                 if operator == "kron_blocked":
                     # The blocked kernels consume the symmetrized form;
-                    # the raw 1D factors are not needed at runtime.
-                    from ..ops.pallas_kron_blocked import symmetrized_mats
+                    # the raw 1D factors are not needed at runtime. The
+                    # separable-bc masks (verified against the marker)
+                    # let the kernels drop the full-lattice bc operand.
+                    from ..ops.pallas_kron_blocked import (
+                        checked_face_masks, symmetrized_mats)
 
                     lv["kb_mats"] = symmetrized_mats(
                         (lv["Kx"], lv["Ky"], lv["Kz"]),
                         (lv["mx"], lv["my"], lv["mz"]),
+                        face_masks=checked_face_masks(
+                            mesh, P, mesh.boundary_dof_marker(P)),
                     )
                     for name in "xyz":
                         del lv["K" + name], lv["m" + name]

@@ -478,3 +478,47 @@ def test_kron_blocked_refined_solve():
     u, rn = prob.hierarchy.solve_refined(prob.b, num_cycles=12)
     r0 = float(np.linalg.norm(np.asarray(prob.b)))
     assert rn[-1] / r0 < 1e-6, np.array(rn) / r0
+
+
+def test_separable_mask_kernels_match_bc_kernels():
+    """The separable-bc blocked kernels (no full-lattice bc operand —
+    `symmetrized_mats(face_masks=)`) are BIT-IDENTICAL to the bc-array
+    kernels, incl. mixed Dirichlet/Neumann faces, sigma, and the fused
+    residual; `checked_face_masks` refuses non-separable markers."""
+    import numpy as np
+
+    from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+    from pmg_dolfinx_tpu.ops.kron import KronLaplacian
+    from pmg_dolfinx_tpu.ops.pallas_kron_blocked import (
+        blocked_kron_apply, blocked_kron_residual, checked_face_masks,
+        symmetrized_mats)
+
+    mesh = BoxMesh((4, 3, 5), dirichlet_faces=((True, False),
+                                               (True, True),
+                                               (False, True)))
+    P, sigma = 3, 2.5
+    base = KronLaplacian(mesh, P, kappa=2.0, dtype=jnp.float32,
+                         sigma=sigma)
+    bc3 = base.bc_marker.reshape(mesh.lattice_shape(P))
+    fm = checked_face_masks(mesh, P, base.bc_marker)
+    assert fm is not None
+    plain = symmetrized_mats(base.Ks, base.ms)
+    masked = symmetrized_mats(base.Ks, base.ms, face_masks=fm)
+    rng = np.random.default_rng(3)
+    x3 = jnp.asarray(rng.standard_normal(mesh.lattice_shape(P)),
+                     jnp.float32)
+    b3 = jnp.asarray(rng.standard_normal(mesh.lattice_shape(P)),
+                     jnp.float32)
+    y_bc = blocked_kron_apply(x3, bc3, plain, interpret=True, sigma=sigma)
+    y_m = blocked_kron_apply(x3, bc3, masked, interpret=True, sigma=sigma)
+    assert np.array_equal(np.asarray(y_bc), np.asarray(y_m))
+    r_bc = blocked_kron_residual(b3, x3, bc3, plain, interpret=True,
+                                 sigma=sigma)
+    r_m = blocked_kron_residual(b3, x3, bc3, masked, interpret=True,
+                                sigma=sigma)
+    assert np.array_equal(np.asarray(r_bc), np.asarray(r_m))
+
+    # a non-separable marker (one interior dof flagged) is refused
+    bad = np.asarray(base.bc_marker).copy()
+    bad[bad.size // 2] = True
+    assert checked_face_masks(mesh, P, bad) is None
