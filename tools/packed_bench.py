@@ -63,6 +63,15 @@ def bench_packed(nc=(10, 10, 10), P=6, lo=50, hi=250, batches=(2, 8),
                 spread=round(spread, 3),
             )
             print(f"[packed {key}] {out[key]}", flush=True)
+        from pmg_dolfinx_tpu.ops.pallas_kron_packed import PackedFDMSingle
+
+        fdm1 = PackedFDMSingle(mesh, P, kappa=2.0)
+        P0 = fdm1.pack(jnp.ones(mesh.lattice_shape(P), jnp.float32))
+        per, spread = _chain_measure(fdm1._solve_impl, P0, 40 * lo,
+                                     32 * hi)
+        out["fdm_single"] = dict(solve_ms=round(1e3 * per, 4),
+                                 spread=round(spread, 3))
+        print(f"[packed fdm_single] {out['fdm_single']}", flush=True)
     for B in batches:
         for prec in ("highest", "high"):
             op = PackedKronBatch(mesh, P, kappa=2.0, B=B, precision=prec)
