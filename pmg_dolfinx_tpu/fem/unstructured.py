@@ -297,34 +297,54 @@ def load_hex_mesh_npz(path, dirichlet=True, tol=None) -> UnstructuredHexMesh:
 
 
 def read_gmsh_hex(path, dirichlet=True, tol=None) -> UnstructuredHexMesh:
-    """Minimal Gmsh ASCII v2.2 reader: ``$Nodes`` + the hexahedral
-    elements (type 5) of ``$Elements``; every other element type
-    (points/lines/quads used for physical-group tagging) is skipped.
-    Node ids may be non-contiguous (renumbered on load)."""
+    """Minimal Gmsh ASCII reader (v2.2 AND v4.1, Gmsh's current default
+    format): ``$Nodes`` + the hexahedral elements (type 5) of
+    ``$Elements``; every other element type (points/lines/quads used
+    for physical-group tagging) is skipped. Node ids may be
+    non-contiguous (renumbered on load)."""
     nodes_raw, elems = {}, []
     with open(path) as fh:
         lines = iter(fh)
+        ver = None
         for line in lines:
             tag = line.strip()
             if tag == "$MeshFormat":
                 ver = next(lines).split()[0]
-                if not ver.startswith("2."):
+                if not (ver.startswith("2.") or ver.startswith("4.")):
                     raise ValueError(
-                        f"only Gmsh ASCII v2.x supported, got {ver} "
-                        "(export with gmsh -format msh2)")
-            elif tag == "$Nodes":
+                        f"only Gmsh ASCII v2.x / v4.x supported, got "
+                        f"{ver}")
+            elif tag == "$Nodes" and ver.startswith("2."):
                 nn = int(next(lines))
                 for _ in range(nn):
                     p = next(lines).split()
                     nodes_raw[int(p[0])] = [float(p[1]), float(p[2]),
                                             float(p[3])]
-            elif tag == "$Elements":
+            elif tag == "$Nodes":  # v4.1: entity blocks
+                nblocks = int(next(lines).split()[0])
+                for _ in range(nblocks):
+                    nb = int(next(lines).split()[3])
+                    tags = [int(next(lines)) for _ in range(nb)]
+                    for t in tags:
+                        p = next(lines).split()
+                        nodes_raw[t] = [float(p[0]), float(p[1]),
+                                        float(p[2])]
+            elif tag == "$Elements" and ver.startswith("2."):
                 ne = int(next(lines))
                 for _ in range(ne):
                     p = next(lines).split()
                     if int(p[1]) == 5:  # 8-node hexahedron
                         ntags = int(p[2])
                         elems.append([int(v) for v in p[3 + ntags:]])
+            elif tag == "$Elements":  # v4.1: entity blocks
+                nblocks = int(next(lines).split()[0])
+                for _ in range(nblocks):
+                    hdr = next(lines).split()
+                    etype, nb = int(hdr[2]), int(hdr[3])
+                    for _ in range(nb):
+                        p = next(lines).split()
+                        if etype == 5:
+                            elems.append([int(v) for v in p[1:9]])
     if not elems:
         raise ValueError(f"no hexahedral (type 5) elements in {path}")
     ids = sorted(nodes_raw)

@@ -238,3 +238,49 @@ def test_variable_kappa_and_sigma_on_unstructured():
          + sigma * sp.diags(lumped_mass_np(mesh, P, bc_zero=True)))
     ref = spla.spsolve(A.tocsc(), b)
     assert np.linalg.norm(np.asarray(u) - ref) < 1e-8 * np.linalg.norm(ref)
+
+
+def test_gmsh_v41_reader(tmp_path):
+    """Gmsh ASCII v4.1 (entity-block format, the current Gmsh default):
+    same two-hex mesh as the v2.2 test, with nodes split across entity
+    blocks and a skipped point element — matches BoxMesh assembly."""
+    bm = BoxMesh((2, 1, 1), extent=(2.0, 1.0, 1.0))
+    inv = np.argsort(np.array([0, 4, 3, 7, 1, 5, 2, 6]))
+    nodes = bm.geometry_x
+    cells_g = bm.geometry_dofmap[:, inv]
+    buf = io.StringIO()
+    buf.write("$MeshFormat\n4.1 0 8\n$EndMeshFormat\n$Nodes\n")
+    # two entity blocks, ids offset by 5, non-contiguous
+    n0 = len(nodes) // 2
+    buf.write(f"2 {len(nodes)} 5 {len(nodes) + 4}\n")
+    buf.write(f"3 1 0 {n0}\n")
+    for i in range(n0):
+        buf.write(f"{i + 5}\n")
+    for i in range(n0):
+        p = nodes[i]
+        buf.write(f"{p[0]} {p[1]} {p[2]}\n")
+    buf.write(f"3 2 0 {len(nodes) - n0}\n")
+    for i in range(n0, len(nodes)):
+        buf.write(f"{i + 5}\n")
+    for i in range(n0, len(nodes)):
+        p = nodes[i]
+        buf.write(f"{p[0]} {p[1]} {p[2]}\n")
+    buf.write("$EndNodes\n$Elements\n")
+    buf.write(f"2 {len(cells_g) + 1} 1 {len(cells_g) + 1}\n")
+    buf.write("0 1 15 1\n1 5\n")  # a point element block: skipped
+    buf.write(f"3 1 5 {len(cells_g)}\n")
+    for e, cell in enumerate(cells_g):
+        verts = " ".join(str(v + 5) for v in cell)
+        buf.write(f"{e + 2} {verts}\n")
+    buf.write("$EndElements\n")
+    path = tmp_path / "two41.msh"
+    path.write_text(buf.getvalue())
+
+    gm = read_gmsh_hex(path)
+    P = 3
+    assert gm.num_dofs(P) == bm.num_dofs(P)
+    d, idx = cKDTree(bm.dof_coords(P)).query(gm.dof_coords(P))
+    assert d.max() < 1e-12
+    Ab = assemble_stiffness(bm, P, kappa=1.5).toarray()
+    Ag = assemble_stiffness(gm, P, kappa=1.5).toarray()
+    assert np.abs(Ag - Ab[np.ix_(idx, idx)]).max() < 1e-14
