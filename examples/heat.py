@@ -50,6 +50,11 @@ def main():
                         "'sx,sy,sz' (device grid) — one distributed FDM "
                         "solve per step, gather-free (box mesh, "
                         "parallel/transient_dist.py)")
+    p.add_argument("--save-series", type=str, default="",
+                   help="write trajectory snapshots PREFIX_NNNN.vtk "
+                        "(or .npz) every --snap-every steps "
+                        "(solvers.transient.snapshot_evolve)")
+    p.add_argument("--snap-every", type=int, default=10)
     args = p.parse_args()
     shards = parse_shards(args.shards) if args.shards else None
     n_dev = int(np.prod(shards)) if shards is not None else None
@@ -168,15 +173,36 @@ def main():
         else:
             np.asarray(evolve(u0, nwarm))
 
-    with Timer(f"evolve ({args.steps} steps)"):
-        t0 = time.time()
-        if args.mesh == "perturbed":
-            uT, iters = evolve(u0, args.steps)
-            print(f"FCG iterations/step: min {min(iters)} "
-                  f"max {max(iters)}")
-        else:
-            uT = np.asarray(evolve(u0, args.steps))
-        wall = time.time() - t0
+    if args.save_series and args.mesh != "perturbed":
+        from pmg_dolfinx_tpu.solvers.transient import snapshot_evolve
+        from pmg_dolfinx_tpu.utils.io import write_npz, write_vtk
+
+        with Timer(f"evolve+snapshots ({args.steps} steps)"):
+            t0 = time.time()
+            snaps, uT = snapshot_evolve(evolve, u0, args.steps,
+                                        args.snap_every)
+            uT = np.asarray(uT)
+            wall = time.time() - t0
+        ext = ".npz" if args.save_series.endswith(".npz") else ".vtk"
+        prefix = args.save_series.removesuffix(ext)
+        writer = write_npz if ext == ".npz" else write_vtk
+        for k, (step, u) in enumerate(snaps):
+            writer(f"{prefix}_{k:04d}{ext}", mesh, P,
+                   np.asarray(u).reshape(-1))
+        print(f"wrote {len(snaps)} snapshots to {prefix}_*{ext}")
+    else:
+        if args.save_series:
+            print("--save-series rides the scanned box evolvers; "
+                  "ignoring it on --mesh perturbed")
+        with Timer(f"evolve ({args.steps} steps)"):
+            t0 = time.time()
+            if args.mesh == "perturbed":
+                uT, iters = evolve(u0, args.steps)
+                print(f"FCG iterations/step: min {min(iters)} "
+                      f"max {max(iters)}")
+            else:
+                uT = np.asarray(evolve(u0, args.steps))
+            wall = time.time() - t0
 
     err = l2_error(mesh, P, np.asarray(uT).reshape(-1), u_exact)
     print(f"L2 error at T={T:g}: {err:.4e} "

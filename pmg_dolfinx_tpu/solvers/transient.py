@@ -809,3 +809,41 @@ def heat_pcg_evolve(hier, mesh, P, dt, scheme="cn", rtol=1e-9,
         return u, iters
 
     return evolve
+
+
+def snapshot_evolve(evolve, state, nsteps, every):
+    """Trajectory sampling over any of the jitted evolvers: run
+    ``nsteps`` in chunks of ``every`` and collect the state after each
+    chunk. Returns ``(snapshots, final_state)`` where ``snapshots`` is
+    a list of ``(step_index, state)`` pairs (the final state included).
+
+    ``state`` is the evolver's initial state — one array (heat /
+    convdiff / semilinear) or a tuple (wave: ``(u0, v0)``); ``evolve``
+    is called as ``evolve(*state, n)``. Only TWO programs ever compile
+    (the ``every``-step chunk and, if ``nsteps % every != 0``, one
+    ragged tail chunk) — nsteps is a trace-time constant of the
+    scanned programs, so naive per-snapshot calls would recompile.
+
+    Restart semantics: chunking restarts the evolver from the carried
+    state at each boundary. EXACT (bit-identical to one long run) for
+    the Markov-in-state schemes — heat BE/CN, the IMEX 'be' variants,
+    Newmark up to the consistency identity ``a = M^{-1}(f - K u)``
+    (fp-level difference) — while multi-step history (CNAB's AB2 term,
+    leapfrog's previous plane) is re-seeded with the one-step startup
+    each chunk: one locally-O(dt^2) perturbation per snapshot, global
+    order preserved (same mechanism as the schemes' own startup).
+    """
+    nsteps, every = int(nsteps), int(every)
+    if every < 1 or nsteps < 1:
+        raise ValueError(
+            f"need nsteps >= 1 and every >= 1, got {nsteps}, {every}")
+    args = tuple(state) if isinstance(state, (tuple, list)) else (state,)
+    snaps = []
+    done = 0
+    while done < nsteps:
+        n = min(every, nsteps - done)
+        out = evolve(*args, n)
+        args = tuple(out) if isinstance(out, tuple) else (out,)
+        done += n
+        snaps.append((done, out))
+    return snaps, snaps[-1][1]

@@ -159,3 +159,38 @@ def test_packed_transient_interpret_kernel():
     rel = (np.linalg.norm(UT_ker - UT_emu)
            / np.linalg.norm(UT_emu))
     assert rel < 1e-5, rel
+
+
+def test_snapshot_evolve_matches_long_run():
+    """Chunked trajectory sampling (`snapshot_evolve`): for Markov-in-u
+    schemes (heat CN) every snapshot equals the one-shot run to the
+    same step EXACTLY; tuple states (wave Newmark) thread through; the
+    ragged tail chunk and argument validation work."""
+    import pytest
+
+    from pmg_dolfinx_tpu.solvers.transient import (snapshot_evolve,
+                                                   wave_newmark_evolve)
+
+    mesh = BoxMesh((5, 5, 5))
+    P, dt = 3, 0.01
+    c = mesh.dof_coords(P)
+    u0 = np.where(np.asarray(mesh.boundary_dof_marker(P)), 0.0,
+                  np.sin(np.pi * c[:, 0]) * np.sin(np.pi * c[:, 1])
+                  * np.sin(np.pi * c[:, 2]))
+    ev = heat_fdm_evolve(mesh, P, kappa=KAPPA, dt=dt)
+    snaps, uT = snapshot_evolve(ev, u0, 7, 3)   # chunks 3, 3, 1
+    assert [s for s, _ in snaps] == [3, 6, 7]
+    for step, u in snaps:
+        ref = np.asarray(ev(u0, step))
+        assert np.array_equal(np.asarray(u), ref), step
+    assert np.array_equal(np.asarray(uT), np.asarray(ev(u0, 7)))
+
+    # tuple state (wave): restart consistency ~ fp-level
+    wv = wave_newmark_evolve(mesh, P, kappa=KAPPA, dt=dt)
+    snaps_w, (uw, vw) = snapshot_evolve(wv, (u0, np.zeros_like(u0)), 6, 2)
+    ur, vr = wv(u0, np.zeros_like(u0), 6)
+    assert np.linalg.norm(np.asarray(uw) - np.asarray(ur)) < \
+        1e-9 * max(np.linalg.norm(np.asarray(ur)), 1e-30)
+
+    with pytest.raises(ValueError, match="every"):
+        snapshot_evolve(ev, u0, 5, 0)
