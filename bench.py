@@ -416,7 +416,9 @@ def main():
             "apply_b8_highest_gdofs_per_rhs":
                 res["b8_highest"]["gdofs_per_rhs"],
             "apply_b8_high_gdofs_per_rhs": res["b8_high"]["gdofs_per_rhs"],
+            "apply_b8_high_spread": res["b8_high"]["spread"],
             "fdm_b8_solve_ms_per_rhs": res["fdm_b8"]["solve_ms_per_rhs"],
+            "fdm_single_solve_ms": res["fdm_single"]["solve_ms"],
         }
 
     # Priority order = value of the number to the round artifact, after

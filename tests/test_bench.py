@@ -38,6 +38,7 @@ def test_guarded_main_survives_subbench_failures(monkeypatch):
         "ndofs": 226981,
         "single_highest": {"gdofs": 21.0, "spread": 0.02},
         "single_high": {"gdofs": 25.0, "spread": 0.02},
+        "fdm_single": {"solve_ms": 0.024, "spread": 0.02},
         "b8_highest": {"gdofs_per_rhs": 20.0, "spread": 0.02},
         "b8_high": {"gdofs_per_rhs": 24.0, "spread": 0.02},
         "fdm_b8": {"solve_ms_per_rhs": 0.03, "spread": 0.02},
@@ -70,7 +71,9 @@ def test_guarded_main_survives_subbench_failures(monkeypatch):
         "apply_single_high_gdofs": 25.0,
         "apply_b8_highest_gdofs_per_rhs": 20.0,
         "apply_b8_high_gdofs_per_rhs": 24.0,
+        "apply_b8_high_spread": 0.02,
         "fdm_b8_solve_ms_per_rhs": 0.03,
+        "fdm_single_solve_ms": 0.024,
     }
 
 
