@@ -155,7 +155,7 @@ def _packed_bundle(mesh, P, B, interpret):
 
 
 def heat_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8, scheme="cn",
-                       interpret=False):
+                       interpret=False, f=None, f_time=None):
     """Jitted ``evolve(U0[(B, ndofs)], nsteps) -> U_T`` stepping the
     whole batch through the LANE-PACKED serving kernels
     (ops/pallas_kron_packed.py, f32, NZ <= 64): the batch is packed
@@ -166,7 +166,9 @@ def heat_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8, scheme="cn",
     and the result unpacks at the end — the serving analogue of the
     3D-native-lattice rule applied in time. Homogeneous Dirichlet data
     (the packed rows pass zeros through). ``B=1`` rides the SINGLE-RHS
-    x-slab kernels (`_packed_bundle`).
+    x-slab kernels (`_packed_bundle`). ``f`` / ``f_time``: same
+    separable-source contract as `heat_fdm_evolve` (f: assembled load,
+    Dirichlet rows zeroed; shared by every column).
     """
     if scheme not in ("be", "cn"):
         raise ValueError(f"scheme must be 'be' or 'cn', got {scheme!r}")
@@ -178,23 +180,40 @@ def heat_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8, scheme="cn",
     fdm = mk_fdm(kappa=kap_op, sigma=sigma)
     m3 = np.asarray(lumped_mass_np(mesh, P, bc_zero=True), np.float32)
     m3p = pack_vec(fdm, m3)
+    fp = None if f is None else pack_vec(fdm, np.asarray(f, np.float32))
 
-    def step(Pu, _):
+    def step(Pu, g):
         if scheme == "be":
-            return fdm.solve_packed(sigma * m3p * Pu), None
-        return fdm.solve_packed(2.0 * sigma * m3p * Pu) - Pu, None
+            rhs = sigma * m3p * Pu
+            if fp is not None:
+                rhs = rhs + g * fp
+            return fdm.solve_packed(rhs), None
+        # CN exact-inverse identity with A = K/2 + M/dt (un-doubled):
+        # A u1 = (M/dt - K/2) u + f = 2 (M/dt) u - A u + f.
+        rhs = 2.0 * sigma * m3p * Pu
+        if fp is not None:
+            rhs = rhs + g * fp
+        return fdm.solve_packed(rhs) - Pu, None
+
+    when = "end" if scheme == "be" else "mid"
 
     @partial(jax.jit, static_argnames="nsteps")
-    def evolve(U0, nsteps):
+    def _run(U0, scales, nsteps):
         Pu = pack_state(fdm, U0)
-        PT, _ = jax.lax.scan(step, Pu, length=nsteps)
+        PT, _ = jax.lax.scan(step, Pu, scales, length=nsteps)
         return unpack(fdm, PT)
+
+    def evolve(U0, nsteps):
+        g = jnp.asarray(source_scales(f_time, dt, int(nsteps), when),
+                        jnp.float32)
+        return _run(U0, g, int(nsteps))
 
     return evolve
 
 
 def semilinear_packed_evolve(mesh, P, nonlin, kappa=1.0, dt=1e-3, B=8,
-                             scheme="cnab", sigma=0.0, interpret=False):
+                             scheme="cnab", sigma=0.0, interpret=False,
+                             f=None, f_time=None):
     """Serving-mode batched semilinear stepping: ``evolve(U0[(B,
     ndofs)], nsteps) -> U_T`` through the LANE-PACKED kernels (f32,
     NZ <= 64) — pack the batch once, scan packed FDM solves with the
@@ -215,28 +234,38 @@ def semilinear_packed_evolve(mesh, P, nonlin, kappa=1.0, dt=1e-3, B=8,
     fdm = mk_fdm(kappa=kap_op, sigma=shift)
     m3 = np.asarray(lumped_mass_np(mesh, P, bc_zero=True), np.float32)
     m3p = pack_vec(fdm, m3)
+    fp = None if f is None else pack_vec(fdm, np.asarray(f, np.float32))
+
+    def src(g):
+        return 0.0 if fp is None else g * fp
 
     if scheme == "be":
-        def step(Pu, _):
-            rhs = sdt * m3p * Pu - m3p * nonlin.N(Pu)
+        def step(Pu, g):
+            rhs = sdt * m3p * Pu - m3p * nonlin.N(Pu) + src(g)
             return fdm.solve_packed(rhs), None
     else:
-        def step(carry, _):
+        def step(carry, g):
             Pu, N_m1 = carry
             N_n = nonlin.N(Pu)
             rhs = (2.0 * sdt * m3p * Pu
-                   - m3p * (1.5 * N_n - 0.5 * N_m1))
+                   - m3p * (1.5 * N_n - 0.5 * N_m1) + src(g))
             return (fdm.solve_packed(rhs) - Pu, N_n), None
 
+    when = "end" if scheme == "be" else "mid"
+
     @partial(jax.jit, static_argnames="nsteps")
-    def evolve(U0, nsteps):
+    def _run(U0, scales, nsteps):
         Pu = pack_state(fdm, U0)
         if scheme == "be":
-            PT, _ = jax.lax.scan(step, Pu, length=nsteps)
+            PT, _ = jax.lax.scan(step, Pu, scales)
         else:
-            (PT, _), _ = jax.lax.scan(step, (Pu, nonlin.N(Pu)),
-                                      length=nsteps)
+            (PT, _), _ = jax.lax.scan(step, (Pu, nonlin.N(Pu)), scales)
         return unpack(fdm, PT)
+
+    def evolve(U0, nsteps):
+        g = jnp.asarray(source_scales(f_time, dt, int(nsteps), when),
+                        jnp.float32)
+        return _run(U0, g, int(nsteps))
 
     return evolve
 
@@ -317,7 +346,7 @@ def wave_newmark_evolve(mesh, P, kappa=1.0, dt=1e-2, beta=0.25,
 
 def wave_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8,
                        scheme="newmark", beta=0.25, gamma=0.5,
-                       interpret=False):
+                       interpret=False, f=None, f_time=None):
     """Serving-mode batched wave stepping ``evolve(U0, V0[(B, ndofs)],
     nsteps) -> (U_T, V_T)`` through the lane-packed kernels (f32,
     NZ <= 64, homogeneous Dirichlet):
@@ -329,7 +358,9 @@ def wave_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8,
 
     Padding lanes and Dirichlet rows are kept exactly zero by the
     packed interior mask (the packed ``m3`` is zero there). ``B=1``
-    rides the single-RHS kernels.
+    rides the single-RHS kernels. ``f`` / ``f_time``: same
+    separable-source contract as the plain wave evolvers (shared by
+    every column; scheme-consistent evaluation times).
     """
     if scheme not in ("newmark", "leapfrog"):
         raise ValueError(
@@ -343,9 +374,16 @@ def wave_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8,
     m3p = pack_vec(op0, m3)
     mask = pack_vec(op0, (~bc).astype(np.float32))
     m3div = jnp.where(m3p > 0, m3p, 1.0)
+    fp = None if f is None else pack_vec(op0, np.asarray(f, np.float32))
 
-    def accel(Pu):
-        return mask * (-op0.apply_packed(Pu)) / m3div
+    def accel(Pu, g):
+        Ku = op0.apply_packed(Pu)
+        num = (g * fp - Ku) if fp is not None else -Ku
+        return mask * num / m3div
+
+    def gat(t):
+        return jnp.asarray(
+            1.0 if f_time is None else float(f_time(t)), jnp.float32)
 
     if scheme == "newmark":
         if not (beta > 0.0 and gamma >= 0.5):
@@ -354,36 +392,56 @@ def wave_packed_evolve(mesh, P, kappa=1.0, dt=1e-2, B=8,
         c0 = 1.0 / (beta * dt * dt)
         fdm = mk_fdm(kappa=kappa, sigma=c0)
 
-        def step(carry, _):
+        def step(carry, g):
             u, v, a = carry
             ustar = u + dt * v + ((0.5 - beta) * dt * dt) * a
-            u1 = fdm.solve_packed(c0 * m3p * ustar)
+            rhs = c0 * m3p * ustar
+            if fp is not None:
+                rhs = rhs + g * fp
+            u1 = fdm.solve_packed(rhs)
             a1 = mask * c0 * (u1 - ustar)
             v1 = v + dt * ((1.0 - gamma) * a + gamma * a1)
             return (u1, v1, a1), None
 
         @partial(jax.jit, static_argnames="nsteps")
-        def evolve(U0, V0, nsteps):
+        def _run(U0, V0, g0, scales, nsteps):
             Pu = pack_state(op0, U0)
             Pv = mask * pack_state(op0, V0)
-            (uT, vT, _), _ = jax.lax.scan(step, (Pu, Pv, accel(Pu)),
-                                          length=nsteps)
+            (uT, vT, _), _ = jax.lax.scan(
+                step, (Pu, Pv, accel(Pu, g0)), scales)
             return unpack(op0, uT), unpack(op0, vT)
+
+        def evolve(U0, V0, nsteps):
+            scales = jnp.asarray(
+                source_scales(f_time, dt, int(nsteps), "end"),
+                jnp.float32)
+            return _run(U0, V0, gat(0.0), scales, int(nsteps))
     else:
-        def step(carry, _):
+        def step(carry, g):
             um1, u = carry
-            u1 = 2.0 * u - um1 + (dt * dt) * accel(u)
+            u1 = 2.0 * u - um1 + (dt * dt) * accel(u, g)
             return (u, u1), None
 
         @partial(jax.jit, static_argnames="nsteps")
-        def evolve(U0, V0, nsteps):
+        def _run(U0, V0, g0, gT, scales, nsteps):
             Pu = pack_state(op0, U0)
             Pv = mask * pack_state(op0, V0)
-            u1 = Pu + dt * Pv + (0.5 * dt * dt) * accel(Pu)
-            (um1, uT), _ = jax.lax.scan(step, (Pu, u1),
-                                        length=nsteps - 1)
-            vT = (uT - um1) / dt + (0.5 * dt) * accel(uT)
+            u1 = Pu + dt * Pv + (0.5 * dt * dt) * accel(Pu, g0)
+            (um1, uT), _ = jax.lax.scan(step, (Pu, u1), scales)
+            vT = (uT - um1) / dt + (0.5 * dt) * accel(uT, gT)
             return unpack(op0, uT), unpack(op0, vT)
+
+        def evolve(U0, V0, nsteps):
+            if int(nsteps) < 1:
+                raise ValueError(
+                    f"leapfrog needs nsteps >= 1, got {nsteps}")
+            # In-scan steps use t_n for n = 1..nsteps-1 (like
+            # wave_leapfrog_evolve); start g(0), reconstruction g(T).
+            scales = jnp.asarray(
+                source_scales(f_time, dt, int(nsteps) - 1, "end"),
+                jnp.float32)
+            return _run(U0, V0, gat(0.0), gat(dt * int(nsteps)),
+                        scales, int(nsteps))
 
     return evolve
 

@@ -160,3 +160,62 @@ def test_dist_driven_matches_single(kind):
                                           f=f, f_time=_g)(u0, v0, NSTEPS)
         assert np.linalg.norm(uT - ur) < 1e-10 * np.linalg.norm(ur)
         assert np.linalg.norm(vT - vr) < 1e-10 * np.linalg.norm(vr)
+
+
+@pytest.mark.parametrize("B", [1, 2])
+def test_packed_driven_matches_per_rhs(B):
+    """Driven sources on the LANE-PACKED serving steppers (r4: f/f_time
+    on heat/wave/semilinear packed evolvers, batch AND single-RHS
+    kernels): every column matches the per-RHS driven evolvers at f32."""
+    from pmg_dolfinx_tpu.models.semilinear import cubic
+    from pmg_dolfinx_tpu.solvers.transient import (
+        heat_packed_evolve, semilinear_fdm_evolve,
+        semilinear_packed_evolve, wave_packed_evolve)
+
+    mesh = BoxMesh((6, 6, 6))
+    P, dt, nsteps = 3, 1e-3, 5
+    bc = np.asarray(mesh.boundary_dof_marker(P))
+    rng = np.random.default_rng(17)
+    f = np.where(bc, 0.0, rng.standard_normal(mesh.num_dofs(P)))
+    U0 = rng.standard_normal((B, mesh.num_dofs(P))).astype(np.float32)
+    U0[:, bc] = 0.0
+    V0 = rng.standard_normal((B, mesh.num_dofs(P))).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    # heat CN
+    ev1 = heat_fdm_evolve(mesh, P, kappa=KAPPA, dt=dt, scheme="cn",
+                          dtype=jnp.float32, f=f, f_time=_g)
+    ref = np.stack([np.asarray(ev1(U0[k], nsteps)).reshape(-1)
+                    for k in range(B)])
+    got = np.asarray(heat_packed_evolve(
+        mesh, P, kappa=KAPPA, dt=dt, B=B, scheme="cn", f=f,
+        f_time=_g)(U0, nsteps))
+    assert np.linalg.norm(got - ref) < 2e-5 * np.linalg.norm(ref)
+
+    # wave, both integrators
+    for scheme, ev_plain in (("newmark", wave_newmark_evolve),
+                             ("leapfrog", wave_leapfrog_evolve)):
+        evp = ev_plain(mesh, P, kappa=KAPPA, dt=dt, dtype=jnp.float32,
+                       f=f, f_time=_g)
+        refs = [tuple(np.asarray(a).reshape(-1)
+                      for a in evp(U0[k], V0[k], nsteps))
+                for k in range(B)]
+        uref = np.stack([r[0] for r in refs])
+        UT, VT = wave_packed_evolve(mesh, P, kappa=KAPPA, dt=dt, B=B,
+                                    scheme=scheme, f=f, f_time=_g)(
+            U0, V0, nsteps)
+        assert np.linalg.norm(np.asarray(UT) - uref) < \
+            2e-5 * np.linalg.norm(uref), scheme
+
+    # semilinear CNAB
+    nl = cubic(0.8)
+    evs = semilinear_fdm_evolve(mesh, P, nl, kappa=KAPPA, dt=dt,
+                                scheme="cnab", dtype=jnp.float32, f=f,
+                                f_time=_g)
+    ref = np.stack([np.asarray(evs(U0[k], nsteps)).reshape(-1)
+                    for k in range(B)])
+    got = np.asarray(semilinear_packed_evolve(
+        mesh, P, nl, kappa=KAPPA, dt=dt, B=B, scheme="cnab", f=f,
+        f_time=_g)(U0, nsteps))
+    assert np.linalg.norm(got - ref) < 2e-5 * np.linalg.norm(ref)
