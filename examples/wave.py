@@ -148,17 +148,17 @@ def main():
                 * np.sin(np.pi * x[1]) * np.sin(np.pi * x[2]))
 
     if args.batch:
-        if args.mesh == "perturbed" or shards is not None or f_src is not None:
+        if args.mesh == "perturbed" or shards is not None:
             raise SystemExit("--batch rides the lane-packed kron/FDM "
-                             "kernels (axis-aligned box, source-free, "
-                             "unsharded)")
+                             "kernels (axis-aligned box, unsharded)")
         from pmg_dolfinx_tpu.solvers.transient import wave_packed_evolve
 
         B = args.batch
         with Timer("setup"):
             evolve = wave_packed_evolve(mesh, P, kappa=kappa, dt=dt, B=B,
                                         scheme=args.scheme,
-                                        gamma=args.gamma)
+                                        gamma=args.gamma, f=f_src,
+                                        f_time=f_time)
         U0 = np.broadcast_to(u0, (B, u0.size)).astype(np.float32)
         V0 = np.zeros_like(U0)
         with Timer(f"warmup (compile + {args.steps} steps)"):
