@@ -52,6 +52,10 @@ def main():
     p.add_argument("--dt", type=float, default=5e-3)
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--scheme", choices=["be", "cnab"], default="cnab")
+    p.add_argument("--batch", type=int, default=0,
+                   help="with --transient: step B trajectories through "
+                        "the lane-packed serving kernels (f32, NZ <= "
+                        "64; B=1 rides the single-RHS kernels)")
     args = p.parse_args()
     dtype = setup_jax(args)
 
@@ -130,6 +134,24 @@ def main():
             wall = time.time() - t0
             print(f"implicit BE: Newton/step min {min(iters)} "
                   f"max {max(iters)}")
+        elif args.batch:
+            from pmg_dolfinx_tpu.solvers.transient import (
+                semilinear_packed_evolve)
+
+            B = args.batch
+            with Timer("setup (packed serving kernels)"):
+                evolve = semilinear_packed_evolve(
+                    mesh, P, nonlin, kappa=args.kappa, dt=args.dt, B=B,
+                    scheme=args.scheme, sigma=args.sigma, f=b)
+            U0 = np.zeros((B, mesh.num_dofs(P)), np.float32)
+            with Timer(f"warmup (compile + {args.steps} steps)"):
+                np.asarray(evolve(U0, args.steps))
+            t0 = time.time()
+            uT = np.asarray(evolve(U0, args.steps))[0].reshape(-1)
+            wall = time.time() - t0
+            print(f"lane-packed serving batch {B} "
+                  f"({args.steps * B / (time.time() - t0):.1f} "
+                  "column-steps/s)")
         else:
             from pmg_dolfinx_tpu.solvers.transient import (
                 semilinear_fdm_evolve)
