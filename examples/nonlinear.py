@@ -117,6 +117,10 @@ def main():
                 or args.kappa_field != "const":
             raise SystemExit("--transient: box + cubic + constant kappa "
                              "(the manufactured steady state)")
+        if args.implicit and args.batch:
+            raise SystemExit("--batch rides the IMEX packed scan; "
+                             "--implicit is the per-step Newton host "
+                             "loop — pick one")
         if args.implicit:
             from pmg_dolfinx_tpu.solvers.transient import (
                 semilinear_newton_evolve)
