@@ -362,6 +362,103 @@ def _kernel_t23_grid(*refs, high, sigma=0.0, need_y, need_z,
         out_ref[i] = r_ref[i] - Av if residual else Av
 
 
+def _kernel_t23_grid_m(*refs, high, sigma=0.0, need_y, need_z,
+                       residual=False):
+    # `_kernel_t23_grid` with the separable bc mask (`_kernel_t1_m`):
+    # no full-lattice bc operand. The neighbour-correction inputs are
+    # handled exactly as before; at local edge planes that are GLOBAL
+    # boundary rows the s23m/epilogue masking zeroes them where the bc
+    # kernel's epilogue overwrote them — bit-identical output.
+    it = iter(refs)
+    (x_ref, mx2_ref, t1_ref, Kty_ref, KtzT_ref, sx2_ref, sycol_ref,
+     s23m_ref, myb_ref, mzrow_ref) = (next(it) for _ in range(10))
+    cy_ref = next(it) if need_y else None
+    cz_ref = next(it) if need_z else None
+    r_ref = next(it) if residual else None
+    out_ref = next(it)
+
+    Kty = Kty_ref[:]
+    KtzT = KtzT_ref[:]
+    sycol = sycol_ref[:]
+    s23m = s23m_ref[:]
+    inter_yz = myb_ref[:] * mzrow_ref[:]
+    NY = Kty.shape[0]
+    NZ = KtzT.shape[1]
+    if high:
+        Kty_split = _split_bf16(Kty)
+        KtzT_split = _split_bf16(KtzT)
+    Bx = x_ref.shape[0]
+    for i in range(Bx):
+        xi = x_ref[i]
+        mxi = mx2_ref[i, 0]
+        sxi = sx2_ref[i, 0]
+        what = xi * (mxi * s23m)
+        if high:
+            what_split = _split_bf16(what)
+            t2 = _dot3(Kty_split, what_split)
+            t3 = _dot3(what_split, KtzT_split)
+        else:
+            HI = jax.lax.Precision.HIGHEST
+            t2 = _DOT(Kty, what, precision=HI)
+            t3 = _DOT(what, KtzT, precision=HI)
+        acc = sycol * t1_ref[i] + sxi * (t2 + t3)
+        if sigma:
+            acc = acc + (sigma * sxi) * what
+        if need_y:
+            iy = jax.lax.broadcasted_iota(jnp.int32, (NY, NZ), 0)
+            acc = acc + sxi * (
+                jnp.where(iy == 0, cy_ref[i, 0:1, :], 0.0)
+                + jnp.where(iy == NY - 1, cy_ref[i, 1:2, :], 0.0)
+            )
+        if need_z:
+            iz = jax.lax.broadcasted_iota(jnp.int32, (NY, NZ), 1)
+            acc = acc + sxi * (
+                jnp.where(iz == 0, cz_ref[i, :, 0:1], 0.0)
+                + jnp.where(iz == NZ - 1, cz_ref[i, :, 1:2], 0.0)
+            )
+        yi = acc * (sxi * s23m)
+        Av = xi * (1.0 - mxi * inter_yz) + yi * mxi
+        out_ref[i] = r_ref[i] - Av if residual else Av
+
+
+@lru_cache(maxsize=None)
+def _build_t23_grid_call_m(shape, bx, high, interpret, vma=(), sigma=0.0,
+                           need_y=False, need_z=False, residual=False):
+    """Separable-mask grid kernel-2 (`_kernel_t23_grid_m`)."""
+    NX, NY, NZ = shape
+    lat = lambda: pl.BlockSpec((bx, NY, NZ), lambda i: (i, 0, 0))
+    in_specs = [
+        lat(),                                      # x
+        pl.BlockSpec((bx, 1), lambda i: (i, 0)),    # mx slab
+        lat(),                                      # t1'
+        pl.BlockSpec((NY, NY), lambda i: (0, 0)),   # Kty
+        pl.BlockSpec((NZ, NZ), lambda i: (0, 0)),   # KtzT
+        pl.BlockSpec((bx, 1), lambda i: (i, 0)),    # sx slab
+        pl.BlockSpec((NY, 1), lambda i: (0, 0)),    # sy column
+        pl.BlockSpec((NY, NZ), lambda i: (0, 0)),   # s23m plane
+        pl.BlockSpec((NY, 1), lambda i: (0, 0)),    # my column
+        pl.BlockSpec((1, NZ), lambda i: (0, 0)),    # mz row
+    ]
+    if need_y:
+        in_specs.append(pl.BlockSpec((bx, 2, NZ), lambda i: (i, 0, 0)))
+    if need_z:
+        in_specs.append(pl.BlockSpec((bx, NY, 2), lambda i: (i, 0, 0)))
+    if residual:
+        in_specs.append(lat())
+    return pl.pallas_call(
+        partial(_kernel_t23_grid_m, high=high, sigma=sigma,
+                need_y=need_y, need_z=need_z, residual=residual),
+        grid=(pl.cdiv(NX, bx),),
+        in_specs=in_specs,
+        out_specs=lat(),
+        out_shape=_out_struct(shape, vma),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+
 def symmetrized_mats(Ks, ms, dtype=jnp.float32, face_masks=None):
     """Build the symmetrized-scaling arrays the blocked kernels consume.
 
@@ -438,7 +535,8 @@ def axis_interior_masks(mesh, P):
     return masks
 
 
-def grid_symmetrized_mats(Ks_local, ms_dup, shards, dtype=jnp.float32):
+def grid_symmetrized_mats(Ks_local, ms_dup, shards, dtype=jnp.float32,
+                          face_masks_dup=None):
     """Per-shard symmetrized arrays for the multi-axis grid decomposition,
     stacked along each sharded device axis.
 
@@ -502,6 +600,24 @@ def grid_symmetrized_mats(Ks_local, ms_dup, shards, dtype=jnp.float32):
         sx2d=("x", None), sycol=("y", None),
         sxz=("x", "z"), s23=("y", "z"),
     )
+    if face_masks_dup is not None:
+        # Separable bc masks in the SAME duplicated-plane stacked layout
+        # as ms_dup (the caller slices the global axis masks with
+        # `duplicate_planes`): the kernels drop the full-lattice bc
+        # operand (see symmetrized_mats / _kernel_t1_m).
+        mxd, myd, mzd = (np.asarray(m, np.float64)
+                         for m in face_masks_dup)
+        mats.update(
+            sxzm=np.outer(mxd * sx, mzd * sz),
+            s23m=np.outer(myd * sy, mzd * sz),
+            mx2=mxd[:, None],
+            myb=myd[:, None],
+            mzrow=mzd[None, :],
+        )
+        axes.update(
+            sxzm=("x", "z"), s23m=("y", "z"),
+            mx2=("x", None), myb=("y", None), mzrow=(None, "z"),
+        )
     return {k: jnp.asarray(v, dtype) for k, v in mats.items()}, axes
 
 
@@ -877,21 +993,39 @@ def blocked_kron_apply_grid(x3, bc3, mats, *, by=8, bx=8,
 
     by, bx = _clamp_blocks(x3.shape, by, bx)
     high = precision == "high"
-    vma = _join_vma(x3, bc3, cy, cz, r3, *mats.values())
-    t1c, _ = _build_calls(tuple(x3.shape), by, bx, high, interpret,
-                          vma, sigma)
-    t23g = _build_t23_grid_call(tuple(x3.shape), bx, high, interpret,
-                                vma, sigma, need_y, need_z,
-                                residual=r3 is not None)
-    names = ["Ktx", "sxz", "Kty", "KtzT", "sx2d", "sycol", "s23"]
-    x3, bc3, *mvals = _pvary_all(vma, x3, bc3,
-                                 *(mats[k] for k in names))
-    m = dict(zip(names, mvals))
-    t1 = t1c(x3, bc3, m["Ktx"], m["sxz"])
-    if exchange_x is not None:
-        t1 = exchange_x(t1)
-    args = [x3, bc3, t1, m["Kty"], m["KtzT"], m["sx2d"], m["sycol"],
-            m["s23"]]
+    if "sxzm" in mats:
+        # Separable-bc kernels (no full-lattice bc operand per shard).
+        vma = _join_vma(x3, cy, cz, r3, *mats.values())
+        t1c, _ = _build_calls_m(tuple(x3.shape), by, bx, high,
+                                interpret, vma, sigma)
+        t23g = _build_t23_grid_call_m(tuple(x3.shape), bx, high,
+                                      interpret, vma, sigma, need_y,
+                                      need_z, residual=r3 is not None)
+        names = ["Ktx", "sxzm", "Kty", "KtzT", "sx2d", "sycol", "s23m",
+                 "mx2", "myb", "mzrow"]
+        x3, *mvals = _pvary_all(vma, x3, *(mats[k] for k in names))
+        m = dict(zip(names, mvals))
+        t1 = t1c(x3, m["myb"], m["Ktx"], m["sxzm"])
+        if exchange_x is not None:
+            t1 = exchange_x(t1)
+        args = [x3, m["mx2"], t1, m["Kty"], m["KtzT"], m["sx2d"],
+                m["sycol"], m["s23m"], m["myb"], m["mzrow"]]
+    else:
+        vma = _join_vma(x3, bc3, cy, cz, r3, *mats.values())
+        t1c, _ = _build_calls(tuple(x3.shape), by, bx, high, interpret,
+                              vma, sigma)
+        t23g = _build_t23_grid_call(tuple(x3.shape), bx, high, interpret,
+                                    vma, sigma, need_y, need_z,
+                                    residual=r3 is not None)
+        names = ["Ktx", "sxz", "Kty", "KtzT", "sx2d", "sycol", "s23"]
+        x3, bc3, *mvals = _pvary_all(vma, x3, bc3,
+                                     *(mats[k] for k in names))
+        m = dict(zip(names, mvals))
+        t1 = t1c(x3, bc3, m["Ktx"], m["sxz"])
+        if exchange_x is not None:
+            t1 = exchange_x(t1)
+        args = [x3, bc3, t1, m["Kty"], m["KtzT"], m["sx2d"], m["sycol"],
+                m["s23"]]
     if need_y:
         (cy,) = _pvary_all(vma, cy)
         args.append(cy)

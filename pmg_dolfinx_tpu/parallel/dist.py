@@ -839,7 +839,8 @@ class DistPMG:
                              else np.broadcast_to(
                                  Kxf, (part.n_shards, npl, npl)))
                 if operator == "kron_blocked":
-                    from ..ops.pallas_kron_blocked import symmetrized_mats
+                    from ..ops.pallas_kron_blocked import (
+                        checked_face_masks, symmetrized_mats)
 
                     # The sqrt-mass scalings differ between boundary and
                     # interior shards, so only the x-dependent factors are
@@ -847,9 +848,13 @@ class DistPMG:
                     # shard-invariant y/z factors are built once by the
                     # helper. sx stacking distributes over the outer
                     # products, so the stacked factors are closed-form.
+                    fm = checked_face_masks(
+                        mesh, Pdeg, mesh.boundary_dof_marker(Pdeg))
                     kb = symmetrized_mats(
                         (Kx_shards[0], kax[1] * Ky, kax[2] * Kz),
                         (mx_dup[:npl], my, mz),
+                        face_masks=(None if fm is None
+                                    else (fm[0][:npl], fm[1], fm[2])),
                     )
                     sx_all = np.sqrt(np.asarray(mx_dup, np.float64))
                     sz = np.sqrt(np.asarray(mz, np.float64))
@@ -870,6 +875,18 @@ class DistPMG:
                         Ktx=P(AXIS), sx2d=P(AXIS), sxz=P(AXIS),
                         Kty=P(), KtzT=P(), sycol=P(), s23=P(),
                     )
+                    if fm is not None:
+                        # x-dependent masked factors rebuilt per shard
+                        # (stacked, like sx2d/sxz above).
+                        mxd = duplicate_planes(fm[0], npl, part.n_shards)
+                        kb["sxzm"] = jnp.asarray(
+                            np.outer(mxd * sx_all, fm[2] * sz),
+                            jnp.float32)
+                        kb["mx2"] = jnp.asarray(mxd[:, None], jnp.float32)
+                        spec["kb_mats"].update(
+                            sxzm=P(AXIS), mx2=P(AXIS), s23m=P(),
+                            myb=P(), mzrow=P(),
+                        )
                 else:
                     lv.update(
                         Kx=jnp.asarray(Kxf, dtype=dtype),

@@ -1337,7 +1337,8 @@ class GridPMG:
             spec["m3"] = PSHARD
         if backend == "kron_blocked":
             from ..ops.kron import local_axis_K
-            from ..ops.pallas_kron_blocked import grid_symmetrized_mats
+            from ..ops.pallas_kron_blocked import (checked_face_masks,
+                                                  grid_symmetrized_mats)
 
             npls = part.local_shape(Pdeg)
             Ks_local, ms_dup = [], []
@@ -1351,7 +1352,16 @@ class GridPMG:
                 npl = npls[a]
                 ms_dup.append(duplicate_planes(mg, npl, shards[a]))
                 Ks_local.append(Kl)
-            kb, kb_axes = grid_symmetrized_mats(Ks_local, ms_dup, shards)
+            # Separable bc masks ride the same duplicated-plane slicing
+            # as the masses; the kernels then drop the per-shard
+            # full-lattice bc operand (r4 single-device mechanism).
+            fm = checked_face_masks(mesh, Pdeg,
+                                    mesh.boundary_dof_marker(Pdeg))
+            fm_dup = None if fm is None else tuple(
+                duplicate_planes(fm[a], npls[a], shards[a])
+                for a in range(3))
+            kb, kb_axes = grid_symmetrized_mats(Ks_local, ms_dup, shards,
+                                                face_masks_dup=fm_dup)
             lv["kb_mats"] = kb
             spec["kb_mats"] = {k: P(*axes_pair)
                                for k, axes_pair in kb_axes.items()}

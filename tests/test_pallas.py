@@ -522,3 +522,73 @@ def test_separable_mask_kernels_match_bc_kernels():
     bad = np.asarray(base.bc_marker).copy()
     bad[bad.size // 2] = True
     assert checked_face_masks(mesh, P, bad) is None
+
+
+def test_separable_mask_grid_kernel_matches_emulation():
+    """The separable-mask GRID kernel-2 (`_kernel_t23_grid_m`) is
+    bit-identical to the bc-array emulation twin, including the
+    neighbour-correction inputs and the fused-residual variant."""
+    from pmg_dolfinx_tpu.ops.kron import axis_stiffness_mass
+    from pmg_dolfinx_tpu.ops.pallas_kron_blocked import (
+        _build_calls_m, _build_t23_grid_call_m, _emu_t1, _emu_t23_grid,
+        axis_interior_masks, grid_symmetrized_mats)
+
+    mesh = BoxMesh((3, 4, 2), dirichlet_faces=((True, False),
+                                               (True, True),
+                                               (False, True)))
+    P = 3
+    shape = mesh.lattice_shape(P)
+    rng = np.random.default_rng(9)
+    x3 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    bc3 = jnp.asarray(
+        np.asarray(mesh.boundary_dof_marker(P)).reshape(shape))
+    Ks, ms = [], []
+    for nc_a, h_a in zip(mesh.nc, mesh.h):
+        K, m = axis_stiffness_mass(nc_a, P, h_a)
+        Ks.append(2.0 * K)
+        ms.append(m)
+    fm = axis_interior_masks(mesh, P)
+    mats, _ = grid_symmetrized_mats(Ks, ms, (1, 1, 1),
+                                    face_masks_dup=tuple(fm))
+
+    cy = jnp.asarray(rng.standard_normal((shape[0], 2, shape[2])),
+                     jnp.float32)
+    cz = jnp.asarray(rng.standard_normal((shape[0], shape[1], 2)),
+                     jnp.float32)
+    r3 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    from pmg_dolfinx_tpu.ops.pallas_kron_blocked import (
+        _build_t23_grid_call)
+
+    for sigma in (0.0, 11.0):
+        # t1: masked kernel ~= emu twin (different dot orders -> fp tol)
+        t1c, _ = _build_calls_m(shape, 8, 8, False, True, (), sigma)
+        t1 = t1c(x3, mats["myb"], mats["Ktx"], mats["sxzm"])
+        t1_ref = _emu_t1(x3, bc3, mats)
+        rel = (np.linalg.norm(np.asarray(t1) - np.asarray(t1_ref))
+               / np.linalg.norm(np.asarray(t1_ref)))
+        assert rel < 1e-6, rel
+        # t23: masked kernel ~= emu (tol), and BIT-IDENTICAL to the
+        # bc-array kernel (same dot implementation)
+        y_ref = _emu_t23_grid(x3, bc3, jnp.asarray(t1_ref), mats, sigma,
+                              cy, cz)
+        t23m = _build_t23_grid_call_m(shape, 8, False, True, (), sigma,
+                                      True, True)
+        y = t23m(x3, mats["mx2"], jnp.asarray(t1_ref), mats["Kty"],
+                 mats["KtzT"], mats["sx2d"], mats["sycol"],
+                 mats["s23m"], mats["myb"], mats["mzrow"], cy, cz)
+        rel = (np.linalg.norm(np.asarray(y) - np.asarray(y_ref))
+               / np.linalg.norm(np.asarray(y_ref)))
+        assert rel < 1e-6, (sigma, rel)
+        t23g = _build_t23_grid_call(shape, 8, False, True, (), sigma,
+                                    True, True)
+        y_bc = t23g(x3, bc3, jnp.asarray(t1_ref), mats["Kty"],
+                    mats["KtzT"], mats["sx2d"], mats["sycol"],
+                    mats["s23"], cy, cz)
+        assert np.array_equal(np.asarray(y), np.asarray(y_bc)), sigma
+        t23r = _build_t23_grid_call_m(shape, 8, False, True, (), sigma,
+                                      True, True, residual=True)
+        ro = t23r(x3, mats["mx2"], jnp.asarray(t1_ref), mats["Kty"],
+                  mats["KtzT"], mats["sx2d"], mats["sycol"],
+                  mats["s23m"], mats["myb"], mats["mzrow"], cy, cz, r3)
+        assert np.array_equal(np.asarray(ro),
+                              np.asarray(r3 - y_bc)), sigma
