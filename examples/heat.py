@@ -161,17 +161,28 @@ def main():
             evolve = heat_fdm_evolve(mesh, P, kappa=kappa, dt=args.dt,
                                      scheme=args.scheme, dtype=dtype)
 
-    # Warm the scanned (box) path with the FULL step count — nsteps is
-    # a trace-time constant, so a 1-step warmup would leave the n-step
-    # program's compile inside the timed region (observed ~15 s of XLA
-    # compile attributed to "evolve"). The perturbed path loops on the
+    # Warm the scanned (box) path with the step counts the TIMED region
+    # will actually run — nsteps is a trace-time constant, so warming a
+    # different count leaves that program's compile inside the timed
+    # region (observed ~15 s of XLA compile attributed to "evolve").
+    # Plain runs call the full-nsteps program; --save-series calls only
+    # the `every`-chunk and (if nsteps % every != 0) the ragged-tail
+    # chunk — warm those two instead. The perturbed path loops on the
     # host; its per-step solve compiles on the first step.
-    nwarm = 1 if args.mesh == "perturbed" else args.steps
+    if args.mesh == "perturbed":
+        nwarm, tail = 1, 0
+    elif args.save_series:
+        nwarm = min(args.snap_every, args.steps)
+        tail = args.steps % args.snap_every
+    else:
+        nwarm, tail = args.steps, 0
     with Timer(f"warmup (compile + {nwarm} steps)"):
         if args.mesh == "perturbed":
             evolve(u0, nwarm)
         else:
             np.asarray(evolve(u0, nwarm))
+            if tail and tail != nwarm:
+                np.asarray(evolve(u0, tail))
 
     if args.save_series and args.mesh != "perturbed":
         from pmg_dolfinx_tpu.solvers.transient import snapshot_evolve

@@ -154,8 +154,7 @@ def main():
             uT = np.asarray(evolve(U0, args.steps))[0].reshape(-1)
             wall = time.time() - t0
             print(f"lane-packed serving batch {B} "
-                  f"({args.steps * B / (time.time() - t0):.1f} "
-                  "column-steps/s)")
+                  f"({args.steps * B / wall:.1f} column-steps/s)")
         else:
             from pmg_dolfinx_tpu.solvers.transient import (
                 semilinear_fdm_evolve)

@@ -119,24 +119,29 @@ class UnstructuredHexMesh:
     def cell_centroids(self) -> np.ndarray:
         return self._nodes[self._cells].mean(axis=1)
 
-    def _check_orientation(self):
-        """Every Q1 Jacobian determinant at the degree-2 collocation
+    def _check_orientation(self, P=2):
+        """Every Q1 Jacobian determinant at the degree-``P`` collocation
         points must be positive (inverted / tangled cells make the
-        whole discretization meaningless — fail loudly at load)."""
+        whole discretization meaningless — fail loudly). Called at load
+        with P=2 (cheap early check) AND per requested degree from
+        `_space` — a strongly warped trilinear hex can be positive at
+        all 27 degree-2 points yet fold at some higher-degree GLL
+        quadrature point, which would make the actual assembly
+        indefinite (ADVICE r4)."""
         from .geometry import (geometry_factors, quadrature_weights_3d,
                                tabulate_geometry_dphi)
 
         _, detJ = geometry_factors(
-            self._nodes, self._cells, tabulate_geometry_dphi(2),
-            quadrature_weights_3d(2), xp=np,
+            self._nodes, self._cells, tabulate_geometry_dphi(P),
+            quadrature_weights_3d(P), xp=np,
         )
         # detJ here is w_q * det J; GLL weights are positive.
         if not np.all(np.asarray(detJ) > 0.0):
             bad = int(np.argmin(np.asarray(detJ).min(axis=1)))
             raise ValueError(
-                f"non-positive Jacobian in cell {bad}: inverted or "
-                "tangled hex (check corner ordering — Gmsh input needs "
-                "gmsh_corner_permutation)")
+                f"non-positive Jacobian in cell {bad} at degree {P}: "
+                "inverted or tangled hex (check corner ordering — Gmsh "
+                "input needs gmsh_corner_permutation)")
 
     # -- degree-P space -------------------------------------------------
     def _ref_lattice(self, P: int) -> np.ndarray:
@@ -161,6 +166,8 @@ class UnstructuredHexMesh:
         """Build (dofmap, ndofs, dof_coords) by geometric merge."""
         from scipy.spatial import cKDTree
 
+        if P > 2:  # load-time check covered P=2
+            self._check_orientation(P)
         pts = self._cell_node_coords(P).reshape(-1, 3)
         tree = cKDTree(pts)
         pairs = tree.query_pairs(r=self.tol, output_type="ndarray")

@@ -886,10 +886,15 @@ def snapshot_evolve(evolve, state, nsteps, every):
     state at each boundary. EXACT (bit-identical to one long run) for
     the Markov-in-state schemes — heat BE/CN, the IMEX 'be' variants,
     Newmark up to the consistency identity ``a = M^{-1}(f - K u)``
-    (fp-level difference) — while multi-step history (CNAB's AB2 term,
-    leapfrog's previous plane) is re-seeded with the one-step startup
-    each chunk: one locally-O(dt^2) perturbation per snapshot, global
-    order preserved (same mechanism as the schemes' own startup).
+    (fp-level difference) — while multi-step history is re-seeded with
+    the one-step startup each chunk. For leapfrog the Taylor restart is
+    locally O(dt^3), so global second order is preserved for any
+    snapshot count. For CNAB the AB2 re-seed ``N_m1 = N(u)`` is a
+    locally O(dt^2) perturbation; accumulated nsteps/every times it
+    contributes O(T dt / every) — second order is preserved only while
+    the snapshot count is bounded (or ``every`` scales with 1/dt); at
+    fixed ``every`` the chunked CNAB trajectory degrades toward first
+    order as dt -> 0.
     """
     nsteps, every = int(nsteps), int(every)
     if every < 1 or nsteps < 1:
