@@ -15,10 +15,11 @@ def base_parser(description):
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--operator",
                    choices=["kron", "kron_blocked", "lattice",
-                            "lattice_blocked", "dofmap", "csr"],
+                            "lattice_blocked", "dofmap", "csr", "dss"],
                    default="kron", help="kernel backend ('kron_blocked' = "
                    "fused blocked Pallas kernels, fastest at >~8M dofs; "
-                   "'lattice_blocked' = fused general-hex kernel; 'csr' = "
+                   "'lattice_blocked' = fused general-hex kernel; 'dss' = "
+                   "row-gather unstructured-topology backend; 'csr' = "
                    "assembled sparse matvec, parity/oracle path)")
     p.add_argument("--kappa", type=float, default=2.0)
     return p

@@ -44,10 +44,11 @@ def main():
     from pmg_dolfinx_tpu.solvers.pmg import PMGHierarchy
     from pmg_dolfinx_tpu.utils.timers import Timer, list_timings
 
-    if args.operator not in ("dofmap", "csr"):
+    if args.operator not in ("dofmap", "csr", "dss"):
         print(f"unstructured topology: --operator {args.operator} needs "
-              "per-axis structure; forcing 'dofmap'")
-        args.operator = "dofmap"
+              "per-axis structure; forcing 'dss' (the fast row-gather "
+              "unstructured backend)")
+        args.operator = "dss"
 
     demo = args.mesh_file is None
     if demo:

@@ -47,6 +47,70 @@ _FACES = (
     ((0, 2, 4, 6), 2, 0), ((1, 3, 5, 7), 2, 1),
 )
 
+# The 12 local edges: (free axis a, fixed axes (b, c) with b < c, ends
+# (eb, ec)); edge index = a*4 + eb*2 + ec.
+_EDGES = tuple(
+    (a, tuple(sorted(set((0, 1, 2)) - {a})), (eb, ec))
+    for a in (0, 1, 2) for eb in (0, 1) for ec in (0, 1)
+)
+
+# The 8 dihedral transforms of an (..., m, m) block (the possible
+# relative orientations of a shared quad face between two conforming
+# hexes) and the 2 of an (..., m) block (shared edge directions).
+# NumPy/JAX agnostic: only transpose/reverse ops.
+VAR2D = (
+    lambda M: M,
+    lambda M: M.swapaxes(-1, -2),
+    lambda M: M[..., ::-1, :],
+    lambda M: M[..., :, ::-1],
+    lambda M: M[..., ::-1, ::-1],
+    lambda M: M.swapaxes(-1, -2)[..., ::-1, :],
+    lambda M: M.swapaxes(-1, -2)[..., :, ::-1],
+    lambda M: M.swapaxes(-1, -2)[..., ::-1, ::-1],
+)
+VAR1D = (lambda v: v, lambda v: v[..., ::-1])
+
+
+def _entity_groups(keys):
+    """Group a flat int key array into entities: returns
+    ``(n_entities, entity_of_key, src_table, max_sharers)`` where
+    ``src_table[(n_entities, K)]`` lists the flat key positions sharing
+    each entity (first occurrence first — the owner), padded with
+    ``len(keys)``."""
+    uniq, first, inv = np.unique(keys, return_index=True,
+                                 return_inverse=True)
+    ne = len(uniq)
+    order = np.argsort(inv, kind="stable")
+    cnt = np.bincount(inv, minlength=ne)
+    K = int(cnt.max()) if ne else 1
+    offs = np.concatenate([[0], np.cumsum(cnt)])
+    src = np.full((ne, K), len(keys), dtype=np.int64)
+    for k in range(K):
+        sel = cnt > k
+        src[sel, k] = order[offs[:-1][sel] + k]
+    assert np.array_equal(src[:, 0], first)
+    return ne, inv, src, K
+
+
+def _match_variants(canon, local, variants):
+    """Per-row variant indices ``var`` (canonical -> local) and ``inv``
+    (local -> canonical): ``variants[var[r]](canon[r]) == local[r]``.
+    Raises if some row matches no variant (a non-conforming or
+    corrupted interface)."""
+    var = np.full(canon.shape[0], -1, dtype=np.int8)
+    inv = np.full(canon.shape[0], -1, dtype=np.int8)
+    axes = tuple(range(1, canon.ndim))
+    for v, T in enumerate(variants):
+        hit = (T(canon) == local).all(axis=axes)
+        var[(var < 0) & hit] = v
+        hit_i = (T(local) == canon).all(axis=axes)
+        inv[(inv < 0) & hit_i] = v
+    if (var < 0).any() or (inv < 0).any():
+        raise ValueError(
+            "shared-entity dof block matches no dihedral orientation "
+            "variant: non-conforming interface or corrupted mesh")
+    return var, inv
+
 
 class UnstructuredHexMesh:
     """Conforming unstructured hex mesh from ``nodes + cells`` arrays.
@@ -105,6 +169,7 @@ class UnstructuredHexMesh:
         if self._min_edge <= 0.0:
             raise ValueError("degenerate cell: coincident corner nodes")
         self.tol = float(tol) if tol is not None else 1e-6 * self._min_edge
+        self._dss_cache = {}
         self._check_orientation()
 
     # -- geometry (Q1) --------------------------------------------------
@@ -217,9 +282,136 @@ class UnstructuredHexMesh:
                     "distinct dofs within 100x the merge tolerance: "
                     "near-degenerate cells or a mismatched interface — "
                     "fix the mesh or pass an explicit tol")
-        coords.setflags(write=False)
+        # DSS renumbering (round 5): reorder the merged dof ids into the
+        # entity-blocked layout [cell interiors | face interiors | edge
+        # interiors | vertices] and build the row-gather tables that
+        # make the fast unstructured operator possible on TPU
+        # (`ops/unstructured.py`; element gathers run ~7 cycles/elem on
+        # TPU while >=8-lane ROW gathers run at HBM speed —
+        # tools/gather_bench.py). The renumbering is the mesh's
+        # canonical numbering: every backend (dofmap/csr/assembly)
+        # shares it, so vectors interoperate with zero conversions.
+        dofmap, new, layout = self._build_dss(P, dofmap, ndofs)
+        coords_new = np.empty_like(coords)
+        coords_new[new] = coords
+        self._dss_cache[P] = layout
+        coords_new.setflags(write=False)
         dofmap.setflags(write=False)
-        return dofmap, ndofs, coords
+        return dofmap, ndofs, coords_new
+
+    def dss_layout(self, P: int) -> dict:
+        """Entity tables of the DSS dof layout at degree ``P`` (host
+        NumPy; see `_build_dss`). Built together with `_space`."""
+        self._space(P)
+        return self._dss_cache[P]
+
+    def _build_dss(self, P, dofmap, ndofs):
+        """Renumber dofs into DSS entity blocks + build gather/scatter
+        tables.
+
+        Layout: ``[cell interiors (cell-major, local lattice order) |
+        face interiors (canonical = owner-local order) | edge interiors
+        | vertices]``, entities ordered by their minimum merged dof id
+        (deterministic). Tables (all NumPy int32 unless noted):
+
+        - ``face_id (nc, 6)`` global face index per local face;
+          ``face_var / face_inv (nc, 6)`` int8 dihedral variant indices
+          (canonical->local and local->canonical, `VAR2D`);
+        - ``edge_id (nc, 12)`` + ``edge_var / edge_inv`` (`VAR1D`);
+        - ``vert_id (nc, 8)`` global vertex index;
+        - ``face_src (nF, <=2)`` / ``edge_src (nE, Ke)`` /
+          ``vert_src (nV, Kv)``: flat (cell*nloc + local) sharer rows
+          per entity, owner first, padded with the row count (a zero
+          row at apply time);
+        - sizes ``n_int / nF / nE / nV / Ke / Kv`` and ``m = P - 1``.
+
+        Orientation handling: a shared face's interior dofs as seen by
+        the two cells differ by one of the 8 dihedral transforms (the
+        trilinear geometry agrees on corners and the GLL lattice is
+        symmetric); the variant is found by matching merged dof ids
+        against all 8 and FAILS LOUDLY if none matches. Same for edges
+        with the 2 direction variants.
+        """
+        n = P + 1
+        m = P - 1
+        nc = self.ncells
+        dml = dofmap.reshape(nc, n, n, n).astype(np.int64)
+        new = np.full(ndofs, -1, dtype=np.int64)
+
+        if m:
+            int_ids = dml[:, 1:-1, 1:-1, 1:-1].reshape(nc, -1)
+        else:
+            int_ids = np.zeros((nc, 0), dtype=np.int64)
+        n_int = int_ids.size
+        new[int_ids.ravel()] = np.arange(n_int)
+
+        if m:
+            fblocks = []
+            for _, a, e in _FACES:
+                sl = [slice(1, n - 1)] * 3
+                sl[a] = 0 if e == 0 else n - 1
+                fblocks.append(dml[(slice(None),) + tuple(sl)])
+            fbf = np.stack(fblocks, axis=1).reshape(nc * 6, m, m)
+            nF, inv_f, fsrc, Kf = _entity_groups(
+                fbf.reshape(nc * 6, -1).min(axis=1))
+            if Kf > 2:
+                raise ValueError(
+                    f"a face is shared by {Kf} cells: non-manifold mesh")
+            canon_f = fbf[fsrc[:, 0]]
+            fvar, finv = _match_variants(canon_f[inv_f], fbf, VAR2D)
+            new[canon_f.ravel()] = n_int + np.arange(nF * m * m)
+
+            eblocks = []
+            for a, (b, c), (eb, ec) in _EDGES:
+                sl = [None] * 3
+                sl[a] = slice(1, n - 1)
+                sl[b] = 0 if eb == 0 else n - 1
+                sl[c] = 0 if ec == 0 else n - 1
+                eblocks.append(dml[(slice(None),) + tuple(sl)])
+            ebf = np.stack(eblocks, axis=1).reshape(nc * 12, m)
+            nE, inv_e, esrc, Ke = _entity_groups(ebf.min(axis=1))
+            canon_e = ebf[esrc[:, 0]]
+            evar, einv = _match_variants(canon_e[inv_e], ebf, VAR1D)
+            new[canon_e.ravel()] = n_int + nF * m * m + np.arange(nE * m)
+        else:
+            nF = nE = 0
+            Ke = 1
+            fbf = np.zeros((nc * 6, 0, 0), dtype=np.int64)
+            inv_f = np.zeros(nc * 6, dtype=np.int64)
+            fsrc = np.zeros((0, 2), dtype=np.int64)
+            fvar = finv = np.zeros(nc * 6, dtype=np.int8)
+            inv_e = np.zeros(nc * 12, dtype=np.int64)
+            esrc = np.zeros((0, 1), dtype=np.int64)
+            evar = einv = np.zeros(nc * 12, dtype=np.int8)
+
+        vk = dml[:, [0, -1]][:, :, [0, -1]][:, :, :, [0, -1]].reshape(nc, 8)
+        nV, inv_v, vsrc, Kv = _entity_groups(vk.ravel())
+        o_vert = n_int + nF * m * m + nE * m
+        new[vk.ravel()[vsrc[:, 0]]] = o_vert + np.arange(nV)
+        if o_vert + nV != ndofs or (new < 0).any() or (
+                np.unique(new).size != ndofs):
+            raise AssertionError(
+                "DSS renumbering is not a bijection: inconsistent "
+                "entity classification (mesh merge produced a dof "
+                "shared across entity classes — non-conforming mesh?)")
+
+        dofmap_new = np.ascontiguousarray(
+            new[dml.reshape(nc, -1)].astype(np.int32))
+        layout = dict(
+            P=P, m=m, nc=nc, n_int=n_int, nF=nF, nE=nE, nV=nV,
+            Ke=Ke, Kv=Kv,
+            face_id=inv_f.reshape(nc, 6).astype(np.int32),
+            face_var=fvar.reshape(nc, 6).astype(np.int8),
+            face_inv=finv.reshape(nc, 6).astype(np.int8),
+            edge_id=inv_e.reshape(nc, 12).astype(np.int32),
+            edge_var=evar.reshape(nc, 12).astype(np.int8),
+            edge_inv=einv.reshape(nc, 12).astype(np.int8),
+            vert_id=inv_v.reshape(nc, 8).astype(np.int32),
+            face_src=fsrc.astype(np.int32),
+            edge_src=esrc.astype(np.int32),
+            vert_src=vsrc.astype(np.int32),
+        )
+        return dofmap_new, new, layout
 
     def dofmap(self, P: int) -> np.ndarray:
         """Cell dofmap ``(ncells, (P+1)^3)`` int32, z-fastest local

@@ -156,6 +156,9 @@ class Level:
     ndofs: int
     smoother_iters: int = DEFAULT_SMOOTHER_ITERS
     shape: tuple | None = None
+    # Static DSS layout sizes (`ops.unstructured.DSSMeta`) when the
+    # level runs the unstructured row-gather backend; None otherwise.
+    dss: object = None
     # Line-relaxation axis when the level's data carries "line_inv"
     # blocks (solvers/line.py); ignored for point-Jacobi levels.
     line_axis: int = 2
@@ -253,6 +256,42 @@ def csr_cycle_ops():
     ops = default_cycle_ops()
     ops["apply"] = lambda lv, x, level: lv["A"] @ x
     return ops
+
+
+def dss_cycle_ops(precision="highest", sigma=0.0):
+    """V-cycle primitives for UNSTRUCTURED hex topology backed by the
+    row-gather DSS operator (`ops.unstructured`) — the fast path the
+    reference gets from its topology-agnostic GPU kernel
+    (src/laplacian.hpp:143-278). Operator applies AND p-transfers run
+    the entity-blocked row-gather machinery; no element gathers or
+    scatters anywhere in the cycle (measured ~500x slower than row
+    gathers on TPU, tools/gather_bench.py). ``sigma`` adds the
+    GLL-lumped mass shift via the bc-zeroed ``m3`` level vector, like
+    the general backends."""
+    from ..ops.unstructured import (
+        dss_laplacian_apply,
+        dss_prolongate,
+        dss_restrict,
+    )
+
+    def apply_op(lv, x, level):
+        return dss_laplacian_apply(x, lv, level.dss, precision=precision,
+                                   sigma=sigma)
+
+    tprec = "highest"  # transfers are cheap; keep them exact
+    return dict(
+        apply=apply_op,
+        restrict=lambda tr, r, level_c, level_f: dss_restrict(
+            r, tr["M1"], tr["tf"], level_f.dss, tr["tc"], level_c.dss,
+            tr["inv_mult_f"], precision=tprec,
+        ),
+        prolong=lambda tr, u, level_c, level_f: dss_prolongate(
+            u, tr["M1"], tr["tc"], level_c.dss, tr["tf"], level_f.dss,
+            precision=tprec,
+        ),
+        dot=lambda u, v, lv: inner_product(u, v),
+        pvary=lambda v: v,
+    )
 
 
 def kron_cycle_ops(precision="highest", sigma=0.0):
@@ -918,13 +957,23 @@ class PMGHierarchy:
             )
         elif operator == "dofmap":
             self._ops = default_cycle_ops(sigma=self._ops_sigma)
+        elif operator == "dss":
+            if not hasattr(mesh, "dss_layout"):
+                raise ValueError(
+                    "operator='dss' needs a mesh with a DSS entity "
+                    "layout (UnstructuredHexMesh); box meshes should "
+                    "use the faster 'kron'/'lattice' families — or wrap "
+                    "the box as UnstructuredHexMesh(geometry_x, "
+                    "geometry_dofmap) to force the unstructured path"
+                )
+            self._ops = dss_cycle_ops(precision, sigma=self._ops_sigma)
         elif operator == "csr":
             self._ops = csr_cycle_ops()
         else:
             raise ValueError(
                 f"unknown operator backend {operator!r}; expected 'kron', "
-                "'kron_blocked', 'lattice', 'lattice_blocked', 'dofmap' "
-                "or 'csr'"
+                "'kron_blocked', 'lattice', 'lattice_blocked', 'dofmap', "
+                "'dss' or 'csr'"
             )
         ops = self._ops
 
@@ -1012,6 +1061,23 @@ class PMGHierarchy:
                 lv = dict(A=mo._A, bc_marker=bc)
                 diag = mo.diag
                 level = Level(P=P, ndofs=ndofs, smoother_iters=smoother_iters)
+            elif operator == "dss":
+                from ..ops.unstructured import dss_device_tables, dss_meta
+
+                # Same G/coeff split as the dofmap branch: a tensor
+                # kappa is already folded into G_cells (geometry_factors
+                # kappa=) with _kc all-ones; a scalar/DG-0 kappa rides
+                # the per-cell coeff multiplier in the cell kernel.
+                layout = mesh.dss_layout(P)
+                lv = dict(
+                    dss_device_tables(layout),
+                    G=jnp.asarray(G_cells, dtype=dtype),
+                    coeff=jnp.asarray(self._kc, dtype=dtype),
+                    D=jnp.asarray(derivative_matrix(P), dtype=dtype),
+                    bc_marker=bc,
+                )
+                level = Level(P=P, ndofs=ndofs, smoother_iters=smoother_iters,
+                              dss=dss_meta(layout))
             else:
                 lv = dict(
                     dofmap=jnp.asarray(mesh.dofmap(P)),
@@ -1126,6 +1192,17 @@ class PMGHierarchy:
                     )
                     for name, nc_a in zip("xyz", mesh.nc)
                 }
+            elif operator == "dss":
+                # The DSS transfers reuse the two levels' row-gather
+                # tables (shared pytree leaves, no copies).
+                tr = dict(
+                    M1=jnp.asarray(interpolation_matrix_1d(Pc, Pf),
+                                   dtype=dtype),
+                    tc=level_data[i],
+                    tf=level_data[i + 1],
+                    inv_mult_f=jnp.asarray(
+                        1.0 / mesh.dof_multiplicity(Pf), dtype=dtype),
+                )
             else:
                 tr = dict(
                     M1=jnp.asarray(interpolation_matrix_1d(Pc, Pf), dtype=dtype),
