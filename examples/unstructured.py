@@ -29,8 +29,15 @@ def main():
     p.add_argument("--demo-n", type=int, default=0,
                    help="L-shaped demo mesh with 3*n^3 cells")
     p.add_argument("--degrees", type=int, nargs="+", default=[1, 3])
-    p.add_argument("--coarse", choices=["direct", "cg", "smoother"],
-                   default="direct")
+    p.add_argument("--coarse", choices=["direct", "cg", "smoother", "amg"],
+                   default="direct",
+                   help="'amg' = smoothed-aggregation multilevel coarse "
+                   "(solvers/amg.py) — the scalable choice when the p=1 "
+                   "level outgrows the dense 'direct' factor")
+    p.add_argument("--smoother", choices=["cheb", "schwarz"],
+                   default="cheb",
+                   help="'schwarz' = per-cell FDM blocks from each "
+                   "cell's own edge geometry (solvers/schwarz_dss.py)")
     p.add_argument("--rtol", type=float, default=1e-8)
     p.add_argument("--maxiter", type=int, default=50)
     args = p.parse_args()
@@ -74,7 +81,8 @@ def main():
         b = assemble_rhs(mesh, P, f)
         hier = PMGHierarchy(mesh, degrees=tuple(args.degrees),
                             kappa=args.kappa, dtype=dtype,
-                            coarse=args.coarse, operator=args.operator)
+                            coarse=args.coarse, operator=args.operator,
+                            smoother=args.smoother)
     with Timer("fcg solve"):
         u, niter = hier.solve_pcg(b, rtol=args.rtol, maxiter=args.maxiter)
     out = {"niter": int(niter)}

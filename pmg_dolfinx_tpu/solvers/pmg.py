@@ -199,11 +199,17 @@ def _generic_calibration(lv, b, x0, *, ops, level, maxiter):
         pre = lambda r: line_precond_apply(
             lv["line_inv"], r, level.shape, level.line_axis)
     elif "schwarz" in lv:
-        from .schwarz import schwarz_precond_apply
+        if level.dss is not None:
+            from .schwarz_dss import dss_schwarz_apply
 
-        pre = lambda r: schwarz_precond_apply(
-            lv["schwarz"], r, level.shape, level.P,
-            exchange=ops.get("exchange"))
+            pre = lambda r: dss_schwarz_apply(lv["schwarz"], r, lv,
+                                              level.dss)
+        else:
+            from .schwarz import schwarz_precond_apply
+
+            pre = lambda r: schwarz_precond_apply(
+                lv["schwarz"], r, level.shape, level.P,
+                exchange=ops.get("exchange"))
     return cg_solve(
         A, b, x0, lv["diag_inv"],
         rtol=DEFAULT_CALIBRATION_RTOL, maxiter=maxiter, record=True,
@@ -553,11 +559,17 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
             minv = lambda r: line_precond_apply(
                 lv["line_inv"], r, level.shape, level.line_axis)
         elif "schwarz" in lv:
-            from .schwarz import schwarz_precond_apply
+            if level.dss is not None:
+                from .schwarz_dss import dss_schwarz_apply
 
-            minv = lambda r: schwarz_precond_apply(
-                lv["schwarz"], r, level.shape, level.P,
-                exchange=ops.get("exchange"))
+                minv = lambda r: dss_schwarz_apply(lv["schwarz"], r, lv,
+                                                   level.dss)
+            else:
+                from .schwarz import schwarz_precond_apply
+
+                minv = lambda r: schwarz_precond_apply(
+                    lv["schwarz"], r, level.shape, level.P,
+                    exchange=ops.get("exchange"))
         else:
             minv = lv["diag_inv"]
         return chebyshev4_solve(
@@ -709,6 +721,30 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
                 ops=hmg_ops,
             )
         u0 = unslice(u0g.reshape(jnp.shape(b0g_raw)))
+    elif coarse == "amg":
+        # Smoothed-aggregation AMG cycles on the p-coarse problem
+        # (solvers/amg.py) — the topology-agnostic multilevel coarse
+        # (the reference's BoomerAMG role, src/amg.hpp:33-47): works on
+        # unstructured meshes where the geometric 'hmg' family refuses.
+        # Level 0 stays matrix-free through this hierarchy's own
+        # apply/smoother; deeper levels are small assembled BCOO/dense.
+        # Flat-vector boundary: the aggregate segment ops need 1D
+        # carriers, so lattice-shaped backends reshape at this seam
+        # (the coarse level is small — negligible relayout).
+        from .amg import amg_cycle
+
+        b0f = b0.reshape(-1)
+        shape0 = jnp.shape(b0)
+        apply0f = lambda xf: ops["apply"](
+            lvs[0], xf.reshape(shape0), levels[0]).reshape(-1)
+        smooth0f = lambda lv, bb, xx, level: smooth(
+            lv, bb.reshape(shape0), xx.reshape(shape0), level).reshape(-1)
+        u0f = fresh(zeros(levels[0], b_in.dtype)).reshape(-1)
+        for _ in range(coarse_cfg.get("cycles", 2)):
+            u0f = amg_cycle(data["amg"], b0f, u0f,
+                            coarse_cfg["amg_meta"], lvs[0], levels[0],
+                            smooth0f, apply0f)
+        u0 = u0f.reshape(shape0)
     else:
         raise ValueError(f"unknown coarse solver '{coarse}'")
     us[0] = u0
@@ -1149,12 +1185,21 @@ class PMGHierarchy:
                     level, line_axis=self._line_axis,
                     shape=mesh.lattice_shape(P))
             elif self._schwarz:
-                from .schwarz import build_schwarz
+                if operator == "dss":
+                    # Unstructured topology: per-cell separable blocks
+                    # from each cell's own edge geometry, applied via
+                    # the DSS gather/scatter (solvers/schwarz_dss.py).
+                    from .schwarz_dss import build_schwarz_dss
 
-                lv["schwarz"] = build_schwarz(mesh, P, kappa, dtype,
-                                              sigma=self.sigma)
-                level = dataclasses.replace(
-                    level, shape=mesh.lattice_shape(P))
+                    lv["schwarz"] = build_schwarz_dss(
+                        mesh, P, kappa, dtype, sigma=self.sigma)
+                else:
+                    from .schwarz import build_schwarz
+
+                    lv["schwarz"] = build_schwarz(mesh, P, kappa, dtype,
+                                                  sigma=self.sigma)
+                    level = dataclasses.replace(
+                        level, shape=mesh.lattice_shape(P))
             vshape = level.shape if kron_family else (ndofs,)
             # Smoother calibration: 20 recorded CG iterations on A x = 1,
             # Lanczos estimate, lmax inflated by 1.1 (main.cpp:303-330).
@@ -1243,6 +1288,31 @@ class PMGHierarchy:
             )
             self.coarse_cfg["fdm_shape"] = mesh.lattice_shape(self.degrees[0])
             self.coarse_cfg["fdm_trims"] = fd.trims
+        elif coarse == "amg":
+            import scipy.sparse as sp_
+
+            from ..fem.assembly import assemble_stiffness, shifted_mass_np
+            from .amg import DENSE_CAP, build_amg
+
+            A0 = assemble_stiffness(
+                mesh, self.degrees[0], kappa=self.kappa_cells).tocsr()
+            if self.sigma:
+                A0 = (A0 + sp_.diags(self.sigma * shifted_mass_np(
+                    mesh, self.degrees[0], self._sigma_field))).tocsr()
+            amg_data, amg_meta = build_amg(
+                A0, mesh.boundary_dof_marker(self.degrees[0]), dtype,
+                theta=self.coarse_cfg.get("theta", 0.0),
+                dense_cap=self.coarse_cfg.get("dense_cap", DENSE_CAP),
+                smoother_iters=smoother_iters,
+                psmooth=self.coarse_cfg.get("psmooth", 2),
+                nu=self.coarse_cfg.get("nu", 2),
+            )
+            self.data["amg"] = amg_data
+            self.coarse_cfg["amg_meta"] = amg_meta
+            # 3 cycles ~= exact coarse (measured: L-shape p=(1,3) FCG 6
+            # vs direct 5, flat n=6->9; 2 cycles costs +2 iterations) —
+            # same default as the hmg coarse.
+            self.coarse_cfg.setdefault("cycles", 3)
         elif coarse == "hmg":
             if (getattr(mesh, "is_axis_aligned", True)
                     and self.kappa_axes is not None

@@ -199,3 +199,49 @@ def test_dss_requires_layout_mesh():
 
     with pytest.raises(ValueError, match="dss"):
         PMGHierarchy(BoxMesh((2, 2, 2)), degrees=(1, 2), operator="dss")
+
+
+def test_schwarz_dss_matches_box_schwarz_on_wrapped_box():
+    """On a uniform axis-aligned box wrapped as UnstructuredHexMesh the
+    per-cell DSS Schwarz blocks coincide with the box Schwarz blocks
+    (own-h neighbour augmentation == the global 1D matrix block at
+    uniform spacing): residual trajectories (permutation-invariant)
+    must match to roundoff."""
+    from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+
+    box = BoxMesh((4, 4, 4))
+    un = UnstructuredHexMesh(box.geometry_x, np.asarray(box.geometry_dofmap))
+    P = 3
+    res = {}
+    for mesh, op in ((box, "lattice"), (un, "dss")):
+        b = jnp.asarray(assemble_rhs(mesh, P, f_rhs(2.0)))
+        h = PMGHierarchy(mesh, degrees=(1, P), kappa=2.0, coarse="direct",
+                         operator=op, smoother="schwarz")
+        _, r = h.solve(b, num_cycles=6)
+        res[op] = np.asarray(r)
+    np.testing.assert_allclose(res["dss"], res["lattice"], rtol=1e-6)
+
+
+def test_schwarz_dss_curved_varkappa_reduces_iterations():
+    from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+
+    pb = PerturbedBoxMesh((6, 6, 6))
+    unc = UnstructuredHexMesh(pb.geometry_x, np.asarray(pb.geometry_dofmap))
+    kap = lambda x: 1.0 + 0.8 * np.sin(3 * x[0]) * np.cos(2 * x[1])
+    b = jnp.asarray(assemble_rhs(unc, 4, f_rhs(1.0)))
+    its = {}
+    for sm in ("cheb", "schwarz"):
+        h = PMGHierarchy(unc, degrees=(1, 2, 4), kappa=kap, coarse="direct",
+                         operator="dss", smoother=sm)
+        _, its[sm] = h.solve_pcg(b, rtol=1e-8, maxiter=60)
+    assert its["schwarz"] < its["cheb"], its
+
+
+def test_schwarz_dss_sigma_and_p1_level():
+    mesh = _rotated_lshape(2, seed=11)
+    b = jnp.asarray(assemble_rhs(mesh, 2, f_rhs(2.0, sigma=1.2)))
+    h = PMGHierarchy(mesh, degrees=(1, 2), kappa=2.0, sigma=1.2,
+                     coarse="direct", operator="dss", smoother="schwarz")
+    _, r = h.solve(b, num_cycles=8)
+    r = np.asarray(r)
+    assert r[-1] / r[0] < 1e-5
