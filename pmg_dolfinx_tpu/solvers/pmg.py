@@ -202,8 +202,11 @@ def _generic_calibration(lv, b, x0, *, ops, level, maxiter):
         if level.dss is not None:
             from .schwarz_dss import dss_schwarz_apply
 
-            pre = lambda r: dss_schwarz_apply(lv["schwarz"], r, lv,
-                                              level.dss)
+            xde = ops.get("dss_exchange")
+            pre = lambda r: dss_schwarz_apply(
+                lv["schwarz"], r, lv, level.dss,
+                exchange=(None if xde is None
+                          else lambda y: xde(y, lv, level.dss)))
         else:
             from .schwarz import schwarz_precond_apply
 
@@ -562,8 +565,11 @@ def v_cycle(data, b_in, u_in, *, levels, coarse="smoother", coarse_cfg=None,
             if level.dss is not None:
                 from .schwarz_dss import dss_schwarz_apply
 
-                minv = lambda r: dss_schwarz_apply(lv["schwarz"], r, lv,
-                                                   level.dss)
+                xde = ops.get("dss_exchange")
+                minv = lambda r: dss_schwarz_apply(
+                    lv["schwarz"], r, lv, level.dss,
+                    exchange=(None if xde is None
+                              else lambda y: xde(y, lv, level.dss)))
             else:
                 from .schwarz import schwarz_precond_apply
 

@@ -141,11 +141,17 @@ def build_schwarz_dss(mesh, P, kappa, dtype, sigma=0.0):
     )
 
 
-def dss_schwarz_apply(sw, r, t, meta, precision="highest"):
+def dss_schwarz_apply(sw, r, t, meta, precision="highest", exchange=None):
     """Apply ``M^-1 = W [sum_cells R_c^T B_c^-1 R_c] W`` on the DSS dof
     vector (jit-traceable): bc-zero + weight, DSS cell gather, batched
     per-cell eigenvector transforms around the pointwise eigenvalue
-    scale, DSS overlap-add scatter, weight, bc identity epilogue."""
+    scale, DSS overlap-add scatter, weight, bc identity epilogue.
+
+    Distributed (shard_map) use: ``exchange`` reconciles the shared-
+    entity partial sums after the overlap-add
+    (`parallel.dss_dist.dss_exchange` bound to the level tables); the
+    pointwise multiplicity weighting commutes with it, exactly like the
+    box Schwarz's plane exchange."""
     import jax.numpy as jnp
 
     from ..ops.unstructured import dss_gather, dss_scatter
@@ -162,5 +168,8 @@ def dss_schwarz_apply(sw, r, t, meta, precision="highest"):
     u = jnp.einsum("ckq,cijq->cijk", V[:, 2], u, precision=p)
     u = jnp.einsum("cjq,ciqk->cijk", V[:, 1], u, precision=p)
     u = jnp.einsum("ciq,cqjk->cijk", V[:, 0], u, precision=p)
-    y = dss_scatter(u, t, meta) * sw["w"]
+    y = dss_scatter(u, t, meta)
+    if exchange is not None:
+        y = exchange(y)
+    y = y * sw["w"]
     return jnp.where(sw["bc"], r, y)
