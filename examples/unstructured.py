@@ -38,6 +38,10 @@ def main():
                    default="cheb",
                    help="'schwarz' = per-cell FDM blocks from each "
                    "cell's own edge geometry (solvers/schwarz_dss.py)")
+    p.add_argument("--dirichlet-groups", nargs="+", default=None,
+                   help="Gmsh physical surface group names to mark "
+                   "Dirichlet (mesh-file mode; untagged faces stay "
+                   "natural) — tag-driven mixed BCs, no callables")
     p.add_argument("--rtol", type=float, default=1e-8)
     p.add_argument("--maxiter", type=int, default=50)
     args = p.parse_args()
@@ -62,7 +66,10 @@ def main():
         n = args.demo_n or 4
         mesh = l_shaped_hex_mesh(n)
     elif args.mesh_file.endswith(".msh"):
-        mesh = read_gmsh_hex(args.mesh_file)
+        mesh = read_gmsh_hex(args.mesh_file,
+                             dirichlet=args.dirichlet_groups or True)
+        if mesh.tagged_faces:
+            print(f"physical surface groups: {sorted(mesh.tagged_faces)}")
     else:
         mesh = load_hex_mesh_npz(args.mesh_file)
     P = max(args.degrees)

@@ -124,13 +124,21 @@ class UnstructuredHexMesh:
         ``(i*2 + j)*2 + k`` along (x, y, z) (use `gmsh_corner_permutation`
         for Gmsh-ordered input). Cells must be positively oriented
         (checked: every collocation-point Jacobian determinant > 0).
-    dirichlet : True or callable, optional
+    dirichlet : True, callable, str, or sequence of str, optional
         ``True`` marks every boundary dof Dirichlet (boundary = faces
         owned by exactly one cell, found topologically). A callable
         ``marker(x[(3, npts)]) -> bool[(npts,)]`` restricts the marking
         to the selected subset of boundary dofs; the rest are natural
         (homogeneous-Neumann) unknowns, exactly as `BoxMesh`'s
-        ``dirichlet_faces``.
+        ``dirichlet_faces``. A group name (or sequence of names) marks
+        the boundary faces belonging to those ``tagged_faces`` groups —
+        the Gmsh physical-surface workflow (`read_gmsh_hex` fills the
+        groups from ``$PhysicalNames`` + tagged quads), no geometric
+        callables needed.
+    tagged_faces : dict, optional
+        ``{name: (nq, 4) int array}`` of boundary-quad corner-NODE ids
+        per named face group (order-free: faces are matched as corner
+        sets).
     tol : float, optional
         Geometric merge tolerance. Default: ``1e-6 * min edge length``
         — at least ~3 orders below the smallest GLL node gap for any
@@ -141,7 +149,12 @@ class UnstructuredHexMesh:
     is_graded = True          # no uniform-h shortcut anywhere
     has_robin = False
 
-    def __init__(self, nodes, cells, dirichlet=True, tol=None):
+    def __init__(self, nodes, cells, dirichlet=True, tol=None,
+                 tagged_faces=None):
+        self.tagged_faces = {
+            k: np.ascontiguousarray(np.asarray(v, dtype=np.int64))
+            for k, v in (tagged_faces or {}).items()
+        }
         nodes = np.ascontiguousarray(np.asarray(nodes, dtype=np.float64))
         cells = np.ascontiguousarray(np.asarray(cells, dtype=np.int32))
         if nodes.ndim != 2 or nodes.shape[1] != 3:
@@ -397,7 +410,45 @@ class UnstructuredHexMesh:
 
         dofmap_new = np.ascontiguousarray(
             new[dml.reshape(nc, -1)].astype(np.int32))
+        # Block-order -> lattice-order column permutation of the n^3
+        # cell slots (`ops.unstructured`: the cell slab is assembled in
+        # entity-block column order — one wide concat — and mapped to
+        # lattice order by a single exact one-hot matmul; assembling
+        # the (nc, n, n, n) slab from 27 tiny concat pieces measured
+        # ~4.5 ms at 2.24M dofs on v5e, the dominant apply cost).
+        perm = np.empty(n ** 3, dtype=np.int64)
+        col = 0
+        for i in range(1, n - 1):
+            for j in range(1, n - 1):
+                for k in range(1, n - 1):
+                    perm[col] = (i * n + j) * n + k
+                    col += 1
+        for _, a, e in _FACES:
+            bax, cax = sorted(set((0, 1, 2)) - {a})
+            for p in range(1, n - 1):
+                for q in range(1, n - 1):
+                    idx = [0, 0, 0]
+                    idx[a] = 0 if e == 0 else n - 1
+                    idx[bax], idx[cax] = p, q
+                    perm[col] = (idx[0] * n + idx[1]) * n + idx[2]
+                    col += 1
+        for a, (bax, cax), (eb, ec) in _EDGES:
+            for p in range(1, n - 1):
+                idx = [0, 0, 0]
+                idx[a] = p
+                idx[bax] = 0 if eb == 0 else n - 1
+                idx[cax] = 0 if ec == 0 else n - 1
+                perm[col] = (idx[0] * n + idx[1]) * n + idx[2]
+                col += 1
+        for i in (0, 1):
+            for j in (0, 1):
+                for k in (0, 1):
+                    perm[col] = ((i * (n - 1)) * n + j * (n - 1)) * n \
+                        + k * (n - 1)
+                    col += 1
+        assert col == n ** 3 and np.unique(perm).size == n ** 3
         layout = dict(
+            perm_lat=perm,
             P=P, m=m, nc=nc, n_int=n_int, nF=nF, nE=nE, nV=nV,
             Ke=Ke, Kv=Kv,
             face_id=inv_f.reshape(nc, 6).astype(np.int32),
@@ -458,8 +509,40 @@ class UnstructuredHexMesh:
         elif callable(self._dirichlet):
             sel = np.asarray(self._dirichlet(coords.T), dtype=bool)
             out = on_boundary & sel
+        elif isinstance(self._dirichlet, (str, list, tuple, set)):
+            # Named face groups (Gmsh physical surfaces): mark every
+            # boundary face whose corner-node set belongs to one of the
+            # selected tagged_faces groups — the tag-driven mixed-BC
+            # workflow (unselected groups / untagged faces stay natural).
+            names = ([self._dirichlet] if isinstance(self._dirichlet, str)
+                     else list(self._dirichlet))
+            quads = set()
+            for name in names:
+                if name not in self.tagged_faces:
+                    raise ValueError(
+                        f"unknown face group {name!r}; available: "
+                        f"{sorted(self.tagged_faces)}")
+                for q in self.tagged_faces[name]:
+                    quads.add(frozenset(int(v) for v in q))
+            out = np.zeros(ndofs, dtype=bool)
+            matched = 0
+            for c, fi in self._boundary_cell_faces():
+                ids, axis, end = _FACES[fi]
+                key = frozenset(int(self._cells[c, i]) for i in ids)
+                if key not in quads:
+                    continue
+                matched += 1
+                sl = [slice(None)] * 3
+                sl[axis] = 0 if end == 0 else -1
+                out[dml[c][tuple(sl)].ravel()] = True
+            if matched != len(quads):
+                raise ValueError(
+                    f"{len(quads) - matched} tagged quads match no "
+                    "topological boundary face (internal or stale "
+                    "surface elements in the mesh file)")
         else:
-            raise ValueError("dirichlet must be True or a callable marker")
+            raise ValueError("dirichlet must be True, a callable marker, "
+                             "or tagged_faces group name(s)")
         if not out.any():
             raise ValueError(
                 "no Dirichlet dofs selected: the pure-Neumann operator "
@@ -497,11 +580,17 @@ def load_hex_mesh_npz(path, dirichlet=True, tol=None) -> UnstructuredHexMesh:
 
 def read_gmsh_hex(path, dirichlet=True, tol=None) -> UnstructuredHexMesh:
     """Minimal Gmsh ASCII reader (v2.2 AND v4.1, Gmsh's current default
-    format): ``$Nodes`` + the hexahedral elements (type 5) of
-    ``$Elements``; every other element type (points/lines/quads used
-    for physical-group tagging) is skipped. Node ids may be
-    non-contiguous (renumbered on load)."""
+    format): ``$Nodes``, the hexahedral elements (type 5) of
+    ``$Elements``, and PHYSICAL SURFACE GROUPS — ``$PhysicalNames``
+    (dim-2 entries) plus the tagged 4-node quads (type 3) become
+    ``mesh.tagged_faces[name]``, so a tagged ``.msh`` drives mixed
+    boundary conditions with ``dirichlet=[<group names>]`` and no
+    geometric callables (the workflow the reference gets from DOLFINx
+    mesh I/O). Node ids may be non-contiguous (renumbered on load)."""
     nodes_raw, elems = {}, []
+    phys_names = {}            # (dim, physical tag) -> name
+    quads = []                 # (physical tag or None, [4 node ids])
+    surf_phys = {}             # v4.1: surface entity tag -> physical tag
     with open(path) as fh:
         lines = iter(fh)
         ver = None
@@ -513,6 +602,24 @@ def read_gmsh_hex(path, dirichlet=True, tol=None) -> UnstructuredHexMesh:
                     raise ValueError(
                         f"only Gmsh ASCII v2.x / v4.x supported, got "
                         f"{ver}")
+            elif tag == "$PhysicalNames":
+                np_names = int(next(lines))
+                for _ in range(np_names):
+                    p = next(lines).split(maxsplit=2)
+                    phys_names[(int(p[0]), int(p[1]))] = p[2].strip(
+                        ).strip('"')
+            elif tag == "$Entities":  # v4.1: surface -> physical map
+                cnt = [int(v) for v in next(lines).split()]
+                npt, ncv, nsf = cnt[0], cnt[1], cnt[2]
+                for _ in range(npt):   # points: tag x y z nPhys phys...
+                    next(lines)
+                for _ in range(ncv):   # curves: tag 6*bbox nPhys ... nB
+                    next(lines)
+                for _ in range(nsf):
+                    p = next(lines).split()
+                    nphys = int(p[7])
+                    if nphys:
+                        surf_phys[int(p[0])] = int(p[8])
             elif tag == "$Nodes" and ver.startswith("2."):
                 nn = int(next(lines))
                 for _ in range(nn):
@@ -532,26 +639,41 @@ def read_gmsh_hex(path, dirichlet=True, tol=None) -> UnstructuredHexMesh:
                 ne = int(next(lines))
                 for _ in range(ne):
                     p = next(lines).split()
-                    if int(p[1]) == 5:  # 8-node hexahedron
-                        ntags = int(p[2])
+                    etype, ntags = int(p[1]), int(p[2])
+                    if etype == 5:  # 8-node hexahedron
                         elems.append([int(v) for v in p[3 + ntags:]])
+                    elif etype == 3:  # 4-node quad (surface tagging)
+                        phys = int(p[3]) if ntags >= 1 else None
+                        quads.append((phys, [int(v) for v in
+                                             p[3 + ntags:]]))
             elif tag == "$Elements":  # v4.1: entity blocks
                 nblocks = int(next(lines).split()[0])
                 for _ in range(nblocks):
                     hdr = next(lines).split()
-                    etype, nb = int(hdr[2]), int(hdr[3])
+                    etag, etype, nb = int(hdr[1]), int(hdr[2]), int(hdr[3])
                     for _ in range(nb):
                         p = next(lines).split()
                         if etype == 5:
                             elems.append([int(v) for v in p[1:9]])
+                        elif etype == 3:
+                            quads.append((surf_phys.get(etag),
+                                          [int(v) for v in p[1:5]]))
     if not elems:
         raise ValueError(f"no hexahedral (type 5) elements in {path}")
     ids = sorted(nodes_raw)
     renum = {g: i for i, g in enumerate(ids)}
     nodes = np.array([nodes_raw[g] for g in ids])
     cells = np.array([[renum[v] for v in e] for e in elems])
+    tagged = {}
+    for phys, q in quads:
+        if phys is None:
+            continue
+        name = phys_names.get((2, phys), str(phys))
+        tagged.setdefault(name, []).append([renum[v] for v in q])
+    tagged = {k: np.asarray(v, dtype=np.int64) for k, v in tagged.items()}
     return UnstructuredHexMesh(nodes, gmsh_corner_permutation(cells),
-                               dirichlet=dirichlet, tol=tol)
+                               dirichlet=dirichlet, tol=tol,
+                               tagged_faces=tagged)
 
 
 def l_shaped_hex_mesh(n: int, dirichlet=True) -> UnstructuredHexMesh:

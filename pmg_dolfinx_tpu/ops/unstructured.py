@@ -71,27 +71,90 @@ def dss_meta(layout) -> DSSMeta:
 
 
 # Bit decomposition of the 8 dihedral variants: VAR2D[v](M) =
-# rev_rows^r1( rev_cols^r2( transpose^t(M) ) ) with (t, r1, r2) below —
-# lets the per-row variant select run as THREE masked passes instead of
-# eight (the masked-sum-over-8 form measured 2.4 ms at 2.24M dofs).
+# rev_rows^r1( rev_cols^r2( transpose^t(M) ) ) with (t, r1, r2) below.
+# Kept for reference/tests; the production path applies variants as
+# one-hot MXU matmuls instead (see `_variant_mats`): per-row masked
+# transpose/reverse passes measured 2.8 ms of a 4.4 ms exchange round
+# trip at 2.24M dofs on v5e — tiny-minor-dim reverses and broadcasted
+# bool selects are the worst-case ops for the TPU vector unit, while
+# an (R, m^2) x (m^2, 8 m^2) one-hot matmul producing ALL 8 variants
+# costs ~0.1 ms and turns the variant CHOICE into a precomputed
+# combined row-gather index (row = entity*8 + variant).
 _VAR_BITS = np.array(
     [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
      (0, 1, 1), (1, 1, 0), (1, 0, 1), (1, 1, 1)], dtype=bool)
 
 
-def dss_device_tables(layout) -> dict:
-    """Device copies of the index tables the apply reads. Variant
-    indices ship pre-decomposed into their transpose/reverse bit planes
-    (`_VAR_BITS`)."""
-    t = {k: jnp.asarray(layout[k]) for k in
-         ("face_id", "edge_id", "vert_id",
-          "face_src", "edge_src", "vert_src")}
-    for key in ("face_var", "face_inv"):
-        bits = _VAR_BITS[layout[key]]
-        for b, name in enumerate(("t", "r1", "r2")):
-            t[f"{key}_{name}"] = jnp.asarray(bits[..., b])
-    for key in ("edge_var", "edge_inv"):
-        t[key + "_r"] = jnp.asarray(layout[key] == 1)
+def _variant_mats(m, dtype):
+    """One-hot variant-stacking matmul operands: ``fmat[(m^2, 8 m^2)]``
+    with ``(X @ fmat)[r, v*m^2 + p] = VAR2D[v](X_r)[p]`` and the edge
+    analogue ``emat[(m, 2m)]``. Exact at precision='highest' in every
+    dtype (one-hot rows, see `perm_matrix`)."""
+    from ..fem.unstructured import VAR1D, VAR2D
+
+    base = np.arange(m * m).reshape(m, m)
+    fmat = np.zeros((m * m, 8 * m * m))
+    for v, T in enumerate(VAR2D):
+        src = np.asarray(T(base)).ravel()  # p_out -> p_in
+        fmat[src, v * m * m + np.arange(m * m)] = 1.0
+    ebase = np.arange(m)
+    emat = np.zeros((m, 2 * m))
+    for v, T in enumerate(VAR1D):
+        src = np.asarray(T(ebase)).ravel()
+        emat[src, v * m + np.arange(m)] = 1.0
+    return jnp.asarray(fmat, dtype=dtype), jnp.asarray(emat, dtype=dtype)
+
+
+def perm_matrix(layout, dtype):
+    """One-hot (n^3, n^3) block-order -> lattice-order column
+    permutation matrix ``pmat[l, b] = 1 iff perm_lat[b] == l``. Applied
+    as a matmul it is EXACT at precision='highest' in every dtype
+    (each output is one input times 1.0; the bf16 3-way split of an f32
+    reconstructs exactly)."""
+    perm = layout["perm_lat"]
+    n3 = len(perm)
+    M = np.zeros((n3, n3), dtype=np.float64)
+    M[perm, np.arange(n3)] = 1.0
+    return jnp.asarray(M, dtype=dtype)
+
+
+def combined_indices(layout):
+    """Variant-combined index tables (host NumPy):
+
+    - ``face_gidx (nc*6,)`` = ``face_id*8 + face_var`` — row into the
+      8-variant stacked canonical-face array (gather side);
+    - ``face_sidx (nF, <=2)`` = ``src*8 + face_inv[src]`` — row into
+      the 8-variant stacked contribution array (scatter side), padded
+      with ``nc*6*8`` (the zero row);
+    - edge analogues with the 2 direction variants.
+    """
+    nc = layout["nc"]
+    out = {}
+    for kind, nloc, nv in (("face", 6, 8), ("edge", 12, 2)):
+        gid = layout[f"{kind}_id"].astype(np.int64)
+        var = layout[f"{kind}_var"].astype(np.int64)
+        inv = layout[f"{kind}_inv"].astype(np.int64).ravel()
+        out[f"{kind}_gidx"] = (gid * nv + var).reshape(-1).astype(np.int32)
+        src = layout[f"{kind}_src"].astype(np.int64)
+        pad = nc * nloc
+        sidx = np.where(src == pad, nv * pad,
+                        src * nv + inv[np.minimum(src, pad - 1)])
+        out[f"{kind}_sidx"] = sidx.astype(np.int32)
+    return out
+
+
+def dss_device_tables(layout, dtype=jnp.float64) -> dict:
+    """Device copies of the index tables the apply reads: the
+    variant-combined gather/scatter row indices (`combined_indices`),
+    the variant-stacking one-hot matmul operands (`_variant_mats`), the
+    vertex tables, and the block->lattice permutation matmul operand
+    (`perm_matrix`) — all in the working ``dtype``."""
+    t = {k: jnp.asarray(layout[k]) for k in ("vert_id", "vert_src")}
+    if layout["m"]:
+        t.update({k: jnp.asarray(v)
+                  for k, v in combined_indices(layout).items()})
+        t["face_vmat"], t["edge_vmat"] = _variant_mats(layout["m"], dtype)
+        t["pmat"] = perm_matrix(layout, dtype)
     return t
 
 
@@ -101,27 +164,6 @@ def _pad_cols(a, W):
     return jnp.pad(a, ((0, 0), (0, W - a.shape[1])))
 
 
-def _apply_var2d(rows, t, prefix, m):
-    """Per-row dihedral transform of ``rows[(nc, 6, m, m)]`` via the
-    THREE decomposed bit-plane passes (transpose / row-reverse /
-    col-reverse) — see `_VAR_BITS`."""
-    if m <= 1:
-        return rows  # every transform is the identity on (1, 1) blocks
-    rows = jnp.where(t[prefix + "_t"][..., None, None],
-                     rows.swapaxes(-1, -2), rows)
-    rows = jnp.where(t[prefix + "_r1"][..., None, None],
-                     rows[..., ::-1, :], rows)
-    rows = jnp.where(t[prefix + "_r2"][..., None, None],
-                     rows[..., :, ::-1], rows)
-    return rows
-
-
-def _apply_var1d(rows, t, prefix, m):
-    if m <= 1:
-        return rows
-    return jnp.where(t[prefix + "_r"][..., None], rows[..., ::-1], rows)
-
-
 def _offsets(meta):
     o_f = meta.n_int
     o_e = o_f + meta.nF * meta.m * meta.m
@@ -129,43 +171,25 @@ def _offsets(meta):
     return o_f, o_e, o_v
 
 
-def _block_map():
-    """Map each of the 27 per-axis end/interior classes (0=lo, 1=mid,
-    2=hi) of the cell lattice to its entity ``(kind, index)``."""
-    table = {(1, 1, 1): ("int", 0)}
-    for fi, (_, a, e) in enumerate(_FACES):
-        cls = [1, 1, 1]
-        cls[a] = 0 if e == 0 else 2
-        table[tuple(cls)] = ("face", fi)
-    for ei, (a, (b, c), (eb, ec)) in enumerate(_EDGES):
-        cls = [1, 1, 1]
-        cls[b] = 0 if eb == 0 else 2
-        cls[c] = 0 if ec == 0 else 2
-        table[tuple(cls)] = ("edge", ei)
-    for i in (0, 1):
-        for j in (0, 1):
-            for k in (0, 1):
-                table[(2 * i, 2 * j, 2 * k)] = ("vert", i * 4 + j * 2 + k)
-    return table
-
-
-_BLOCKS = _block_map()
-
-
 def _gather_rows(x, t, meta):
-    """The three entity row-gather stages: face rows (nc, 6, m, m) in
-    LOCAL orientation, edge rows (nc, 12, m), vertex values (nc, 8)."""
+    """The three entity row-gather stages: face rows (nc, 6*m*m) in
+    LOCAL orientation, edge rows (nc, 12*m), vertex values (nc, 8).
+    Orientation rides the variant-stacked one-hot matmul + the
+    combined gather index (no per-row transforms)."""
     m = meta.m
     o_f, o_e, o_v = _offsets(meta)
     rows = er = None
     if m:
-        xf = _pad_cols(x[o_f:o_e].reshape(meta.nF, m * m), meta.Wf)
-        rows = xf[t["face_id"].reshape(-1)][:, :m * m]
-        rows = _apply_var2d(rows.reshape(meta.nc, 6, m, m), t,
-                            "face_var", m)
-        xe = _pad_cols(x[o_e:o_v].reshape(meta.nE, m), meta.We)
-        er = xe[t["edge_id"].reshape(-1)][:, :m]
-        er = _apply_var1d(er.reshape(meta.nc, 12, m), t, "edge_var", m)
+        xf = x[o_f:o_e].reshape(meta.nF, m * m)
+        stk = jnp.einsum("fp,pq->fq", xf, t["face_vmat"],
+                         precision="highest").reshape(meta.nF * 8, m * m)
+        stk = _pad_cols(stk, meta.Wf)
+        rows = stk[t["face_gidx"]][:, :m * m].reshape(meta.nc, 6 * m * m)
+        xe = x[o_e:o_v].reshape(meta.nE, m)
+        estk = jnp.einsum("ep,pq->eq", xe, t["edge_vmat"],
+                          precision="highest").reshape(meta.nE * 2, m)
+        estk = _pad_cols(estk, meta.We)
+        er = estk[t["edge_gidx"]][:, :m].reshape(meta.nc, 12 * m)
     xv8 = jnp.broadcast_to(x[o_v:, None], (meta.nV, 8))
     rv = xv8[t["vert_id"].reshape(-1)][:, 0].reshape(meta.nc, 8)
     return rows, er, rv
@@ -174,59 +198,21 @@ def _gather_rows(x, t, meta):
 def dss_gather(x, t, meta):
     """Continuous dof vector ``(ndofs,)`` -> cell slabs
     ``(nc, n, n, n)`` (the reference gather, src/laplacian.hpp:182-189,
-    as reshapes + row gathers). The slab is ASSEMBLED BY NESTED
-    CONCATENATION of the 27 entity blocks — a chain of 27
-    dynamic-update-slices measured 78 ms at 2.24M dofs on v5e, ~100x
-    the concat form."""
+    as reshapes + row gathers). The slab is assembled in entity-block
+    COLUMN order — one wide 4-piece concat — and mapped to lattice
+    order by a single exact one-hot matmul (``pmat``): assembling from
+    27 small blocks cost ~4.5 ms at 2.24M dofs on v5e (tiny-piece
+    concat; a 27-op dynamic-update-slice chain was 78 ms), while the
+    (nc, n^3) x (n^3, n^3) permutation matmul rides the MXU."""
     nc, m = meta.nc, meta.m
+    n = meta.P + 1
     rows, er, rv = _gather_rows(x, t, meta)
     if m == 0:
         return rv.reshape(nc, 2, 2, 2)
-    xi = x[:meta.n_int].reshape(nc, m, m, m)
-
-    def block(cls):
-        kind, idx = _BLOCKS[cls]
-        sizes = tuple(m if c == 1 else 1 for c in cls)
-        if kind == "int":
-            return xi
-        if kind == "face":
-            return rows[:, idx].reshape((nc,) + sizes)
-        if kind == "edge":
-            return er[:, idx].reshape((nc,) + sizes)
-        return rv[:, idx].reshape(nc, 1, 1, 1)
-
-    return jnp.concatenate([
-        jnp.concatenate([
-            jnp.concatenate([block((cx, cy, cz)) for cz in (0, 1, 2)],
-                            axis=3)
-            for cy in (0, 1, 2)], axis=2)
-        for cx in (0, 1, 2)], axis=1)
-
-
-def _split_blocks(yc, meta):
-    """Inverse of the gather assembly: slice the slab into its 27
-    entity blocks, returned as (interior, faces (nc, 6, m, m) in local
-    orientation, edges (nc, 12, m), verts (nc, 8))."""
-    nc, m = meta.nc, meta.m
-    n = meta.P + 1
-    ax = (slice(0, 1), slice(1, n - 1), slice(n - 1, n))
-
-    def block(cls):
-        return yc[:, ax[cls[0]], ax[cls[1]], ax[cls[2]]]
-
-    yi = block((1, 1, 1))
-    faces = [None] * 6
-    edges = [None] * 12
-    verts = [None] * 8
-    for cls, (kind, idx) in _BLOCKS.items():
-        if kind == "face":
-            faces[idx] = block(cls).reshape(nc, m, m)
-        elif kind == "edge":
-            edges[idx] = block(cls).reshape(nc, m)
-        elif kind == "vert":
-            verts[idx] = block(cls).reshape(nc)
-    return (yi, jnp.stack(faces, axis=1), jnp.stack(edges, axis=1),
-            jnp.stack(verts, axis=1))
+    ublk = jnp.concatenate(
+        [x[:meta.n_int].reshape(nc, m ** 3), rows, er, rv], axis=1)
+    u = jnp.einsum("cb,lb->cl", ublk, t["pmat"], precision="highest")
+    return u.reshape(nc, n, n, n)
 
 
 def _src_sum(rows2d, src, first):
@@ -249,21 +235,33 @@ def dss_scatter(yc, t, meta, first=False):
     exact for value-consistent fields (prolongation writes identical
     values from every sharer)."""
     nc, m = meta.nc, meta.m
+    n = meta.P + 1
     if m == 0:
         cv = yc.reshape(nc, 8)
         cv8 = jnp.broadcast_to(cv.reshape(-1)[:, None], (nc * 8, 8))
         return _src_sum(cv8, t["vert_src"], first)[:, 0]
-    yi, cf, ce, cv = _split_blocks(yc, meta)
-    parts = [yi.reshape(-1)]
-    cf = _apply_var2d(cf, t, "face_inv", m)
-    acc = _src_sum(_pad_cols(cf.reshape(nc * 6, m * m), meta.Wf),
-                   t["face_src"], first)
+    # Lattice -> block column order (exact one-hot matmul), then the
+    # entity sections are CONTIGUOUS column ranges.
+    yblk = jnp.einsum("cl,lb->cb", yc.reshape(nc, n ** 3), t["pmat"],
+                      precision="highest")
+    o1 = m ** 3
+    o2 = o1 + 6 * m * m
+    o3 = o2 + 12 * m
+    parts = [yblk[:, :o1].reshape(-1)]
+    # Contribution rows stacked in all 8 orientations (one-hot matmul);
+    # the combined source index picks the inverse-variant row per
+    # sharer — no per-row transforms.
+    cf = yblk[:, o1:o2].reshape(nc * 6, m * m)
+    cstk = jnp.einsum("fp,pq->fq", cf, t["face_vmat"],
+                      precision="highest").reshape(nc * 6 * 8, m * m)
+    acc = _src_sum(_pad_cols(cstk, meta.Wf), t["face_sidx"], first)
     parts.append(acc[:, :m * m].reshape(-1))
-    ce = _apply_var1d(ce, t, "edge_inv", m)
-    acc = _src_sum(_pad_cols(ce.reshape(nc * 12, m), meta.We),
-                   t["edge_src"], first)
+    ce = yblk[:, o2:o3].reshape(nc * 12, m)
+    estk = jnp.einsum("ep,pq->eq", ce, t["edge_vmat"],
+                      precision="highest").reshape(nc * 12 * 2, m)
+    acc = _src_sum(_pad_cols(estk, meta.We), t["edge_sidx"], first)
     parts.append(acc[:, :m].reshape(-1))
-    cv8 = jnp.broadcast_to(cv.reshape(-1)[:, None], (nc * 8, 8))
+    cv8 = jnp.broadcast_to(yblk[:, o3:].reshape(-1)[:, None], (nc * 8, 8))
     parts.append(_src_sum(cv8, t["vert_src"], first)[:, 0])
     return jnp.concatenate(parts)
 

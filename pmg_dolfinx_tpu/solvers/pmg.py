@@ -1112,7 +1112,7 @@ class PMGHierarchy:
                 # the per-cell coeff multiplier in the cell kernel.
                 layout = mesh.dss_layout(P)
                 lv = dict(
-                    dss_device_tables(layout),
+                    dss_device_tables(layout, dtype=dtype),
                     G=jnp.asarray(G_cells, dtype=dtype),
                     coeff=jnp.asarray(self._kc, dtype=dtype),
                     D=jnp.asarray(derivative_matrix(P), dtype=dtype),

@@ -284,3 +284,124 @@ def test_gmsh_v41_reader(tmp_path):
     Ab = assemble_stiffness(bm, P, kappa=1.5).toarray()
     Ag = assemble_stiffness(gm, P, kappa=1.5).toarray()
     assert np.abs(Ag - Ab[np.ix_(idx, idx)]).max() < 1e-14
+
+
+def _lshape_msh_text(n, version):
+    """Serialize the L-shape as a Gmsh ASCII file with two physical
+    surface groups: 'bottom' (z=0 faces) and 'top' (z=1 faces)."""
+    from pmg_dolfinx_tpu.fem.unstructured import (GMSH_HEX_PERM,
+                                                  l_shaped_hex_mesh)
+
+    mesh = l_shaped_hex_mesh(n)
+    nodes = mesh.geometry_x
+    cells = np.asarray(mesh.geometry_dofmap)
+    cells_gmsh = cells[:, np.argsort(GMSH_HEX_PERM)]
+    quads = {1: [], 2: []}  # phys tag -> corner quads
+    from pmg_dolfinx_tpu.fem.unstructured import _FACES
+
+    for c, fi in mesh._boundary_cell_faces():
+        ids, _, _ = _FACES[fi]
+        q = [int(cells[c, i]) for i in ids]
+        z = nodes[q, 2]
+        if np.allclose(z, 0.0):
+            quads[1].append(q)
+        elif np.allclose(z, 1.0):
+            quads[2].append(q)
+    if version == "2.2":
+        out = ["$MeshFormat", "2.2 0 8", "$EndMeshFormat",
+               "$PhysicalNames", "2", '2 1 "bottom"', '2 2 "top"',
+               "$EndPhysicalNames", "$Nodes", str(len(nodes))]
+        for i, p in enumerate(nodes):
+            out.append(f"{i+1} {p[0]} {p[1]} {p[2]}")
+        out += ["$EndNodes", "$Elements",
+                str(sum(len(v) for v in quads.values()) + len(cells))]
+        eid = 1
+        for phys, qs in quads.items():
+            for q in qs:
+                out.append(f"{eid} 3 2 {phys} {10+phys} "
+                           + " ".join(str(v + 1) for v in q))
+                eid += 1
+        for e in cells_gmsh:
+            out.append(f"{eid} 5 2 0 1 "
+                       + " ".join(str(v + 1) for v in e))
+            eid += 1
+        out.append("$EndElements")
+    else:  # 4.1
+        nq1, nq2, nc = len(quads[1]), len(quads[2]), len(cells)
+        out = ["$MeshFormat", "4.1 0 8", "$EndMeshFormat",
+               "$PhysicalNames", "2", '2 1 "bottom"', '2 2 "top"',
+               "$EndPhysicalNames", "$Entities", "0 0 2 1",
+               "11 0 0 0 2 2 1 1 1 0",
+               "12 0 0 0 2 2 1 1 2 0",
+               "1 0 0 0 2 2 1 0 0",
+               "$EndEntities", "$Nodes",
+               f"1 {len(nodes)} 1 {len(nodes)}",
+               f"3 1 0 {len(nodes)}"]
+        out += [str(i + 1) for i in range(len(nodes))]
+        out += [f"{p[0]} {p[1]} {p[2]}" for p in nodes]
+        out += ["$EndNodes", "$Elements",
+                f"3 {nq1+nq2+nc} 1 {nq1+nq2+nc}"]
+        eid = 1
+        for etag, qs in ((11, quads[1]), (12, quads[2])):
+            out.append(f"2 {etag} 3 {len(qs)}")
+            for q in qs:
+                out.append(f"{eid} " + " ".join(str(v + 1) for v in q))
+                eid += 1
+        out.append(f"3 1 5 {nc}")
+        for e in cells_gmsh:
+            out.append(f"{eid} " + " ".join(str(v + 1) for v in e))
+            eid += 1
+        out.append("$EndElements")
+    return "\n".join(out) + "\n"
+
+
+@pytest.mark.parametrize("version", ["2.2", "4.1"])
+def test_gmsh_physical_groups_drive_mixed_bc(tmp_path, version):
+    """A tagged .msh drives mixed BCs with no geometric callables
+    (VERDICT r4 item 7): dirichlet=['bottom','top'] reproduces the
+    geometric z-plane marker exactly, single groups subset it, and the
+    tagged groups parse under both ASCII formats."""
+    from pmg_dolfinx_tpu.fem.unstructured import (l_shaped_hex_mesh,
+                                                  read_gmsh_hex)
+
+    path = tmp_path / f"lshape_{version}.msh"
+    path.write_text(_lshape_msh_text(2, version))
+    mesh = read_gmsh_hex(str(path), dirichlet=["bottom", "top"])
+    assert set(mesh.tagged_faces) == {"bottom", "top"}
+    ref = l_shaped_hex_mesh(
+        2, dirichlet=lambda x: (x[2] < 1e-12) | (x[2] > 1 - 1e-12))
+    P = 2
+    # identical geometry => identical numbering; markers must agree
+    np.testing.assert_array_equal(mesh.boundary_dof_marker(P),
+                                  ref.boundary_dof_marker(P))
+    only_bottom = read_gmsh_hex(str(path), dirichlet="bottom")
+    mb = only_bottom.boundary_dof_marker(P)
+    assert mb.sum() < mesh.boundary_dof_marker(P).sum()
+    c = only_bottom.dof_coords(P)
+    assert np.allclose(c[mb][:, 2], 0.0)
+
+    with pytest.raises(ValueError, match="unknown face group"):
+        read_gmsh_hex(str(path),
+                      dirichlet="sides").boundary_dof_marker(P)
+
+
+def test_tagged_faces_internal_quad_rejected():
+    from pmg_dolfinx_tpu.fem.unstructured import (UnstructuredHexMesh,
+                                                  l_shaped_hex_mesh)
+
+    base = l_shaped_hex_mesh(2)
+    cells = np.asarray(base.geometry_dofmap)
+    # an interior face: shared between two cells -> not topological bdry
+    from pmg_dolfinx_tpu.fem.unstructured import _FACES
+
+    keys = {}
+    for c in range(base.ncells):
+        for fi, (ids, _, _) in enumerate(_FACES):
+            key = tuple(sorted(int(cells[c, i]) for i in ids))
+            keys.setdefault(key, []).append((c, fi))
+    internal = next(k for k, v in keys.items() if len(v) == 2)
+    mesh = UnstructuredHexMesh(
+        base.geometry_x, cells, dirichlet="bad",
+        tagged_faces={"bad": np.asarray([list(internal)])})
+    with pytest.raises(ValueError, match="no topological boundary"):
+        mesh.boundary_dof_marker(2)

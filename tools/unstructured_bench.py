@@ -65,7 +65,7 @@ def main():
         mesh.geometry_x, mesh.geometry_dofmap, tabulate_geometry_dphi(P),
         quadrature_weights_3d(P), xp=np)
     lv = dict(
-        dss_device_tables(lt),
+        dss_device_tables(lt, dtype=jnp.float32),
         G=jnp.asarray(G_np, jnp.float32),
         coeff=jnp.full(mesh.ncells, 2.0, jnp.float32),
         D=jnp.asarray(derivative_matrix(P), jnp.float32),
@@ -77,26 +77,22 @@ def main():
 
     J = partial(jax.jit, static_argnums=(0,))
 
-    @partial(jax.jit, static_argnums=(0, 3))
+    @partial(jax.jit, static_argnums=(3,))
     def c_apply(reps, x, lv_, prec):
+        # traced reps + pure scaled chain: the scalar-perturbation form
+        # blew the TPU compile past 45 min (see bench.py note)
         def body(i, v):
-            return dss_laplacian_apply(v + 1e-30 * v[0], lv_, meta,
-                                       precision=prec)
+            return 1e-4 * dss_laplacian_apply(v, lv_, meta, precision=prec)
         return jax.lax.fori_loop(0, reps, body, x)[0]
 
-    @J
-    def c_gather(reps, x, lv_):
+    @jax.jit
+    def c_roundtrip(reps, x, lv_):
+        # gather+scatter round trip (pure linear chain; the two stages
+        # cannot be isolated without a DCE-proof consumer, which is the
+        # compile hazard above)
         def body(i, v):
-            u = dss_gather(v, lv_, meta)
-            return v + 1e-30 * u[0, 0, 0, 0]
+            return 0.25 * dss_scatter(dss_gather(v, lv_, meta), lv_, meta)
         return jax.lax.fori_loop(0, reps, body, x)[0]
-
-    @J
-    def c_scatter(reps, u, lv_):
-        def body(i, u):
-            y = dss_scatter(u, lv_, meta)
-            return u + 1e-30 * y[0]
-        return jax.lax.fori_loop(0, reps, body, u)[0, 0, 0, 0]
 
     @J
     def c_cells(reps, u, lv_):
@@ -117,8 +113,7 @@ def main():
         ("dss_apply", lambda r: float(c_apply(r, x, lv, "highest")), 10, 40),
         ("dss_apply_default",
          lambda r: float(c_apply(r, x, lv, "default")), 10, 40),
-        ("dss_gather", lambda r: float(c_gather(r, x, lv)), 20, 80),
-        ("dss_scatter", lambda r: float(c_scatter(r, u0, lv)), 20, 80),
+        ("dss_roundtrip", lambda r: float(c_roundtrip(r, x, lv)), 20, 80),
         ("cells_highest", lambda r: float(c_cells(r, u0, lv)), 10, 40),
         ("dofmap_apply", lambda r: float(c_dofmap(r, x, dm, lv)), 1, 3),
     ]
