@@ -34,6 +34,11 @@ def main():
     p.add_argument("--grade", type=str, default="",
                    help="graded spacing 'AXES:RATIO' (e.g. 'z:8'); the "
                         "FDM step solve stays exact on graded meshes")
+    p.add_argument("--fixed-iters", type=int, default=0,
+                   help="perturbed mesh: >0 runs the SCANNED general "
+                   "stepper with this fixed per-step FCG count (one "
+                   "compiled lax.scan, no per-step dispatch) instead "
+                   "of the adaptive host loop")
     p.add_argument("--mesh", choices=["box", "perturbed"], default="box",
                    help="'perturbed': curved hexes — steps through the "
                         "shifted PMG hierarchy (FCG per step) instead "
@@ -144,8 +149,17 @@ def main():
             hier = PMGHierarchy(mesh, degrees=(1, P), kappa=kap_op,
                                 sigma=1.0 / args.dt, dtype=dtype,
                                 coarse="cg", operator="lattice")
-            evolve = heat_pcg_evolve(hier, mesh, P, args.dt,
-                                     scheme=args.scheme, rtol=args.rtol)
+            if args.fixed_iters:
+                from pmg_dolfinx_tpu.solvers.transient import (
+                    heat_pcg_evolve_scanned)
+
+                evolve = heat_pcg_evolve_scanned(
+                    hier, mesh, P, args.dt, scheme=args.scheme,
+                    inner_iters=args.fixed_iters)
+            else:
+                evolve = heat_pcg_evolve(hier, mesh, P, args.dt,
+                                         scheme=args.scheme,
+                                         rtol=args.rtol)
         elif shards is not None:
             from pmg_dolfinx_tpu.parallel.transient_dist import (
                 heat_dist_evolve)
@@ -169,15 +183,16 @@ def main():
     # the `every`-chunk and (if nsteps % every != 0) the ragged-tail
     # chunk — warm those two instead. The perturbed path loops on the
     # host; its per-step solve compiles on the first step.
-    if args.mesh == "perturbed":
+    scanned_general = args.mesh == "perturbed" and args.fixed_iters
+    if args.mesh == "perturbed" and not scanned_general:
         nwarm, tail = 1, 0
-    elif args.save_series:
+    elif args.save_series and not scanned_general:
         nwarm = min(args.snap_every, args.steps)
         tail = args.steps % args.snap_every
     else:
         nwarm, tail = args.steps, 0
     with Timer(f"warmup (compile + {nwarm} steps)"):
-        if args.mesh == "perturbed":
+        if args.mesh == "perturbed" and not scanned_general:
             evolve(u0, nwarm)
         else:
             np.asarray(evolve(u0, nwarm))
@@ -207,7 +222,7 @@ def main():
                   "ignoring it on --mesh perturbed")
         with Timer(f"evolve ({args.steps} steps)"):
             t0 = time.time()
-            if args.mesh == "perturbed":
+            if args.mesh == "perturbed" and not scanned_general:
                 uT, iters = evolve(u0, args.steps)
                 print(f"FCG iterations/step: min {min(iters)} "
                       f"max {max(iters)}")

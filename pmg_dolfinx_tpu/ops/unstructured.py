@@ -71,38 +71,11 @@ def dss_meta(layout) -> DSSMeta:
 
 
 # Bit decomposition of the 8 dihedral variants: VAR2D[v](M) =
-# rev_rows^r1( rev_cols^r2( transpose^t(M) ) ) with (t, r1, r2) below.
-# Kept for reference/tests; the production path applies variants as
-# one-hot MXU matmuls instead (see `_variant_mats`): per-row masked
-# transpose/reverse passes measured 2.8 ms of a 4.4 ms exchange round
-# trip at 2.24M dofs on v5e — tiny-minor-dim reverses and broadcasted
-# bool selects are the worst-case ops for the TPU vector unit, while
-# an (R, m^2) x (m^2, 8 m^2) one-hot matmul producing ALL 8 variants
-# costs ~0.1 ms and turns the variant CHOICE into a precomputed
-# combined row-gather index (row = entity*8 + variant).
+# rev_rows^r1( rev_cols^r2( transpose^t(M) ) ) with (t, r1, r2) below,
+# applied as three masked passes (`_apply_var2d`).
 _VAR_BITS = np.array(
     [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
      (0, 1, 1), (1, 1, 0), (1, 0, 1), (1, 1, 1)], dtype=bool)
-
-
-def _variant_mats(m, dtype):
-    """One-hot variant-stacking matmul operands: ``fmat[(m^2, 8 m^2)]``
-    with ``(X @ fmat)[r, v*m^2 + p] = VAR2D[v](X_r)[p]`` and the edge
-    analogue ``emat[(m, 2m)]``. Exact at precision='highest' in every
-    dtype (one-hot rows, see `perm_matrix`)."""
-    from ..fem.unstructured import VAR1D, VAR2D
-
-    base = np.arange(m * m).reshape(m, m)
-    fmat = np.zeros((m * m, 8 * m * m))
-    for v, T in enumerate(VAR2D):
-        src = np.asarray(T(base)).ravel()  # p_out -> p_in
-        fmat[src, v * m * m + np.arange(m * m)] = 1.0
-    ebase = np.arange(m)
-    emat = np.zeros((m, 2 * m))
-    for v, T in enumerate(VAR1D):
-        src = np.asarray(T(ebase)).ravel()
-        emat[src, v * m + np.arange(m)] = 1.0
-    return jnp.asarray(fmat, dtype=dtype), jnp.asarray(emat, dtype=dtype)
 
 
 def perm_matrix(layout, dtype):
@@ -118,42 +91,21 @@ def perm_matrix(layout, dtype):
     return jnp.asarray(M, dtype=dtype)
 
 
-def combined_indices(layout):
-    """Variant-combined index tables (host NumPy):
-
-    - ``face_gidx (nc*6,)`` = ``face_id*8 + face_var`` — row into the
-      8-variant stacked canonical-face array (gather side);
-    - ``face_sidx (nF, <=2)`` = ``src*8 + face_inv[src]`` — row into
-      the 8-variant stacked contribution array (scatter side), padded
-      with ``nc*6*8`` (the zero row);
-    - edge analogues with the 2 direction variants.
-    """
-    nc = layout["nc"]
-    out = {}
-    for kind, nloc, nv in (("face", 6, 8), ("edge", 12, 2)):
-        gid = layout[f"{kind}_id"].astype(np.int64)
-        var = layout[f"{kind}_var"].astype(np.int64)
-        inv = layout[f"{kind}_inv"].astype(np.int64).ravel()
-        out[f"{kind}_gidx"] = (gid * nv + var).reshape(-1).astype(np.int32)
-        src = layout[f"{kind}_src"].astype(np.int64)
-        pad = nc * nloc
-        sidx = np.where(src == pad, nv * pad,
-                        src * nv + inv[np.minimum(src, pad - 1)])
-        out[f"{kind}_sidx"] = sidx.astype(np.int32)
-    return out
-
-
 def dss_device_tables(layout, dtype=jnp.float64) -> dict:
-    """Device copies of the index tables the apply reads: the
-    variant-combined gather/scatter row indices (`combined_indices`),
-    the variant-stacking one-hot matmul operands (`_variant_mats`), the
-    vertex tables, and the block->lattice permutation matmul operand
-    (`perm_matrix`) — all in the working ``dtype``."""
-    t = {k: jnp.asarray(layout[k]) for k in ("vert_id", "vert_src")}
+    """Device copies of the index tables the apply reads: entity
+    gather/scatter indices, variant bit planes (`_VAR_BITS`), and the
+    block->lattice permutation matmul operand (`perm_matrix`) in the
+    working ``dtype``."""
+    t = {k: jnp.asarray(layout[k]) for k in
+         ("face_id", "edge_id", "vert_id",
+          "face_src", "edge_src", "vert_src")}
     if layout["m"]:
-        t.update({k: jnp.asarray(v)
-                  for k, v in combined_indices(layout).items()})
-        t["face_vmat"], t["edge_vmat"] = _variant_mats(layout["m"], dtype)
+        for key in ("face_var", "face_inv"):
+            bits = _VAR_BITS[layout[key]]
+            for b, name in enumerate(("t", "r1", "r2")):
+                t[f"{key}_{name}"] = jnp.asarray(bits[..., b])
+        for key in ("edge_var", "edge_inv"):
+            t[key + "_r"] = jnp.asarray(layout[key] == 1)
         t["pmat"] = perm_matrix(layout, dtype)
     return t
 
@@ -162,6 +114,32 @@ def _pad_cols(a, W):
     if a.shape[1] == W:
         return a
     return jnp.pad(a, ((0, 0), (0, W - a.shape[1])))
+
+
+def _apply_var2d(rows, t, prefix, m):
+    """Per-row dihedral transform of ``rows[(nc, 6, m, m)]`` via the
+    THREE decomposed bit-plane passes (transpose / row-reverse /
+    col-reverse, `_VAR_BITS`). Measured 2.8 ms of the 4.4 ms exchange
+    round trip at 2.24M dofs — yet still the best MEASURED option: the
+    one-hot variant-stacking matmul alternative cost 4.05 ms (matmul
+    passes + 8x-stacked gather operands), and a 'high'-precision
+    variant hit a pathological TPU compile. Revisit with a fused
+    Mosaic exchange kernel (round-6)."""
+    if m <= 1:
+        return rows  # every transform is the identity on (1, 1) blocks
+    rows = jnp.where(t[prefix + "_t"][..., None, None],
+                     rows.swapaxes(-1, -2), rows)
+    rows = jnp.where(t[prefix + "_r1"][..., None, None],
+                     rows[..., ::-1, :], rows)
+    rows = jnp.where(t[prefix + "_r2"][..., None, None],
+                     rows[..., :, ::-1], rows)
+    return rows
+
+
+def _apply_var1d(rows, t, prefix, m):
+    if m <= 1:
+        return rows
+    return jnp.where(t[prefix + "_r"][..., None], rows[..., ::-1], rows)
 
 
 def _offsets(meta):
@@ -173,23 +151,20 @@ def _offsets(meta):
 
 def _gather_rows(x, t, meta):
     """The three entity row-gather stages: face rows (nc, 6*m*m) in
-    LOCAL orientation, edge rows (nc, 12*m), vertex values (nc, 8).
-    Orientation rides the variant-stacked one-hot matmul + the
-    combined gather index (no per-row transforms)."""
+    LOCAL orientation (bit-plane variant selects), edge rows
+    (nc, 12*m), vertex values (nc, 8)."""
     m = meta.m
     o_f, o_e, o_v = _offsets(meta)
     rows = er = None
     if m:
-        xf = x[o_f:o_e].reshape(meta.nF, m * m)
-        stk = jnp.einsum("fp,pq->fq", xf, t["face_vmat"],
-                         precision="highest").reshape(meta.nF * 8, m * m)
-        stk = _pad_cols(stk, meta.Wf)
-        rows = stk[t["face_gidx"]][:, :m * m].reshape(meta.nc, 6 * m * m)
-        xe = x[o_e:o_v].reshape(meta.nE, m)
-        estk = jnp.einsum("ep,pq->eq", xe, t["edge_vmat"],
-                          precision="highest").reshape(meta.nE * 2, m)
-        estk = _pad_cols(estk, meta.We)
-        er = estk[t["edge_gidx"]][:, :m].reshape(meta.nc, 12 * m)
+        xf = _pad_cols(x[o_f:o_e].reshape(meta.nF, m * m), meta.Wf)
+        rows = xf[t["face_id"].reshape(-1)][:, :m * m]
+        rows = _apply_var2d(rows.reshape(meta.nc, 6, m, m), t,
+                            "face_var", m).reshape(meta.nc, 6 * m * m)
+        xe = _pad_cols(x[o_e:o_v].reshape(meta.nE, m), meta.We)
+        er = xe[t["edge_id"].reshape(-1)][:, :m]
+        er = _apply_var1d(er.reshape(meta.nc, 12, m), t,
+                          "edge_var", m).reshape(meta.nc, 12 * m)
     xv8 = jnp.broadcast_to(x[o_v:, None], (meta.nV, 8))
     rv = xv8[t["vert_id"].reshape(-1)][:, 0].reshape(meta.nc, 8)
     return rows, er, rv
@@ -248,18 +223,15 @@ def dss_scatter(yc, t, meta, first=False):
     o2 = o1 + 6 * m * m
     o3 = o2 + 12 * m
     parts = [yblk[:, :o1].reshape(-1)]
-    # Contribution rows stacked in all 8 orientations (one-hot matmul);
-    # the combined source index picks the inverse-variant row per
-    # sharer — no per-row transforms.
-    cf = yblk[:, o1:o2].reshape(nc * 6, m * m)
-    cstk = jnp.einsum("fp,pq->fq", cf, t["face_vmat"],
-                      precision="highest").reshape(nc * 6 * 8, m * m)
-    acc = _src_sum(_pad_cols(cstk, meta.Wf), t["face_sidx"], first)
+    cf = _apply_var2d(yblk[:, o1:o2].reshape(nc, 6, m, m), t,
+                      "face_inv", m)
+    acc = _src_sum(_pad_cols(cf.reshape(nc * 6, m * m), meta.Wf),
+                   t["face_src"], first)
     parts.append(acc[:, :m * m].reshape(-1))
-    ce = yblk[:, o2:o3].reshape(nc * 12, m)
-    estk = jnp.einsum("ep,pq->eq", ce, t["edge_vmat"],
-                      precision="highest").reshape(nc * 12 * 2, m)
-    acc = _src_sum(_pad_cols(estk, meta.We), t["edge_sidx"], first)
+    ce = _apply_var1d(yblk[:, o2:o3].reshape(nc, 12, m), t,
+                      "edge_inv", m)
+    acc = _src_sum(_pad_cols(ce.reshape(nc * 12, m), meta.We),
+                   t["edge_src"], first)
     parts.append(acc[:, :m].reshape(-1))
     cv8 = jnp.broadcast_to(yblk[:, o3:].reshape(-1)[:, None], (nc * 8, 8))
     parts.append(_src_sum(cv8, t["vert_src"], first)[:, 0])

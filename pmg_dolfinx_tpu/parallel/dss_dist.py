@@ -217,41 +217,23 @@ class DSSPartition:
         offs_l = dict(face=o_f, edge=o_e, vert=o_v)
         nEl_pad = dict(face=nFl, edge=nEl, vert=nVl)
 
-        # Per-cell tables: variant-COMBINED gather/scatter row indices
-        # (`ops.unstructured.combined_indices` per shard; local storage
-        # keeps the global canonical orientation so the global variant
-        # tables row-slice directly), zero for dummy cells — their
-        # slots are never scattered.
-        nv_of = dict(face=8, edge=2, vert=1)
+        # Per-cell tables: local entity ids + per-shard variant bit
+        # planes (local storage keeps the global canonical orientation,
+        # so the global variant tables row-slice directly), zero for
+        # dummy cells — their slots are never scattered.
+        from ..ops.unstructured import _VAR_BITS
+
         for kind, nloc in (("face", 6), ("edge", 12), ("vert", 8)):
             if kinds[kind] is None:
                 continue
             per, nsh = kinds[kind]
-            nv = nv_of[kind]
-            gidxs, sidxs, packs, unpacks, shareds = [], [], [], [], []
+            ids, srcs, packs, unpacks, shareds = [], [], [], [], []
             for s, p in enumerate(per):
-                cs = np.where(self.cell_shard == s)[0]
                 idl = np.zeros((ncl, nloc), dtype=np.int64)
                 idl[:p["local_id"].shape[0]] = p["local_id"]
-                if kind == "vert":
-                    gidxs.append(idl)
-                else:
-                    var_l = np.zeros((ncl, nloc), dtype=np.int64)
-                    var_l[:len(cs)] = lt[f"{kind}_var"][cs]
-                    gidxs.append(idl * nv + var_l)
-                # local src: pad value -> the stacked zero row
-                src = np.where(p["src"] < 0, ncl * nloc, p["src"])
-                if kind == "vert":
-                    sidxs.append(src)
-                else:
-                    inv_l = np.zeros((ncl, nloc), dtype=np.int64)
-                    inv_l[:len(cs)] = lt[f"{kind}_inv"][cs]
-                    inv_flat = inv_l.reshape(-1)
-                    src = np.where(
-                        src == ncl * nloc, nv * ncl * nloc,
-                        src * nv
-                        + inv_flat[np.minimum(src, ncl * nloc - 1)])
-                    sidxs.append(src)
+                ids.append(idl)
+                # local src: pad value -> the padded-cellface zero row
+                srcs.append(np.where(p["src"] < 0, ncl * nloc, p["src"]))
                 pk = np.where(p["pack"] < 0, nEl_pad[kind], p["pack"])
                 packs.append(pk)
                 up = np.where(p["unpack"] < 0, nsh, p["unpack"])
@@ -266,17 +248,12 @@ class DSSPartition:
                     l2g[s, lbase:lbase + wdt] = np.arange(
                         gbase, gbase + wdt)
                     w[s, lbase:lbase + wdt] = float(p["owned"][i])
-            name = "vert_id" if kind == "vert" else f"{kind}_gidx"
-            dev[name] = np.stack(
-                [a if kind == "vert" else a.reshape(ncl * nloc)
-                 for a in gidxs]).astype(np.int32)
-            Kl = max(a.shape[1] for a in sidxs)
-            pad_val = nv * ncl * nloc
-            sidxs = [np.pad(a, ((0, nEl_pad[kind] - a.shape[0]),
+            dev[f"{kind}_id"] = np.stack(ids).astype(np.int32)
+            Kl = max(a.shape[1] for a in srcs)
+            srcs = [np.pad(a, ((0, nEl_pad[kind] - a.shape[0]),
                                (0, Kl - a.shape[1])),
-                            constant_values=pad_val) for a in sidxs]
-            name = "vert_src" if kind == "vert" else f"{kind}_sidx"
-            dev[name] = np.stack(sidxs).astype(np.int32)
+                           constant_values=ncl * nloc) for a in srcs]
+            dev[f"{kind}_src"] = np.stack(srcs).astype(np.int32)
             dev[f"{kind}_pack"], _ = _pad_stack(
                 [a.astype(np.int64) for a in packs], nEl_pad[kind])
             dev[f"{kind}_pack"] = dev[f"{kind}_pack"].astype(np.int32)
@@ -287,6 +264,21 @@ class DSSPartition:
                      for a in shareds]
             dev[f"{kind}_shared"] = np.stack(sh_st)
             dev[f"{kind}_nsh"] = nsh
+        if m:
+            for key in ("face_var", "face_inv"):
+                bits = _VAR_BITS[lt[key]]
+                for b, name in enumerate(("t", "r1", "r2")):
+                    arr = np.zeros((S, ncl, 6), dtype=bool)
+                    for s in range(S):
+                        cs = np.where(self.cell_shard == s)[0]
+                        arr[s, :len(cs)] = bits[cs, :, b]
+                    dev[f"{key}_{name}"] = arr
+            for key in ("edge_var", "edge_inv"):
+                arr = np.zeros((S, ncl, 12), dtype=bool)
+                for s in range(S):
+                    cs = np.where(self.cell_shard == s)[0]
+                    arr[s, :len(cs)] = lt[key][cs] == 1
+                dev[f"{key}_r"] = arr
 
         # Interior dofs: l2g / weights / bc for real cells.
         if m:
@@ -479,11 +471,9 @@ class DSSDist:
                 # block->lattice permutation + variant-stacking matmul
                 # operands: identical on every shard (global cell-slot
                 # structure), replicated specs.
-                from ..ops.unstructured import _variant_mats, perm_matrix
+                from ..ops.unstructured import perm_matrix
 
                 lv["pmat"] = perm_matrix(mesh.dss_layout(Pdeg), dtype)
-                lv["face_vmat"], lv["edge_vmat"] = _variant_mats(
-                    meta.m, dtype)
             # nsh values are static per kind: fold into meta-side dict?
             # They are only used as python ints at trace time via the
             # table shapes; keep them on the level as plain attributes.
@@ -531,9 +521,8 @@ class DSSDist:
                 )
             spec = {k: P(AXIS) for k in lv}
             spec["D"] = P()
-            for k in ("pmat", "face_vmat", "edge_vmat"):
-                if k in lv:
-                    spec[k] = P()
+            if "pmat" in lv:
+                spec["pmat"] = P()
             if "schwarz" in lv:
                 spec["schwarz"] = dict(V=P(AXIS), ginv=P(AXIS),
                                        w=P(AXIS), bc=P(AXIS))

@@ -43,6 +43,13 @@ def test_guarded_main_survives_subbench_failures(monkeypatch):
         "b8_high": {"gdofs_per_rhs": 24.0, "spread": 0.02},
         "fdm_b8": {"solve_ms_per_rhs": 0.03, "spread": 0.02},
     })
+    monkeypatch.setattr(bench, "_bench_unstructured_2m",
+                        lambda: (2244151, 0.44, 0.02))
+    monkeypatch.setattr(bench, "_bench_curved_2m", lambda: {
+        "cheb": {"vcycle_ms": 5.5, "spread": 0.02, "fcg_iters": 10},
+        "schwarz": {"vcycle_ms": 7.0, "spread": 0.02, "fcg_iters": 5},
+    })
+    monkeypatch.setattr(bench, "_bench_heat_steps_2m", lambda: 1635.0)
     monkeypatch.setattr(bench, "_tpu_alive", lambda timeout=240: True)
 
     buf = io.StringIO()

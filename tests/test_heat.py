@@ -194,3 +194,39 @@ def test_snapshot_evolve_matches_long_run():
 
     with pytest.raises(ValueError, match="every"):
         snapshot_evolve(ev, u0, 5, 0)
+
+
+def test_scanned_general_stepper_matches_adaptive():
+    """heat_pcg_evolve_scanned (one lax.scan, fixed inner FCG count)
+    tracks the adaptive host-loop trajectory to solver tolerance on a
+    curved mesh with variable kappa (VERDICT r4 item 9)."""
+    from pmg_dolfinx_tpu.fem.mesh import PerturbedBoxMesh
+    from pmg_dolfinx_tpu.solvers.pmg import PMGHierarchy
+    from pmg_dolfinx_tpu.solvers.transient import (
+        heat_pcg_evolve,
+        heat_pcg_evolve_scanned,
+    )
+
+    mesh = PerturbedBoxMesh((4, 4, 4))
+    P, dt = 3, 1e-3
+    kap = lambda x: 1.0 + 0.5 * np.sin(2 * x[0])
+    hier = PMGHierarchy(mesh, degrees=(1, P), kappa=kap, coarse="direct",
+                        operator="lattice", sigma=1.0 / dt)
+    c = mesh.dof_coords(P)
+    u0 = (np.sin(np.pi * c[:, 0]) * np.sin(np.pi * c[:, 1])
+          * np.sin(np.pi * c[:, 2]))
+    u_h, _ = heat_pcg_evolve(hier, mesh, P, dt, scheme="be",
+                             rtol=1e-10)(u0, 8)
+    u_s = heat_pcg_evolve_scanned(hier, mesh, P, dt, scheme="be",
+                                  inner_iters=6)(u0, 8)
+    rel = (np.linalg.norm(np.asarray(u_s) - np.asarray(u_h))
+           / np.linalg.norm(np.asarray(u_h)))
+    assert rel < 1e-7
+
+    with pytest.raises(ValueError, match="kron"):
+        from pmg_dolfinx_tpu.fem.mesh import BoxMesh
+
+        hk = PMGHierarchy(BoxMesh((3, 3, 3)), degrees=(1, 2), kappa=2.0,
+                          coarse="direct", operator="kron",
+                          sigma=1.0 / dt)
+        heat_pcg_evolve_scanned(hk, BoxMesh((3, 3, 3)), 2, dt)
