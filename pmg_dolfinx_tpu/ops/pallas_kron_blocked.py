@@ -657,6 +657,17 @@ def _emu_apply(x3, bc3, t1, m, sigma=0.0):
     return jnp.where(bc3, x3, _emu_t23_core(x3, bc3, t1, m, sigma=sigma))
 
 
+def default_tiles(P):
+    """Per-degree (by, bx) block defaults (VERDICT r4 item 6): the
+    by=bx=8 tiles are tuned for the p=6 flagship (n=7); at p>=7 the
+    larger axis matrices shift the sweet spot — measured p=8 at 2.15M
+    dofs on v5e (tools/p8_tile_sweep.py): by=4/bx=8 7.09 GDOF/s vs 5.65
+    with the p=6 tiles and 6.66 for the XLA kron path (bx != 8 fails
+    Mosaic's block-divisibility lowering at n=9). kron_blocked now
+    BEATS XLA at p=8 with the dispatched tiles."""
+    return (8, 8) if P <= 6 else (4, 8)
+
+
 def _clamp_blocks(shape, by, bx):
     """Clamp slab sizes to the lattice extents. Mosaic requires the
     2nd-to-last block dim to be a multiple of 8 or the full extent, so
@@ -1212,8 +1223,8 @@ class PallasKronBlocked:
     XLA path up to matmul rounding.
     """
 
-    def __init__(self, mesh, P, kappa=2.0, by=8, bx=None, interpret=False,
-                 precision="highest", sigma=0.0):
+    def __init__(self, mesh, P, kappa=2.0, by=None, bx=None,
+                 interpret=False, precision="highest", sigma=0.0):
         from .kron import KronLaplacian
 
         base = KronLaplacian(mesh, P, kappa=kappa, dtype=jnp.float32,
@@ -1230,7 +1241,8 @@ class PallasKronBlocked:
         self.mats = symmetrized_mats(
             base.Ks, base.ms,
             face_masks=checked_face_masks(mesh, P, base.bc_marker))
-        self.by, self.bx = _clamp_blocks(self.shape, by, bx or 8)
+        dby, dbx = default_tiles(self.P)
+        self.by, self.bx = _clamp_blocks(self.shape, by or dby, bx or dbx)
         self._interpret = interpret
         # bc3/mats are deliberately CLOSED OVER (HLO constants): measured
         # +10% at 16.2M vs passing them as jit arguments (14.4 vs 13.1

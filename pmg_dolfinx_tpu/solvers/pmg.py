@@ -337,7 +337,7 @@ def kron_cycle_ops(precision="highest", sigma=0.0):
     )
 
 
-def kron_blocked_cycle_ops(precision="highest", by=8, bx=8,
+def kron_blocked_cycle_ops(precision="highest", by=None, bx=None,
                            fuse_smoother=False, sigma=0.0,
                            fuse_residual=True, fuse_transfers=False):
     """V-cycle primitives whose operator applies run the blocked fused
@@ -369,24 +369,35 @@ def kron_blocked_cycle_ops(precision="highest", by=8, bx=8,
         blocked_kron_residual,
     )
 
+    from ..ops.pallas_kron_blocked import default_tiles
+
+    def _tiles(level):
+        # Per-degree block dispatch (default_tiles): p<=6 keeps the
+        # flagship 8x8 tiles, p>=7 uses 4x8 (measured crossover).
+        d = default_tiles(level.P)
+        return (by or d[0], bx or d[1])
+
     def apply_op(lv, x, level):
+        tby, tbx = _tiles(level)
         return blocked_kron_apply(
-            x, lv["bc_marker"], lv["kb_mats"], by=by, bx=bx,
+            x, lv["bc_marker"], lv["kb_mats"], by=tby, bx=tbx,
             precision=precision, sigma=sigma,
         )
 
     def smooth_op(lv, b, x, level):
         # Chebyshev-4 with the update fused into the operator kernels —
         # the smoother's only HBM traffic is the two Mosaic pipelines.
+        tby, tbx = _tiles(level)
         return blocked_kron_cheb4(
             b, x, lv["bc_marker"], lv["kb_mats"], lv["diag_inv"],
-            lv["lmax"], level.smoother_iters, by=by, bx=bx,
+            lv["lmax"], level.smoother_iters, by=tby, bx=tbx,
             precision=precision, sigma=sigma,
         )
 
     def residual_op(lv, b, u, level):
+        tby, tbx = _tiles(level)
         return blocked_kron_residual(
-            b, u, lv["bc_marker"], lv["kb_mats"], by=by, bx=bx,
+            b, u, lv["bc_marker"], lv["kb_mats"], by=tby, bx=tbx,
             precision=precision, sigma=sigma,
         )
 
