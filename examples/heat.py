@@ -146,9 +146,14 @@ def main():
             from pmg_dolfinx_tpu.solvers.transient import heat_pcg_evolve
 
             kap_op = kappa / 2 if args.scheme == "cn" else kappa
+            # --fixed-iters (the scanned stepper) uses the smoother
+            # coarse: the cg coarse's 60-iteration while_loop nested
+            # inside the scanned FCG body blows the TPU compile up at
+            # large N (heat_pcg_evolve_scanned docstring).
+            coarse = "smoother" if args.fixed_iters else "cg"
             hier = PMGHierarchy(mesh, degrees=(1, P), kappa=kap_op,
                                 sigma=1.0 / args.dt, dtype=dtype,
-                                coarse="cg", operator="lattice")
+                                coarse=coarse, operator="lattice")
             if args.fixed_iters:
                 from pmg_dolfinx_tpu.solvers.transient import (
                     heat_pcg_evolve_scanned)

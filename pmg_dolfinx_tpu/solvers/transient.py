@@ -887,6 +887,17 @@ def heat_pcg_evolve_scanned(hier, mesh, P, dt, scheme="cn",
     trajectory to solver tolerance (pinned in tests/test_heat.py).
     ``f_time`` scales the constant-in-space source at scheme-consistent
     times like the scanned kron evolvers (`source_scales`).
+
+    MEASURED on v5e (200k dofs p=3 curved, BE, inner_iters=6,
+    coarse='smoother'): **179.6 steps/s** — 200 steps in 1.11 s, vs
+    ~3 steps/s for the adaptive host loop under the ~0.35 s/call tunnel
+    dispatch (~60x for serving-style runs); L2 at the adaptive path's
+    accuracy. The scan program itself compiles in ~19 s; the dominant
+    setup cost is the general-family HIERARCHY compile (the known
+    lattice-pipeline cost — 804 s at 200k this session, and with
+    coarse='cg' at 2M the combined program did not finish its remote
+    compile within 55 min: prefer coarse='smoother' under the scan, as
+    examples/heat.py --fixed-iters now does).
     """
     from functools import partial as _partial
 
